@@ -1,0 +1,106 @@
+"""Engine: SparkSession factory + table registry.
+
+The engine is the front door (SURVEY.md §3): EP1 is the Python DataFrame
+API (``engine.table(...)`` chains), EP2 is SQL (``engine.sql(...)`` over
+registered temp views), EP3 is the graph API (``engine.graph(...)``).
+
+Scale posture: the session defaults below are chosen for correctness on
+``local[*]`` while staying cluster-honest — AQE handles runtime partition
+coalescing and skew-join splitting, so ``spark.sql.shuffle.partitions``
+is a ceiling, not a tuning knob that would need re-derivation per
+deployment. On a 1000-executor cluster the same code runs with a higher
+ceiling (e.g. 2000) and AQE still right-sizes each exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from puregraphdb_spark.sources.registry import TABLES, load_table
+
+_DEFAULT_CONF = {
+    # AQE: runtime re-optimization — coalesce post-shuffle partitions,
+    # split skewed join partitions, demote/promote broadcast at runtime.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Ceiling for shuffle parallelism; AQE coalesces below it.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Dim tables (region/nation/supplier/customer/part) are far below
+    # this → broadcast hash joins, no shuffle of the fact side.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Arrow for any toPandas()/pandas_udf boundary (tests, extensions).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Session timezone pinned to UTC so event-time bucket starts are
+    # engine-independent (DuckDB treats parquet timestamps as wall-clock).
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def get_session(app_name: str = "puregraphdb-spark", master: str | None = None,
+                conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) the shared SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster the caller passes nothing and spark-submit supplies it.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master:
+        builder = builder.master(master)
+    merged = dict(_DEFAULT_CONF)
+    if conf:
+        merged.update(conf)
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+class Engine:
+    """Table registry + query entry points over one SparkSession.
+
+    >>> eng = Engine(spark, "/root/testdata/sf0.01")
+    >>> eng.table("lineitem").filter(...)          # EP1: DataFrame
+    >>> eng.sql("select count(*) from lineitem")   # EP2: SQL
+    >>> eng.graph(vertices_df, edges_df)           # EP3: graph
+    """
+
+    def __init__(self, spark: SparkSession, data_dir: str,
+                 register_views: bool = True):
+        self.spark = spark
+        self.data_dir = data_dir
+        self._tables: dict[str, DataFrame] = {}
+        if register_views:
+            self.register_all_views()
+
+    def table(self, name: str) -> DataFrame:
+        """Lazily load a named table; schema comes from parquet footer
+        (fixed schemas — SURVEY.md §1.2), so Catalyst gets exact types
+        and the vectorized parquet reader handles the scan."""
+        if name not in self._tables:
+            self._tables[name] = load_table(self.spark, self.data_dir, name)
+        return self._tables[name]
+
+    def register_all_views(self) -> None:
+        """Register every known table as a temp view so EP2 SQL matches
+        the oracle's view names verbatim."""
+        for name in TABLES:
+            self.table(name).createOrReplaceTempView(name)
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    def graph(self, vertices: DataFrame, edges: DataFrame):
+        from puregraphdb_spark.operators.graph import Graph
+        return Graph(vertices, edges)
+
+    def cache_tables(self, names: list[str] | None = None) -> None:
+        """Pin base tables in memory (bench/steady-state mode). On a
+        cluster this is executor-memory-resident columnar cache; at
+        100 TB you would cache only hot dims and rely on parquet +
+        pushdown for facts."""
+        for name in names or TABLES:
+            self.table(name).persist()

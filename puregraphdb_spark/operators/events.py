@@ -1,0 +1,89 @@
+"""Event-stream operators, batch-first (SURVEY.md §2 q20–q22).
+
+Batch DataFrames here; the same logical shapes deploy as Structured
+Streaming in puregraphdb_spark.streaming.windows (readStream +
+watermark + window/session_window). The batch versions are the oracled
+ones — the streaming versions share the column contracts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from puregraphdb_spark.sources.registry import load_table
+
+
+def tumbling_window(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Epoch-aligned tumbling event-time buckets × event_type.
+
+    F.window's bucket starts are epoch-aligned, matching DuckDB
+    time_bucket semantics for whole-hour intervals.
+    Scale: 1 shuffle on (win, event_type); partial agg first.
+    """
+    return (
+        events.groupBy(
+            F.window("ts", duration).start.alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_val"),
+        )
+        .orderBy("win", "event_type")
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when the
+    gap to the previous event of the same user exceeds ``gap``.
+
+    Batch formulation: lag + cumulative sum over a per-user window —
+    2 window passes over one shuffle on user_id (both windows share the
+    partitioning, Catalyst plans a single exchange). Streaming-native
+    equivalent: F.session_window (see streaming.windows).
+
+    sid is cast to long on both engines (DuckDB sum(int) is HUGEINT).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > F.lit(30 * 60)),
+        1,
+    ).otherwise(0)
+    return (
+        events.select("user_id", "ts", new_s.alias("new_s"))
+        .select(
+            "user_id",
+            "ts",
+            F.sum("new_s").over(wcum).cast("long").alias("sid"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("user_id", "sid")
+    )
+
+
+def q20_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_window(load_table(spark, sf_dir, "events"))
+
+
+def q21_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+def q22_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average of JSON field $.k per event_type — semi-structured props
+    parsed on use (get_json_object stays JVM-side/codegen)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(
+                F.avg(F.get_json_object("props", "$.k").cast("double")), 4
+            ).alias("avg_k")
+        )
+        .orderBy("event_type")
+    )

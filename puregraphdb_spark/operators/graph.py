@@ -1,0 +1,390 @@
+"""Graph module: property graphs as DataFrame pairs + GraphX-family
+analytics (SURVEY.md §2 q23–q25, §3 EP3, §7.3).
+
+The reference system is a graph database whose analytical side fits the
+GraphX model (BASELINE.json: "GraphX for analytics"); `graphframes` is
+not available in this environment, so this is an independent
+DataFrame-native implementation of the same algorithm family:
+
+- ``Graph``            — immutable (vertices, edges) pair, triplet view
+- ``degrees``          — in/out/total degree
+- ``aggregate_messages`` — the graph-parallel primitive (GraphX
+                          mapReduceTriplets, OSDI'14 §4)
+- ``pregel``           — superstep loop with lineage checkpointing
+- ``connected_components``, ``pagerank``, ``label_propagation``
+- ``triangle_count``   — canonical-edge join counting
+
+Scale posture: vertex-cut partitioning is approximated by hash
+partitioning edges on src (and relying on AQE for skew); every
+superstep is join + partial-agg + join, all JVM-side. Lineage is cut
+via localCheckpoint every ``checkpoint_interval`` supersteps —
+without it, iterative DataFrame plans grow unboundedly (SURVEY §3 EP3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from puregraphdb_spark.sources.registry import load_table
+
+
+class Graph:
+    """Immutable property graph: ``vertices(id, …)``, ``edges(src, dst, …)``.
+
+    Graphs are values (the reference's pure/functional store semantics):
+    every operation returns new DataFrames / new Graphs.
+    """
+
+    def __init__(self, vertices: DataFrame, edges: DataFrame):
+        if "id" not in vertices.columns:
+            raise ValueError("vertices must have an 'id' column")
+        if "src" not in edges.columns or "dst" not in edges.columns:
+            raise ValueError("edges must have 'src' and 'dst' columns")
+        self.vertices = vertices
+        self.edges = edges
+
+    # -- views ------------------------------------------------------------
+
+    def triplets(self) -> DataFrame:
+        """The triplet relation edges ⋈ vertices(src) ⋈ vertices(dst).
+
+        Central derived view of graph-parallel computation. Vertex
+        attribute columns are prefixed src_/dst_.
+        """
+        src_v = self.vertices.select(
+            [F.col(c).alias("src" if c == "id" else f"src_{c}") for c in self.vertices.columns]
+        )
+        dst_v = self.vertices.select(
+            [F.col(c).alias("dst" if c == "id" else f"dst_{c}") for c in self.vertices.columns]
+        )
+        return self.edges.join(src_v, "src").join(dst_v, "dst")
+
+    # -- degree family -----------------------------------------------------
+
+    def out_degrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("src").alias("id")).agg(
+            F.count("*").alias("out_degree")
+        )
+
+    def in_degrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("dst").alias("id")).agg(
+            F.count("*").alias("in_degree")
+        )
+
+    def degrees(self) -> DataFrame:
+        """Total/in/out degree per vertex — union + re-aggregate, a single
+        shuffle pattern that avoids an outer join of two aggregates."""
+        out_part = self.edges.select(
+            F.col("src").alias("id"),
+            F.lit(1).cast("long").alias("outd"),
+            F.lit(0).cast("long").alias("ind"),
+        )
+        in_part = self.edges.select(
+            F.col("dst").alias("id"),
+            F.lit(0).cast("long").alias("outd"),
+            F.lit(1).cast("long").alias("ind"),
+        )
+        return (
+            out_part.unionByName(in_part)
+            .groupBy("id")
+            .agg(
+                F.sum("outd").alias("out_degree"),
+                F.sum("ind").alias("in_degree"),
+            )
+            .withColumn("degree", F.col("out_degree") + F.col("in_degree"))
+        )
+
+    # -- graph-parallel primitive -------------------------------------------
+
+    def aggregate_messages(
+        self,
+        agg: Column,
+        to_src: Column | None = None,
+        to_dst: Column | None = None,
+    ) -> DataFrame:
+        """GraphX aggregateMessages / mapReduceTriplets on DataFrames.
+
+        ``to_src`` / ``to_dst`` are message expressions over the triplet
+        view's columns; ``agg`` aggregates column "msg" per vertex.
+        Returns (id, agg). One shuffle (the groupBy) beyond the triplet
+        joins; partial aggregation applies map-side.
+        """
+        t = self.triplets()
+        parts = []
+        if to_dst is not None:
+            parts.append(t.select(F.col("dst").alias("id"), to_dst.alias("msg")))
+        if to_src is not None:
+            parts.append(t.select(F.col("src").alias("id"), to_src.alias("msg")))
+        if not parts:
+            raise ValueError("provide to_src and/or to_dst")
+        msgs = parts[0]
+        for p in parts[1:]:
+            msgs = msgs.unionByName(p)
+        return msgs.groupBy("id").agg(agg.alias("agg"))
+
+    # -- pregel -------------------------------------------------------------
+
+    def pregel(
+        self,
+        initial: Callable[[DataFrame], DataFrame],
+        superstep: Callable[["Graph", DataFrame, int], DataFrame],
+        converged: Callable[[DataFrame, DataFrame], bool],
+        max_iter: int = 20,
+        checkpoint_interval: int = 5,
+    ) -> DataFrame:
+        """Driver-side superstep loop over vertex state DataFrames.
+
+        - ``initial(vertices) -> state`` (must keep the id column)
+        - ``superstep(graph, state, i) -> new state``
+        - ``converged(old, new) -> bool`` (may run a count() action)
+
+        Lineage is cut with localCheckpoint every ``checkpoint_interval``
+        supersteps; states are persisted so the convergence action and
+        the next superstep don't recompute the chain.
+        """
+        state = initial(self.vertices).persist()
+        state.count()  # materialize
+        for i in range(max_iter):
+            new_state = superstep(self, state, i)
+            if (i + 1) % checkpoint_interval == 0:
+                new_state = new_state.localCheckpoint(eager=True)
+            else:
+                new_state = new_state.persist()
+            done = converged(state, new_state)
+            state.unpersist()
+            state = new_state
+            if done:
+                break
+        return state
+
+    # -- algorithms ----------------------------------------------------------
+
+    def connected_components(self, max_iter: int = 50) -> DataFrame:
+        """Min-vertex-id label propagation to fixpoint → (id, component).
+
+        Each superstep: propagate the smaller component id across every
+        edge in both directions, take the min per vertex. Converges in
+        O(diameter) supersteps. (The large-star/small-star algorithm
+        converges in fewer rounds at extreme diameters; plain propagation
+        is the GraphX baseline and is shuffle-per-round identical here.)
+        """
+        undirected = self.edges.select("src", "dst").unionByName(
+            self.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+        def initial(v: DataFrame) -> DataFrame:
+            return v.select("id", F.col("id").alias("component"))
+
+        def step(g: Graph, state: DataFrame, i: int) -> DataFrame:
+            msgs = (
+                undirected.join(state, undirected.src == state.id)
+                .select(F.col("dst").alias("id"), F.col("component").alias("msg"))
+                .groupBy("id")
+                .agg(F.min("msg").alias("nbr_min"))
+            )
+            return (
+                state.join(msgs, "id", "left")
+                .select(
+                    "id",
+                    F.least(F.col("component"), F.coalesce("nbr_min", "component")).alias("component"),
+                )
+            )
+
+        def converged(old: DataFrame, new: DataFrame) -> bool:
+            changed = (
+                old.alias("o")
+                .join(new.alias("n"), "id")
+                .filter(F.col("o.component") != F.col("n.component"))
+                .limit(1)
+                .count()
+            )
+            return changed == 0
+
+        return self.pregel(initial, step, converged, max_iter=max_iter)
+
+    def pagerank(self, reset_prob: float = 0.15, max_iter: int = 10) -> DataFrame:
+        """Classic iterative PageRank → (id, pagerank).
+
+        rank_{i+1} = reset + (1-reset) * Σ_in rank_i/outdeg. Dangling
+        vertices contribute nothing (GraphX semantics). Fixed iteration
+        count; each superstep is one join + one groupBy shuffle.
+        """
+        out_deg = self.out_degrees()
+        edges = self.edges.select("src", "dst").join(out_deg, F.col("src") == F.col("id")).select(
+            "src", "dst", "out_degree"
+        ).persist()
+
+        def initial(v: DataFrame) -> DataFrame:
+            return v.select("id", F.lit(1.0).alias("pagerank"))
+
+        def step(g: Graph, state: DataFrame, i: int) -> DataFrame:
+            contribs = (
+                edges.join(state, edges.src == state.id)
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("pagerank") / F.col("out_degree")).alias("contrib"),
+                )
+                .groupBy("id")
+                .agg(F.sum("contrib").alias("in_sum"))
+            )
+            return (
+                g.vertices.select("id")
+                .join(contribs, "id", "left")
+                .select(
+                    "id",
+                    (F.lit(reset_prob) + F.lit(1.0 - reset_prob) * F.coalesce("in_sum", F.lit(0.0))).alias("pagerank"),
+                )
+            )
+
+        result = self.pregel(initial, step, lambda o, n: False, max_iter=max_iter)
+        edges.unpersist()
+        return result
+
+    def label_propagation(self, max_iter: int = 5) -> DataFrame:
+        """Community detection: adopt the most frequent neighbor label
+        (ties → smaller label). Returns (id, label)."""
+        undirected = self.edges.select("src", "dst").unionByName(
+            self.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+        def initial(v: DataFrame) -> DataFrame:
+            return v.select("id", F.col("id").alias("label"))
+
+        def step(g: Graph, state: DataFrame, i: int) -> DataFrame:
+            counts = (
+                undirected.join(state, undirected.src == state.id)
+                .groupBy(F.col("dst").alias("vid"), "label")
+                .agg(F.count("*").alias("cnt"))
+            )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("vid").orderBy(F.desc("cnt"), "label")
+            best = (
+                counts.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(F.col("vid").alias("id"), F.col("label").alias("new_label"))
+            )
+            return (
+                state.join(best, "id", "left")
+                .select("id", F.coalesce("new_label", "label").alias("label"))
+            )
+
+        return self.pregel(initial, step, lambda o, n: False, max_iter=max_iter)
+
+    def triangle_count(self) -> DataFrame:
+        """Global triangle count via canonical-edge (u<v) wedge closing.
+
+        1-row DataFrame (n_triangles). Scale: two self-joins of the
+        canonical edge set; AQE handles wedge skew. Per-vertex counts
+        would tag each closing edge's endpoints instead of counting.
+        """
+        e = (
+            self.edges.select(
+                F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+            )
+            .filter(F.col("u") < F.col("v"))
+            .distinct()
+        )
+        return count_triangles(e)
+
+
+def count_triangles(canonical_edges: DataFrame) -> DataFrame:
+    """Count triangles in a canonical (u<v, distinct) edge DataFrame."""
+    e1 = canonical_edges.alias("e1")
+    e2 = canonical_edges.alias("e2")
+    e3 = canonical_edges.alias("e3")
+    wedges = e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+    return (
+        wedges.join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+# -- canonical graph projections over the fixtures (SURVEY §2.3) -------------
+
+
+def order_graph_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Bipartite customer→supplier edges: one per distinct (order,
+    supplier) usage, i.e. the distinct (o_custkey, l_suppkey) pairs per
+    order join. Columns (src, dst)."""
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+    )
+
+
+def part_cooccurrence_edges(lineitem: DataFrame) -> DataFrame:
+    """Undirected canonical (u<v) part co-occurrence edges: two parts
+    appearing in the same order. Distinct."""
+    a = lineitem.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = lineitem.select("l_orderkey", F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+
+
+# -- oracled queries ----------------------------------------------------------
+
+
+def q23_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In/out-degree of the customer→supplier order graph.
+
+    Degree counts distinct counterparties (count(distinct ...) in the
+    oracle), computed per side then union + re-agg — one aggregation
+    tree, no outer join. Degrees cast to long (DuckDB sum → HUGEINT).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    joined = o.join(l, o.o_orderkey == l.l_orderkey)
+    outd = (
+        joined.groupBy(F.col("o_custkey").alias("v"))
+        .agg(F.countDistinct("l_suppkey").alias("outd"))
+        .select("v", "outd", F.lit(0).cast("long").alias("ind"))
+    )
+    ind = (
+        joined.groupBy(F.col("l_suppkey").alias("v"))
+        .agg(F.countDistinct("o_custkey").alias("ind"))
+        .select("v", F.lit(0).cast("long").alias("outd"), "ind")
+    )
+    return (
+        outd.unionByName(ind)
+        .groupBy("v")
+        .agg(
+            F.sum("outd").cast("long").alias("out_degree"),
+            F.sum("ind").cast("long").alias("in_degree"),
+        )
+        .orderBy("v")
+    )
+
+
+def q24_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the part co-occurrence graph (1 row)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return count_triangles(part_cooccurrence_edges(l))
+
+
+def q25_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#customers reachable via a shared supplier, for sampled sources
+    (c % 50 = 0) — 2-hop neighborhood over the bipartite order graph."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    e = order_graph_edges(o, l).select(
+        F.col("src").alias("c"), F.col("dst").alias("s")
+    ).distinct()
+    a = e.alias("a").filter(F.col("c") % 50 == 0)
+    b = e.alias("b")
+    return (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.c") != F.col("b.c")))
+        .groupBy(F.col("a.c").alias("src"))
+        .agg(F.countDistinct(F.col("b.c")).alias("n_2hop"))
+        .orderBy("src")
+    )

@@ -1,0 +1,385 @@
+"""Relational core: scan/filter/project, aggregates, joins, windows,
+set ops, top-k, percentiles, scalar functions (SURVEY.md §2 q01–q19).
+
+Every function takes ``(spark, sf_dir)`` and returns a lazy DataFrame —
+the exact signature the driver's correctness harness calls. All column
+aliases are part of the oracle contract (SURVEY.md Appendix A).
+
+Scale notes are per-query docstrings: shuffles counted, broadcast
+decisions stated. Conventions used everywhere:
+
+- Aggregates over doubles are rounded (2–4 dp) on BOTH engines so
+  order-insensitive value hashes match despite float summation order
+  (SURVEY.md §7.4.1).
+- Integer-valued derived columns are cast to ``long`` because DuckDB
+  returns BIGINT where Spark returns int (row_number, year, length).
+- Every LIMIT carries a total-order tiebreaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from puregraphdb_spark.sources.registry import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def q01_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate filter + arithmetic projection on lineitem.
+
+    Scale: 0 shuffles. Both predicates and the 5-column projection push
+    into the parquet scan (PushedFilters + ReadSchema); at 100 TB this is
+    a pure embarrassingly-parallel scan with row-group skipping on
+    l_shipdate statistics.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") > 0.05)
+            & (F.col("l_returnflag") == "R")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net_price"),
+        )
+    )
+
+
+def q02_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style multi-aggregate group-by.
+
+    Scale: 1 shuffle on (l_returnflag, l_linestatus) — 6 groups, so the
+    partial (map-side) aggregation reduces ~everything before exchange;
+    whole-stage codegen covers scan→partial-agg.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q03_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct) on two columns per group.
+
+    Scale: Spark expands multi-distinct into an Expand + two-phase agg
+    (2 shuffles); still map-side-partial on the expanded stream. Exact
+    distinct is the contract here; the approx path (HLL sketches, 1
+    shuffle) is `approx_count_distinct` — not oracled (SURVEY §2.2).
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supp"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q04_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(returnflag, linestatus) with 'ALL' placeholder rows.
+
+    Scale: rollup = Expand (3 grouping sets) + 1 shuffle; group count is
+    tiny so exchange volume is the number of sets × groups.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "sum_qty",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+def q05_join_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join → group → top-10 by revenue (TPC-H Q3 shape).
+
+    Scale: customer (filtered on segment) broadcasts under the 64 MB
+    threshold → lineitem never shuffles for the join; 1 shuffle for the
+    groupBy(o_orderkey); orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition top-k, no global sort).
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def q06_join_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-table star join with a two-column join condition.
+
+    Scale: region/nation/customer/supplier are all broadcast-size dims →
+    the only shuffles are orders⋈lineitem (co-partitioned on orderkey)
+    and the final 5-group agg. The s_nationkey=c_nationkey residual
+    rides on the supplier broadcast join.
+    """
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .groupBy(n.n_name.alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+def q07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders (NOT EXISTS → left_anti).
+
+    Scale: anti join shuffles both sides on custkey unless the right
+    side broadcasts; orders' single projected column broadcasts far
+    longer than the full table would.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q08_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count of customers having at least one 'F' order (EXISTS → left_semi).
+
+    Returns a 1-row DataFrame (column n_cust) per the oracle contract.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count("*").alias("n_cust"))
+    )
+
+
+def q09_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order count including zero-order customers.
+
+    F.count(col) is null-skipping (left-outer misses count as 0);
+    sum over no rows is NULL → coalesce to 0 before rounding.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q10_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitems shipped within 90 days of their order date.
+
+    Scale: the equi key (orderkey) keeps this a hash join with the
+    BETWEEN as a cheap residual predicate — NOT a cartesian range join.
+    This is the pattern for any interval join that has a natural equi
+    key; pure range joins without one need bucketized banding.
+    """
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(
+            o,
+            (l.l_orderkey == o.o_orderkey)
+            & l.l_shipdate.between(
+                o.o_orderdate, o.o_orderdate + F.expr("INTERVAL 90 DAYS")
+            ),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+def q11_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (ranking window).
+
+    Scale: 1 shuffle on the partition key + in-partition sort; rank
+    filter applies before any downstream consumer. rn cast to long
+    (DuckDB row_number → BIGINT).
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def q12_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer (frame-based window aggregate)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+def q13_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta vs previous order price (analytic lag window)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2
+        ).alias("delta"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+def q14_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations present among both customers and suppliers
+    (IN-subqueries via left_semi, then INTERSECT)."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    in_cust = n.join(c, n.n_nationkey == c.c_nationkey, "left_semi").select("n_nationkey")
+    in_supp = n.join(s, n.n_nationkey == s.s_nationkey, "left_semi").select("n_nationkey")
+    return in_cust.intersect(in_supp).orderBy("n_nationkey")
+
+
+def q15_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct union of customer/supplier nations minus region-0 nations.
+
+    SQL UNION is distinct; subtract() is EXCEPT DISTINCT — both match the
+    oracle's set semantics.
+    """
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    n0 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 0)
+        .select(F.col("n_nationkey").alias("k"))
+    )
+    return c.union(s).distinct().subtract(n0).orderBy("k")
+
+
+def q16_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 (brand, type) by shipped quantity.
+
+    Scale: part broadcasts; 1 shuffle for the agg; top-k via
+    TakeOrderedAndProject with full tiebreakers.
+    """
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy(F.desc("qty"), "p_brand", "p_type")
+        .limit(15)
+    )
+
+
+def q17_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + p90 per returnflag.
+
+    F.median / F.percentile are linear-interpolating like DuckDB's
+    percentile_cont (SURVEY §2 q17). Exact percentiles need the whole
+    group — at extreme scale switch to approx_percentile (t-digest),
+    which is deliberately not the oracled path.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_extendedprice"), 2).alias("med_price"),
+            F.round(F.percentile("l_extendedprice", 0.9), 2).alias("p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q18_string_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/date kitchen sink (upper/substr/length/concat,
+    year/month). Integer-valued scalars cast to long to match DuckDB."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 1000 == 7)
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .orderBy("o_orderkey")
+        .select(
+            F.upper(F.substring("c_name", 1, 8)).alias("cpfx"),
+            F.length("c_name").cast("long").alias("nlen"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mon"),
+            F.concat_ws("-", "c_mktsegment", "o_orderpriority").alias("tag"),
+        )
+    )
+
+
+def q19_case_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation + math scalars (CASE WHEN, sqrt, abs)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_linestatus")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(0.0)
+                ),
+                2,
+            ).alias("hi_disc"),
+            F.round(F.sum(F.sqrt("l_quantity")), 2).alias("sq"),
+            F.round(F.sum(F.abs(F.col("l_tax") - 0.04)), 4).alias("tax_dev"),
+        )
+        .orderBy("l_linestatus")
+    )

@@ -1,0 +1,3 @@
+from puregraphdb_spark.sources.registry import TABLES, load_table, load_tables
+
+__all__ = ["TABLES", "load_table", "load_tables"]
