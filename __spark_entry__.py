@@ -3,8 +3,14 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementations live in ``puregraphdb_spark``; this module only maps
+SURVEY.md §2 query names to their callables and oracle SQL
+(SURVEY.md Appendix A, with explicit casts where DuckDB's default
+result type would differ from Spark's: ``sum(int)`` → HUGEINT is cast
+to BIGINT, and cosine inputs are cast to DOUBLE[] so both engines run
+the identical sequential double summation).
 """
 
 from __future__ import annotations
@@ -12,27 +18,334 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from puregraphdb_spark.operators import events, graph, llm, relational
+from puregraphdb_spark.sources.registry import load_table
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1-style pricing summary) on sf0.001."""
+    return relational.q02_agg_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+# -- rows-only iterative graph algorithms (no clean SQL oracle) --------------
+
+
+def _order_graph(spark: SparkSession, sf_dir: str) -> graph.Graph:
+    """Customer→supplier order graph (SURVEY §2.3) as a Graph value.
+
+    Vertex ids share one id space (the oracle's q23 does the same union).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    e = graph.order_graph_edges(o, l).distinct()
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return graph.Graph(v, e)
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the order graph (rows-only: iterative, not SQL)."""
+    g = _order_graph(spark, sf_dir)
+    return (
+        g.pagerank(max_iter=5)
+        .select("id", F.round("pagerank", 6).alias("pagerank"))
+        .orderBy("id")
+    )
+
+
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the order graph (rows-only)."""
+    g = _order_graph(spark, sf_dir)
+    return g.connected_components(max_iter=20).orderBy("id")
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the order graph (rows-only)."""
+    g = _order_graph(spark, sf_dir)
+    return g.label_propagation(max_iter=3).orderBy("id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ rows-only
+    iterative graph algorithms per the contract's non-SQL allowance)."""
+    return {
+        "q01_filter_project": relational.q01_filter_project,
+        "q02_agg_pricing_summary": relational.q02_agg_pricing_summary,
+        "q03_distinct_count": relational.q03_distinct_count,
+        "q04_rollup": relational.q04_rollup,
+        "q05_join_topk_revenue": relational.q05_join_topk_revenue,
+        "q06_join_5way": relational.q06_join_5way,
+        "q07_anti_join": relational.q07_anti_join,
+        "q08_semi_join": relational.q08_semi_join,
+        "q09_left_outer": relational.q09_left_outer,
+        "q10_range_join": relational.q10_range_join,
+        "q11_window_rank": relational.q11_window_rank,
+        "q12_window_running": relational.q12_window_running,
+        "q13_window_lag_delta": relational.q13_window_lag_delta,
+        "q14_setops": relational.q14_setops,
+        "q15_union_except": relational.q15_union_except,
+        "q16_topk_parts": relational.q16_topk_parts,
+        "q17_percentile": relational.q17_percentile,
+        "q18_string_date_funcs": relational.q18_string_date_funcs,
+        "q19_case_math": relational.q19_case_math,
+        "q20_tumbling_window": events.q20_tumbling_window,
+        "q21_session_window": events.q21_session_window,
+        "q22_json_extract": events.q22_json_extract,
+        "q23_graph_degree": graph.q23_graph_degree,
+        "q24_graph_triangles": graph.q24_graph_triangles,
+        "q25_graph_2hop": graph.q25_graph_2hop,
+        "q26_dedup_keys": llm.q26_dedup_keys,
+        "q27_text_tokens": llm.q27_text_tokens,
+        "q28_text_stats": llm.q28_text_stats,
+        "q29_knn_cosine": llm.q29_knn_cosine,
+        "q30_knn_label": llm.q30_knn_label,
+        # rows-only (iterative; driver records the weaker rows-only check)
+        "graph_pagerank": graph_pagerank,
+        "graph_connected_components": graph_connected_components,
+        "graph_label_propagation": graph_label_propagation,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-equivalent SQL per query (SURVEY.md Appendix A).
+
+    Rows-only entries (graph_*) are deliberately absent.
     """
-    return {}
+    return {
+        "q01_filter_project": """
+            select l_orderkey, l_linenumber,
+                   round(l_extendedprice*(1-l_discount),2) as net_price
+            from lineitem
+            where l_shipdate >= timestamp '1996-01-01' and l_discount > 0.05
+              and l_returnflag = 'R'
+        """,
+        "q02_agg_pricing_summary": """
+            select l_returnflag, l_linestatus, count(*) as n,
+                   round(sum(l_quantity),2) as sum_qty,
+                   round(sum(l_extendedprice*(1-l_discount)),2) as sum_disc_price,
+                   round(avg(l_quantity),4) as avg_qty
+            from lineitem where l_shipdate <= timestamp '1998-09-01'
+            group by l_returnflag, l_linestatus
+            order by l_returnflag, l_linestatus
+        """,
+        "q03_distinct_count": """
+            select l_returnflag, count(distinct l_partkey) as n_parts,
+                   count(distinct l_suppkey) as n_supp
+            from lineitem group by l_returnflag order by l_returnflag
+        """,
+        "q04_rollup": """
+            select coalesce(l_returnflag,'ALL') as rf,
+                   coalesce(l_linestatus,'ALL') as ls,
+                   round(sum(l_quantity),2) as sum_qty
+            from lineitem group by rollup (l_returnflag, l_linestatus)
+            order by rf, ls
+        """,
+        "q05_join_topk_revenue": """
+            select o.o_orderkey,
+                   round(sum(l.l_extendedprice*(1-l.l_discount)),2) as revenue,
+                   o.o_orderdate
+            from customer c join orders o on c.c_custkey=o.o_custkey
+            join lineitem l on l.l_orderkey=o.o_orderkey
+            where c.c_mktsegment='BUILDING'
+              and o.o_orderdate < timestamp '1998-01-01'
+            group by o.o_orderkey, o.o_orderdate
+            order by revenue desc, o_orderkey limit 10
+        """,
+        "q06_join_5way": """
+            select n.n_name as nation,
+                   round(sum(l.l_extendedprice*(1-l.l_discount)),2) as revenue
+            from region r join nation n on n.n_regionkey=r.r_regionkey
+            join customer c on c.c_nationkey=n.n_nationkey
+            join orders o on o.o_custkey=c.c_custkey
+            join lineitem l on l.l_orderkey=o.o_orderkey
+            join supplier s on s.s_suppkey=l.l_suppkey
+              and s.s_nationkey=c.c_nationkey
+            where r.r_name='ASIA' group by n.n_name order by revenue desc, nation
+        """,
+        "q07_anti_join": """
+            select c.c_custkey, c.c_name from customer c
+            where not exists (select 1 from orders o where o.o_custkey=c.c_custkey)
+            order by c.c_custkey
+        """,
+        "q08_semi_join": """
+            select count(*) as n_cust from customer c
+            where exists (select 1 from orders o
+                          where o.o_custkey=c.c_custkey and o.o_orderstatus='F')
+        """,
+        "q09_left_outer": """
+            select c.c_custkey, count(o.o_orderkey) as n_orders,
+                   round(coalesce(sum(o.o_totalprice),0),2) as total
+            from customer c left join orders o on o.o_custkey=c.c_custkey
+            group by c.c_custkey order by c.c_custkey
+        """,
+        "q10_range_join": """
+            select count(*) as n, round(avg(l.l_extendedprice),2) as avg_price
+            from orders o join lineitem l on l.l_orderkey=o.o_orderkey
+             and l.l_shipdate between o.o_orderdate
+                 and o.o_orderdate + interval '90 days'
+        """,
+        "q11_window_rank": """
+            select * from (
+              select o_custkey, o_orderkey, o_totalprice,
+                     row_number() over (partition by o_custkey
+                       order by o_totalprice desc, o_orderkey) as rn
+              from orders) t where rn <= 3 order by o_custkey, rn
+        """,
+        "q12_window_running": """
+            select o_custkey, o_orderkey,
+                   round(sum(o_totalprice) over (partition by o_custkey
+                     order by o_orderdate, o_orderkey
+                     rows between unbounded preceding and current row),2)
+                     as running_total
+            from orders order by o_custkey, o_orderkey
+        """,
+        "q13_window_lag_delta": """
+            select o_custkey, o_orderkey,
+                   round(o_totalprice - lag(o_totalprice,1,0.0) over
+                     (partition by o_custkey order by o_orderdate, o_orderkey),2)
+                     as delta
+            from orders order by o_custkey, o_orderkey
+        """,
+        "q14_setops": """
+            select n_nationkey from nation
+            where n_nationkey in (select c_nationkey from customer)
+            intersect
+            select n_nationkey from nation
+            where n_nationkey in (select s_nationkey from supplier)
+            order by n_nationkey
+        """,
+        "q15_union_except": """
+            select c_nationkey as k from customer
+            union select s_nationkey from supplier
+            except select n_nationkey from nation where n_regionkey = 0
+            order by k
+        """,
+        "q16_topk_parts": """
+            select p.p_brand, p.p_type, round(sum(l.l_quantity),2) as qty
+            from part p join lineitem l on l.l_partkey=p.p_partkey
+            group by p.p_brand, p.p_type
+            order by qty desc, p_brand, p_type limit 15
+        """,
+        "q17_percentile": """
+            select l_returnflag, round(median(l_extendedprice),2) as med_price,
+                   round(percentile_cont(0.9)
+                     within group (order by l_extendedprice),2) as p90
+            from lineitem group by l_returnflag order by l_returnflag
+        """,
+        "q18_string_date_funcs": """
+            select upper(substr(c_name,1,8)) as cpfx, length(c_name) as nlen,
+                   year(o_orderdate) as yr, month(o_orderdate) as mon,
+                   concat(c_mktsegment,'-',o_orderpriority) as tag
+            from customer c join orders o on o.o_custkey=c.c_custkey
+            where o.o_orderkey % 1000 = 7 order by o.o_orderkey
+        """,
+        "q19_case_math": """
+            select l_linestatus,
+                   round(sum(case when l_discount>0.05 then l_extendedprice
+                             else 0 end),2) as hi_disc,
+                   round(sum(sqrt(l_quantity)),2) as sq,
+                   round(sum(abs(l_tax-0.04)),4) as tax_dev
+            from lineitem group by l_linestatus order by l_linestatus
+        """,
+        "q20_tumbling_window": """
+            select time_bucket(interval '1 hour', ts) as win, event_type,
+                   count(*) as n, round(sum(value),2) as sum_val
+            from events group by win, event_type order by win, event_type
+        """,
+        "q21_session_window": """
+            with marked as (
+              select user_id, ts,
+                 case when ts - lag(ts) over (partition by user_id order by ts)
+                        > interval '30 minutes'
+                      or lag(ts) over (partition by user_id order by ts) is null
+                      then 1 else 0 end as new_s
+              from events),
+            sess as (select user_id, ts,
+                     cast(sum(new_s) over (partition by user_id order by ts
+                       rows between unbounded preceding and current row)
+                       as bigint) as sid
+                     from marked)
+            select user_id, sid, count(*) as n_events from sess
+            group by user_id, sid order by user_id, sid
+        """,
+        "q22_json_extract": """
+            select event_type,
+                   round(avg(cast(json_extract_string(props,'$.k') as double)),4)
+                     as avg_k
+            from events group by event_type order by event_type
+        """,
+        "q23_graph_degree": """
+            select v, cast(sum(outd) as bigint) as out_degree,
+                   cast(sum(ind) as bigint) as in_degree from (
+              select o.o_custkey as v, count(distinct l.l_suppkey) as outd,
+                     0 as ind
+              from orders o join lineitem l on l.l_orderkey=o.o_orderkey
+              group by 1
+              union all
+              select l.l_suppkey as v, 0, count(distinct o.o_custkey)
+              from orders o join lineitem l on l.l_orderkey=o.o_orderkey
+              group by 1
+            ) t group by v order by v
+        """,
+        "q24_graph_triangles": """
+            with e as (select distinct a.l_partkey as u, b.l_partkey as v
+                       from lineitem a join lineitem b
+                         on a.l_orderkey=b.l_orderkey
+                       where a.l_partkey < b.l_partkey)
+            select count(*) as n_triangles
+            from e e1 join e e2 on e2.u=e1.v
+            join e e3 on e3.u=e1.u and e3.v=e2.v
+        """,
+        "q25_graph_2hop": """
+            with e as (select distinct o_custkey as c, l_suppkey as s
+                       from orders o join lineitem l
+                         on l.l_orderkey=o.o_orderkey)
+            select a.c as src, count(distinct b.c) as n_2hop
+            from e a join e b on a.s=b.s and a.c<>b.c
+            where a.c % 50 = 0 group by a.c order by a.c
+        """,
+        "q26_dedup_keys": """
+            select lang, n_chars, min(doc_id) as keep_id, count(*) as n_dupes
+            from documents group by lang, n_chars having count(*)>1
+            order by lang, n_chars
+        """,
+        "q27_text_tokens": """
+            select tok, count(*) as tf from (
+              select unnest(string_split(lower(text),' ')) as tok
+              from documents) t
+            where tok <> '' group by tok order by tf desc, tok limit 20
+        """,
+        "q28_text_stats": """
+            select lang, count(*) as n_docs, round(avg(n_chars),2) as avg_chars,
+                   round(avg(len(string_split(text,' '))),2) as avg_tokens
+            from documents group by lang order by lang
+        """,
+        "q29_knn_cosine": """
+            select b.vec_id,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]),4)
+                     as cos_sim
+            from embeddings a join embeddings b on b.vec_id <> a.vec_id
+            where a.vec_id = 0 order by cos_sim desc, b.vec_id limit 10
+        """,
+        "q30_knn_label": """
+            with sims as (
+              select a.vec_id as src, a.label as src_label, b.label as nbr_label,
+                     list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]) as cs,
+                     row_number() over (partition by a.vec_id
+                       order by list_cosine_similarity(a.embedding::DOUBLE[],
+                                                       b.embedding::DOUBLE[])
+                         desc, b.vec_id) as rn
+              from embeddings a join embeddings b on b.vec_id <> a.vec_id
+              where a.vec_id < 20)
+            select src, src_label, nbr_label, count(*) as votes
+            from sims where rn <= 5 group by src, src_label, nbr_label
+            order by src, votes desc, nbr_label
+        """,
+    }

@@ -36,6 +36,10 @@ _DEFAULT_CONF = {
     # Session timezone pinned to UTC so event-time bucket starts are
     # engine-independent (DuckDB treats parquet timestamps as wall-clock).
     "spark.sql.session.timeZone": "UTC",
+    # Fixtures store events.ts as parquet TIMESTAMP(NANOS); Spark 4.x
+    # refuses it by default. Read as long nanos; sources.registry
+    # converts to TimestampType (µs) on load.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

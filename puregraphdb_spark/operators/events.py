@@ -34,6 +34,21 @@ def tumbling_window(events: DataFrame, duration: str = "1 hour") -> DataFrame:
     )
 
 
+_GAP_UNITS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _gap_seconds(gap: str) -> int:
+    """Parse an interval string like '30 minutes' into seconds."""
+    qty, _, unit = gap.strip().partition(" ")
+    try:
+        return int(qty) * _GAP_UNITS[unit.strip().lower()]
+    except (ValueError, KeyError):
+        raise ValueError(f"unsupported gap interval: {gap!r}") from None
+
+
 def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Gaps-and-islands sessionization: a new session starts when the
     gap to the previous event of the same user exceeds ``gap``.
@@ -44,13 +59,18 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     equivalent: F.session_window (see streaming.windows).
 
     sid is cast to long on both engines (DuckDB sum(int) is HUGEINT).
+    The gap compares exact epoch *microseconds* (``unix_micros`` — full
+    TimestampType precision): fixture timestamps carry sub-second noise,
+    and truncating to whole seconds would misclassify gaps within ±1 s of
+    the threshold.
     """
+    gap_us = _gap_seconds(gap) * 1_000_000
     w = Window.partitionBy("user_id").orderBy("ts")
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev_ts = F.lag("ts").over(w)
     new_s = F.when(
         prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > F.lit(30 * 60)),
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > F.lit(gap_us)),
         1,
     ).otherwise(0)
     return (

@@ -17,7 +17,9 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: The canonical table set (driver registers the same names as DuckDB views).
 TABLES = (
@@ -28,14 +30,35 @@ TABLES = (
 
 def load_table(spark: SparkSession, data_dir: str, name: str) -> DataFrame:
     """Read one named table from ``{data_dir}/{name}.parquet`` (or a
-    partitioned directory of the same name, transparently)."""
+    partitioned directory of the same name, transparently).
+
+    Path resolution goes through Spark itself (an AnalysisException
+    fallback), not driver-local ``os.path`` — so ``data_dir`` may be any
+    Hadoop-compatible URI (s3://, hdfs://, file:/), matching the
+    partitioned-directory 100-TB posture.
+    """
+    # Event-time columns: the fixtures store events.ts as parquet
+    # TIMESTAMP(NANOS), which Spark refuses by default
+    # (PARQUET_TYPE_ILLEGAL). Read nanos as long, then convert to a
+    # proper TimestampType. Runtime-settable SQL conf; idempotent.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Event-time bucket starts / year()/month() must be engine-independent
+    # regardless of the host session's zone (DuckDB treats parquet
+    # timestamps as wall-clock).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     path = os.path.join(data_dir, f"{name}.parquet")
-    if not os.path.exists(path):
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException:
         # partitioned-directory layout (100-TB posture)
-        alt = os.path.join(data_dir, name)
-        if os.path.exists(alt):
-            path = alt
-    return spark.read.parquet(path)
+        df = spark.read.parquet(os.path.join(data_dir, name))
+
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # `div` (integer division) — a double-precision `/` on ~1.7e18
+        # nanos would lose sub-µs bits and could truncate a boundary µs.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, data_dir: str,
