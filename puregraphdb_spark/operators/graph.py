@@ -291,18 +291,41 @@ class Graph:
         return count_triangles(e)
 
 
-def count_triangles(canonical_edges: DataFrame) -> DataFrame:
-    """Count triangles in a canonical (u<v, distinct) edge DataFrame."""
-    e1 = canonical_edges.alias("e1")
-    e2 = canonical_edges.alias("e2")
-    e3 = canonical_edges.alias("e3")
-    wedges = e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+def count_triangles(canonical_edges: DataFrame,
+                    broadcast_adjacency: bool = True) -> DataFrame:
+    """Count triangles in a canonical (u<v, distinct) edge DataFrame via
+    adjacency-list intersection: Σ_{(u,v)∈E} |N⁺(u) ∩ N⁺(v)|.
+
+    Each triangle u<v<w is counted exactly once, at its (u,v) edge.
+    This beats the naive wedge self-join (e1⋈e2⋈e3) by never
+    materializing the wedge set (|wedges| ≫ |E|): the per-edge
+    intersection of two sorted neighbor arrays touches only
+    deg⁺(u)+deg⁺(v) elements, inside one codegen stage.
+
+    ``broadcast_adjacency=True``: the adjacency table (|V| rows) is
+    broadcast for both probes → the whole count is one pass over the
+    edge set with zero wedge shuffle. For graphs whose adjacency
+    exceeds the broadcast budget, pass False for co-partitioned shuffle
+    joins, and at extreme skew split heavy-hitter vertices' neighbor
+    lists before the join.
+    """
+    adj = canonical_edges.groupBy("u").agg(
+        F.sort_array(F.collect_list("v")).alias("nbrs")
+    )
+    au = adj.select(F.col("u").alias("a_u"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("u").alias("a_v"), F.col("nbrs").alias("nv"))
+    if broadcast_adjacency:
+        au, av = F.broadcast(au), F.broadcast(av)
+    # Inner joins are safe: an edge whose endpoint has no out-neighbors
+    # contributes 0 to the sum anyway.
     return (
-        wedges.join(
-            e3,
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        canonical_edges.join(au, F.col("u") == F.col("a_u"))
+        .join(av, F.col("v") == F.col("a_v"))
+        .agg(
+            F.coalesce(
+                F.sum(F.size(F.array_intersect("nu", "nv"))), F.lit(0)
+            ).cast("long").alias("n_triangles")
         )
-        .agg(F.count("*").alias("n_triangles"))
     )
 
 
@@ -339,20 +362,28 @@ def q23_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In/out-degree of the customer→supplier order graph.
 
     Degree counts distinct counterparties (count(distinct ...) in the
-    oracle), computed per side then union + re-agg — one aggregation
-    tree, no outer join. Degrees cast to long (DuckDB sum → HUGEINT).
+    oracle). The distinct (custkey, suppkey) pair set is computed ONCE
+    (orders broadcast onto lineitem → 1 dedup shuffle, reused across
+    both degree branches via ReusedExchange); each branch is then a
+    cheap count over the deduped pairs — vs. two full countDistinct
+    expansions over the raw join. Degrees cast to long (DuckDB sum →
+    HUGEINT).
     """
-    o = load_table(spark, sf_dir, "orders")
-    l = load_table(spark, sf_dir, "lineitem")
-    joined = o.join(l, o.o_orderkey == l.l_orderkey)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        l.join(F.broadcast(o), o.o_orderkey == l.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
     outd = (
-        joined.groupBy(F.col("o_custkey").alias("v"))
-        .agg(F.countDistinct("l_suppkey").alias("outd"))
+        pairs.groupBy(F.col("o_custkey").alias("v"))
+        .agg(F.count("*").alias("outd"))
         .select("v", "outd", F.lit(0).cast("long").alias("ind"))
     )
     ind = (
-        joined.groupBy(F.col("l_suppkey").alias("v"))
-        .agg(F.countDistinct("o_custkey").alias("ind"))
+        pairs.groupBy(F.col("l_suppkey").alias("v"))
+        .agg(F.count("*").alias("ind"))
         .select("v", F.lit(0).cast("long").alias("outd"), "ind")
     )
     return (
@@ -374,17 +405,29 @@ def q24_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q25_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#customers reachable via a shared supplier, for sampled sources
-    (c % 50 = 0) — 2-hop neighborhood over the bipartite order graph."""
-    o = load_table(spark, sf_dir, "orders")
-    l = load_table(spark, sf_dir, "lineitem")
-    e = order_graph_edges(o, l).select(
-        F.col("src").alias("c"), F.col("dst").alias("s")
-    ).distinct()
-    a = e.alias("a").filter(F.col("c") % 50 == 0)
-    b = e.alias("b")
+    (c % 50 = 0) — 2-hop neighborhood over the bipartite order graph.
+
+    Scale shape: the sampled source side is deduped (tiny after the
+    filter) and BROADCAST; the full side is deliberately NOT deduped —
+    countDistinct(b.c) absorbs duplicate (c,s) pairs, so skipping the
+    b-side distinct saves a full shuffle of the edge set. The whole
+    b-side leg (lineitem ⋈ broadcast orders ⋈ broadcast a) is one
+    map-side stage; the only wide exchange is the final per-source
+    distinct count.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    b = l.join(F.broadcast(o), o.o_orderkey == l.l_orderkey).select(
+        F.col("o_custkey").alias("b_c"), F.col("l_suppkey").alias("b_s")
+    )
+    a = (
+        b.filter(F.col("b_c") % 50 == 0)
+        .select(F.col("b_c").alias("a_c"), F.col("b_s").alias("a_s"))
+        .distinct()
+    )
     return (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.c") != F.col("b.c")))
-        .groupBy(F.col("a.c").alias("src"))
-        .agg(F.countDistinct(F.col("b.c")).alias("n_2hop"))
+        b.join(F.broadcast(a), (F.col("a_s") == F.col("b_s")) & (F.col("a_c") != F.col("b_c")))
+        .groupBy(F.col("a_c").alias("src"))
+        .agg(F.countDistinct("b_c").alias("n_2hop"))
         .orderBy("src")
     )

@@ -330,19 +330,42 @@ def q16_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q17_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact median + p90 per returnflag.
+    """Exact median + p90 per returnflag, via one window sort.
 
-    F.median / F.percentile are linear-interpolating like DuckDB's
-    percentile_cont (SURVEY §2 q17). Exact percentiles need the whole
-    group — at extreme scale switch to approx_percentile (t-digest),
-    which is deliberately not the oracled path.
+    Formulated as row_number over a per-group sort + linear
+    interpolation (v_lo + frac·(v_hi − v_lo), exactly DuckDB's
+    percentile_cont arithmetic) instead of F.median/F.percentile:
+    those aggregates collect every group's values into a per-group
+    object buffer (slow path, and two separate passes), while the
+    window form is one shuffle + one in-partition sort shared by both
+    percentiles, and it spills gracefully at scale. At extreme scale
+    switch to approx_percentile (t-digest) — deliberately not the
+    oracled path.
     """
     l = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wp = Window.partitionBy("l_returnflag")
+    d = l.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("val"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+
+    def interp(p: float):
+        pos = F.lit(p) * (F.col("n") - 1)  # 0-indexed fractional position
+        lo = F.floor(pos)
+        frac = pos - lo
+        vlo = F.max(F.when(F.col("rn") == lo + 1, F.col("val")))
+        vhi = F.max(F.when(F.col("rn") == lo + 2, F.col("val")))
+        # frac == 0 → hi row may not exist; the frac·Δ term is then 0.
+        return vlo + F.max(frac) * (F.coalesce(vhi, vlo) - vlo)
+
     return (
-        l.groupBy("l_returnflag")
+        d.groupBy("l_returnflag")
         .agg(
-            F.round(F.median("l_extendedprice"), 2).alias("med_price"),
-            F.round(F.percentile("l_extendedprice", 0.9), 2).alias("p90"),
+            F.round(interp(0.5), 2).alias("med_price"),
+            F.round(interp(0.9), 2).alias("p90"),
         )
         .orderBy("l_returnflag")
     )

@@ -27,6 +27,30 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
+#: Fact tables get hash-partitioned on their primary join key at load
+#: when the underlying scan has too few splits (single-row-group fixture
+#: files read as ONE partition — every first stage would otherwise run
+#: near-serially). Partitioning by the join key makes the layout behave
+#: like bucketed tables: orders⋈lineitem and the lineitem self-join see
+#: compatible outputPartitioning and skip their shuffles entirely, and a
+#: persisted table keeps the partitioning in cache. On a real cluster
+#: (many files → many splits) the repartition is skipped — deployments
+#: get the same effect from actual bucketed/partitioned layouts
+#: (write_partitioned below).
+_PARTITION_KEYS: dict[str, str | None] = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "user_id",
+    "documents": None,  # round-robin: no dominant join key
+    "embeddings": None,
+}
+
+#: Memoized per (session, dir, name) so every query in a session builds
+#: on the identical DataFrame object → identical canonical plans →
+#: cache/exchange reuse is guaranteed, and the scan-split probe runs
+#: once.
+_LOADED: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, data_dir: str, name: str) -> DataFrame:
     """Read one named table from ``{data_dir}/{name}.parquet`` (or a
@@ -47,6 +71,10 @@ def load_table(spark: SparkSession, data_dir: str, name: str) -> DataFrame:
     # timestamps as wall-clock).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
+    key = (id(spark), data_dir, name)
+    if key in _LOADED:
+        return _LOADED[key]
+
     path = os.path.join(data_dir, f"{name}.parquet")
     try:
         df = spark.read.parquet(path)
@@ -58,6 +86,14 @@ def load_table(spark: SparkSession, data_dir: str, name: str) -> DataFrame:
         # `div` (integer division) — a double-precision `/` on ~1.7e18
         # nanos would lose sub-µs bits and could truncate a boundary µs.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    if name in _PARTITION_KEYS:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, par // 2):
+            pkey = _PARTITION_KEYS[name]
+            df = df.repartition(par, pkey) if pkey else df.repartition(par)
+
+    _LOADED[key] = df
     return df
 
 
