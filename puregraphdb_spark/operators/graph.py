@@ -142,22 +142,34 @@ class Graph:
         - ``converged(old, new) -> bool`` (may run a count() action)
 
         Lineage is cut with localCheckpoint every ``checkpoint_interval``
-        supersteps; states are persisted so the convergence action and
-        the next superstep don't recompute the chain.
+        supersteps. Ancestor states are unpersisted only AFTER a real
+        materialization point (a checkpoint, or the final count) — never
+        before, which would silently turn every persist into a no-op and
+        recompute the full ancestry per superstep. Between
+        materialization points supersteps stay lazy: one job per
+        checkpoint window, not one per superstep. The returned state is
+        materialized and persisted — the caller owns its unpersist.
         """
         state = initial(self.vertices).persist()
         state.count()  # materialize
+        pending: list[DataFrame] = []  # persisted ancestors awaiting drop
         for i in range(max_iter):
             new_state = superstep(self, state, i)
             if (i + 1) % checkpoint_interval == 0:
-                new_state = new_state.localCheckpoint(eager=True)
+                new_state = new_state.localCheckpoint(eager=True)  # action
+                for s in pending:
+                    s.unpersist()
+                pending.clear()
             else:
                 new_state = new_state.persist()
-            done = converged(state, new_state)
-            state.unpersist()
+            done = converged(state, new_state)  # may run an action
+            pending.append(state)
             state = new_state
             if done:
                 break
+        state.count()  # materialize the final state before dropping parents
+        for s in pending:
+            s.unpersist()
         return state
 
     # -- algorithms ----------------------------------------------------------

@@ -1,0 +1,91 @@
+"""Graph-module property checks (SURVEY §5 layer 3): structural
+invariants that hold regardless of fixture content, plus exact results
+on small hand-built graphs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from puregraphdb_spark.operators.graph import Graph, count_triangles
+
+
+@pytest.fixture(scope="module")
+def k4(spark):
+    """Complete graph on {1,2,3,4} plus an isolated extra component."""
+    edges = [(u, v) for u in range(1, 5) for v in range(u + 1, 5)]
+    edges += [(10, 11)]
+    v = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11]], ["id"])
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    return Graph(v, e)
+
+
+def test_degree_sum_is_twice_edge_count(k4):
+    degs = k4.degrees()
+    total = degs.agg(F.sum("degree")).collect()[0][0]
+    assert total == 2 * k4.edges.count()
+
+
+def test_triangle_count_k4(k4):
+    n = k4.triangle_count().collect()[0]["n_triangles"]
+    assert n == 4  # C(4,3)
+
+
+def test_triangle_count_relabeling_invariant(spark, k4):
+    # apply a permutation to vertex ids; triangle count must not change
+    mapping = {1: 40, 2: 7, 3: 99, 4: 12, 10: 110, 11: 111}
+    relabeled = [(min(mapping[u], mapping[v]), max(mapping[u], mapping[v]))
+                 for u, v in [(r["src"], r["dst"]) for r in k4.edges.collect()]]
+    e_new = spark.createDataFrame(relabeled, ["u", "v"]).distinct()
+    n = count_triangles(e_new).collect()[0]["n_triangles"]
+    assert n == 4
+
+
+def test_connected_components(k4):
+    cc = k4.connected_components().collect()
+    comp = {r["id"]: r["component"] for r in cc}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == 10
+    assert len(comp) == 6
+
+
+def test_pagerank_star_center_dominates(spark):
+    # star: leaves 2..6 all point at 1 → 1 must have the max rank
+    v = spark.createDataFrame([(i,) for i in range(1, 7)], ["id"])
+    e = spark.createDataFrame([(i, 1) for i in range(2, 7)], ["src", "dst"])
+    pr = Graph(v, e).pagerank(max_iter=5).collect()
+    ranks = {r["id"]: r["pagerank"] for r in pr}
+    assert max(ranks, key=ranks.get) == 1
+    # dangling vertex 1 contributes nothing; leaves keep the reset floor
+    for leaf in range(2, 7):
+        assert ranks[leaf] == pytest.approx(0.15)
+
+
+def test_label_propagation_two_cliques(spark):
+    # two triangles bridged by nothing → each keeps an internal label
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    v = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 12]], ["id"])
+    g = Graph(v, spark.createDataFrame(edges, ["src", "dst"]))
+    labels = {r["id"]: r["label"] for r in g.label_propagation(max_iter=4).collect()}
+    assert len({labels[1], labels[2], labels[3]} & {labels[10], labels[11], labels[12]}) == 0
+
+
+def test_aggregate_messages_neighbor_sum(spark):
+    # path 1-2-3 with vertex values = id; sum of neighbor values
+    v = spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)], ["id", "val"])
+    e = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    g = Graph(v, e)
+    res = g.aggregate_messages(
+        agg=F.sum("msg"),
+        to_src=F.col("dst_val"),
+        to_dst=F.col("src_val"),
+    ).collect()
+    sums = {r["id"]: r["agg"] for r in res}
+    assert sums == {1: 2.0, 2: 4.0, 3: 2.0}
+
+
+def test_triplets_schema(k4):
+    t = k4.triplets()
+    assert {"src", "dst"} <= set(t.columns)
+    assert t.count() == k4.edges.count()
