@@ -20,7 +20,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from puregraphdb_spark.operators import events, graph, llm, relational
+from puregraphdb_spark.operators import (
+    events, graph, llm, relational, similarity, text,
+)
 from puregraphdb_spark.sources.registry import load_table
 
 
@@ -70,6 +72,37 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.label_propagation(max_iter=3).orderBy("id")
 
 
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc language-ID / token counts / quality / fingerprint
+    (rows-only: xxhash64-based features have no DuckDB equivalent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.profile_documents(docs).orderBy("doc_id")
+
+
+def text_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus curation report (rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.corpus_quality_report(docs)
+
+
+def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs over documents
+    (rows-only; the synthetic corpus has no true near-dups, so the
+    result is the LSH false-candidate set at a low threshold)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return similarity.near_dup_pairs(docs, jaccard_threshold=0.0).orderBy("a", "b")
+
+
+def knn_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate cosine top-k for vec_id < 20
+    (rows-only; the approximate counterpart of oracled q29/q30)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return similarity.ann_cosine_topk(q, emb, k=10, dim=64, num_planes=6).orderBy(
+        "src", "rn"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ rows-only
     iterative graph algorithms per the contract's non-SQL allowance)."""
@@ -104,10 +137,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_text_stats": llm.q28_text_stats,
         "q29_knn_cosine": llm.q29_knn_cosine,
         "q30_knn_label": llm.q30_knn_label,
-        # rows-only (iterative; driver records the weaker rows-only check)
+        # rows-only (iterative or hash-based; driver records the weaker
+        # rows-only check)
         "graph_pagerank": graph_pagerank,
         "graph_connected_components": graph_connected_components,
         "graph_label_propagation": graph_label_propagation,
+        "text_profile": text_profile,
+        "text_quality_report": text_quality_report,
+        "dedup_minhash_near": dedup_minhash_near,
+        "knn_ann_lsh": knn_ann_lsh,
     }
 
 

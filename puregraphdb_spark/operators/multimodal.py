@@ -1,0 +1,155 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata (driver brief). The Spark-side plumbing — schemas, Arrow batch
+flow through mapInPandas, partitioning — is real and tested; the codec
+kernels are deterministic fakes behind a clearly marked seam, because
+no image/audio libraries exist in this container. A deployment replaces
+``_decode_image_bytes`` etc. with Pillow/ffmpeg calls without touching
+any Spark code.
+
+Scale posture: decode/feature-extraction is a pure map — mapInPandas
+streams Arrow batches through one Python worker per core with zero
+shuffles; ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds
+per-batch memory for fat binary columns. Repartition upstream only to
+even out file skew.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, FloatType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+#: Canonical multimodal asset schema: opaque payload + typed metadata.
+ASSET_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("modality", StringType(), False),   # image | audio | video
+    StructField("media_type", StringType(), True),  # e.g. image/png
+    StructField("payload", BinaryType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("duration_ms", LongType(), True),
+])
+
+DECODED_IMAGE_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("n_pixels", LongType(), True),
+    StructField("features", ArrayType(FloatType()), True),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("frame_index", IntegerType(), False),
+    StructField("ts_ms", LongType(), False),
+    StructField("frame_payload", BinaryType(), True),
+])
+
+
+def _decode_image_bytes(payload: bytes, dim: int = 16) -> list[float]:
+    """CODEC SEAM — deterministic fake feature vector derived from the
+    payload digest. Replace with a real decoder (Pillow → pixel stats /
+    model embedding) in deployments; the Spark plumbing around it is
+    unchanged. Raises on None to mirror real decoder behavior."""
+    if payload is None:
+        raise NotImplementedError("no payload: nothing to decode")
+    digest = hashlib.sha256(payload).digest()
+    return [digest[i % len(digest)] / 255.0 for i in range(dim)]
+
+
+def decode_images(assets: DataFrame, feature_dim: int = 16) -> DataFrame:
+    """Decode image assets into feature vectors via mapInPandas (Arrow
+    batches, one Python worker per task — the sanctioned slow path for
+    work the JVM can't express)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_image_bytes(p, feature_dim) if p is not None else None
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "width": pdf["width"],
+                "height": pdf["height"],
+                "n_pixels": (
+                    pdf["width"].astype("float64") * pdf["height"].astype("float64")
+                ).astype("Int64"),
+                "features": feats,
+            })
+
+    return (
+        assets.filter(F.col("modality") == "image")
+        .select("asset_id", "payload", "width", "height")
+        .mapInPandas(decode, DECODED_IMAGE_SCHEMA)
+    )
+
+
+def sample_frames(assets: DataFrame, every_ms: int = 1000,
+                  max_frames: int = 8) -> DataFrame:
+    """Frame-sampling plan for video assets: one output row per sampled
+    timestamp. Frame extraction itself is the codec seam (payload is
+    a deterministic slice here); the explode/partitioning shape is the
+    real pipeline's."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in FRAME_SCHEMA}
+            for _, row in pdf.iterrows():
+                dur = row["duration_ms"] or 0
+                n = min(max_frames, max(int(dur // every_ms), 0))
+                for i in range(n):
+                    out["asset_id"].append(row["asset_id"])
+                    out["frame_index"].append(i)
+                    out["ts_ms"].append(i * every_ms)
+                    payload = row["payload"]
+                    out["frame_payload"].append(
+                        bytes(payload[i: i + 16]) if payload is not None else None
+                    )
+            yield pd.DataFrame(out)
+
+    return (
+        assets.filter(F.col("modality") == "video")
+        .select("asset_id", "payload", "duration_ms")
+        .mapInPandas(sample, FRAME_SCHEMA)
+    )
+
+
+def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plan: metadata math JVM-side; the pixel resample is the
+    codec seam (payload passed through here)."""
+    return (
+        assets.filter(F.col("modality") == "image")
+        .withColumn("target_width", F.lit(width))
+        .withColumn("target_height", F.lit(height))
+        .withColumn(
+            "scale",
+            F.round(F.least(
+                F.lit(width) / F.greatest("width", F.lit(1)),
+                F.lit(height) / F.greatest("height", F.lit(1)),
+            ), 6),
+        )
+    )
+
+
+def synthetic_assets(spark, n: int = 64) -> DataFrame:
+    """Deterministic in-memory asset table for tests/demos (the
+    container ships no media fixtures)."""
+    rows = []
+    for i in range(n):
+        modality = ("image", "audio", "video")[i % 3]
+        payload = bytes(hashlib.sha256(str(i).encode()).digest() * 4)
+        rows.append((
+            i, modality, f"{modality}/x-fake", payload,
+            32 + i % 8 if modality == "image" else None,
+            24 + i % 8 if modality == "image" else None,
+            (i % 7) * 1500 if modality != "image" else None,
+        ))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)

@@ -1,0 +1,270 @@
+"""Scale-path dedup & similarity operators (SURVEY §7.3; driver brief's
+LLM-pipeline families): MinHash+LSH near-dup detection, SimHash,
+n-gram Jaccard, and random-hyperplane LSH for approximate nearest
+neighbors over embeddings.
+
+Everything is pure Column expressions (higher-order functions +
+xxhash64) — no Python UDFs anywhere, so every stage stays in
+whole-stage codegen. The 100-TB shape of each operator:
+
+- signatures: embarrassingly parallel map over the corpus (0 shuffles).
+- LSH banding: explode to (band, bucket) — flatMap, no shuffle.
+- candidate pairs: ONE shuffle on (band, bucket); only intra-bucket
+  pairs are generated, never the O(n²) cross join.
+- verification/re-rank: map-side over candidate pairs.
+
+Skew note: a degenerate bucket (e.g. all-empty docs) explodes the pair
+join; ``max_bucket_size`` drops such buckets, the standard guardrail in
+web-scale dedup pipelines.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from puregraphdb_spark.functions.vector import cosine_similarity, dot
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash
+# ---------------------------------------------------------------------------
+
+
+def tokens(text_col: str | F.Column) -> F.Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def shingles(text_col: str | F.Column, k: int = 3) -> F.Column:
+    """k-token shingles as strings. Documents shorter than k tokens get
+    one whole-document shingle (so they still hash somewhere)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    return F.when(n > 0, sh).otherwise(F.array(F.lit("")))
+
+
+def minhash_signature(text_col: str | F.Column, num_hashes: int = 64,
+                      k: int = 3) -> F.Column:
+    """num_hashes-wide MinHash signature over k-token shingles.
+
+    Each component j is min over shingles of xxhash64(shingle, j) — the
+    standard per-permutation min under a salted hash family. One array
+    column; all JVM-side.
+    """
+    sh = shingles(text_col, k)
+
+    # NB: closures must go through a function arg — a default-arg lambda
+    # (lambda s, j=j: ...) has arity 2, which pyspark's HOF binding
+    # would interpret as the (element, index) form, silently rebinding
+    # j to the array index.
+    def component(j: int) -> F.Column:
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(j))))
+
+    return F.array(*[component(j) for j in range(num_hashes)])
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 64,
+                       k: int = 3) -> DataFrame:
+    """(id, signature array<long>) per document — 0 shuffles."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, num_hashes, k).alias("sig"),
+    )
+
+
+def lsh_bands(sigs: DataFrame, bands: int = 16, rows_per_band: int = 4) -> DataFrame:
+    """Explode signatures into (id, band, bucket) — bucket = hash of the
+    band's signature slice. bands·rows_per_band must equal the signature
+    width. flatMap only; the shuffle happens at the consumer's groupBy."""
+    band_cols = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(",", *[F.element_at("sig", b * rows_per_band + r + 1)
+                                   for r in range(rows_per_band)])
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+    return (
+        sigs.select("id", F.explode(band_cols).alias("bb"))
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+
+
+def near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", num_hashes: int = 64,
+                   bands: int = 16, k: int = 3,
+                   jaccard_threshold: float = 0.5,
+                   max_bucket_size: int = 1000) -> DataFrame:
+    """Near-duplicate candidate pairs (a < b) with their estimated
+    Jaccard similarity (signature agreement fraction), filtered to
+    ``jaccard_threshold``.
+
+    Pipeline: signatures (map) → band buckets (flatMap) → intra-bucket
+    self-join (the ONLY wide op, keyed on (band, bucket)) → distinct
+    pairs → signature-agreement verification (map). Buckets larger than
+    ``max_bucket_size`` are dropped (skew guardrail — a pathological
+    bucket would otherwise generate |bucket|² pairs).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, k)
+    bb = lsh_bands(sigs, bands, rows_per_band)
+    sized = bb.withColumn(
+        "bsize", F.count("*").over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("bsize") <= max_bucket_size)
+    left = sized.select(F.col("id").alias("a"), "band", "bucket")
+    right = sized.select(F.col("id").alias("b"), "band", "bucket")
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(num_hashes)
+    return (
+        pairs.join(sa, "a").join(sb, "b")
+        .select("a", "b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+    )
+
+
+def dedup_minhash(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", **kwargs) -> DataFrame:
+    """Near-dup clusters: connected components over the near-dup pair
+    graph; keeper = min id per cluster. Returns (id, keep_id); rows only
+    for documents that belong to some duplicate cluster.
+
+    Composition: near_dup_pairs → Graph.connected_components (the
+    reference's own graph machinery doing LLM-pipeline work).
+    """
+    from puregraphdb_spark.operators.graph import Graph
+
+    pairs = near_dup_pairs(docs, id_col, text_col, **kwargs)
+    ids = (
+        pairs.select(F.col("a").alias("id"))
+        .unionByName(pairs.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    g = Graph(ids, pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    return g.connected_components().select(
+        "id", F.col("component").alias("keep_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def simhash(text_col: str | F.Column, bits: int = 64) -> F.Column:
+    """SimHash fingerprint: per-bit majority vote over token hashes,
+    packed into one long. Near-duplicate docs differ in few bits
+    (compare with ``hamming_distance``)."""
+    toks = tokens(text_col)
+    def vote(i: int) -> F.Column:
+        return F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + (F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    bit_votes = [vote(i) for i in range(bits)]
+    out = F.lit(0).cast("long")
+    for i, v in enumerate(bit_votes):
+        out = out + F.when(v > 0, F.lit(1).cast("long") * (2 ** i)).otherwise(0)
+    return out
+
+
+def hamming_distance(a: str | F.Column, b: str | F.Column) -> F.Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))
+
+
+def ngram_jaccard(a_text: F.Column, b_text: F.Column, k: int = 3) -> F.Column:
+    """Exact k-shingle Jaccard similarity between two text columns —
+    the verification metric for MinHash candidates."""
+    sa = F.array_distinct(shingles(a_text, k))
+    sb = F.array_distinct(shingles(b_text, k))
+    inter = F.size(F.array_intersect(sa, sb))
+    return inter / (F.size(sa) + F.size(sb) - inter)
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH for embeddings (cosine ANN)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure python —
+    driver-side constants folded into the plan; no data movement)."""
+    import random
+
+    rnd = random.Random(seed)
+    planes = []
+    for _ in range(num_planes):
+        v = [rnd.gauss(0.0, 1.0) for _ in range(dim)]
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def hyperplane_bucket(emb_col: str | F.Column, dim: int,
+                      num_planes: int = 12, seed: int = 42) -> F.Column:
+    """LSH bucket id: sign bits of the embedding against num_planes
+    random hyperplanes, packed into a long. Cosine-similar vectors land
+    in the same bucket with probability (1 - θ/π)^planes."""
+    out = F.lit(0).cast("long")
+    for i, plane in enumerate(_hyperplanes(dim, num_planes, seed)):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        out = out + F.when(
+            dot(emb_col, lit_plane) >= 0, F.lit(2 ** i).cast("long")
+        ).otherwise(0)
+    return out
+
+
+def ann_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                    dim: int = 64, num_planes: int = 8, seed: int = 42,
+                    id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """Approximate top-k cosine neighbors per query vector.
+
+    Both sides are bucketed by hyperplane signature; candidates are the
+    intra-bucket pairs (ONE shuffle keyed on bucket — never the O(n·m)
+    cross join), exact cosine re-ranks within candidates. Recall is
+    tuned by num_planes (fewer planes → bigger buckets → higher recall,
+    more compute). Returns (src, vec_id, cos_sim, rn) with rn ≤ k.
+    """
+    bucket = lambda df: df.withColumn(  # noqa: E731
+        "bucket", hyperplane_bucket(emb_col, dim, num_planes, seed)
+    )
+    q = bucket(queries).select(
+        F.col(id_col).alias("src"), F.col(emb_col).alias("q_emb"), "bucket"
+    )
+    c = bucket(corpus).select(F.col(id_col), F.col(emb_col), "bucket")
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), id_col)
+    return (
+        c.join(q, "bucket")
+        .filter(F.col(id_col) != F.col("src"))
+        .select(
+            "src", id_col,
+            cosine_similarity("q_emb", emb_col).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )

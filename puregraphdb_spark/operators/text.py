@@ -1,0 +1,149 @@
+"""Text-analysis operators for training-data pipelines (driver brief):
+language identification, quality scoring, token counting, document
+fingerprinting. All pure Column expressions — the per-document work is
+a map over the corpus with zero shuffles; only explicit aggregations
+shuffle.
+
+These complement the oracled q27/q28 (term frequencies / corpus stats)
+with the heuristics a 100-TB pretraining pipeline actually filters on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from puregraphdb_spark.operators.similarity import tokens
+
+#: Tiny per-language stopword profiles (n-gram heuristic): language id
+#: = argmax of stopword hits. Deliberately small and deterministic —
+#: a real deployment swaps in fastText/CLD profiles behind the same
+#: column contract.
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "es": ["el", "la", "de", "que", "y", "los", "es", "una"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不"],
+}
+
+#: BPE-ish token pattern: runs of word chars, single punctuation marks,
+#: or non-ascii glyphs — approximates subword pre-tokenization.
+_BPE_SPLIT = r"(?=[^\w\s])|(?<=[^\w\s])|\s+"
+
+
+def language_scores(text_col: str | F.Column) -> F.Column:
+    """Map language → stopword-hit count (the raw n-gram evidence)."""
+    toks = tokens(text_col)
+    return F.map_from_arrays(
+        F.array(*[F.lit(lang) for lang in _STOPWORDS]),
+        F.array(*[
+            F.size(F.array_intersect(
+                F.array_distinct(toks),
+                F.array(*[F.lit(w) for w in words]),
+            ))
+            for words in _STOPWORDS.values()
+        ]),
+    )
+
+
+def detect_language(text_col: str | F.Column) -> F.Column:
+    """argmax language by stopword hits; 'und' (undetermined) when no
+    profile matches."""
+    toks = F.array_distinct(tokens(text_col))
+    best_lang, best_score = F.lit("und"), F.lit(0)
+    for lang, words in _STOPWORDS.items():
+        score = F.size(F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in words])
+        ))
+        better = score > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_lang
+
+
+def token_count_ws(text_col: str | F.Column) -> F.Column:
+    """Whitespace token count."""
+    return F.size(tokens(text_col))
+
+
+def token_count_bpe(text_col: str | F.Column) -> F.Column:
+    """BPE-ish token count: words split from punctuation (regex
+    pre-tokenization approximating subword tokenizers)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.filter(F.split(c, _BPE_SPLIT), lambda t: t != ""))
+
+
+def quality_score(text_col: str | F.Column) -> F.Column:
+    """Heuristic quality in [0,1]: penalize extreme length, high
+    punctuation density, low stopword ratio, low alphabetic ratio —
+    the standard cheap pretraining filters."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    alpha_ratio = F.length(F.regexp_replace(c, r"[^\pL ]", "")) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    punct_ratio = F.length(F.regexp_replace(c, r"[\pL\pN\s]", "")) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    all_stop = F.array(*[
+        F.lit(w) for words in _STOPWORDS.values() for w in words
+    ])
+    stop_ratio = F.size(F.array_intersect(F.array_distinct(toks), all_stop)) / F.greatest(
+        F.size(F.array_distinct(toks)), F.lit(1)
+    )
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(1.0)).otherwise(0.3)
+    return F.round(
+        len_ok * (F.lit(1.0) - punct_ratio) * (F.lit(0.5) + F.lit(0.5) * alpha_ratio)
+        * (F.lit(0.7) + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))),
+        4,
+    )
+
+
+def fingerprint(text_col: str | F.Column, window: int = 8) -> F.Column:
+    """Winnowing-style document fingerprint: min rolling-window hash
+    over token hashes — robust to small edits, one long per doc."""
+    toks = tokens(text_col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+    windows_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
+        lambda i: F.xxhash64(F.array_join(F.slice(hashes, i + 1, window), ",")),
+    )
+    return F.coalesce(F.array_min(windows_arr), F.lit(0).cast("long"))
+
+
+# -- corpus-level operators (rows-only queries() entries) --------------------
+
+
+def profile_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document analysis record: detected language, token counts,
+    quality, fingerprint. Pure map — 0 shuffles at any scale."""
+    return docs.select(
+        "doc_id",
+        detect_language(text_col).alias("lang_detected"),
+        token_count_ws(text_col).alias("n_tokens_ws"),
+        token_count_bpe(text_col).alias("n_tokens_bpe"),
+        quality_score(text_col).alias("quality"),
+        fingerprint(text_col).alias("fingerprint"),
+    )
+
+
+def corpus_quality_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Aggregate quality/language report per declared source — the
+    dataset-curation dashboard query. 1 shuffle."""
+    p = profile_documents(docs, text_col)
+    return (
+        docs.join(p, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.round(F.avg("n_tokens_bpe"), 2).alias("avg_tokens_bpe"),
+            F.countDistinct("lang_detected").alias("n_langs"),
+            F.countDistinct("fingerprint").alias("n_distinct_fp"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,74 @@
+"""Structured-Streaming deployment of the event-window operators.
+
+The batch versions in ``operators.events`` are the oracled ones; these
+mirror their column contracts on unbounded streams (SURVEY §7.5):
+
+- tumbling:  (win, event_type, n, sum_val)        — same as q20
+- session:   (user_id, session_start, session_end, n_events)
+  (streaming session windows are keyed by real time intervals, not the
+  batch lag-derived ordinal ``sid`` — documented divergence: a stream
+  cannot assign stable per-user ordinals without total history.)
+
+Watermarks bound state: events later than ``watermark`` behind the max
+seen event time are dropped and their windows finalized. At scale the
+shuffle is keyed by the window/group columns exactly like the batch
+plans — state store size, not shuffle width, is the capacity knob.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_parquet_stream(spark: SparkSession, path: str,
+                        schema: StructType) -> DataFrame:
+    """File-arrival stream over a parquet directory (schema required by
+    Structured Streaming; take it from a batch read of the same data)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def tumbling_window_stream(events: DataFrame, duration: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Streaming mirror of events.tumbling_window (q20 contract)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).start.alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_val"),
+        )
+    )
+
+
+def session_window_stream(events: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming sessionization via F.session_window (native state-store
+    sessions; batch equivalent is events.sessionize)."""
+    sw = F.session_window("ts", gap)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", sw)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, table_name: str) -> None:
+    """Drain everything currently available into an in-memory sink table
+    (batch-equivalent execution of the streaming plan; used by tests and
+    backfills). Blocks until the drain completes."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

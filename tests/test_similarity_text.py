@@ -1,0 +1,151 @@
+"""Tests for the scale-path LLM-pipeline operators: MinHash/LSH
+near-dup detection, SimHash, n-gram Jaccard, hyperplane ANN, text
+analysis heuristics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from puregraphdb_spark.operators import similarity as sim
+from puregraphdb_spark.operators import text as txt
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows = [
+        (1, base),
+        (2, base),  # exact duplicate of 1
+        (3, base.replace("lazy", "sleepy")),  # near-duplicate of 1
+        (4, "completely different words about spark dataframes and shuffles"),
+        (5, "der hund ist nicht mit der katze und das ist gut"),
+        (6, ""),  # empty doc must not crash anything
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_identical_docs_identical_signatures(corpus):
+    sigs = sim.minhash_signatures(corpus, num_hashes=32).collect()
+    by_id = {r["id"]: r["sig"] for r in sigs}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[4]
+    assert len(by_id[1]) == 32
+
+
+def test_near_dup_pairs_finds_dup_and_neardup(corpus):
+    pairs = sim.near_dup_pairs(
+        corpus, num_hashes=32, bands=16, jaccard_threshold=0.3
+    ).collect()
+    found = {(r["a"], r["b"]): r["est_jaccard"] for r in pairs}
+    assert found.get((1, 2)) == 1.0  # exact dup: full signature agreement
+    assert (1, 4) not in found and (2, 4) not in found
+    near = [p for p in found if 3 in p]
+    assert near, "near-duplicate (lazy→sleepy) should share LSH buckets"
+
+
+def test_dedup_minhash_clusters(corpus):
+    res = sim.dedup_minhash(
+        corpus, num_hashes=32, bands=16, jaccard_threshold=0.3
+    ).collect()
+    keep = {r["id"]: r["keep_id"] for r in res}
+    # 1,2(,3) form one cluster kept under min id 1; 4/5 are clean
+    assert keep[1] == 1 and keep[2] == 1
+    assert 4 not in keep and 5 not in keep
+
+
+def test_simhash_near_dups_close_in_hamming(spark, corpus):
+    d = corpus.filter(F.col("doc_id").isin(1, 3, 4)).select(
+        "doc_id", sim.simhash("text", bits=32).alias("sh")
+    ).collect()
+    sh = {r["doc_id"]: r["sh"] for r in d}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sh[1], sh[3]) < ham(sh[1], sh[4])
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [("a b c d e", "a b c d e"), ("a b c d e", "x y z w q")],
+        ["ta", "tb"],
+    )
+    vals = df.select(sim.ngram_jaccard(F.col("ta"), F.col("tb")).alias("j")).collect()
+    assert vals[0]["j"] == 1.0
+    assert vals[1]["j"] == 0.0
+
+
+def test_ann_cosine_topk_recovers_exact_neighbor(spark):
+    # corpus of near-orthogonal one-hot vectors + one vector almost equal
+    # to the query: ANN must rank the near-twin first.
+    dim = 8
+    rows = []
+    for i in range(dim):
+        v = [0.0] * dim
+        v[i] = 1.0
+        rows.append((i, v))
+    twin = [0.0] * dim
+    twin[0] = 0.99
+    twin[1] = 0.01
+    rows.append((100, twin))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") == 0)
+    res = sim.ann_cosine_topk(q, emb, k=3, dim=dim, num_planes=4).collect()
+    assert res, "bucket join found no candidates"
+    best = max(res, key=lambda r: r["cos_sim"])
+    assert best["vec_id"] == 100
+
+
+def test_detect_language(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is in the house and that is fine"),
+         (2, "der hund ist nicht mit der katze und ein vogel"),
+         (3, "el perro y la casa de los gatos es una maravilla"),
+         (4, "zzz qqq xxx")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["lang"] for r in df.select(
+        "doc_id", txt.detect_language("text").alias("lang")).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "es"
+    assert out[4] == "und"
+
+
+def test_token_counts_and_quality(spark):
+    df = spark.createDataFrame([(1, "Hello, world! This is the test."),
+                                (2, "!!! ??? ...")], ["doc_id", "text"])
+    r = {x["doc_id"]: x for x in df.select(
+        "doc_id",
+        txt.token_count_ws("text").alias("ws"),
+        txt.token_count_bpe("text").alias("bpe"),
+        txt.quality_score("text").alias("q"),
+    ).collect()}
+    assert r[1]["ws"] == 6
+    assert r[1]["bpe"] > r[1]["ws"]  # punctuation split out
+    assert 0.0 <= r[2]["q"] < r[1]["q"] <= 1.0  # junk scores lower
+
+
+def test_fingerprint_stability_and_sensitivity(spark):
+    long_a = " ".join(f"tok{i}" for i in range(40))
+    long_b = " ".join(f"tok{i}" for i in range(40) if i != 37) + " changed"
+    df = spark.createDataFrame(
+        [(1, long_a), (2, long_a), (3, long_b)], ["doc_id", "text"])
+    fps = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", txt.fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2]
+    # same min-window may survive a tail edit; at minimum it's defined
+    assert isinstance(fps[3], int)
+
+
+def test_profile_documents_runs_on_fixture(spark):
+    from puregraphdb_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    prof = txt.profile_documents(docs)
+    row = prof.limit(1).collect()[0]
+    assert set(prof.columns) == {
+        "doc_id", "lang_detected", "n_tokens_ws", "n_tokens_bpe",
+        "quality", "fingerprint",
+    }
+    assert row["n_tokens_ws"] > 0
+    report = txt.corpus_quality_report(docs)
+    assert report.count() > 0
