@@ -21,6 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 from puregraphdb_spark.sources.registry import TABLES, load_table
 
 _DEFAULT_CONF = {
+    # local-mode JVM heap: the 1g default stalls GC on array-heavy
+    # operators (collect_set adjacency, broadcasts). Applied only when
+    # WE create the session; no effect on an already-running JVM.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     # AQE: runtime re-optimization — coalesce post-shuffle partitions,
     # split skewed join partitions, demote/promote broadcast at runtime.
     "spark.sql.adaptive.enabled": "true",

@@ -321,18 +321,21 @@ def count_triangles(canonical_edges: DataFrame,
     joins, and at extreme skew split heavy-hitter vertices' neighbor
     lists before the join.
     """
+    # collect_set both DEDUPS and groups in one shuffle — callers may
+    # pass a raw (u<v) pair stream without a separate distinct().
     adj = canonical_edges.groupBy("u").agg(
-        F.sort_array(F.collect_list("v")).alias("nbrs")
+        F.sort_array(F.collect_set("v")).alias("nbrs")
     )
-    au = adj.select(F.col("u").alias("a_u"), F.col("nbrs").alias("nu"))
+    # The probe stream is the adjacency itself exploded: each (u, nu, v)
+    # row IS a distinct edge and already carries N⁺(u) — no u-side join.
+    probe = adj.select("u", F.col("nbrs").alias("nu"), F.explode("nbrs").alias("v"))
     av = adj.select(F.col("u").alias("a_v"), F.col("nbrs").alias("nv"))
     if broadcast_adjacency:
-        au, av = F.broadcast(au), F.broadcast(av)
-    # Inner joins are safe: an edge whose endpoint has no out-neighbors
+        av = F.broadcast(av)
+    # Inner join is safe: an edge whose dst has no out-neighbors
     # contributes 0 to the sum anyway.
     return (
-        canonical_edges.join(au, F.col("u") == F.col("a_u"))
-        .join(av, F.col("v") == F.col("a_v"))
+        probe.join(av, F.col("v") == F.col("a_v"))
         .agg(
             F.coalesce(
                 F.sum(F.size(F.array_intersect("nu", "nv"))), F.lit(0)
@@ -354,17 +357,25 @@ def order_graph_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
-def part_cooccurrence_edges(lineitem: DataFrame) -> DataFrame:
+def part_cooccurrence_edges(lineitem: DataFrame,
+                            deduped: bool = True) -> DataFrame:
     """Undirected canonical (u<v) part co-occurrence edges: two parts
-    appearing in the same order. Distinct."""
+    appearing in the same order.
+
+    With lineitem hash-partitioned on l_orderkey the self-join is
+    co-located (zero shuffle). ``deduped=False`` returns the raw pair
+    stream for consumers that dedup downstream anyway (count_triangles'
+    collect_set does) — skipping the explicit distinct saves its
+    full-stream shuffle.
+    """
     a = lineitem.select("l_orderkey", F.col("l_partkey").alias("u"))
     b = lineitem.select("l_orderkey", F.col("l_partkey").alias("v"))
-    return (
+    pairs = (
         a.join(b, "l_orderkey")
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
-        .distinct()
     )
+    return pairs.distinct() if deduped else pairs
 
 
 # -- oracled queries ----------------------------------------------------------
@@ -410,9 +421,14 @@ def q23_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q24_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count of the part co-occurrence graph (1 row)."""
+    """Triangle count of the part co-occurrence graph (1 row).
+
+    Whole plan has ONE wide shuffle: co-located pair self-join (map) →
+    collect_set adjacency (shuffle) → exploded probe vs broadcast
+    adjacency (map) → count.
+    """
     l = load_table(spark, sf_dir, "lineitem")
-    return count_triangles(part_cooccurrence_edges(l))
+    return count_triangles(part_cooccurrence_edges(l, deduped=False))
 
 
 def q25_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -432,14 +448,31 @@ def q25_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = l.join(F.broadcast(o), o.o_orderkey == l.l_orderkey).select(
         F.col("o_custkey").alias("b_c"), F.col("l_suppkey").alias("b_s")
     )
+    # Per-supplier distinct customer sets: ONE shuffle of the edge
+    # stream, after which the 2-hop union is array math over |S| rows —
+    # the row-explosion path (edges ⋈ sampled sources → countDistinct)
+    # would push |sources|·|customers-per-supplier| rows through the
+    # aggregate instead.
+    cs = b.groupBy("b_s").agg(F.collect_set("b_c").alias("cust"))
     a = (
         b.filter(F.col("b_c") % 50 == 0)
         .select(F.col("b_c").alias("a_c"), F.col("b_s").alias("a_s"))
         .distinct()
     )
-    return (
-        b.join(F.broadcast(a), (F.col("a_s") == F.col("b_s")) & (F.col("a_c") != F.col("b_c")))
+    merged = (
+        a.join(F.broadcast(cs), F.col("a_s") == F.col("b_s"))
         .groupBy(F.col("a_c").alias("src"))
-        .agg(F.countDistinct("b_c").alias("n_2hop"))
+        .agg(F.flatten(F.collect_list("cust")).alias("all_c"))
+    )
+    # the source always appears in its own suppliers' customer sets;
+    # the oracle's a.c<>b.c excludes it.
+    return (
+        merged.select(
+            "src",
+            (
+                F.size(F.array_distinct("all_c"))
+                - F.when(F.array_contains("all_c", F.col("src")), 1).otherwise(0)
+            ).cast("long").alias("n_2hop"),
+        )
         .orderBy("src")
     )
