@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from puregraphdb_spark.operators import (
-    events, graph, llm, relational, similarity, text,
+    events, extras, graph, llm, relational, similarity, text,
 )
 from puregraphdb_spark.sources.registry import load_table
 
@@ -137,6 +137,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_text_stats": llm.q28_text_stats,
         "q29_knn_cosine": llm.q29_knn_cosine,
         "q30_knn_label": llm.q30_knn_label,
+        # extended coverage beyond the §2 core (also oracled)
+        "q31_asof_join": extras.q31_asof_join,
+        "q32_full_outer": extras.q32_full_outer,
+        "q33_cube": extras.q33_cube,
+        "q34_window_analytics": extras.q34_window_analytics,
+        "q35_string_date": extras.q35_string_date,
         # rows-only (iterative or hash-based; driver records the weaker
         # rows-only check)
         "graph_pagerank": graph_pagerank,
@@ -146,6 +152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_report": text_quality_report,
         "dedup_minhash_near": dedup_minhash_near,
         "knn_ann_lsh": knn_ann_lsh,
+        "approx_distinct_parts": extras.approx_distinct_parts,
+        "sliding_window_counts": extras.sliding_window_counts,
     }
 
 
@@ -385,5 +393,56 @@ def oracle_sql() -> dict[str, str]:
             select src, src_label, nbr_label, count(*) as votes
             from sims where rn <= 5 group by src, src_label, nbr_label
             order by src, votes desc, nbr_label
+        """,
+        "q31_asof_join": """
+            select p.event_id, p.user_id, p.ts, c.ts as click_ts,
+                   round(c.value,2) as click_val
+            from (select event_id, user_id, ts from events
+                  where event_type='purchase') p
+            asof join (select user_id, ts, value from events
+                       where event_type='click') c
+              on p.user_id = c.user_id and p.ts >= c.ts
+            order by p.event_id
+        """,
+        "q32_full_outer": """
+            select coalesce(c.nk, s.nk) as nationkey,
+                   coalesce(n_cust, 0) as n_cust,
+                   coalesce(n_supp, 0) as n_supp
+            from (select c_nationkey as nk, count(*) as n_cust
+                  from customer where c_acctbal > 9500 group by 1) c
+            full outer join
+                 (select s_nationkey as nk, count(*) as n_supp
+                  from supplier where s_acctbal > 9000 group by 1) s
+              on c.nk = s.nk
+            order by nationkey
+        """,
+        "q33_cube": """
+            select coalesce(l_returnflag,'ALL') as rf,
+                   coalesce(l_linestatus,'ALL') as ls,
+                   count(*) as n, round(sum(l_extendedprice),2) as sum_price
+            from lineitem group by cube (l_returnflag, l_linestatus)
+            order by rf, ls
+        """,
+        "q34_window_analytics": """
+            select o_custkey, o_orderkey,
+                   dense_rank() over wo as dr,
+                   ntile(4) over wo as quartile,
+                   round(first_value(o_totalprice) over wo, 2) as top_price,
+                   round(o_totalprice
+                         - avg(o_totalprice) over (partition by o_custkey), 2)
+                     as dev
+            from orders where o_orderkey % 10 = 0
+            window wo as (partition by o_custkey
+                          order by o_totalprice desc, o_orderkey)
+            order by o_custkey, o_orderkey
+        """,
+        "q35_string_date": """
+            select o_orderkey,
+                   lpad(cast(o_orderkey as varchar), 12, '0') as padded,
+                   reverse(substr(c_name, 1, 6)) as rev6,
+                   split_part(c_name, '#', 2) as cust_num,
+                   date_trunc('month', o_orderdate) as order_month
+            from orders o join customer c on o.o_custkey = c.c_custkey
+            where o.o_orderkey % 500 = 3 order by o_orderkey
         """,
     }

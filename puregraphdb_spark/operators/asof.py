@@ -1,0 +1,58 @@
+"""As-of (temporal) join: for each left row, the latest right row with
+``right_ts <= left_ts`` per key — the standard time-series enrichment
+join (trades⋈quotes, events⋈dimensions-as-of).
+
+Implementation is the union-window trick, NOT a range join: tag both
+sides, union, and take ``last(right_cols) IGNORE NULLS`` over a
+per-key window ordered by (ts, side). This is one shuffle on the key —
+the same cost as a plain equi join — and never builds the
+O(left×right-per-key) intermediate a naive inequality join would.
+At 100 TB both sides shuffle once on the key; skewed keys split fine
+under AQE because the window is per-key ordered, not cross-joined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(left: DataFrame, right: DataFrame, on: str,
+               left_ts: str, right_ts: str,
+               right_cols: list[str], prefix: str = "asof_") -> DataFrame:
+    """For every left row, attach ``right_cols`` from the latest right
+    row with ``right[right_ts] <= left[left_ts]`` matching ``on``.
+
+    Left rows with no prior right row carry nulls (left-outer
+    semantics; filter afterwards for inner). Right-side ties on
+    (key, ts) resolve to the row last in (ts, side) order — pre-dedup
+    the right side if that matters.
+    """
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
+    )
+    l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{prefix}{c}")
+          for c in right_cols],
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = r.unionByName(l).select(
+        "__side",
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns if c != on],
+        F.col(on),
+        *[F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+          for c in right_cols],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")

@@ -1,0 +1,166 @@
+"""Extended operator coverage beyond the SURVEY §2 core 30 (all
+oracled unless noted): as-of join, full outer join, cube grouping,
+analytic window functions, advanced string/date scalars, plus
+rows-only approx-distinct and sliding windows.
+
+These close the §2.2 'consciously excluded' gaps (full outer, as-of,
+cube, approx family, sliding windows) with DuckDB-verifiable
+semantics where the dialects agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from puregraphdb_spark.operators.asof import as_of_join
+from puregraphdb_spark.sources.registry import load_table
+
+
+def q31_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event: the user's most recent click at-or-
+    before it (inner as-of semantics). One shuffle on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = as_of_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["ts", "value"], prefix="click_",
+    )
+    return (
+        joined.filter(F.col("click_ts").isNotNull())
+        .select(
+            "event_id", "user_id", "ts",
+            F.col("click_ts"),
+            F.round("click_value", 2).alias("click_val"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q32_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation counts of high-balance customers FULL OUTER JOIN
+    high-balance suppliers — both sides sparse, so every outer case
+    (left-only / right-only / both) occurs."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9500)
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.join(s, c.nk_c == s.nk_s, "full_outer")
+        .select(
+            F.coalesce("nk_c", "nk_s").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+def q33_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping sets in
+    one Expand + single shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "sum_price",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+def q34_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank / ntile / first_value / partition-wide avg deviation
+    per customer — one shuffle + one in-partition sort for all four."""
+    o = load_table(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    wp = Window.partitionBy("o_custkey")
+    return (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.dense_rank().over(wo).cast("long").alias("dr"),
+            F.ntile(4).over(wo).cast("long").alias("quartile"),
+            F.round(F.first("o_totalprice").over(wo), 2).alias("top_price"),
+            F.round(
+                F.col("o_totalprice") - F.avg("o_totalprice").over(wp), 2
+            ).alias("dev"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def q35_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Advanced scalar coverage with dialect-agreeing semantics:
+    lpad, reverse, split_part, date_trunc."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 500 == 3)
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "o_orderkey",
+            F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("padded"),
+            F.reverse(F.substring("c_name", 1, 6)).alias("rev6"),
+            F.split_part("c_name", F.lit("#"), F.lit(2)).alias("cust_num"),
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# -- rows-only extras --------------------------------------------------------
+
+
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct parts/suppliers per returnflag
+    (rows-only: HLL implementations differ across engines by design).
+    1 shuffle, fixed-size sketches — the 100-TB path where exact
+    distinct (q03) stops scaling."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_suppkey").alias("approx_supp"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes over events (rows-only:
+    DuckDB needs a generate_series crutch for sliding windows). Each
+    event lands in 4 overlapping windows — Expand then one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").start.alias("win"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("win", "event_type")
+    )

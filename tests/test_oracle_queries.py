@@ -21,8 +21,8 @@ ROWS_ONLY = sorted(n for n in QUERIES if n not in ORACLES)
 def test_every_oracled_query_is_declared():
     # every oracle key must have an implementation
     assert set(ORACLES) <= set(QUERIES)
-    # the 30-query SURVEY §2 contract is fully declared
-    assert len(ORACLED) == 30
+    # the 30-query SURVEY §2 contract is fully declared (+ extras)
+    assert len(ORACLED) >= 30
 
 
 @pytest.mark.parametrize("name", ORACLED)
