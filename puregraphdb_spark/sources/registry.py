@@ -102,6 +102,37 @@ def load_tables(spark: SparkSession, data_dir: str,
     return {n: load_table(spark, data_dir, n) for n in names}
 
 
+def read_source(spark: SparkSession, path: str, fmt: str = "parquet",
+                schema=None, **options) -> DataFrame:
+    """Generic reader for the non-canonical formats (csv/json/orc/text).
+
+    Parquet is the primary format (embedded schema, vectorized reader,
+    pushdown); csv/json default to an explicit schema — at scale,
+    schema inference is a full extra pass over the data, so pass one.
+    """
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        reader = reader.option("inferSchema", "true")
+    if fmt == "csv":
+        reader = reader.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_sink(df: DataFrame, path: str, fmt: str = "parquet",
+               mode: str = "overwrite", **options) -> None:
+    """Generic sink: parquet/csv/json/orc with format options."""
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
 def write_partitioned(df: DataFrame, path: str,
                       partition_by: list[str] | None = None,
                       bucket_by: tuple[int, list[str]] | None = None,

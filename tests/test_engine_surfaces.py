@@ -1,0 +1,119 @@
+"""Engine surface tests: generic sources/sinks, pandas_udf extension
+surface, skew utilities, partitioned/bucketed writers, SQL door parity.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from puregraphdb_spark.engine import Engine
+from puregraphdb_spark.functions.udf import register, vectorized
+from puregraphdb_spark.operators.skew import salted_aggregate, salted_join
+from puregraphdb_spark.sources.registry import (
+    load_table, read_source, write_partitioned, write_sink,
+)
+from tests.conftest import SF_DIR
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    nation = load_table(spark, SF_DIR, "nation")
+    for fmt in ("csv", "json"):
+        path = str(tmp_path / f"nation_{fmt}")
+        write_sink(nation, path, fmt)
+        back = read_source(spark, path, fmt)
+        assert back.count() == nation.count()
+        assert set(back.columns) == set(nation.columns)
+        got = {r["n_nationkey"]: r["n_name"] for r in back.collect()}
+        want = {r["n_nationkey"]: r["n_name"] for r in nation.collect()}
+        assert got == want
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_partitioned(orders, path, partition_by=["o_year"])
+    back = spark.read.parquet(path)
+    pruned = back.filter(F.col("o_year") == 1995)
+    plan = pruned.explain if False else pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == orders.filter(F.col("o_year") == 1995).count()
+    # partition pruning: the scan must not list every year directory
+    assert "PartitionFilters" in plan or "o_year" in plan
+
+
+def test_vectorized_udf_and_sql_registration(spark):
+    @vectorized("double")
+    def double_it(s: pd.Series) -> pd.Series:
+        return s * 2.0
+
+    df = spark.createDataFrame([(1.5,), (2.5,)], ["x"])
+    got = sorted(r["y"] for r in df.select(double_it("x").alias("y")).collect())
+    assert got == [3.0, 5.0]
+
+    register(spark, "triple_it", lambda s: s * 3.0, "double")
+    df.createOrReplaceTempView("t_udf")
+    got = sorted(r["y"] for r in spark.sql(
+        "select triple_it(x) as y from t_udf").collect())
+    assert got == [4.5, 7.5]
+
+
+def test_salted_aggregate_matches_plain(spark):
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 7).cast("double").alias("x")
+    )
+    plain = {r["k"]: (r["s"], r["n"]) for r in df.groupBy("k").agg(
+        F.sum("x").alias("s"), F.count("*").alias("n")).collect()}
+    salted = {r["k"]: (r["s"], r["n"]) for r in salted_aggregate(
+        df, "k",
+        aggs=[F.sum("x").alias("s"), F.count("*").alias("n")],
+        merges=[F.sum("s").alias("s"), F.sum("n").alias("n")],
+    ).collect()}
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark):
+    left = spark.range(0, 5000).select((F.col("id") % 5).alias("k"), "id")
+    right = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(5)], ["k", "v"])
+    plain = left.join(right, "k").count()
+    salted = salted_join(left, right, "k", salt=4).count()
+    assert plain == salted
+
+
+def test_engine_sql_door_matches_dataframe(spark):
+    eng = Engine(spark, SF_DIR)
+    # EP1 ≡ EP2 self-consistency (SURVEY §5): same query both doors
+    ep1 = (
+        eng.table("lineitem").groupBy("l_returnflag")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("s"))
+        .orderBy("l_returnflag").collect()
+    )
+    ep2 = eng.sql(
+        "select l_returnflag, round(sum(l_quantity),2) as s "
+        "from lineitem group by l_returnflag order by l_returnflag"
+    ).collect()
+    assert [tuple(r) for r in ep1] == [tuple(r) for r in ep2]
+
+
+def test_bucketed_write(spark, tmp_path):
+    # managed table lands in the session's default warehouse; DROP TABLE
+    # (managed) purges the files afterwards.
+    nation = load_table(spark, SF_DIR, "nation")
+    try:
+        write_partitioned(
+            nation, path="", bucket_by=(4, ["n_nationkey"]),
+            table_name="nation_bucketed",
+        )
+        back = spark.table("nation_bucketed")
+        assert back.count() == 25
+    finally:
+        spark.sql("drop table if exists nation_bucketed")
+
+
+def test_bucketed_write_requires_table_name(spark):
+    nation = load_table(spark, SF_DIR, "nation")
+    with pytest.raises(ValueError):
+        write_partitioned(nation, "/tmp/x", bucket_by=(4, ["n_nationkey"]))
