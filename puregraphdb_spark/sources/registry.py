@@ -39,7 +39,11 @@ TABLES = (
 #: (write_partitioned below).
 _PARTITION_KEYS: dict[str, str | None] = {
     "lineitem": "l_orderkey",
-    "orders": "o_orderkey",
+    # orders keys on CUSTOMER: the per-customer window family (q11-q13)
+    # and custkey joins/aggs (q09, q18) then need no exchange at all,
+    # while orderkey joins only re-shuffle the small orders side
+    # (lineitem, 4× bigger, keeps its orderkey co-location).
+    "orders": "o_custkey",
     "events": "user_id",
     "documents": None,  # round-robin: no dominant join key
     "embeddings": None,
