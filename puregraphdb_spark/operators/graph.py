@@ -286,6 +286,134 @@ class Graph:
 
         return self.pregel(initial, step, lambda o, n: False, max_iter=max_iter)
 
+    # -- structural operators (GraphX surface) -------------------------------
+
+    def reverse(self) -> "Graph":
+        """Graph with all edge directions flipped."""
+        cols = [c for c in self.edges.columns if c not in ("src", "dst")]
+        return Graph(
+            self.vertices,
+            self.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), *cols
+            ),
+        )
+
+    def subgraph(self, vpred: Column | None = None,
+                 epred: Column | None = None) -> "Graph":
+        """Induced subgraph: keep vertices matching ``vpred`` and edges
+        matching ``epred`` whose BOTH endpoints survive (GraphX
+        subgraph semantics). Two semi joins — no edge explosion."""
+        v = self.vertices.filter(vpred) if vpred is not None else self.vertices
+        e = self.edges.filter(epred) if epred is not None else self.edges
+        ids = v.select("id")
+        e = (
+            e.join(ids.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        )
+        return Graph(v, e)
+
+    def map_vertices(self, *cols: Column) -> "Graph":
+        """New graph with vertex attributes replaced by ``cols``
+        (id is always kept)."""
+        return Graph(self.vertices.select("id", *cols), self.edges)
+
+    def join_vertices(self, other: DataFrame) -> "Graph":
+        """Attach extra per-vertex attributes (left join on id —
+        vertices without a match keep nulls, GraphX joinVertices)."""
+        return Graph(self.vertices.join(other, "id", "left"), self.edges)
+
+    def shortest_paths(self, landmarks: list[int],
+                       max_iter: int = 20) -> DataFrame:
+        """Hop-count shortest path distances to each landmark following
+        edge direction (GraphX ShortestPaths). Returns (id, landmark,
+        dist) rows for reachable pairs.
+
+        State is the (id, landmark, dist) relation; each superstep
+        relaxes one hop backwards over edges (dst→src) and keeps the
+        min. Converges when the frontier adds nothing: at most
+        diameter supersteps, each one join + one min-agg shuffle.
+        """
+        lm = [F.lit(x).cast("long") for x in landmarks]
+        state = (
+            self.vertices.select("id")
+            .filter(F.col("id").isin(landmarks))
+            .select(
+                "id", F.col("id").alias("landmark"),
+                F.lit(0).cast("int").alias("dist"),
+            )
+            .persist()
+        )
+        state.count()
+        edges = self.edges.select("src", "dst").persist()
+        n_prev = -1
+        for i in range(max_iter):
+            relaxed = (
+                edges.join(state, edges.dst == state.id)
+                .select(
+                    F.col("src").alias("id"), "landmark",
+                    (F.col("dist") + 1).alias("dist"),
+                )
+            )
+            new_state = (
+                state.unionByName(relaxed)
+                .groupBy("id", "landmark")
+                .agg(F.min("dist").alias("dist"))
+            )
+            if (i + 1) % 5 == 0:
+                new_state = new_state.localCheckpoint(eager=True)
+            else:
+                new_state = new_state.persist()
+            n_new = new_state.count()
+            state.unpersist()
+            state = new_state
+            if n_new == n_prev:
+                break
+            n_prev = n_new
+        edges.unpersist()
+        return state
+
+    def personalized_pagerank(self, source: int, reset_prob: float = 0.15,
+                              max_iter: int = 10) -> DataFrame:
+        """PageRank with teleport mass concentrated on ``source``
+        (random walk with restart) → (id, pagerank)."""
+        out_deg = self.out_degrees()
+        edges = (
+            self.edges.select("src", "dst")
+            .join(out_deg, F.col("src") == F.col("id"))
+            .select("src", "dst", "out_degree")
+            .persist()
+        )
+        is_src = lambda c: F.when(c == source, 1.0).otherwise(0.0)  # noqa: E731
+
+        def initial(v: DataFrame) -> DataFrame:
+            return v.select("id", is_src(F.col("id")).alias("pagerank"))
+
+        def step(g: Graph, state: DataFrame, i: int) -> DataFrame:
+            contribs = (
+                edges.join(state, edges.src == state.id)
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("pagerank") / F.col("out_degree")).alias("contrib"),
+                )
+                .groupBy("id")
+                .agg(F.sum("contrib").alias("in_sum"))
+            )
+            return (
+                g.vertices.select("id")
+                .join(contribs, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(reset_prob) * is_src(F.col("id"))
+                        + F.lit(1.0 - reset_prob) * F.coalesce("in_sum", F.lit(0.0))
+                    ).alias("pagerank"),
+                )
+            )
+
+        result = self.pregel(initial, step, lambda o, n: False, max_iter=max_iter)
+        edges.unpersist()
+        return result
+
     def triangle_count(self) -> DataFrame:
         """Global triangle count via canonical-edge (u<v) wedge closing.
 

@@ -1,0 +1,70 @@
+"""Extended GraphX-family surface: reverse, subgraph, map/join
+vertices, shortest paths, personalized PageRank.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from puregraphdb_spark.operators.graph import Graph
+
+
+@pytest.fixture(scope="module")
+def chain(spark):
+    """Directed chain 1→2→3→4 plus offshoot 2→5."""
+    v = spark.createDataFrame([(i,) for i in range(1, 6)], ["id"])
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (2, 5)], ["src", "dst"])
+    return Graph(v, e)
+
+
+def test_reverse(chain):
+    r = chain.reverse()
+    assert {(x["src"], x["dst"]) for x in r.edges.collect()} == {
+        (2, 1), (3, 2), (4, 3), (5, 2)}
+
+
+def test_subgraph_drops_dangling_edges(chain):
+    sub = chain.subgraph(vpred=F.col("id") <= 3)
+    assert {r["id"] for r in sub.vertices.collect()} == {1, 2, 3}
+    # edges 3→4 and 2→5 must vanish (endpoint filtered out)
+    assert {(x["src"], x["dst"]) for x in sub.edges.collect()} == {(1, 2), (2, 3)}
+
+
+def test_map_and_join_vertices(spark, chain):
+    g2 = chain.map_vertices((F.col("id") * 10).alias("tens"))
+    assert dict(g2.vertices.collect()[0].asDict()).keys() == {"id", "tens"}
+    extra = spark.createDataFrame([(1, "root")], ["id", "tag"])
+    g3 = chain.join_vertices(extra)
+    tags = {r["id"]: r["tag"] for r in g3.vertices.collect()}
+    assert tags[1] == "root" and tags[2] is None
+
+
+def test_shortest_paths_chain(chain):
+    # distances TO landmark 4 following edge direction
+    d = {(r["id"], r["landmark"]): r["dist"]
+         for r in chain.shortest_paths([4]).collect()}
+    assert d[(4, 4)] == 0
+    assert d[(3, 4)] == 1
+    assert d[(2, 4)] == 2
+    assert d[(1, 4)] == 3
+    assert (5, 4) not in d  # 5 cannot reach 4
+
+
+def test_shortest_paths_multi_landmark(chain):
+    d = {(r["id"], r["landmark"]): r["dist"]
+         for r in chain.shortest_paths([4, 5]).collect()}
+    assert d[(2, 5)] == 1 and d[(1, 5)] == 2
+    assert d[(1, 4)] == 3
+
+
+def test_personalized_pagerank_localizes(spark):
+    # two disconnected triangles; walk restarted at 1 must give zero
+    # mass to the other component.
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)]
+    v = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 12]], ["id"])
+    g = Graph(v, spark.createDataFrame(edges, ["src", "dst"]))
+    pr = {r["id"]: r["pagerank"]
+          for r in g.personalized_pagerank(source=1, max_iter=8).collect()}
+    assert pr[10] == pr[11] == pr[12] == 0.0
+    assert pr[1] > pr[2] > 0
