@@ -239,6 +239,40 @@ def hyperplane_bucket(emb_col: str | F.Column, dim: int,
     return out
 
 
+def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
+                             dim: int = 64, num_planes: int = 10,
+                             seed: int = 42, id_col: str = "vec_id",
+                             emb_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold).
+
+    Candidates come from hyperplane-LSH buckets (high-cosine pairs
+    collide with probability (1-θ/π)^planes ≈ 1 for near-dups), exact
+    cosine verifies. ONE shuffle on the bucket key — never the O(n²)
+    pair join. Compose with Graph.connected_components for clustering
+    (see dedup_minhash for the same pattern on text).
+    """
+    b = corpus.select(
+        F.col(id_col), F.col(emb_col),
+        hyperplane_bucket(emb_col, dim, num_planes, seed).alias("bucket"),
+    )
+    left = b.select(
+        F.col(id_col).alias("a"), F.col(emb_col).alias("emb_a"), "bucket"
+    )
+    right = b.select(
+        F.col(id_col).alias("b"), F.col(emb_col).alias("emb_b"), "bucket"
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.round(cosine_similarity("emb_a", "emb_b"), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+
+
 def ann_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                     dim: int = 64, num_planes: int = 8, seed: int = 42,
                     id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:

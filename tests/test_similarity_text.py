@@ -95,6 +95,27 @@ def test_ann_cosine_topk_recovers_exact_neighbor(spark):
     assert best["vec_id"] == 100
 
 
+def test_embedding_near_dup_pairs(spark):
+    # 100, 101 are near-identical vectors; others near-orthogonal
+    dim = 8
+    rows = []
+    for i in range(dim):
+        v = [0.0] * dim
+        v[i] = 1.0
+        rows.append((i, v))
+    rows.append((100, [1.0, 0.02, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    rows.append((101, [1.0, 0.03, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    from puregraphdb_spark.operators.similarity import embedding_near_dup_pairs
+
+    pairs = {(r["a"], r["b"]): r["cos_sim"]
+             for r in embedding_near_dup_pairs(
+                 emb, threshold=0.95, dim=dim, num_planes=4).collect()}
+    assert (100, 101) in pairs and pairs[(100, 101)] > 0.99
+    assert all({a, b} == {100, 101} or (a, b) == (0, 100) or (a, b) == (0, 101)
+               for a, b in pairs), f"unexpected high-cos pair: {pairs}"
+
+
 def test_detect_language(spark):
     df = spark.createDataFrame(
         [(1, "the cat is in the house and that is fine"),
