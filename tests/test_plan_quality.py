@@ -1,0 +1,76 @@
+"""Plan-quality gates (the 100-TB posture as assertions): pushdown
+reaches the scans, dim joins broadcast, shuffle counts match the
+per-operator docstrings. A rewrite that silently de-optimizes a plan
+fails here before it ever reaches a benchmark.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from puregraphdb_spark.plans import (
+    broadcast_join_count, count_exchanges, has_pushed_filter,
+)
+from tests.conftest import SF_DIR
+
+Q = entrymod.queries()
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    return {name: fn(spark, SF_DIR) for name, fn in Q.items()
+            if name in {
+                "q01_filter_project", "q02_agg_pricing_summary",
+                "q05_join_topk_revenue", "q06_join_5way",
+                "q16_topk_parts", "q24_graph_triangles",
+            }}
+
+
+def test_q01_filters_reach_the_scan(q):
+    df = q["q01_filter_project"]
+    assert has_pushed_filter(df, "l_returnflag")
+    assert has_pushed_filter(df, "l_discount")
+    # scan + load-time repartition only; no aggregation shuffle exists
+    assert count_exchanges(df) <= 1
+
+
+def test_q02_single_agg_shuffle(q):
+    df = q["q02_agg_pricing_summary"]
+    assert has_pushed_filter(df, "l_shipdate")
+    # load repartition + one agg exchange + result sort
+    assert count_exchanges(df) <= 3
+
+
+def test_q05_broadcasts_the_filtered_dim(q):
+    df = q["q05_join_topk_revenue"]
+    assert broadcast_join_count(df) >= 1
+    plan_shuffles = count_exchanges(df)
+    # orders/lineitem load repartitions + groupBy; no join shuffle of
+    # the fact side beyond those
+    assert plan_shuffles <= 4
+
+
+def test_q06_all_dims_broadcast(q):
+    df = q["q06_join_5way"]
+    # region, nation, customer, supplier all broadcast
+    assert broadcast_join_count(df) >= 4
+
+
+def test_q16_part_broadcasts(q):
+    assert broadcast_join_count(q["q16_topk_parts"]) >= 1
+
+
+def test_q24_single_wide_shuffle(q):
+    df = q["q24_graph_triangles"]
+    # co-located self-join (no shuffle) -> collect_set agg (1 wide
+    # exchange) -> broadcast adjacency probe; plus the 2 load-time
+    # repartitions of lineitem/orders at most
+    assert count_exchanges(df) <= 3
+    assert broadcast_join_count(df) >= 1
+
+
+def test_no_cartesian_products(q):
+    for name, df in q.items():
+        from puregraphdb_spark.plans import physical_plan
+        assert "CartesianProduct" not in physical_plan(df), name

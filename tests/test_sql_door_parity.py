@@ -1,0 +1,44 @@
+"""EP1 ≡ EP2 self-consistency (SURVEY §5): every oracle SQL statement
+whose dialect Spark shares runs verbatim through the SQL door and must
+produce the same result as the DataFrame implementation.
+
+Statements using DuckDB-only constructs (time_bucket, string_split /
+unnest, list_cosine_similarity, json_extract_string, ASOF JOIN,
+varchar casts) are skipped by name — the point is that everything else
+IS plain ANSI both engines share.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from puregraphdb_spark.engine import Engine
+from tests.conftest import SF_DIR, assert_frames_match
+
+DUCKDB_ONLY = {
+    "q20_tumbling_window",   # time_bucket
+    "q22_json_extract",      # json_extract_string
+    "q27_text_tokens",       # unnest/string_split
+    "q28_text_stats",        # len(string_split(...))
+    "q29_knn_cosine",        # list_cosine_similarity
+    "q30_knn_label",         # list_cosine_similarity
+    "q31_asof_join",         # ASOF JOIN
+    "q35_string_date",       # cast(.. as varchar)
+}
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+PARITY = sorted(set(ORACLES) - DUCKDB_ONLY)
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark, SF_DIR)
+
+
+@pytest.mark.parametrize("name", PARITY)
+def test_sql_door_matches_dataframe_door(engine, spark, name):
+    ep2 = engine.sql(ORACLES[name]).toPandas()
+    ep1 = QUERIES[name](spark, SF_DIR).toPandas()
+    assert_frames_match(ep1, ep2)
