@@ -113,6 +113,18 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(emb, threshold=0.35).orderBy("a", "b")
 
 
+def knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate cosine top-k for vec_id < 20 (rows-only; the
+    inverted-file counterpart of knn_ann_lsh — coarse k-means quantizer
+    fitted on the corpus, nprobe nearest clusters searched)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, k=8, iters=2, dim=64)
+    q = emb.filter(F.col("vec_id") < 20)
+    return similarity.ivf_cosine_topk(q, emb, cents, k=10, nprobe=2).orderBy(
+        "src", "rn"
+    )
+
+
 def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-granularity continuous aggregate over events (rows-only;
     window-start buckets at three granularities in one source scan)."""
@@ -177,6 +189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_parts": extras.approx_distinct_parts,
         "sliding_window_counts": extras.sliding_window_counts,
         "dedup_embedding_near": dedup_embedding_near,
+        "knn_ann_ivf": knn_ann_ivf,
         "hypertable_rollup": hypertable_rollup,
     }
 
@@ -189,7 +202,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q01_filter_project": """
             select l_orderkey, l_linenumber,
-                   round(l_extendedprice*(1-l_discount),2) as net_price
+                   cast(round(cast(l_extendedprice*(1-l_discount)
+                         as decimal(28,4)), 2) as double) as net_price
             from lineitem
             where l_shipdate >= timestamp '1996-01-01' and l_discount > 0.05
               and l_returnflag = 'R'
@@ -197,7 +211,8 @@ def oracle_sql() -> dict[str, str]:
         "q02_agg_pricing_summary": """
             select l_returnflag, l_linestatus, count(*) as n,
                    round(sum(l_quantity),2) as sum_qty,
-                   round(sum(l_extendedprice*(1-l_discount)),2) as sum_disc_price,
+                   cast(round(sum(cast(l_extendedprice*(1-l_discount)
+                         as decimal(28,4))), 2) as double) as sum_disc_price,
                    round(avg(l_quantity),4) as avg_qty
             from lineitem where l_shipdate <= timestamp '1998-09-01'
             group by l_returnflag, l_linestatus
@@ -217,7 +232,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q05_join_topk_revenue": """
             select o.o_orderkey,
-                   round(sum(l.l_extendedprice*(1-l.l_discount)),2) as revenue,
+                   cast(round(sum(cast(l.l_extendedprice*(1-l.l_discount)
+                         as decimal(28,4))), 2) as double) as revenue,
                    o.o_orderdate
             from customer c join orders o on c.c_custkey=o.o_custkey
             join lineitem l on l.l_orderkey=o.o_orderkey
@@ -228,7 +244,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q06_join_5way": """
             select n.n_name as nation,
-                   round(sum(l.l_extendedprice*(1-l.l_discount)),2) as revenue
+                   cast(round(sum(cast(l.l_extendedprice*(1-l.l_discount)
+                         as decimal(28,4))), 2) as double) as revenue
             from region r join nation n on n.n_regionkey=r.r_regionkey
             join customer c on c.c_nationkey=n.n_nationkey
             join orders o on o.o_custkey=c.c_custkey
@@ -302,9 +319,12 @@ def oracle_sql() -> dict[str, str]:
             order by qty desc, p_brand, p_type limit 15
         """,
         "q17_percentile": """
-            select l_returnflag, round(median(l_extendedprice),2) as med_price,
-                   round(percentile_cont(0.9)
-                     within group (order by l_extendedprice),2) as p90
+            select l_returnflag,
+                   cast(round(cast(median(l_extendedprice)
+                         as decimal(28,6)), 2) as double) as med_price,
+                   cast(round(cast(percentile_cont(0.9)
+                           within group (order by l_extendedprice)
+                         as decimal(28,6)), 2) as double) as p90
             from lineitem group by l_returnflag order by l_returnflag
         """,
         "q18_string_date_funcs": """
@@ -324,7 +344,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q20_tumbling_window": """
             select time_bucket(interval '1 hour', ts) as win, event_type,
-                   count(*) as n, round(sum(value),2) as sum_val
+                   count(*) as n,
+                   cast(round(sum(cast(value as decimal(28,3))), 2) as double) as sum_val
             from events group by win, event_type order by win, event_type
         """,
         "q21_session_window": """
@@ -345,8 +366,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q22_json_extract": """
             select event_type,
-                   round(avg(cast(json_extract_string(props,'$.k') as double)),4)
-                     as avg_k
+                   cast(round(cast(avg(cast(json_extract_string(props,'$.k')
+                           as double)) as decimal(28,8)), 4) as double) as avg_k
             from events group by event_type order by event_type
         """,
         "q23_graph_degree": """
@@ -391,8 +412,11 @@ def oracle_sql() -> dict[str, str]:
             where tok <> '' group by tok order by tf desc, tok limit 20
         """,
         "q28_text_stats": """
-            select lang, count(*) as n_docs, round(avg(n_chars),2) as avg_chars,
-                   round(avg(len(string_split(text,' '))),2) as avg_tokens
+            select lang, count(*) as n_docs,
+                   cast(round(cast(avg(n_chars) as decimal(28,6)), 2) as double)
+                     as avg_chars,
+                   cast(round(cast(avg(len(string_split(text,' ')))
+                         as decimal(28,6)), 2) as double) as avg_tokens
             from documents group by lang order by lang
         """,
         "q29_knn_cosine": """
@@ -452,9 +476,9 @@ def oracle_sql() -> dict[str, str]:
                    dense_rank() over wo as dr,
                    ntile(4) over wo as quartile,
                    round(first_value(o_totalprice) over wo, 2) as top_price,
-                   round(o_totalprice
-                         - avg(o_totalprice) over (partition by o_custkey), 2)
-                     as dev
+                   cast(round(cast(o_totalprice
+                           - avg(o_totalprice) over (partition by o_custkey)
+                         as decimal(28,6)), 2) as double) as dev
             from orders where o_orderkey % 10 = 0
             window wo as (partition by o_custkey
                           order by o_totalprice desc, o_orderkey)

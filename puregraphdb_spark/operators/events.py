@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from puregraphdb_spark.functions.numeric import decimal_round, decimal_sum_round
 from puregraphdb_spark.sources.registry import load_table
 
 
@@ -28,7 +29,9 @@ def tumbling_window(events: DataFrame, duration: str = "1 hour") -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_val"),
+            # value is exact 3-dp; decimal sum makes the .xx5-boundary
+            # rounding identical to the oracle (functions.numeric).
+            decimal_sum_round(F.col("value"), 2, grid=3).alias("sum_val"),
         )
         .orderBy("win", "event_type")
     )
@@ -101,8 +104,9 @@ def q22_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("event_type")
         .agg(
-            F.round(
-                F.avg(F.get_json_object("props", "$.k").cast("double")), 4
+            decimal_round(
+                F.avg(F.get_json_object("props", "$.k").cast("double")),
+                4, grid=8,
             ).alias("avg_k")
         )
         .orderBy("event_type")

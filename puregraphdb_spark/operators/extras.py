@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from puregraphdb_spark.functions.numeric import decimal_round
 from puregraphdb_spark.operators.asof import as_of_join
 from puregraphdb_spark.sources.registry import load_table
 
@@ -106,8 +107,12 @@ def q34_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dense_rank().over(wo).cast("long").alias("dr"),
             F.ntile(4).over(wo).cast("long").alias("quartile"),
             F.round(F.first("o_totalprice").over(wo), 2).alias("top_price"),
-            F.round(
-                F.col("o_totalprice") - F.avg("o_totalprice").over(wp), 2
+            # deviation from a division result: snap to the decimal
+            # grid before rounding so both engines make the identical
+            # half-boundary call (functions.numeric).
+            decimal_round(
+                F.col("o_totalprice") - F.avg("o_totalprice").over(wp),
+                2, grid=6,
             ).alias("dev"),
         )
         .orderBy("o_custkey", "o_orderkey")

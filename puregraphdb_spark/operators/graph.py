@@ -513,12 +513,11 @@ def q23_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In/out-degree of the customer→supplier order graph.
 
     Degree counts distinct counterparties (count(distinct ...) in the
-    oracle). The distinct (custkey, suppkey) pair set is computed ONCE
-    (orders broadcast onto lineitem → 1 dedup shuffle, reused across
-    both degree branches via ReusedExchange); each branch is then a
-    cheap count over the deduped pairs — vs. two full countDistinct
-    expansions over the raw join. Degrees cast to long (DuckDB sum →
-    HUGEINT).
+    oracle). Two wide shuffles total: the (custkey, suppkey) dedup,
+    then ONE degree aggregation over both endpoints at once — each
+    deduped pair explodes into (customer, 1, 0) and (supplier, 0, 1)
+    rows (a flatMap, no shuffle), so no second aggregation tree or
+    union re-agg exists. Degrees cast to long (DuckDB sum → HUGEINT).
     """
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -527,22 +526,27 @@ def q23_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
-    outd = (
-        pairs.groupBy(F.col("o_custkey").alias("v"))
-        .agg(F.count("*").alias("outd"))
-        .select("v", "outd", F.lit(0).cast("long").alias("ind"))
-    )
-    ind = (
-        pairs.groupBy(F.col("l_suppkey").alias("v"))
-        .agg(F.count("*").alias("ind"))
-        .select("v", F.lit(0).cast("long").alias("outd"), "ind")
-    )
+    one, zero = F.lit(1).cast("long"), F.lit(0).cast("long")
     return (
-        outd.unionByName(ind)
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("o_custkey").alias("v"),
+                        one.alias("outd"), zero.alias("ind"),
+                    ),
+                    F.struct(
+                        F.col("l_suppkey").alias("v"),
+                        zero.alias("outd"), one.alias("ind"),
+                    ),
+                )
+            ).alias("d")
+        )
+        .select("d.*")
         .groupBy("v")
         .agg(
-            F.sum("outd").cast("long").alias("out_degree"),
-            F.sum("ind").cast("long").alias("in_degree"),
+            F.sum("outd").alias("out_degree"),
+            F.sum("ind").alias("in_degree"),
         )
         .orderBy("v")
     )

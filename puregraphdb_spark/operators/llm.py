@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from puregraphdb_spark.functions.numeric import decimal_round
 from puregraphdb_spark.functions.vector import cosine_similarity
 from puregraphdb_spark.sources.registry import load_table
 
@@ -79,8 +80,10 @@ def q28_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
-            F.round(F.avg(F.size(F.split("text", " "))), 2).alias("avg_tokens"),
+            decimal_round(F.avg("n_chars"), 2, grid=6).alias("avg_chars"),
+            decimal_round(
+                F.avg(F.size(F.split("text", " "))), 2, grid=6
+            ).alias("avg_tokens"),
         )
         .orderBy("lang")
     )

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from puregraphdb_spark.functions.numeric import decimal_round, decimal_sum_round
 from puregraphdb_spark.sources.registry import load_table
 
 
@@ -46,7 +47,12 @@ def q01_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net_price"),
+            # decimal grid: price·(1−disc) is an exact 4-dp number whose
+            # half-boundary cases double-rounding would split with the
+            # oracle (functions.numeric docstring).
+            decimal_round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("net_price"),
         )
     )
 
@@ -65,7 +71,9 @@ def q02_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            decimal_sum_round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -127,7 +135,9 @@ def q05_join_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(decimal_sum_round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
@@ -158,7 +168,9 @@ def q06_join_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
             (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .groupBy(n.n_name.alias("nation"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(decimal_sum_round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue"))
         .orderBy(F.desc("revenue"), "nation")
     )
 
@@ -364,8 +376,12 @@ def q17_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.groupBy("l_returnflag")
         .agg(
-            F.round(interp(0.5), 2).alias("med_price"),
-            F.round(interp(0.9), 2).alias("p90"),
+            # grid=6: interpolated values are identical binary doubles
+            # on both engines; the decimal snap makes the final 2-dp
+            # rounding decision identical too (midpoints of 2-dp prices
+            # can be exact .xx5).
+            decimal_round(interp(0.5), 2, grid=6).alias("med_price"),
+            decimal_round(interp(0.9), 2, grid=6).alias("p90"),
         )
         .orderBy("l_returnflag")
     )

@@ -207,6 +207,120 @@ def ngram_jaccard(a_text: F.Column, b_text: F.Column, k: int = 3) -> F.Column:
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer + cluster-probed search
+# ---------------------------------------------------------------------------
+
+
+def _centroid_cosine(emb_col: str | F.Column, centroid: list[float]) -> F.Column:
+    """cos(emb, centroid) with the centroid folded in as literals —
+    the centroid norm is a Python-side constant."""
+    lit_c = F.array(*[F.lit(x) for x in centroid])
+    norm_c = math.sqrt(sum(x * x for x in centroid)) or 1.0
+    return dot(emb_col, lit_c) / (
+        F.sqrt(dot(emb_col, emb_col)) * F.lit(norm_c)
+    )
+
+
+def _nearest_centroid(emb_col: str | F.Column,
+                      centroids: list[list[float]]) -> F.Column:
+    """argmax-cosine centroid index as a Column expression."""
+    best_i = F.lit(0)
+    best_s = _centroid_cosine(emb_col, centroids[0])
+    for i, c in enumerate(centroids[1:], start=1):
+        s = _centroid_cosine(emb_col, c)
+        better = s > best_s
+        best_i = F.when(better, F.lit(i)).otherwise(best_i)
+        best_s = F.when(better, s).otherwise(best_s)
+    return best_i
+
+
+def kmeans_centroids(corpus: DataFrame, emb_col: str = "embedding",
+                     id_col: str = "vec_id", k: int = 16,
+                     iters: int = 3, dim: int = 64) -> list[list[float]]:
+    """Deterministic coarse quantizer: k seeds picked by hash order,
+    refined with ``iters`` Lloyd steps. Each step is one pass over the
+    corpus (assign = map with centroid literals; update = posexplode +
+    groupBy(cluster, dim) avg). Centroids are MODEL STATE (k×dim
+    floats) — collecting them to the driver is parameter traffic, not
+    a data collect.
+    """
+    seeds = (
+        corpus.select(F.col(id_col), F.col(emb_col).cast("array<double>"))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(k)
+        .collect()
+    )
+    cents = [list(r[1]) for r in seeds]
+    for _ in range(iters):
+        assigned = corpus.select(
+            _nearest_centroid(emb_col, cents).alias("cluster"),
+            F.posexplode(F.col(emb_col).cast("array<double>")).alias("pos", "val"),
+        )
+        means = (
+            assigned.groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty clusters keep their seed
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        for ci, dims in by_cluster.items():
+            new[ci] = [dims.get(p, 0.0) for p in range(dim)]
+        cents = new
+    return cents
+
+
+def ivf_assign(corpus: DataFrame, centroids: list[list[float]],
+               emb_col: str = "embedding") -> DataFrame:
+    """Attach the inverted-file cluster id (pure map; at scale this is
+    the write-time partition key of the vector table)."""
+    return corpus.withColumn("cluster", _nearest_centroid(emb_col, centroids))
+
+
+def ivf_cosine_topk(queries: DataFrame, corpus: DataFrame,
+                    centroids: list[list[float]], k: int = 10,
+                    nprobe: int = 2, id_col: str = "vec_id",
+                    emb_col: str = "embedding") -> DataFrame:
+    """IVF search: probe each query's ``nprobe`` nearest clusters,
+    exact-cosine re-rank inside them. ONE shuffle keyed on cluster id;
+    recall is tuned by nprobe (nprobe = k_clusters → exhaustive).
+    Returns (src, vec_id, cos_sim, rn ≤ k).
+    """
+    scored = [
+        (i, _centroid_cosine(emb_col, c)) for i, c in enumerate(centroids)
+    ]
+    # nprobe nearest clusters per query = top slots of a sorted struct
+    # array (all JVM-side; centroids are literals)
+    slots = F.sort_array(
+        F.array(*[
+            F.struct(s.alias("cos"), F.lit(i).alias("cluster"))
+            for i, s in scored
+        ]),
+        asc=False,
+    )
+    q = queries.select(
+        F.col(id_col).alias("src"),
+        F.col(emb_col).alias("q_emb"),
+        F.explode(F.slice(slots, 1, nprobe)).alias("probe"),
+    ).select("src", "q_emb", F.col("probe.cluster").alias("cluster"))
+    c = ivf_assign(corpus, centroids, emb_col).select(
+        F.col(id_col), F.col(emb_col), "cluster"
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), id_col)
+    return (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col(id_col) != F.col("src"))
+        .select(
+            "src", id_col,
+            cosine_similarity("q_emb", emb_col).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
 # random-hyperplane LSH for embeddings (cosine ANN)
 # ---------------------------------------------------------------------------
 

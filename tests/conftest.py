@@ -58,4 +58,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def assert_frames_match(sdf: pd.DataFrame, odf: pd.DataFrame) -> None:
     assert len(sdf) == len(odf), f"rows spark={len(sdf)} oracle={len(odf)}"
     assert sorted(sdf.columns) == sorted(odf.columns)
-    pd.testing.assert_frame_equal(normalize(sdf), normalize(odf), check_dtype=False)
+    # EXACT — the driver's value hash has no tolerance.
+    pd.testing.assert_frame_equal(
+        normalize(sdf), normalize(odf), check_dtype=False, rtol=0.0, atol=0.0
+    )

@@ -116,6 +116,48 @@ def test_embedding_near_dup_pairs(spark):
                for a, b in pairs), f"unexpected high-cos pair: {pairs}"
 
 
+def test_ivf_topk_recovers_exact_neighbor(spark):
+    from puregraphdb_spark.operators.similarity import (
+        ivf_cosine_topk, kmeans_centroids,
+    )
+
+    dim = 8
+    rows = []
+    # two tight families around axis 0 and axis 4
+    for i in range(20):
+        v = [0.0] * dim
+        v[0] = 1.0
+        v[1] = 0.001 * i
+        rows.append((i, v))
+    for i in range(20, 40):
+        v = [0.0] * dim
+        v[4] = 1.0
+        v[5] = 0.001 * i
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = kmeans_centroids(emb, k=2, iters=2, dim=dim)
+    assert len(cents) == 2 and all(len(c) == dim for c in cents)
+
+    from pyspark.sql import functions as Fn
+    q = emb.filter(Fn.col("vec_id") == 0)
+    res = ivf_cosine_topk(q, emb, cents, k=5, nprobe=1).collect()
+    assert len(res) == 5
+    # all neighbors must come from the same (axis-0) family
+    assert all(r["vec_id"] < 20 for r in res)
+    assert res[0]["cos_sim"] > 0.999
+
+
+def test_ivf_centroids_deterministic(spark):
+    from puregraphdb_spark.operators.similarity import kmeans_centroids
+
+    dim = 8
+    rows = [(i, [float(i % 3 == j) for j in range(dim)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = kmeans_centroids(emb, k=3, iters=2, dim=dim)
+    b = kmeans_centroids(emb, k=3, iters=2, dim=dim)
+    assert a == b
+
+
 def test_detect_language(spark):
     df = spark.createDataFrame(
         [(1, "the cat is in the house and that is fine"),

@@ -87,7 +87,11 @@ def main() -> int:
             continue
         a, b = normalize(sdf), normalize(odf)
         try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False)
+            # EXACT value match — the driver compares value hashes, so
+            # any tolerance here hides real failures.
+            pd.testing.assert_frame_equal(
+                a, b, check_dtype=False, rtol=0.0, atol=0.0
+            )
         except AssertionError as e:
             print(f"FAIL {name}: values differ: {str(e)[:400]}")
             failures.append(name)
