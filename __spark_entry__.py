@@ -177,6 +177,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_cube": extras.q33_cube,
         "q34_window_analytics": extras.q34_window_analytics,
         "q35_string_date": extras.q35_string_date,
+        "q36_pivot": extras.q36_pivot,
+        "q37_regex": extras.q37_regex,
+        "q38_levenshtein": extras.q38_levenshtein,
+        "q39_array_agg": extras.q39_array_agg,
+        "q40_grouping_sets": extras.q40_grouping_sets,
         # rows-only (iterative or hash-based; driver records the weaker
         # rows-only check)
         "graph_pagerank": graph_pagerank,
@@ -492,5 +497,46 @@ def oracle_sql() -> dict[str, str]:
                    date_trunc('month', o_orderdate) as order_month
             from orders o join customer c on o.o_custkey = c.c_custkey
             where o.o_orderkey % 500 = 3 order by o_orderkey
+        """,
+        "q36_pivot": """
+            select l_returnflag,
+                   round(sum(case when l_linestatus='F' then l_quantity end),2)
+                     as qty_f,
+                   round(sum(case when l_linestatus='O' then l_quantity end),2)
+                     as qty_o
+            from lineitem group by l_returnflag order by l_returnflag
+        """,
+        "q37_regex": """
+            select c_mktsegment,
+                   count(case when regexp_matches(c_name, '[0-9]{9}$')
+                         then 1 end) as n_match,
+                   max(cast(regexp_extract(c_name, '([0-9]+)', 1) as bigint))
+                     as max_id,
+                   min(regexp_replace(c_name, '[0-9]+', '#')) as min_masked
+            from customer group by c_mktsegment order by c_mktsegment
+        """,
+        "q38_levenshtein": """
+            select p_type,
+                   cast(min(levenshtein(p_name, 'red widget')) as bigint)
+                     as min_dist,
+                   round(avg(levenshtein(substr(p_name,1,5), 'small')),4)
+                     as avg_prefix_dist,
+                   count(*) as n
+            from part group by p_type order by p_type
+        """,
+        "q39_array_agg": """
+            select n_name as nation,
+                   string_agg(s_name, ',' order by s_name) as suppliers,
+                   count(*) as n_supp
+            from supplier join nation on s_nationkey=n_nationkey
+            group by n_name order by nation
+        """,
+        "q40_grouping_sets": """
+            select coalesce(l_returnflag,'ALL') as rf,
+                   coalesce(l_linestatus,'ALL') as ls,
+                   cast(grouping(l_returnflag, l_linestatus) as bigint) as gid,
+                   count(*) as n, round(sum(l_quantity),2) as sum_qty
+            from lineitem group by grouping sets ((l_returnflag),(l_linestatus))
+            order by rf, ls
         """,
     }

@@ -137,6 +137,128 @@ def q35_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q36_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT linestatus into columns (per-returnflag quantity matrix).
+
+    Spark's `pivot` with an explicit value list compiles to conditional
+    aggregation (one Expand-free shuffle, map-side partial agg) — the
+    values list avoids the extra distinct-discovery job, which at
+    100 TB would be a full scan of its own. Oracle = the equivalent
+    CASE WHEN conditional aggregation.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")
+    )
+
+
+def q37_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family: rlike match counting, regexp_extract with a
+    capture group, regexp_replace masking. Patterns restricted to the
+    dialect-agreeing subset (anchors, classes, quantifiers — identical
+    under Java regex and RE2). Pure map + 1 shuffle on the group key.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(
+                F.when(F.col("c_name").rlike("[0-9]{9}$"), F.lit(1))
+            ).alias("n_match"),
+            F.max(
+                F.regexp_extract("c_name", "([0-9]+)", 1).cast("long")
+            ).alias("max_id"),
+            F.min(
+                F.regexp_replace("c_name", "[0-9]+", "#")
+            ).alias("min_masked"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q38_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance scalar (fuzzy string matching) aggregated per part
+    type — the cheap typo/near-match primitive of data-cleaning
+    pipelines. levenshtein() is JVM-side in Spark and agrees with
+    DuckDB's definition exactly (unit-cost insert/delete/substitute).
+    """
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_type")
+        .agg(
+            F.min(F.levenshtein("p_name", F.lit("red widget"))).cast("long").alias("min_dist"),
+            F.round(
+                F.avg(F.levenshtein(F.substring("p_name", 1, 5), F.lit("small"))), 4
+            ).alias("avg_prefix_dist"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("p_type")
+    )
+
+
+def q39_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation: suppliers per nation as a sorted
+    comma-joined string.
+
+    collect_list has no intra-group order guarantee in a distributed
+    agg — sort_array AFTER collection is the deterministic form
+    (equivalent to the oracle's `string_agg(... order by ...)`), and it
+    keeps the agg a single shuffle instead of forcing a pre-sort.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("s_name")), ","
+            ).alias("suppliers"),
+            F.count("*").alias("n_supp"),
+        )
+        .orderBy("nation")
+    )
+
+
+def q40_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((returnflag),(linestatus)) with a grouping_id.
+
+    The DataFrame API exposes only rollup/cube; arbitrary grouping
+    sets are the union of the member groupings — each leg is its own
+    map-side-partial agg, and the tiny grouped outputs concatenate
+    without a barrier. gid matches DuckDB's grouping(a,b) bit field
+    (bit set = column aggregated away): (rf) leg → ls bit = 1,
+    (ls) leg → rf bit = 2.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    by_rf = (
+        l.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.col("l_returnflag").alias("rf"),
+            F.lit("ALL").alias("ls"),
+            F.lit(1).cast("long").alias("gid"),
+            "n", "sum_qty",
+        )
+    )
+    by_ls = (
+        l.groupBy("l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.lit("ALL").alias("rf"),
+            F.col("l_linestatus").alias("ls"),
+            F.lit(2).cast("long").alias("gid"),
+            "n", "sum_qty",
+        )
+    )
+    return by_rf.unionByName(by_ls).orderBy("rf", "ls")
+
+
 # -- rows-only extras --------------------------------------------------------
 
 

@@ -25,6 +25,9 @@ DUCKDB_ONLY = {
     "q30_knn_label",         # list_cosine_similarity
     "q31_asof_join",         # ASOF JOIN
     "q35_string_date",       # cast(.. as varchar)
+    "q37_regex",             # regexp_matches
+    "q39_array_agg",         # string_agg(.. order by ..) inline order
+    "q40_grouping_sets",     # grouping(a, b) two-arg bit field
 }
 
 ORACLES = entrymod.oracle_sql()
