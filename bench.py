@@ -34,6 +34,9 @@ def main() -> None:
     spark = get_session(master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
     eng = Engine(spark, SF_DIR)
+    # Size shuffle fan-out to the measured input volume (sub-GB inputs
+    # run in fixed-8-partition / AQE-off latency mode; see Engine).
+    eng.tune_for_data_size()
     # Materialize the persisted base tables so scans come from the
     # in-memory columnar cache during timing.
     for name in ("lineitem", "orders", "customer", "supplier", "part",

@@ -105,6 +105,32 @@ class Engine:
         from puregraphdb_spark.operators.graph import Graph
         return Graph(vertices, edges)
 
+    def input_bytes(self) -> int:
+        """Total on-disk size of this engine's data_dir, resolved through
+        the Hadoop FileSystem API so any URI scheme works (file:/, s3://,
+        hdfs://) — never driver-local ``os.path``."""
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self.data_dir)
+        fs = path.getFileSystem(
+            self.spark._jsc.hadoopConfiguration())
+        return int(fs.getContentSummary(path).getLength())
+
+    def tune_for_data_size(self, interactive_threshold: int = 2 << 30) -> None:
+        """Size shuffle parallelism to the measured input volume.
+
+        Below ~2 GiB every shuffle is a handful of MB: 32-way fan-out
+        and AQE's stage-barrier re-planning are pure scheduling latency
+        (measured at sf0.1: core-30 total 18.8 s with AQE+32 partitions
+        vs 11.1 s with fixed 8 and AQE off). Above the threshold the
+        defaults stand — AQE coalescing/skew-splitting is the win at
+        cluster scale, where a mis-sized static fan-out costs far more
+        than stage re-planning. This mirrors what AQE's own
+        advisoryPartitionSize does, minus the per-stage barrier cost.
+        """
+        if self.input_bytes() < interactive_threshold:
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+            self.spark.conf.set("spark.sql.shuffle.partitions", "8")
+
     def cache_tables(self, names: list[str] | None = None) -> None:
         """Pin base tables in memory (bench/steady-state mode). On a
         cluster this is executor-memory-resident columnar cache; at

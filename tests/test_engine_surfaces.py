@@ -117,3 +117,25 @@ def test_bucketed_write_requires_table_name(spark):
     nation = load_table(spark, SF_DIR, "nation")
     with pytest.raises(ValueError):
         write_partitioned(nation, "/tmp/x", bucket_by=(4, ["n_nationkey"]))
+
+
+def test_tune_for_data_size_small_input(spark):
+    eng = Engine(spark, SF_DIR, register_views=False)
+    nbytes = eng.input_bytes()
+    assert nbytes > 0  # Hadoop FS resolution works on local paths
+    before_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    before_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # sf0.001 is far below the interactive threshold → latency mode
+        eng.tune_for_data_size()
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+        # above-threshold inputs leave the cluster-scale defaults alone
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        eng.tune_for_data_size(interactive_threshold=nbytes)  # nbytes !< nbytes
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", before_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", before_sp)
