@@ -33,10 +33,12 @@ def main() -> None:
 
     spark = get_session(master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
-    eng = Engine(spark, SF_DIR)
-    # Size shuffle fan-out to the measured input volume (sub-GB inputs
-    # run in fixed-8-partition / AQE-off latency mode; see Engine).
+    # Size shuffle fan-out to the measured input volume BEFORE loading
+    # tables (sub-GB inputs run in fixed-8-partition / AQE-off latency
+    # mode; the fact-table key repartition honors the same width).
+    eng = Engine(spark, SF_DIR, register_views=False)
     eng.tune_for_data_size()
+    eng.register_all_views()
     # Materialize the persisted base tables so scans come from the
     # in-memory columnar cache during timing.
     for name in ("lineitem", "orders", "customer", "supplier", "part",

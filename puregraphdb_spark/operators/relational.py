@@ -342,35 +342,50 @@ def q16_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q17_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact median + p90 per returnflag, via one window sort.
+    """Exact median + p90 per returnflag, over the compressed
+    value-count distribution (two-level exact percentile).
 
-    Formulated as row_number over a per-group sort + linear
-    interpolation (v_lo + frac·(v_hi − v_lo), exactly DuckDB's
-    percentile_cont arithmetic) instead of F.median/F.percentile:
-    those aggregates collect every group's values into a per-group
-    object buffer (slow path, and two separate passes), while the
-    window form is one shuffle + one in-partition sort shared by both
-    percentiles, and it spills gracefully at scale. At extreme scale
-    switch to approx_percentile (t-digest) — deliberately not the
-    oracled path.
+    Level 1 collapses rows to distinct (group, value) counts — a hash
+    agg with map-side partial combine, so the shuffle carries the
+    distribution (∝ distinct values), not the rows. Level 2 turns
+    cumulative counts over the sorted distinct values into order
+    statistics: expanded 0-indexed positions [lo_rank, hi_rank) per
+    value, then v_lo/v_hi lookup at floor(pos)/floor(pos)+1 and linear
+    interpolation v_lo + frac·(v_hi − v_lo) — exactly DuckDB's
+    percentile_cont arithmetic.
+
+    Alternatives measured (sf0.1, warm cache, fresh plans): built-in
+    F.percentile serializes every partition's value buffer through the
+    exchange (0.85 s); a row-level window sort pays the shuffle in row
+    form (1.1 s). This form ties locally (~1.0 s — the fixture's
+    prices are 97% distinct, so the histogram barely compresses) but
+    is the 100 TB-correct shape: shuffle volume is bounded by value
+    cardinality, and real price/score columns repeat heavily. At
+    extreme scale switch to approx_percentile (t-digest) —
+    deliberately not the oracled path.
     """
     l = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    c = l.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("val")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy("val")
     wp = Window.partitionBy("l_returnflag")
-    d = l.select(
+    d = c.select(
         "l_returnflag",
-        F.col("l_extendedprice").alias("val"),
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wp).alias("n"),
+        "val",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("lo_rank"),
+        F.sum("cnt").over(w).alias("hi_rank"),
+        F.sum("cnt").over(wp).alias("n"),
     )
 
     def interp(p: float):
         pos = F.lit(p) * (F.col("n") - 1)  # 0-indexed fractional position
         lo = F.floor(pos)
         frac = pos - lo
-        vlo = F.max(F.when(F.col("rn") == lo + 1, F.col("val")))
-        vhi = F.max(F.when(F.col("rn") == lo + 2, F.col("val")))
-        # frac == 0 → hi row may not exist; the frac·Δ term is then 0.
+        in_range = lambda k: (F.col("lo_rank") <= k) & (k < F.col("hi_rank"))
+        vlo = F.max(F.when(in_range(lo), F.col("val")))
+        vhi = F.max(F.when(in_range(lo + 1), F.col("val")))
+        # frac == 0 → the hi position may not exist; frac·Δ is then 0.
         return vlo + F.max(frac) * (F.coalesce(vhi, vlo) - vlo)
 
     return (

@@ -92,7 +92,14 @@ def load_table(spark: SparkSession, data_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
     if name in _PARTITION_KEYS:
+        # The repartition IS a shuffle, so its width honors the session's
+        # shuffle fan-out (latency mode pins it low for sub-GB inputs;
+        # cluster deployments keep the cores-wide default).
         par = spark.sparkContext.defaultParallelism
+        try:
+            par = min(par, int(spark.conf.get("spark.sql.shuffle.partitions")))
+        except (TypeError, ValueError):
+            pass  # non-numeric conf (foreign session) → cores-wide default
         if df.rdd.getNumPartitions() < max(2, par // 2):
             pkey = _PARTITION_KEYS[name]
             df = df.repartition(par, pkey) if pkey else df.repartition(par)
