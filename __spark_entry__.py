@@ -182,6 +182,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_levenshtein": extras.q38_levenshtein,
         "q39_array_agg": extras.q39_array_agg,
         "q40_grouping_sets": extras.q40_grouping_sets,
+        "q41_correlated_avg": extras.q41_correlated_avg,
+        "q42_not_exists": extras.q42_not_exists,
+        "q43_scalar_subquery": extras.q43_scalar_subquery,
+        "q44_interval_join": extras.q44_interval_join,
+        "q45_conditional_distinct": extras.q45_conditional_distinct,
         # rows-only (iterative or hash-based; driver records the weaker
         # rows-only check)
         "graph_pagerank": graph_pagerank,
@@ -538,5 +543,50 @@ def oracle_sql() -> dict[str, str]:
                    count(*) as n, round(sum(l_quantity),2) as sum_qty
             from lineitem group by grouping sets ((l_returnflag),(l_linestatus))
             order by rf, ls
+        """,
+        "q41_correlated_avg": """
+            select p_brand,
+                   cast(round(cast(cast(sum(cast(l_extendedprice
+                           as decimal(28,2))) as double)/7.0
+                         as decimal(28,6)), 2) as double) as avg_yearly,
+                   count(*) as n
+            from lineitem l join part p on p.p_partkey = l.l_partkey
+            where l.l_quantity < (select 0.5 * avg(l2.l_quantity)
+                                  from lineitem l2
+                                  where l2.l_partkey = l.l_partkey)
+            group by p_brand order by p_brand
+        """,
+        "q42_not_exists": """
+            select c_mktsegment, count(*) as n_cust
+            from customer c
+            where c.c_acctbal > 1000 and not exists (
+              select 1 from orders o
+              where o.o_custkey = c.c_custkey and o.o_totalprice > 400000)
+            group by c_mktsegment order by c_mktsegment
+        """,
+        "q43_scalar_subquery": """
+            select o_orderpriority, count(*) as n,
+                   cast(round(cast(cast(sum(cast(o_totalprice
+                           as decimal(28,2))) as double)/count(*)
+                         as decimal(28,6)), 2) as double) as avg_price
+            from orders
+            where o_totalprice > (
+              select cast(sum(cast(o_totalprice as decimal(28,2)))
+                     as double)/count(*) from orders)
+            group by o_orderpriority order by o_orderpriority
+        """,
+        "q44_interval_join": """
+            select o_orderpriority, count(*) as n_lines
+            from orders o join lineitem l on l.l_orderkey = o.o_orderkey
+            where l.l_shipdate <= o.o_orderdate + interval 60 day
+            group by o_orderpriority order by o_orderpriority
+        """,
+        "q45_conditional_distinct": """
+            select l_returnflag,
+                   count(distinct case when l_quantity > 25
+                         then l_partkey end) as big_parts,
+                   count(distinct l_suppkey) as n_supp,
+                   count(*) as n
+            from lineitem group by l_returnflag order by l_returnflag
         """,
     }

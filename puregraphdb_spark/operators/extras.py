@@ -291,3 +291,135 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("win", "event_type")
     )
+
+
+def q41_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate subquery (TPC-H Q17 shape): lineitems whose
+    quantity is below half their part's average quantity.
+
+    Spark-first decorrelation: the per-partkey average is a separate
+    aggregate joined back on the correlation key — exactly the plan
+    Catalyst derives from the SQL form, written explicitly so the join
+    strategy is visible: the per-part averages are a small aggregate
+    (one row per part), so they BROADCAST; the fact side never
+    shuffles. The oracle keeps the correlated-subquery form to prove
+    semantic equivalence across formulations.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_part = l.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        l.join(F.broadcast(per_part), l.l_partkey == per_part.ap_partkey)
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            # exact decimal sum (2-dp prices) → identical double on both
+            # engines → identical /7.0 → identical grid-6 snap + round
+            decimal_round(
+                F.sum(F.col("l_extendedprice").cast("decimal(28,2)"))
+                .cast("double") / 7.0,
+                2, grid=6,
+            ).alias("avg_yearly"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q42_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS correlated subquery: high-balance customers with no
+    jumbo order (o_totalprice > 400k). Anti-join: the customer filter
+    sits before the join, the orders side is filter-then-project (only
+    the key crosses the exchange).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    jumbo = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return (
+        c.filter(F.col("c_acctbal") > 1000)
+        .join(jumbo, c.c_custkey == jumbo.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_cust"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def q43_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery threshold: orders above the global average
+    price, grouped by priority.
+
+    The global average is a 1-row aggregate cross-joined (broadcast —
+    it IS one row) onto the scan; Catalyst folds it into the filter.
+    Equivalent to the oracle's `where o_totalprice > (select avg...)`
+    without a driver-side collect of the threshold.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    # exact decimal sum / count → the threshold double is bit-identical
+    # on both engines (a raw double avg would carry summation-order
+    # noise right at the comparison boundary).
+    threshold = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)")).cast("double")
+            / F.count("*")
+        ).alias("global_avg")
+    )
+    return (
+        o.join(F.broadcast(threshold))
+        .filter(F.col("o_totalprice") > F.col("global_avg"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            decimal_round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+                .cast("double") / F.count("*"),
+                2, grid=6,
+            ).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q44_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-interval arithmetic inside a join predicate: lineitems
+    shipped within 60 days of their order date. The interval add stays
+    timestamp-typed (o_orderdate is a parquet timestamp) so both
+    engines compare identical instants; the equi-key join carries the
+    residual as a post-join filter — no range-join blowup.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate").cast("timestamp")
+            <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_lines"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q45_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates with a conditional inside one of
+    them — compiles to one Expand (row replication per distinct group)
+    + two-level aggregation, Spark's standard multi-distinct plan; no
+    extra passes over the input.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("l_quantity") > 25, F.col("l_partkey"))
+            ).alias("big_parts"),
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
