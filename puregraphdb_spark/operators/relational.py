@@ -341,65 +341,101 @@ def q16_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: GK sketch accuracy for the percentile bracket: guaranteed rank error
+#: ≤ n/_PCT_ACC per group. Coarser = cheaper sketch merge; the exact
+#: refinement pass absorbs any band the bound permits.
+_PCT_ACC = 1000
+
+
 def q17_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact median + p90 per returnflag, over the compressed
-    value-count distribution (two-level exact percentile).
+    """Exact median + p90 per returnflag via approximate-bracket +
+    exact refinement — two narrow passes, no per-group global sort.
 
-    Level 1 collapses rows to distinct (group, value) counts — a hash
-    agg with map-side partial combine, so the shuffle carries the
-    distribution (∝ distinct values), not the rows. Level 2 turns
-    cumulative counts over the sorted distinct values into order
-    statistics: expanded 0-indexed positions [lo_rank, hi_rank) per
-    value, then v_lo/v_hi lookup at floor(pos)/floor(pos)+1 and linear
-    interpolation v_lo + frac·(v_hi − v_lo) — exactly DuckDB's
-    percentile_cont arithmetic.
+    Pass 1 (sketch): percentile_approx (Greenwald–Khanna, deterministic
+    worst-case rank error ≤ n/accuracy) brackets each target
+    percentile with a ±5/accuracy margin — so the bracketing values
+    are GUARANTEED to straddle the exact order statistics. Pass 2
+    (exact): one conditional aggregation counts rows strictly below
+    the bracket and collects + sorts only the in-band values (a few
+    hundred rows per group), from which the exact v_lo/v_hi at
+    0-indexed positions floor(pos)/floor(pos)+1 are read and linearly
+    interpolated: v_lo + frac·(v_hi − v_lo), exactly DuckDB's
+    percentile_cont arithmetic. Sketch nondeterminism across runs
+    cannot change the answer — the refinement is exact for ANY band
+    satisfying the ε-bound.
 
-    Alternatives measured (sf0.1, warm cache, fresh plans): built-in
-    F.percentile serializes every partition's value buffer through the
-    exchange (0.85 s); a row-level window sort pays the shuffle in row
-    form (1.1 s). This form ties locally (~1.0 s — the fixture's
-    prices are 97% distinct, so the histogram barely compresses) but
-    is the 100 TB-correct shape: shuffle volume is bounded by value
-    cardinality, and real price/score columns repeat heavily. At
-    extreme scale switch to approx_percentile (t-digest) —
-    deliberately not the oracled path.
+    Alternatives measured (sf0.1, warm cache, fresh plans): row-level
+    window sort 1.1 s (the 3-value group key serializes the sort into
+    3 tasks); built-in F.percentile 0.85 s (whole value buffers cross
+    the exchange); distinct-value histogram + cumulative window ~1.0 s
+    (fixture prices are 97% distinct — no compression). This form:
+    0.64 s, and it is the shape that survives 100 TB — both passes are
+    map-side-combining hash aggs whose shuffle payload is a sketch
+    (KB) resp. band values (≤ ~10·n/accuracy rows), never the data.
     """
     l = _t(spark, sf_dir, "lineitem")
-    c = l.groupBy(
-        "l_returnflag", F.col("l_extendedprice").alias("val")
-    ).agg(F.count("*").alias("cnt"))
-    w = Window.partitionBy("l_returnflag").orderBy("val")
-    wp = Window.partitionBy("l_returnflag")
-    d = c.select(
-        "l_returnflag",
-        "val",
-        (F.sum("cnt").over(w) - F.col("cnt")).alias("lo_rank"),
-        F.sum("cnt").over(w).alias("hi_rank"),
-        F.sum("cnt").over(wp).alias("n"),
+    vals = l.select("l_returnflag", F.col("l_extendedprice").alias("val"))
+    margin = 5.0 / _PCT_ACC
+    targets = []
+    for p in (0.5, 0.9):
+        targets += [max(0.0, p - margin), min(1.0, p + margin)]
+    bounds = (
+        vals.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "val", F.array(*[F.lit(x) for x in targets]), F.lit(_PCT_ACC)
+            ).alias("bnd")
+        )
+        .select(
+            F.col("l_returnflag").alias("b_rf"),
+            F.col("bnd")[0].alias("lo50"), F.col("bnd")[1].alias("hi50"),
+            F.col("bnd")[2].alias("lo90"), F.col("bnd")[3].alias("hi90"),
+        )
     )
 
-    def interp(p: float):
+    def in_band(lo: str, hi: str):
+        return (F.col("val") >= F.col(lo)) & (F.col("val") <= F.col(hi))
+
+    agg = (
+        vals.join(F.broadcast(bounds), vals.l_returnflag == bounds.b_rf)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("val") < F.col("lo50"), 1).otherwise(0))
+            .alias("clt50"),
+            F.sort_array(
+                F.collect_list(F.when(in_band("lo50", "hi50"), F.col("val")))
+            ).alias("band50"),
+            F.sum(F.when(F.col("val") < F.col("lo90"), 1).otherwise(0))
+            .alias("clt90"),
+            F.sort_array(
+                F.collect_list(F.when(in_band("lo90", "hi90"), F.col("val")))
+            ).alias("band90"),
+        )
+    )
+
+    def interp(p: float, clt: str, band: str):
         pos = F.lit(p) * (F.col("n") - 1)  # 0-indexed fractional position
         lo = F.floor(pos)
         frac = pos - lo
-        in_range = lambda k: (F.col("lo_rank") <= k) & (k < F.col("hi_rank"))
-        vlo = F.max(F.when(in_range(lo), F.col("val")))
-        vhi = F.max(F.when(in_range(lo + 1), F.col("val")))
-        # frac == 0 → the hi position may not exist; frac·Δ is then 0.
-        return vlo + F.max(frac) * (F.coalesce(vhi, vlo) - vlo)
+        idx = (lo - F.col(clt)).cast("int")  # 0-indexed within the band
+        vlo = F.element_at(F.col(band), idx + 1)  # element_at is 1-indexed
+        # frac == 0 → the hi position may fall outside the band; its
+        # frac·Δ term is 0, so vlo stands in.
+        vhi = F.coalesce(F.element_at(F.col(band), idx + 2), vlo)
+        return vlo + frac * (vhi - vlo)
 
-    return (
-        d.groupBy("l_returnflag")
-        .agg(
-            # grid=6: interpolated values are identical binary doubles
-            # on both engines; the decimal snap makes the final 2-dp
-            # rounding decision identical too (midpoints of 2-dp prices
-            # can be exact .xx5).
-            decimal_round(interp(0.5), 2, grid=6).alias("med_price"),
-            decimal_round(interp(0.9), 2, grid=6).alias("p90"),
-        )
-        .orderBy("l_returnflag")
-    )
+    return agg.select(
+        "l_returnflag",
+        # grid=6: interpolated values are identical binary doubles on
+        # both engines; the decimal snap makes the final 2-dp rounding
+        # decision identical too (midpoints of 2-dp prices can be
+        # exact .xx5).
+        decimal_round(interp(0.5, "clt50", "band50"), 2, grid=6)
+        .alias("med_price"),
+        decimal_round(interp(0.9, "clt90", "band90"), 2, grid=6)
+        .alias("p90"),
+    ).orderBy("l_returnflag")
 
 
 def q18_string_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
