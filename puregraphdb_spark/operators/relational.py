@@ -345,6 +345,14 @@ def q16_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ≤ n/_PCT_ACC per group. Coarser = cheaper sketch merge; the exact
 #: refinement pass absorbs any band the bound permits.
 _PCT_ACC = 1000
+#: Bracketing with a fixed ±5/_PCT_ACC percentile margin only
+#: guarantees the band covers ranks floor(pos)±1 when 4·n/_PCT_ACC
+#: exceeds ~p+2 — i.e. n ≳ 750. Groups at or below this threshold
+#: simply collect all their values (bounded memory by construction)
+#: and index exactly; found by the hypothesis property test on
+#: 2-element groups, where the sketch bracket excluded the true
+#: interpolation neighbor.
+_PCT_SMALL_GROUP = 1000
 
 
 def q17_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,32 +392,44 @@ def q17_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.percentile_approx(
                 "val", F.array(*[F.lit(x) for x in targets]), F.lit(_PCT_ACC)
-            ).alias("bnd")
+            ).alias("bnd"),
+            F.count("*").alias("n_g"),
         )
         .select(
             F.col("l_returnflag").alias("b_rf"),
             F.col("bnd")[0].alias("lo50"), F.col("bnd")[1].alias("hi50"),
             F.col("bnd")[2].alias("lo90"), F.col("bnd")[3].alias("hi90"),
+            "n_g",
         )
     )
 
+    small = F.col("n_g") <= _PCT_SMALL_GROUP
+
     def in_band(lo: str, hi: str):
-        return (F.col("val") >= F.col(lo)) & (F.col("val") <= F.col(hi))
+        # small groups: collect everything (exact indexing, bounded by
+        # the threshold); large groups: the sketch bracket, whose rank
+        # guarantee holds with ≥2 ranks of slack at this size.
+        return small | (
+            (F.col("val") >= F.col(lo)) & (F.col("val") <= F.col(hi))
+        )
+
+    def below(lo: str):
+        return F.when(~small & (F.col("val") < F.col(lo)), 1).otherwise(0)
 
     agg = (
         vals.join(F.broadcast(bounds), vals.l_returnflag == bounds.b_rf)
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.when(F.col("val") < F.col("lo50"), 1).otherwise(0))
-            .alias("clt50"),
+            F.sum(below("lo50")).alias("clt50"),
             F.sort_array(
-                F.collect_list(F.when(in_band("lo50", "hi50"), F.col("val")))
+                F.collect_list(
+                    F.when(in_band("lo50", "hi50"), F.col("val")))
             ).alias("band50"),
-            F.sum(F.when(F.col("val") < F.col("lo90"), 1).otherwise(0))
-            .alias("clt90"),
+            F.sum(below("lo90")).alias("clt90"),
             F.sort_array(
-                F.collect_list(F.when(in_band("lo90", "hi90"), F.col("val")))
+                F.collect_list(
+                    F.when(in_band("lo90", "hi90"), F.col("val")))
             ).alias("band90"),
         )
     )
@@ -420,9 +440,11 @@ def q17_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac = pos - lo
         idx = (lo - F.col(clt)).cast("int")  # 0-indexed within the band
         vlo = F.element_at(F.col(band), idx + 1)  # element_at is 1-indexed
-        # frac == 0 → the hi position may fall outside the band; its
-        # frac·Δ term is 0, so vlo stands in.
-        vhi = F.coalesce(F.element_at(F.col(band), idx + 2), vlo)
+        # frac == 0 → the hi position may fall outside the band (its
+        # frac·Δ term is 0). try_element_at: Spark 4's element_at
+        # RAISES on out-of-bounds (ANSI), it does not return null —
+        # found by the hypothesis property test on 1-element groups.
+        vhi = F.coalesce(F.try_element_at(F.col(band), idx + 2), vlo)
         return vlo + frac * (vhi - vlo)
 
     return agg.select(
