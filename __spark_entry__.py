@@ -187,6 +187,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_scalar_subquery": extras.q43_scalar_subquery,
         "q44_interval_join": extras.q44_interval_join,
         "q45_conditional_distinct": extras.q45_conditional_distinct,
+        "q46_range_frame": extras.q46_range_frame,
+        "q47_unpivot": extras.q47_unpivot,
+        "q48_trailing_feature": extras.q48_trailing_feature,
+        "q49_array_ops": extras.q49_array_ops,
+        "q50_gap_fill": extras.q50_gap_fill,
         # rows-only (iterative or hash-based; driver records the weaker
         # rows-only check)
         "graph_pagerank": graph_pagerank,
@@ -588,5 +593,58 @@ def oracle_sql() -> dict[str, str]:
                    count(distinct l_suppkey) as n_supp,
                    count(*) as n
             from lineitem group by l_returnflag order by l_returnflag
+        """,
+        "q46_range_frame": """
+            select o_custkey, o_orderkey,
+                   cast(round(cast(sum(o_totalprice) over (
+                     partition by o_custkey order by o_totalprice
+                     range between 50000 preceding and current row)
+                     as decimal(28,2)),2) as double) as nearby_sum
+            from orders where o_custkey % 100 = 0
+            order by o_custkey, o_orderkey
+        """,
+        "q47_unpivot": """
+            select p_brand, metric,
+                   cast(round(cast(val as decimal(28,6)),4) as double) as val
+            from (
+              select p_brand, avg(p_retailprice) as avg_price,
+                     cast(min(p_size) as double) as min_size,
+                     cast(max(p_size) as double) as max_size
+              from part group by p_brand
+            ) unpivot (val for metric in (avg_price, min_size, max_size))
+            order by p_brand, metric
+        """,
+        "q48_trailing_feature": """
+            select event_id, user_id,
+                   cast(round(cast(avg(value) over (
+                     partition by user_id order by ts, event_id
+                     rows between 3 preceding and 1 preceding)
+                     as decimal(28,6)),4) as double) as past_avg
+            from events where user_id % 200 = 7
+            order by user_id, event_id
+        """,
+        "q49_array_ops": """
+            with per_nation as (
+              select n_name,
+                     list_sort(list(distinct s_suppkey % 10)) as buckets
+              from supplier join nation on s_nationkey = n_nationkey
+              group by n_name
+            )
+            select a.n_name as na, b.n_name as nb,
+                   cast(len(list_intersect(a.buckets, b.buckets)) as bigint)
+                     as n_common
+            from per_nation a join per_nation b on a.n_name < b.n_name
+            order by na, nb limit 20
+        """,
+        "q50_gap_fill": """
+            with daily as (
+              select date_trunc('day', ts) as d, count(*) as cnt
+              from events where event_type = 'purchase' group by 1
+            ), bounds as (select min(d) as lo, max(d) as hi from daily)
+            select gs.d, cast(coalesce(daily.cnt, 0) as bigint) as n
+            from (select unnest(generate_series(lo, hi,
+                         interval 1 day)) as d from bounds) gs
+            left join daily on gs.d = daily.d
+            order by gs.d
         """,
     }

@@ -423,3 +423,145 @@ def q45_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def q46_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per customer, the sum of order totals within
+    50k below the current order's price (value-based frame, not
+    row-count-based). RANGE frames bound by the ORDER BY value are the
+    windowed form of a self-band-join — one shuffle on the partition
+    key instead of an inequality join.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 100 == 0
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-50000, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey", "o_orderkey",
+            decimal_round(F.sum("o_totalprice").over(w), 2, grid=2)
+            .alias("nearby_sum"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def q47_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide metrics → long rows) via the DataFrame unpivot
+    API — the inverse of q36's pivot. The melt happens AFTER the
+    aggregation, so the exploded long form is |brands|·|metrics| rows,
+    never a row-multiplied scan of the fact table.
+    """
+    p = load_table(spark, sf_dir, "part")
+    wide = p.groupBy("p_brand").agg(
+        F.avg("p_retailprice").alias("avg_price"),
+        F.min("p_size").cast("double").alias("min_size"),
+        F.max("p_size").cast("double").alias("max_size"),
+    )
+    return (
+        wide.unpivot(
+            ids=["p_brand"],
+            values=["avg_price", "min_size", "max_size"],
+            variableColumnName="metric",
+            valueColumnName="raw_val",
+        )
+        .select(
+            "p_brand", "metric",
+            decimal_round(F.col("raw_val"), 4, grid=6).alias("val"),
+        )
+        .orderBy("p_brand", "metric")
+    )
+
+
+def q48_trailing_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe trailing feature: per user, the average of the
+    PREVIOUS 1–3 event values (rows between 3 preceding and 1
+    preceding — the current row is excluded, so the feature never sees
+    its own label). The standard windowed feature-engineering shape
+    for training-data pipelines; one shuffle on the entity key.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 200 == 7
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, -1)
+    )
+    return (
+        ev.select(
+            "event_id", "user_id",
+            decimal_round(F.avg("value").over(w), 4, grid=6)
+            .alias("past_avg"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def q49_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra over grouped collections: per-nation supplier
+    bucket sets, pairwise intersection sizes. collect_set → sorted
+    array keeps the agg one shuffle; the pairwise comparison joins the
+    25-row per-nation aggregate with itself (broadcast, n<m keeps each
+    unordered pair once).
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.col("s_suppkey") % 10)
+            ).alias("buckets")
+        )
+    )
+    a = per_nation.select(
+        F.col("n_name").alias("na"), F.col("buckets").alias("ba"))
+    b = per_nation.select(
+        F.col("n_name").alias("nb"), F.col("buckets").alias("bb"))
+    return (
+        a.join(F.broadcast(b), F.col("na") < F.col("nb"))
+        .select(
+            "na", "nb",
+            F.size(F.array_intersect("ba", "bb")).cast("long")
+            .alias("n_common"),
+        )
+        .orderBy("na", "nb")
+        .limit(20)
+    )
+
+
+def q50_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (densification): daily purchase counts
+    with missing days filled as 0. The dense calendar is
+    sequence(min_day, max_day) exploded from a 1-row aggregate —
+    generated, never scanned — then left-joined onto the sparse daily
+    aggregate. At 100 TB the dense dimension is still only one row per
+    day; the join broadcasts it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        # stay timestamp-typed end-to-end: date columns round-trip as
+        # Python objects through Arrow, timestamps stay datetime64
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    calendar = (
+        daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 day"))
+            ).alias("d")
+        )
+    )
+    return (
+        calendar.join(daily, "d", "left")
+        .select("d", F.coalesce("cnt", F.lit(0)).cast("long").alias("n"))
+        .orderBy("d")
+    )

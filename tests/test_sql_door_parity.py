@@ -28,6 +28,8 @@ DUCKDB_ONLY = {
     "q37_regex",             # regexp_matches
     "q39_array_agg",         # string_agg(.. order by ..) inline order
     "q40_grouping_sets",     # grouping(a, b) two-arg bit field
+    "q49_array_ops",         # list_sort/list()/list_intersect/len
+    "q50_gap_fill",          # unnest(generate_series(...))
 }
 
 ORACLES = entrymod.oracle_sql()
