@@ -132,3 +132,48 @@ def test_bracket_percentile_matches_numpy(spark, vals, p):
 
     want = float(np.quantile(np.array(vals, dtype="float64"), p))
     assert math.isclose(row["q"], want, rel_tol=1e-12, abs_tol=1e-9)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2),      # user
+                  st.integers(min_value=0, max_value=10_000)),  # epoch sec
+        min_size=1, max_size=25,
+    ),
+    gap_s=st.sampled_from([1, 60, 1800]),
+)
+def test_sessionize_matches_reference(spark, events, gap_s):
+    """sessionize() vs a direct python gaps-and-islands reference:
+    same session count per user and same per-session event counts,
+    for random event sets and several gap widths (including duplicate
+    timestamps, which must never split a session)."""
+    from puregraphdb_spark.operators.events import sessionize
+
+    df = spark.createDataFrame(
+        [(u, t) for u, t in events], "user_id int, sec long"
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts"))
+    got = sessionize(df, gap=f"{gap_s} seconds").toPandas()
+
+    want = {}
+    by_user = {}
+    for u, t in events:
+        by_user.setdefault(u, []).append(t)
+    for u, ts in by_user.items():
+        ts.sort()
+        sizes = []
+        for i, t in enumerate(ts):
+            if i == 0 or t - ts[i - 1] > gap_s:
+                sizes.append(1)
+            else:
+                sizes[-1] += 1
+        want[u] = sizes
+
+    got_sizes = {
+        int(u): [int(n) for _, n in sorted(
+            ((r.sid, r.n_events) for r in grp.itertuples()), key=lambda x: x[0]
+        )]
+        for u, grp in got.groupby("user_id")
+    }
+    assert got_sizes == want
