@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_trailing_feature": extras.q48_trailing_feature,
         "q49_array_ops": extras.q49_array_ops,
         "q50_gap_fill": extras.q50_gap_fill,
+        "q51_stat_agg": extras.q51_stat_agg,
+        "q52_histogram": extras.q52_histogram,
+        "q53_array_hof": extras.q53_array_hof,
         # rows-only (iterative or hash-based; driver records the weaker
         # rows-only check)
         "graph_pagerank": graph_pagerank,
@@ -646,5 +649,35 @@ def oracle_sql() -> dict[str, str]:
                          interval 1 day)) as d from bounds) gs
             left join daily on gs.d = daily.d
             order by gs.d
+        """,
+        "q51_stat_agg": """
+            select l_returnflag,
+                   cast(round(cast(corr(l_quantity, l_extendedprice)
+                         as decimal(28,8)),6) as double) as qty_price_corr,
+                   cast(round(cast(stddev_samp(l_quantity)
+                         as decimal(28,8)),6) as double) as qty_sd,
+                   cast(round(cast(covar_samp(l_quantity, l_discount)
+                         as decimal(28,8)),6) as double) as qty_disc_cov
+            from lineitem group by l_returnflag order by l_returnflag
+        """,
+        "q52_histogram": """
+            with b as (select min(o_totalprice) as lo,
+                              max(o_totalprice) as hi from orders)
+            select least(cast(floor((o_totalprice - lo)
+                         / ((hi - lo) / 10.0)) as bigint), 9) as bucket,
+                   count(*) as n,
+                   cast(round(cast(min(o_totalprice) as decimal(28,2)),2)
+                     as double) as bucket_min
+            from orders, b
+            group by 1 order by 1
+        """,
+        "q53_array_hof": """
+            select label,
+                   count(*) as n,
+                   cast(round(cast(avg(list_max(embedding))
+                         as decimal(28,8)),6) as double) as avg_max_comp,
+                   cast(round(avg(len(list_filter(embedding, x -> x > 0))),4)
+                     as double) as avg_n_pos
+            from embeddings group by label order by label
         """,
     }

@@ -565,3 +565,84 @@ def q50_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d", F.coalesce("cnt", F.lit(0)).cast("long").alias("n"))
         .orderBy("d")
     )
+
+
+def q51_stat_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: Pearson correlation, sample stddev and
+    sample covariance per group — single hash agg, all three moments
+    accumulated in one pass (Spark's declarative agg merges partial
+    moment sketches map-side). Snapped to the 1e-8 decimal grid before
+    the 6-dp round: both engines' merge-order noise is orders of
+    magnitude below the grid step.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            decimal_round(
+                F.corr("l_quantity", "l_extendedprice"), 6, grid=8
+            ).alias("qty_price_corr"),
+            decimal_round(F.stddev_samp("l_quantity"), 6, grid=8)
+            .alias("qty_sd"),
+            decimal_round(
+                F.covar_samp("l_quantity", "l_discount"), 6, grid=8
+            ).alias("qty_disc_cov"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q52_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (10 buckets over the observed range). The
+    (min, max) bounds are a 1-row aggregate broadcast onto the scan —
+    the bucket arithmetic `least(floor((v-lo)/step), 9)` is identical
+    IEEE double ops on both engines, so bucket edges agree exactly.
+    Two passes over the data, both map-side-combining aggs.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    return (
+        o.join(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("o_totalprice") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / 10.0)
+                ).cast("long"),
+                F.lit(9).cast("long"),
+            ).alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            decimal_round(F.min("o_totalprice"), 2, grid=2)
+            .alias("bucket_min"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q53_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order functions over the embedding column: per label, the
+    average max component and average count of positive components.
+    array_max / filter(x -> x > 0) run inside codegen on the JVM — the
+    arrays never cross into Python (SURVEY §2's no-UDF rule holds even
+    for vector columns).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            decimal_round(F.avg(F.array_max("embedding")), 6, grid=8)
+            .alias("avg_max_comp"),
+            decimal_round(
+                F.avg(F.size(F.filter("embedding", lambda x: x > 0))),
+                4, grid=6,
+            ).alias("avg_n_pos"),
+        )
+        .orderBy("label")
+    )

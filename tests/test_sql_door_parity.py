@@ -30,6 +30,7 @@ DUCKDB_ONLY = {
     "q40_grouping_sets",     # grouping(a, b) two-arg bit field
     "q49_array_ops",         # list_sort/list()/list_intersect/len
     "q50_gap_fill",          # unnest(generate_series(...))
+    "q53_array_hof",         # list_max/list_filter/len
 }
 
 ORACLES = entrymod.oracle_sql()
