@@ -177,3 +177,30 @@ def test_sessionize_matches_reference(spark, events, gap_s):
         for u, grp in got.groupby("user_id")
     }
     assert got_sizes == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdef ", min_size=10, max_size=30),
+        min_size=2, max_size=6, unique=True,
+    ),
+    dup_idx=st.integers(min_value=0, max_value=5),
+)
+def test_minhash_always_pairs_exact_duplicates(spark, texts, dup_idx):
+    """An exact duplicate has an identical shingle set, hence an
+    identical MinHash signature, hence identical band buckets — LSH
+    must surface the pair with est_jaccard == 1.0 regardless of
+    banding. (Recall on exact dups is a guarantee, not a probability.)"""
+    from puregraphdb_spark.operators.similarity import near_dup_pairs
+
+    dup_idx = dup_idx % len(texts)
+    rows = [(i, t) for i, t in enumerate(texts)]
+    clone_id = len(texts)
+    rows.append((clone_id, texts[dup_idx]))  # exact duplicate
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = near_dup_pairs(docs, jaccard_threshold=0.99).toPandas()
+    assert ((got.a == dup_idx) & (got.b == clone_id)).any()
+    dup_row = got[(got.a == dup_idx) & (got.b == clone_id)].iloc[0]
+    assert dup_row.est_jaccard == 1.0
