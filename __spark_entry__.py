@@ -680,4 +680,21 @@ def oracle_sql() -> dict[str, str]:
                      as double) as avg_n_pos
             from embeddings group by label order by label
         """,
+        # Spark's sliding windows are epoch-aligned, so each event's 4
+        # overlapping 1h/15min windows are exactly the generate_series
+        # of aligned starts — a full hash oracle, not just rows-only.
+        "sliding_window_counts": """
+            select win, event_type, cast(count(*) as bigint) as n
+            from (
+              select unnest(generate_series(
+                       time_bucket(interval 15 minutes, ts)
+                         - interval 45 minutes,
+                       time_bucket(interval 15 minutes, ts),
+                       interval 15 minutes)) as win,
+                     event_type
+              from events
+            )
+            group by win, event_type
+            order by win, event_type
+        """,
     }

@@ -279,9 +279,11 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour windows sliding every 15 minutes over events (rows-only:
-    DuckDB needs a generate_series crutch for sliding windows). Each
-    event lands in 4 overlapping windows — Expand then one shuffle."""
+    """1-hour windows sliding every 15 minutes over events. Each event
+    lands in 4 overlapping windows — Expand then one shuffle. Fully
+    oracled: Spark's sliding windows are epoch-aligned, so the oracle
+    reproduces each event's window starts with generate_series over
+    time_bucket-aligned timestamps."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(

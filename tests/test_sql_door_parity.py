@@ -31,6 +31,7 @@ DUCKDB_ONLY = {
     "q49_array_ops",         # list_sort/list()/list_intersect/len
     "q50_gap_fill",          # unnest(generate_series(...))
     "q53_array_hof",         # list_max/list_filter/len
+    "sliding_window_counts",  # unnest(generate_series(time_bucket ...))
 }
 
 ORACLES = entrymod.oracle_sql()
