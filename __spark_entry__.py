@@ -126,15 +126,26 @@ def knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-granularity continuous aggregate over events (rows-only;
-    window-start buckets at three granularities in one source scan)."""
+    """Multi-granularity continuous aggregate over events: one source
+    scan feeds the finest level, coarser levels re-aggregate partials.
+    Fully oracled — window starts are epoch-aligned (= time_bucket) at
+    every granularity, and the decimal snap absorbs the summation-order
+    difference between hierarchical re-aggregation and DuckDB's direct
+    per-bucket sums."""
+    from puregraphdb_spark.functions.numeric import decimal_round
     from puregraphdb_spark.operators.rollup import time_rollup
 
     ev = load_table(spark, sf_dir, "events")
-    return time_rollup(
+    rolled = time_rollup(
         ev, "ts", ["15 minutes", "1 hour", "1 day"], ["event_type"],
         {"n": ("count", None), "sum_val": ("sum", "value")},
-    ).orderBy("granularity", "bucket", "event_type")
+    )
+    return (
+        rolled.withColumn(
+            "sum_val", decimal_round(F.col("sum_val"), 2, grid=4)
+        )
+        .orderBy("granularity", "bucket", "event_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -679,6 +690,26 @@ def oracle_sql() -> dict[str, str]:
                    cast(round(avg(len(list_filter(embedding, x -> x > 0))),4)
                      as double) as avg_n_pos
             from embeddings group by label order by label
+        """,
+        "hypertable_rollup": """
+            with ev as (select ts, event_type, value from events)
+            select granularity, bucket, event_type,
+                   cast(count(*) as bigint) as n,
+                   cast(round(cast(sum(value) as decimal(28,4)),2)
+                     as double) as sum_val
+            from (
+              select '15 minutes' as granularity,
+                     time_bucket(interval 15 minutes, ts) as bucket,
+                     event_type, value from ev
+              union all
+              select '1 hour', time_bucket(interval 1 hour, ts),
+                     event_type, value from ev
+              union all
+              select '1 day', time_bucket(interval 1 day, ts),
+                     event_type, value from ev
+            )
+            group by granularity, bucket, event_type
+            order by granularity, bucket, event_type
         """,
         # Spark's sliding windows are epoch-aligned, so each event's 4
         # overlapping 1h/15min windows are exactly the generate_series

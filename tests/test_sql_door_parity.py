@@ -32,6 +32,7 @@ DUCKDB_ONLY = {
     "q50_gap_fill",          # unnest(generate_series(...))
     "q53_array_hof",         # list_max/list_filter/len
     "sliding_window_counts",  # unnest(generate_series(time_bucket ...))
+    "hypertable_rollup",     # time_bucket
 }
 
 ORACLES = entrymod.oracle_sql()
