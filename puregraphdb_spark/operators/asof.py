@@ -27,20 +27,28 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
     semantics; filter afterwards for inner). Right-side ties on
     (key, ts) resolve to the row last in (ts, side) order — pre-dedup
     the right side if that matters.
+
+    All ``right_cols`` are carried through the window as ONE struct, so
+    every attached column comes from the SAME latest right row — and a
+    genuine NULL in that row stays NULL (matching DuckDB ASOF JOIN /
+    pandas merge_asof), instead of being backfilled from an older row
+    as per-column ``last(ignorenulls)`` would do.
     """
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        # the struct itself is never null for a right row (even when
+        # every field is null) — it doubles as the non-null marker for
+        # last(ignorenulls) below.
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
         *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
     )
     l = left.select(
         F.col(on),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{prefix}{c}")
-          for c in right_cols],
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
     w = (
@@ -52,7 +60,13 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
         "__side",
         *[F.col(f"__l_{c}").alias(c) for c in left.columns if c != on],
         F.col(on),
-        *[F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-          for c in right_cols],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    return (
+        filled.filter(F.col("__side") == 1)
+        .select(
+            *[c for c in left.columns if c != on],
+            F.col(on),
+            *[F.col("__r")[c].alias(f"{prefix}{c}") for c in right_cols],
+        )
+    )

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from puregraphdb_spark.functions.numeric import decimal_round
 from puregraphdb_spark.operators.asof import as_of_join
-from puregraphdb_spark.sources.registry import load_table
+from puregraphdb_spark.sources.registry import broadcast_if_small, load_table
 
 
 def q31_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,8 +124,10 @@ def q35_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     lpad, reverse, split_part, date_trunc."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 500 == 3)
+    # no hint on customer (scale-growing): the 64 MB threshold decides
+    # from file size — broadcast at fixture scale, shuffle join at 100 TB.
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .select(
             "o_orderkey",
             F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("padded"),
@@ -302,20 +304,24 @@ def q41_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-first decorrelation: the per-partkey average is a separate
     aggregate joined back on the correlation key — exactly the plan
     Catalyst derives from the SQL form, written explicitly so the join
-    strategy is visible: the per-part averages are a small aggregate
-    (one row per part), so they BROADCAST; the fact side never
-    shuffles. The oracle keeps the correlated-subquery form to prove
-    semantic equivalence across formulations.
+    strategy is visible: the per-part averages are one row per partkey —
+    a SIZE-AWARE broadcast (``broadcast_if_small`` keyed on the measured
+    part-table size, Catalyst can't estimate an aggregate keyed on an
+    unbounded column): hinted at fixture scale, co-partitioned shuffle
+    join at 100 TB where a forced hint would OOM. The oracle keeps the
+    correlated-subquery form to prove semantic equivalence across
+    formulations.
     """
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     per_part = l.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
         (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
     )
+    per_part = broadcast_if_small(per_part, spark, sf_dir, "part")
     return (
-        l.join(F.broadcast(per_part), l.l_partkey == per_part.ap_partkey)
+        l.join(per_part, l.l_partkey == per_part.ap_partkey)
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             # exact decimal sum (2-dp prices) → identical double on both
@@ -395,8 +401,11 @@ def q44_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority", "o_orderdate"
     )
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # no hint on orders (scale-growing): the threshold broadcasts it at
+    # fixture scale; at 100 TB this becomes the orderkey-co-partitioned
+    # shuffle join (both sides load-partitioned on the key).
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
         .filter(
             F.col("l_shipdate").cast("timestamp")
             <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")

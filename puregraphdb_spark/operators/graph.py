@@ -432,7 +432,7 @@ class Graph:
 
 
 def count_triangles(canonical_edges: DataFrame,
-                    broadcast_adjacency: bool = True) -> DataFrame:
+                    broadcast_adjacency: bool | None = None) -> DataFrame:
     """Count triangles in a canonical (u<v, distinct) edge DataFrame via
     adjacency-list intersection: Σ_{(u,v)∈E} |N⁺(u) ∩ N⁺(v)|.
 
@@ -444,11 +444,25 @@ def count_triangles(canonical_edges: DataFrame,
 
     ``broadcast_adjacency=True``: the adjacency table (|V| rows) is
     broadcast for both probes → the whole count is one pass over the
-    edge set with zero wedge shuffle. For graphs whose adjacency
-    exceeds the broadcast budget, pass False for co-partitioned shuffle
-    joins, and at extreme skew split heavy-hitter vertices' neighbor
-    lists before the join.
+    edge set with zero wedge shuffle. ``False``: co-partitioned shuffle
+    join on the probe key — the 100-TB path (at extreme skew split
+    heavy-hitter vertices' neighbor lists before the join).
+    ``None`` (default): SIZE-AWARE — decide from Catalyst's size
+    estimate of the edge plan vs the session broadcast threshold, so a
+    graph that outgrows the broadcast budget automatically takes the
+    shuffle path instead of force-broadcasting an OOM. Callers with
+    better knowledge of their edge volume (e.g. q24's measured input
+    size) pass the bool explicitly.
     """
+    if broadcast_adjacency is None:
+        try:
+            est = int(
+                canonical_edges._jdf.queryExecution()
+                .optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:  # estimate unavailable → conservative shuffle
+            est = 1 << 62
+        broadcast_adjacency = est < (64 << 20)
     # collect_set both DEDUPS and groups in one shuffle — callers may
     # pass a raw (u<v) pair stream without a separate distinct().
     adj = canonical_edges.groupBy("u").agg(
@@ -521,8 +535,10 @@ def q23_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # no hint on orders (scale-growing): threshold-broadcast at fixture
+    # scale; orderkey-co-partitioned shuffle join at 100 TB.
     pairs = (
-        l.join(F.broadcast(o), o.o_orderkey == l.l_orderkey)
+        l.join(o, o.o_orderkey == l.l_orderkey)
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
@@ -556,55 +572,56 @@ def q24_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the part co-occurrence graph (1 row).
 
     Whole plan has ONE wide shuffle: co-located pair self-join (map) →
-    collect_set adjacency (shuffle) → exploded probe vs broadcast
-    adjacency (map) → count.
+    collect_set adjacency (shuffle) → exploded probe vs adjacency
+    join (map) → count.
+
+    Broadcast decision is from the MEASURED lineitem size: the
+    co-occurrence adjacency is ~2-3× the lineitem parquet bytes
+    (≈ items-per-order × canonical pairs, then deduped), so inputs
+    under 32 MB keep the zero-shuffle broadcast probe; larger inputs
+    take the co-partitioned shuffle join — never a forced broadcast
+    that grows with the data.
     """
+    from puregraphdb_spark.sources.registry import table_bytes
+
     l = load_table(spark, sf_dir, "lineitem")
-    return count_triangles(part_cooccurrence_edges(l, deduped=False))
+    bcast = table_bytes(spark, sf_dir, "lineitem") < (32 << 20)
+    return count_triangles(
+        part_cooccurrence_edges(l, deduped=False), broadcast_adjacency=bcast
+    )
 
 
 def q25_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#customers reachable via a shared supplier, for sampled sources
     (c % 50 = 0) — 2-hop neighborhood over the bipartite order graph.
 
-    Scale shape: the sampled source side is deduped (tiny after the
-    filter) and BROADCAST; the full side is deliberately NOT deduped —
-    countDistinct(b.c) absorbs duplicate (c,s) pairs, so skipping the
-    b-side distinct saves a full shuffle of the edge set. The whole
-    b-side leg (lineitem ⋈ broadcast orders ⋈ broadcast a) is one
-    map-side stage; the only wide exchange is the final per-source
-    distinct count.
+    Scale shape (round-3 rewrite): the sampled source side is deduped
+    (1/50 of the deduped edge set) and joined to the full edge stream
+    on the supplier key; ``countDistinct(b_c)`` then absorbs duplicate
+    (c,s) pairs, so the full side is deliberately NOT pre-deduped.
+    The exact-distinct aggregation is two-phase (map-side partial dedup
+    on (src, b_c)), so no unbounded per-key array is ever
+    materialized — the previous ``collect_set`` form built one giant
+    buffer per hot supplier. No forced broadcasts: every input here
+    grows with the data, so the threshold/AQE picks the join strategy
+    (broadcast at fixture scale, skew-aware shuffle join at 100 TB).
+    Sources with no 2-hop neighbor produce no row — the inner join, as
+    in the oracle.
     """
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    b = l.join(F.broadcast(o), o.o_orderkey == l.l_orderkey).select(
+    b = l.join(o, o.o_orderkey == l.l_orderkey).select(
         F.col("o_custkey").alias("b_c"), F.col("l_suppkey").alias("b_s")
     )
-    # Per-supplier distinct customer sets: ONE shuffle of the edge
-    # stream, after which the 2-hop union is array math over |S| rows —
-    # the row-explosion path (edges ⋈ sampled sources → countDistinct)
-    # would push |sources|·|customers-per-supplier| rows through the
-    # aggregate instead.
-    cs = b.groupBy("b_s").agg(F.collect_set("b_c").alias("cust"))
     a = (
         b.filter(F.col("b_c") % 50 == 0)
         .select(F.col("b_c").alias("a_c"), F.col("b_s").alias("a_s"))
         .distinct()
     )
-    merged = (
-        a.join(F.broadcast(cs), F.col("a_s") == F.col("b_s"))
-        .groupBy(F.col("a_c").alias("src"))
-        .agg(F.flatten(F.collect_list("cust")).alias("all_c"))
-    )
-    # the source always appears in its own suppliers' customer sets;
-    # the oracle's a.c<>b.c excludes it.
     return (
-        merged.select(
-            "src",
-            (
-                F.size(F.array_distinct("all_c"))
-                - F.when(F.array_contains("all_c", F.col("src")), 1).otherwise(0)
-            ).cast("long").alias("n_2hop"),
-        )
+        a.join(b, F.col("a_s") == F.col("b_s"))
+        .filter(F.col("a_c") != F.col("b_c"))
+        .groupBy(F.col("a_c").alias("src"))
+        .agg(F.countDistinct("b_c").alias("n_2hop"))
         .orderBy("src")
     )

@@ -96,7 +96,8 @@ def q29_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side scan of the corpus computing one JVM-side HOF dot product
     per row, then TakeOrderedAndProject top-k. No shuffle of the corpus.
     For many-query / billion-vector workloads use
-    similarity.cosine_lsh_topk (bucketed candidates), not this.
+    similarity.ann_cosine_topk (hyperplane-LSH bucketed candidates) or
+    similarity.ivf_cosine_topk (cluster-probed), not this.
     """
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(

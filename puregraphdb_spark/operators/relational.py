@@ -83,18 +83,28 @@ def q02_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q03_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count(distinct) on two columns per group.
 
-    Scale: Spark expands multi-distinct into an Expand + two-phase agg
-    (2 shuffles); still map-side-partial on the expanded stream. Exact
-    distinct is the contract here; the approx path (HLL sketches, 1
-    shuffle) is `approx_count_distinct` — not oracled (SURVEY §2.2).
+    Scale (round-3 rewrite): two SINGLE-distinct aggregations joined on
+    the 3-row grouped result, instead of Spark's multi-distinct Expand
+    plan. Each leg partial-dedups map-side on its own (flag, key) pair,
+    so the exchange carries ~|distinct| rows per leg; the Expand form
+    replicates the FULL stream once per distinct column through the
+    first shuffle (2× the exchanged bytes at any scale). The final join
+    is over 3-row aggregates — broadcast, free. Exact distinct is the
+    contract here; the approx path (HLL sketches, 1 shuffle) is
+    `approx_count_distinct` — not oracled (SURVEY §2.2).
     """
     l = _t(spark, sf_dir, "lineitem")
+    parts = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts")
+    )
+    supps = l.groupBy(F.col("l_returnflag").alias("rf2")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
     return (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("n_parts"),
-            F.countDistinct("l_suppkey").alias("n_supp"),
+        parts.join(
+            F.broadcast(supps), parts.l_returnflag == F.col("rf2")
         )
+        .select("l_returnflag", "n_parts", "n_supp")
         .orderBy("l_returnflag")
     )
 
@@ -124,7 +134,9 @@ def q05_join_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: customer (filtered on segment) broadcasts under the 64 MB
     threshold → lineitem never shuffles for the join; 1 shuffle for the
     groupBy(o_orderkey); orderBy+limit compiles to TakeOrderedAndProject
-    (per-partition top-k, no global sort).
+    (per-partition top-k, no global sort). No forced hint — customer
+    grows with the data, so the threshold decides from file size
+    (broadcast here, custkey shuffle join at 100 TB).
     """
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
@@ -133,7 +145,7 @@ def q05_join_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(decimal_sum_round(
             F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -147,27 +159,41 @@ def q05_join_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q06_join_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style 6-table star join with a two-column join condition.
 
-    Scale: region/nation/customer/supplier are all broadcast-size dims →
-    the only shuffles are orders⋈lineitem (co-partitioned on orderkey)
-    and the final 5-group agg. The s_nationkey=c_nationkey residual
-    rides on the supplier broadcast join.
+    Scale (round-3 rewrite): the dim chain customer⋈nation⋈region(ASIA)
+    is PRE-COMPOSED into one custkey→(nationkey, n_name) map before it
+    ever touches the fact stream — the fact side sees TWO broadcast
+    probes (cdim, supplier) instead of four chained BroadcastExchange
+    builds. The pre-composition joins run over dim-sized inputs only.
+    cdim derives from customer (scale-growing), so its hint is
+    size-aware (``broadcast_if_small`` on the measured customer bytes):
+    broadcast at fixture scale, shuffle join at 100 TB. The
+    s_nationkey=c_nationkey residual rides on the supplier broadcast.
+    The only wide shuffles at scale: orders⋈lineitem (co-partitioned on
+    orderkey) and the final 5-group agg.
     """
+    from puregraphdb_spark.sources.registry import broadcast_if_small
+
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
-    s = _t(spark, sf_dir, "supplier")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cdim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    cdim = broadcast_if_small(cdim, spark, sf_dir, "customer")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(cdim, o.o_custkey == F.col("c_custkey"))
         .join(
             F.broadcast(s),
-            (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+            (s.s_suppkey == l.l_suppkey)
+            & (s.s_nationkey == F.col("c_nationkey")),
         )
-        .groupBy(n.n_name.alias("nation"))
+        .groupBy(F.col("n_name").alias("nation"))
         .agg(decimal_sum_round(
             F.col("l_extendedprice") * (1 - F.col("l_discount"))
         ).alias("revenue"))
@@ -327,13 +353,14 @@ def q15_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q16_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-15 (brand, type) by shipped quantity.
 
-    Scale: part broadcasts; 1 shuffle for the agg; top-k via
+    Scale: part broadcasts under the threshold (no forced hint — part
+    grows with the data); 1 shuffle for the agg; top-k via
     TakeOrderedAndProject with full tiebreakers.
     """
     p = _t(spark, sf_dir, "part")
     l = _t(spark, sf_dir, "lineitem")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
         .orderBy(F.desc("qty"), "p_brand", "p_type")
@@ -462,11 +489,16 @@ def q17_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q18_string_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar string/date kitchen sink (upper/substr/length/concat,
-    year/month). Integer-valued scalars cast to long to match DuckDB."""
+    year/month). Integer-valued scalars cast to long to match DuckDB.
+
+    No broadcast hint on customer: it grows with the data, and the
+    64 MB autoBroadcastJoinThreshold picks the broadcast from measured
+    file size — right at fixture scale, and still right at 100 TB where
+    a forced hint would OOM the build side."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 1000 == 7)
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .orderBy("o_orderkey")
         .select(
             F.upper(F.substring("c_name", 1, 8)).alias("cpfx"),

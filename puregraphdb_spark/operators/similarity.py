@@ -115,6 +115,12 @@ def near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
     ``max_bucket_size`` are dropped (skew guardrail — a pathological
     bucket would otherwise generate |bucket|² pairs).
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}); otherwise trailing signature components would "
+            "be silently ignored, weakening recall."
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, k)
     bb = lsh_bands(sigs, bands, rows_per_band)
@@ -187,7 +193,11 @@ def simhash(text_col: str | F.Column, bits: int = 64) -> F.Column:
     bit_votes = [vote(i) for i in range(bits)]
     out = F.lit(0).cast("long")
     for i, v in enumerate(bit_votes):
-        out = out + F.when(v > 0, F.lit(1).cast("long") * (2 ** i)).otherwise(0)
+        # bit weight via shiftleft, NOT a Python 2**i literal: 2**63
+        # exceeds Long.MAX_VALUE and fails literal folding, while
+        # shiftleft wraps into the sign bit correctly at i=63.
+        weight = F.shiftleft(F.lit(1).cast("long"), i)
+        out = out + F.when(v > 0, weight).otherwise(F.lit(0).cast("long"))
     return out
 
 

@@ -44,7 +44,17 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     Use when the right side is too big to broadcast and AQE's runtime
     skew split can't apply (e.g. the skewed side feeds a co-partitioned
     requirement downstream). Cost: right side shuffled ``salt``×.
+
+    Only left-preserving joins are valid: with right/full outer joins
+    each unmatched right row would surface once per salt replica.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not salt-safe — unmatched "
+            f"right rows would duplicate per replica. Allowed: {sorted(allowed)}"
+        )
     lsalted = left.withColumn("__salt", (F.rand(seed=0) * salt).cast("int"))
     rreplicated = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

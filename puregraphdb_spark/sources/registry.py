@@ -113,6 +113,50 @@ def load_tables(spark: SparkSession, data_dir: str,
     return {n: load_table(spark, data_dir, n) for n in names}
 
 
+#: Memoized on-disk sizes per (dir, name) — one FS metadata call each.
+_SIZES: dict[tuple[str, str], int] = {}
+
+
+def table_bytes(spark: SparkSession, data_dir: str, name: str) -> int:
+    """On-disk bytes of a named table, resolved through the Hadoop
+    FileSystem API (works for file:/, s3://, hdfs://). Metadata-only —
+    no data is read."""
+    key = (data_dir, name)
+    if key not in _SIZES:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        total = 0
+        for cand in (f"{name}.parquet", name):
+            path = jvm.org.apache.hadoop.fs.Path(os.path.join(data_dir, cand))
+            fs = path.getFileSystem(conf)
+            if fs.exists(path):
+                total = int(fs.getContentSummary(path).getLength())
+                break
+        _SIZES[key] = total
+    return _SIZES[key]
+
+
+def broadcast_if_small(df: DataFrame, spark: SparkSession, data_dir: str,
+                       source_table: str,
+                       threshold: int = 64 << 20) -> DataFrame:
+    """Size-aware broadcast hint: apply ``F.broadcast`` only when the
+    MEASURED on-disk size of the table the input derives from is under
+    ``threshold``.
+
+    This is for inputs whose size Catalyst cannot estimate statically
+    (aggregate outputs keyed on an unbounded column, e.g. a per-partkey
+    average): a plain hint would force-broadcast something that grows
+    with the data (OOM at 100 TB — a hint overrides the size threshold
+    and AQE cannot demote it), while no hint makes the static planner
+    assume child-sized output and pick a shuffle join even at fixture
+    scale. The measured source size is a sound upper-bound proxy for
+    one-row-per-key aggregates over that table's key space.
+    """
+    if table_bytes(spark, data_dir, source_table) < threshold:
+        return F.broadcast(df)
+    return df
+
+
 def read_source(spark: SparkSession, path: str, fmt: str = "parquet",
                 schema=None, **options) -> DataFrame:
     """Generic reader for the non-canonical formats (csv/json/orc/text).

@@ -83,6 +83,38 @@ def test_salted_join_matches_plain(spark):
     assert plain == salted
 
 
+def test_salted_join_rejects_right_preserving_joins(spark):
+    # right/full outer would surface each unmatched right row once per
+    # salt replica — the helper must refuse rather than silently dup.
+    left = spark.range(0, 10).select(F.col("id").alias("k"))
+    right = spark.range(0, 10).select(F.col("id").alias("k"))
+    import pytest
+
+    for how in ("right", "full", "outer", "full_outer", "cross"):
+        with pytest.raises(ValueError, match="salt-safe"):
+            salted_join(left, right, "k", salt=4, how=how)
+
+
+def test_asof_join_preserves_matched_row_nulls(spark):
+    # The matched (latest ≤ ts) right row carries a genuine NULL in one
+    # column: the as-of join must return THAT row's NULL, not backfill
+    # the value from an older right row — and every attached column
+    # must come from the same right row.
+    from puregraphdb_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame([(1, 10)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, 1, 100.0, "old"), (1, 5, None, "new")],
+        ["k", "ts", "price", "tag"],
+    )
+    row = as_of_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        right_cols=["price", "tag"],
+    ).collect()[0]
+    assert row["asof_tag"] == "new"
+    assert row["asof_price"] is None  # NOT 100.0 from the older row
+
+
 def test_engine_sql_door_matches_dataframe(spark):
     eng = Engine(spark, SF_DIR)
     # EP1 ≡ EP2 self-consistency (SURVEY §5): same query both doors

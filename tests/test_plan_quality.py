@@ -74,3 +74,39 @@ def test_no_cartesian_products(q):
     for name, df in q.items():
         from puregraphdb_spark.plans import physical_plan
         assert "CartesianProduct" not in physical_plan(df), name
+
+
+def test_no_forced_broadcast_of_scale_growing_inputs(spark):
+    """Simulated-100-TB gate: fake-huge measured table sizes + auto
+    broadcast disabled. Any BroadcastHashJoin that survives must come
+    from an explicit hint — and no operator may hint an input that
+    grows with the data (customer/orders/part/lineitem or aggregates
+    keyed on their key spaces). Bounded-cardinality hints (returnflag
+    groups, 1-row bounds, nation/region/supplier dims) are allowed.
+    """
+    from puregraphdb_spark.sources import registry
+
+    saved_sizes = dict(registry._SIZES)
+    saved_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for t in registry.TABLES:
+            registry._SIZES[(SF_DIR, t)] = 10 << 40  # pretend 10 TiB each
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        must_not_broadcast = [
+            "q05_join_topk_revenue", "q16_topk_parts",
+            "q18_string_date_funcs", "q23_graph_degree",
+            "q24_graph_triangles", "q25_graph_2hop", "q35_string_date",
+            "q41_correlated_avg", "q44_interval_join",
+        ]
+        for name in must_not_broadcast:
+            df = Q[name](spark, SF_DIR)
+            assert broadcast_join_count(df) == 0, (
+                f"{name}: forced broadcast of a scale-growing input"
+            )
+        # q06 keeps only the bounded dim hints (nation, region, supplier);
+        # the customer-derived dim map must NOT be hinted at this size.
+        assert broadcast_join_count(Q["q06_join_5way"](spark, SF_DIR)) <= 3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thr)
+        registry._SIZES.clear()
+        registry._SIZES.update(saved_sizes)
