@@ -44,6 +44,11 @@ _DEFAULT_CONF = {
     # refuses it by default. Read as long nanos; sources.registry
     # converts to TimestampType (µs) on load.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # No web UI: its per-task listener bookkeeping is pure scheduling
+    # overhead in an embedded/batch engine (part of the ~0.15 s/query
+    # floor at local scale); deployments that want the UI re-enable it.
+    "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
 }
 
 

@@ -595,19 +595,26 @@ def q25_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#customers reachable via a shared supplier, for sampled sources
     (c % 50 = 0) — 2-hop neighborhood over the bipartite order graph.
 
-    Scale shape (round-3 rewrite): the sampled source side is deduped
-    (1/50 of the deduped edge set) and joined to the full edge stream
-    on the supplier key; ``countDistinct(b_c)`` then absorbs duplicate
-    (c,s) pairs, so the full side is deliberately NOT pre-deduped.
-    The exact-distinct aggregation is two-phase (map-side partial dedup
-    on (src, b_c)), so no unbounded per-key array is ever
-    materialized — the previous ``collect_set`` form built one giant
-    buffer per hot supplier. No forced broadcasts: every input here
-    grows with the data, so the threshold/AQE picks the join strategy
-    (broadcast at fixture scale, skew-aware shuffle join at 100 TB).
-    Sources with no 2-hop neighbor produce no row — the inner join, as
-    in the oracle.
+    Two exact plans, switched on the MEASURED input size (same results,
+    verified equivalent by tests/test_graph_properties.py):
+
+    - small (fixture scale): per-supplier ``collect_set`` of customers
+      (ONE shuffle of the edge stream), then array math over |S| rows.
+      Fastest locally, but a hot supplier with millions of distinct
+      customers would materialize one giant aggregation buffer —
+      bounded only at small inputs, so gated by size.
+    - large (100-TB path): sampled sources joined to the edge stream on
+      the supplier key, then ``countDistinct`` — two-phase aggregation
+      partial-dedups (src, b_c) map-side, so no unbounded per-key array
+      ever exists, and AQE skew-splits the join.
+
+    No forced broadcasts: every input grows with the data, so the
+    threshold/AQE picks the join strategy. Sources with no 2-hop
+    neighbor produce no row (the oracle's inner join semantics) — the
+    small path filters its zero rows explicitly.
     """
+    from puregraphdb_spark.sources.registry import table_bytes
+
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     b = l.join(o, o.o_orderkey == l.l_orderkey).select(
@@ -618,6 +625,29 @@ def q25_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("b_c").alias("a_c"), F.col("b_s").alias("a_s"))
         .distinct()
     )
+    if table_bytes(spark, sf_dir, "lineitem") < (32 << 20):
+        cs = b.groupBy("b_s").agg(F.collect_set("b_c").alias("cust"))
+        merged = (
+            a.join(cs, F.col("a_s") == F.col("b_s"))
+            .groupBy(F.col("a_c").alias("src"))
+            .agg(F.flatten(F.collect_list("cust")).alias("all_c"))
+        )
+        # the source appears in its own suppliers' customer sets; the
+        # oracle's a.c<>b.c excludes it — and a source whose suppliers
+        # serve nobody else yields no row (inner-join semantics).
+        return (
+            merged.select(
+                "src",
+                (
+                    F.size(F.array_distinct("all_c"))
+                    - F.when(
+                        F.array_contains("all_c", F.col("src")), 1
+                    ).otherwise(0)
+                ).cast("long").alias("n_2hop"),
+            )
+            .filter(F.col("n_2hop") > 0)
+            .orderBy("src")
+        )
     return (
         a.join(b, F.col("a_s") == F.col("b_s"))
         .filter(F.col("a_c") != F.col("b_c"))

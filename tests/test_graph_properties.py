@@ -89,3 +89,41 @@ def test_triplets_schema(k4):
     t = k4.triplets()
     assert {"src", "dst"} <= set(t.columns)
     assert t.count() == k4.edges.count()
+
+
+def test_q25_small_and_large_paths_agree(spark, tmp_path):
+    """The size-gated q25 plans (collect_set vs explode+countDistinct)
+    must produce identical results — exercised on a synthetic graph
+    with a hot supplier (many customers) AND a sampled source whose
+    supplier serves nobody else (must yield NO row on both paths)."""
+    from puregraphdb_spark.operators.graph import q25_graph_2hop
+    from puregraphdb_spark.sources import registry
+
+    # orders: one order per customer; lineitem links orders to suppliers.
+    # customers 0,50,100 are sampled (c % 50 == 0).
+    # supplier 1 is hot: serves customers 0..39 and 50.
+    # supplier 9 serves ONLY customer 100 → source 100 has no 2-hop row.
+    orders = [(c, c) for c in list(range(40)) + [50, 100]]
+    lines = [(c, 1) for c in list(range(40)) + [50]] + [(100, 9)]
+    sf = str(tmp_path)
+    spark.createDataFrame(orders, ["o_orderkey", "o_custkey"]) \
+        .write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(lines, ["l_orderkey", "l_suppkey"]) \
+        .write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+
+    def run(fake_bytes):
+        registry._SIZES[(sf, "lineitem")] = fake_bytes
+        try:
+            return sorted(
+                (r["src"], r["n_2hop"])
+                for r in q25_graph_2hop(spark, sf).collect()
+            )
+        finally:
+            registry._SIZES.pop((sf, "lineitem"), None)
+
+    small = run(1)            # collect_set path
+    large = run(10 << 40)     # explode + countDistinct path
+    assert small == large
+    # sources 0 and 50 share supplier 1 (41 distinct customers each,
+    # minus self); source 100 must be ABSENT, not n_2hop=0
+    assert small == [(0, 40), (50, 40)]
