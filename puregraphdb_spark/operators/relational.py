@@ -383,107 +383,45 @@ _PCT_SMALL_GROUP = 1000
 
 
 def q17_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact median + p90 per returnflag via approximate-bracket +
-    exact refinement — two narrow passes, no per-group global sort.
+    """Exact median + p90 per returnflag via the bracket-and-refine
+    percentile operator (operators/percentile.py): GK-sketch bracket →
+    size-chosen grid-refinement rounds → exact bounded-band extraction
+    + linear interpolation (DuckDB's percentile_cont arithmetic).
 
-    Pass 1 (sketch): percentile_approx (Greenwald–Khanna, deterministic
-    worst-case rank error ≤ n/accuracy) brackets each target
-    percentile with a ±5/accuracy margin — so the bracketing values
-    are GUARANTEED to straddle the exact order statistics. Pass 2
-    (exact): one conditional aggregation counts rows strictly below
-    the bracket and collects + sorts only the in-band values (a few
-    hundred rows per group), from which the exact v_lo/v_hi at
-    0-indexed positions floor(pos)/floor(pos)+1 are read and linearly
-    interpolated: v_lo + frac·(v_hi − v_lo), exactly DuckDB's
-    percentile_cont arithmetic. Sketch nondeterminism across runs
-    cannot change the answer — the refinement is exact for ANY band
-    satisfying the ε-bound.
+    Size-invariant memory: the number of refinement passes is derived
+    from a METADATA row estimate (on-disk bytes, no data read), so the
+    collected band is ≤ ~band_target values per group at ANY input
+    size — at fixture scale that is zero refinement rounds (the exact
+    two-pass plan, 0.43 s at sf0.1); at 10¹² rows it is three extra
+    sketch passes instead of a 10¹⁰-value aggregation buffer.
 
     Alternatives measured (sf0.1, warm cache, fresh plans): row-level
     window sort 1.1 s (the 3-value group key serializes the sort into
     3 tasks); built-in F.percentile 0.85 s (whole value buffers cross
     the exchange); distinct-value histogram + cumulative window ~1.0 s
-    (fixture prices are 97% distinct — no compression). This form:
-    0.64 s, and it is the shape that survives 100 TB — both passes are
-    map-side-combining hash aggs whose shuffle payload is a sketch
-    (KB) resp. band values (≤ ~10·n/accuracy rows), never the data.
+    (fixture prices are 97% distinct — no compression). Every pass here
+    is a map-side-combining hash agg whose shuffle payload is a sketch
+    (KB) or the bounded band, never the data.
     """
+    from puregraphdb_spark.operators.percentile import (
+        estimate_rows, exact_percentile_cont,
+    )
+
     l = _t(spark, sf_dir, "lineitem")
     vals = l.select("l_returnflag", F.col("l_extendedprice").alias("val"))
-    margin = 5.0 / _PCT_ACC
-    targets = []
-    for p in (0.5, 0.9):
-        targets += [max(0.0, p - margin), min(1.0, p + margin)]
-    bounds = (
-        vals.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx(
-                "val", F.array(*[F.lit(x) for x in targets]), F.lit(_PCT_ACC)
-            ).alias("bnd"),
-            F.count("*").alias("n_g"),
-        )
-        .select(
-            F.col("l_returnflag").alias("b_rf"),
-            F.col("bnd")[0].alias("lo50"), F.col("bnd")[1].alias("hi50"),
-            F.col("bnd")[2].alias("lo90"), F.col("bnd")[3].alias("hi90"),
-            "n_g",
-        )
+    res = exact_percentile_cont(
+        vals, "l_returnflag", "val", [0.5, 0.9],
+        accuracy=_PCT_ACC, small_group=_PCT_SMALL_GROUP,
+        n_estimate=estimate_rows(spark, sf_dir, "lineitem"),
     )
-
-    small = F.col("n_g") <= _PCT_SMALL_GROUP
-
-    def in_band(lo: str, hi: str):
-        # small groups: collect everything (exact indexing, bounded by
-        # the threshold); large groups: the sketch bracket, whose rank
-        # guarantee holds with ≥2 ranks of slack at this size.
-        return small | (
-            (F.col("val") >= F.col(lo)) & (F.col("val") <= F.col(hi))
-        )
-
-    def below(lo: str):
-        return F.when(~small & (F.col("val") < F.col(lo)), 1).otherwise(0)
-
-    agg = (
-        vals.join(F.broadcast(bounds), vals.l_returnflag == bounds.b_rf)
-        .groupBy("l_returnflag")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(below("lo50")).alias("clt50"),
-            F.sort_array(
-                F.collect_list(
-                    F.when(in_band("lo50", "hi50"), F.col("val")))
-            ).alias("band50"),
-            F.sum(below("lo90")).alias("clt90"),
-            F.sort_array(
-                F.collect_list(
-                    F.when(in_band("lo90", "hi90"), F.col("val")))
-            ).alias("band90"),
-        )
-    )
-
-    def interp(p: float, clt: str, band: str):
-        pos = F.lit(p) * (F.col("n") - 1)  # 0-indexed fractional position
-        lo = F.floor(pos)
-        frac = pos - lo
-        idx = (lo - F.col(clt)).cast("int")  # 0-indexed within the band
-        vlo = F.element_at(F.col(band), idx + 1)  # element_at is 1-indexed
-        # frac == 0 → the hi position may fall outside the band (its
-        # frac·Δ term is 0). try_element_at: Spark 4's element_at
-        # RAISES on out-of-bounds (ANSI), it does not return null —
-        # found by the hypothesis property test on 1-element groups.
-        vhi = F.coalesce(F.try_element_at(F.col(band), idx + 2), vlo)
-        return vlo + frac * (vhi - vlo)
-
-    return agg.select(
+    return res.select(
         "l_returnflag",
         # grid=6: interpolated values are identical binary doubles on
         # both engines; the decimal snap makes the final 2-dp rounding
         # decision identical too (midpoints of 2-dp prices can be
         # exact .xx5).
-        decimal_round(interp(0.5, "clt50", "band50"), 2, grid=6)
-        .alias("med_price"),
-        decimal_round(interp(0.9, "clt90", "band90"), 2, grid=6)
-        .alias("p90"),
+        decimal_round(F.col("p_0"), 2, grid=6).alias("med_price"),
+        decimal_round(F.col("p_1"), 2, grid=6).alias("p90"),
     ).orderBy("l_returnflag")
 
 

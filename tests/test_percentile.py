@@ -1,0 +1,93 @@
+"""Property tests for the size-invariant exact percentile operator
+(VERDICT r2 item #4: exactness must hold across group sizes and
+through forced multi-round refinement)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from puregraphdb_spark.operators.percentile import (
+    _refinement_rounds, exact_percentile_cont,
+)
+
+PS = [0.0, 0.01, 0.5, 0.9, 1.0]
+
+
+def _make_groups(spark, sizes: dict[str, int]):
+    """Deterministic pseudo-random values (with duplicates) per group."""
+    frames = []
+    for gname, n in sizes.items():
+        ids = np.arange(n, dtype=np.int64)
+        vals = ((ids * 2654435761) % 1_000_003) / 1000.0
+        frames.append(pd.DataFrame({"g": gname, "val": vals}))
+    pdf = pd.concat(frames, ignore_index=True)
+    return spark.createDataFrame(pdf), pdf
+
+
+def _expected(pdf: pd.DataFrame) -> dict[tuple[str, float], float]:
+    out = {}
+    for gname, sub in pdf.groupby("g"):
+        for p in PS:
+            # numpy 'linear' interpolation == SQL percentile_cont
+            out[(gname, p)] = float(np.percentile(sub["val"], p * 100))
+    return out
+
+
+def _check(df, pdf):
+    got = {r["g"]: r for r in df.collect()}
+    exp = _expected(pdf)
+    for gname in pdf["g"].unique():
+        for i, p in enumerate(PS):
+            assert got[gname][f"p_{i}"] == pytest.approx(
+                exp[(gname, p)], rel=0, abs=1e-9
+            ), f"group={gname} p={p}"
+
+
+def test_exact_across_group_sizes(spark):
+    # spans the small-group cutoff (1000) and well past it
+    sizes = {"a": 1, "b": 2, "c": 3, "d": 750, "e": 1001, "f": 10_000,
+             "g": 100_000}
+    df, pdf = _make_groups(spark, sizes)
+    res = exact_percentile_cont(df, "g", "val", PS, n_estimate=len(pdf))
+    _check(res, pdf)
+
+
+def test_exact_with_forced_multiround_refinement(spark):
+    # accuracy=100 + tiny band_target forces 2 grid-refinement rounds
+    # (the 100-TB plan shape) on a 200k-row group; result must be
+    # bit-identical to numpy regardless.
+    sizes = {"big": 200_000, "side": 5_000}
+    df, pdf = _make_groups(spark, sizes)
+    assert _refinement_rounds(200_000, 100, 200) >= 2
+    res = exact_percentile_cont(
+        df, "g", "val", PS, accuracy=100, band_target=200,
+        n_estimate=205_000,
+    )
+    _check(res, pdf)
+
+
+def test_round_planner_is_size_invariant():
+    # fixture scale: zero extra passes (plan unchanged vs round 2)
+    assert _refinement_rounds(1_100_000, 1000, 100_000) == 0
+    # 10^12 rows: a handful of sketch passes, never a giant band
+    assert 1 <= _refinement_rounds(10**12, 1000, 100_000) <= 4
+    # monotone: more data never means fewer passes
+    prev = 0
+    for n in (10**6, 10**8, 10**10, 10**12, 10**14):
+        r = _refinement_rounds(n, 1000, 100_000)
+        assert r >= prev
+        prev = r
+
+
+def test_duplicate_heavy_values(spark):
+    # constant + two-valued groups: interpolation between equal values
+    pdf = pd.concat([
+        pd.DataFrame({"g": "const", "val": np.full(5000, 7.25)}),
+        pd.DataFrame({"g": "two", "val": np.tile([1.0, 2.0], 3000)}),
+    ], ignore_index=True)
+    df = spark.createDataFrame(pdf)
+    res = exact_percentile_cont(df, "g", "val", PS, n_estimate=len(pdf))
+    _check(res, pdf)
