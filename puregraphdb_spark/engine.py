@@ -104,6 +104,14 @@ class Engine:
             self.table(name).createOrReplaceTempView(name)
 
     def sql(self, query: str) -> DataFrame:
+        """EP2. Plain SQL goes to Catalyst; ``CALL proc(key => value)``
+        statements dispatch to the procedure registry (graph + LLM
+        operators over registered views — SURVEY §7.5), returning the
+        same lazy DataFrame the Python surface would."""
+        from puregraphdb_spark import procedures
+
+        if procedures.is_call(query):
+            return procedures.dispatch_call(self.spark, query)
         return self.spark.sql(query)
 
     def graph(self, vertices: DataFrame, edges: DataFrame):

@@ -100,20 +100,35 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000,
     real pipeline's."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            out: dict[str, list] = {k.name: [] for k in FRAME_SCHEMA}
-            for _, row in pdf.iterrows():
-                dur = row["duration_ms"] or 0
-                n = min(max_frames, max(int(dur // every_ms), 0))
-                for i in range(n):
-                    out["asset_id"].append(row["asset_id"])
-                    out["frame_index"].append(i)
-                    out["ts_ms"].append(i * every_ms)
-                    payload = row["payload"]
-                    out["frame_payload"].append(
-                        bytes(payload[i: i + 16]) if payload is not None else None
-                    )
-            yield pd.DataFrame(out)
+            # vectorized explode: frames-per-row n, then a repeated row
+            # index + per-row frame counter (arange minus each row's
+            # offset) — no per-row Python iteration for the metadata.
+            dur = pd.to_numeric(pdf["duration_ms"], errors="coerce") \
+                .fillna(0).astype("int64").to_numpy()
+            n = np.minimum(max_frames, np.maximum(dur // every_ms, 0))
+            idx = np.repeat(np.arange(len(pdf)), n)
+            fi = (
+                np.arange(int(n.sum()), dtype="int64")
+                - np.repeat(np.cumsum(n) - n, n)
+            )
+            # the byte slice is the codec seam (a real decoder replaces
+            # it); binary payloads are Python objects, so this one
+            # comprehension over OUTPUT rows is irreducible here.
+            payloads = pdf["payload"].to_numpy(dtype=object)
+            frame_payloads = [
+                bytes(payloads[r][i: i + 16])
+                if payloads[r] is not None else None
+                for r, i in zip(idx.tolist(), fi.tolist())
+            ]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"].to_numpy()[idx],
+                "frame_index": fi.astype("int32"),
+                "ts_ms": fi * every_ms,
+                "frame_payload": frame_payloads,
+            })
 
     return (
         assets.filter(F.col("modality") == "video")

@@ -1,0 +1,213 @@
+"""SQL-door procedures (SURVEY §7.5): CALL-style entry to the graph and
+LLM-pipeline operators, so EP2 (SQL) users reach the same surface EP3
+(graph API) and the Python operator modules expose.
+
+Syntax — a minimal, explicit procedure call over registered temp views:
+
+    CALL pagerank(edges => 'edge_view', max_iter => 10)
+    CALL near_dup_pairs(docs => 'documents', jaccard_threshold => 0.5)
+
+``Engine.sql`` intercepts ``CALL ...`` statements and dispatches here;
+everything else goes to ``spark.sql`` untouched. Arguments are named
+(``key => value``), values are SQL-ish literals: 'string', number,
+true/false. View-typed parameters name registered temp views — the
+procedure resolves them through the session catalog, so the inputs are
+exactly what SQL users already query.
+
+This is deliberately NOT a Catalyst TVF: PySpark has no public
+DataFrame-returning UDTF registration, and a parser-level dispatch
+keeps the full DataFrame plan (lazy, optimizable) instead of forcing a
+materialization boundary.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CALL_RE = re.compile(r"^\s*call\s+(\w+)\s*\((.*)\)\s*;?\s*$",
+                      re.IGNORECASE | re.DOTALL)
+_ARG_RE = re.compile(
+    r"(\w+)\s*=>\s*('(?:[^']|'')*'|[-+]?\d+\.?\d*(?:[eE][-+]?\d+)?"
+    r"|true|false)\s*(?:,|$)",
+    re.IGNORECASE,
+)
+
+
+def is_call(query: str) -> bool:
+    return _CALL_RE.match(query) is not None
+
+
+def _parse_value(raw: str):
+    if raw.startswith("'"):
+        return raw[1:-1].replace("''", "'")
+    low = raw.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    return float(raw) if any(c in raw for c in ".eE") else int(raw)
+
+
+def parse_call(query: str) -> tuple[str, dict]:
+    m = _CALL_RE.match(query)
+    if not m:
+        raise ValueError(f"not a CALL statement: {query!r}")
+    name, argstr = m.group(1).lower(), m.group(2).strip()
+    args: dict = {}
+    consumed = 0
+    for am in _ARG_RE.finditer(argstr):
+        args[am.group(1)] = _parse_value(am.group(2))
+        consumed = am.end()
+    if argstr[consumed:].strip():
+        raise ValueError(
+            f"CALL {name}: cannot parse arguments near "
+            f"{argstr[consumed:].strip()[:40]!r} — use key => value with "
+            "'string' / number / true|false literals"
+        )
+    return name, args
+
+
+def _view(spark: SparkSession, name: str) -> DataFrame:
+    return spark.table(name)
+
+
+def _graph(spark: SparkSession, edges: str, vertices: str | None = None):
+    from puregraphdb_spark.operators.graph import Graph
+
+    e = _view(spark, edges)
+    if vertices:
+        v = _view(spark, vertices)
+    else:
+        v = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    return Graph(v, e)
+
+
+# -- procedure implementations (spark, **parsed args) -> DataFrame -----------
+
+
+def _pagerank(spark, edges: str, vertices: str | None = None,
+              reset_prob: float = 0.15, max_iter: int = 10) -> DataFrame:
+    return _graph(spark, edges, vertices).pagerank(
+        reset_prob=reset_prob, max_iter=int(max_iter))
+
+
+def _connected_components(spark, edges: str, vertices: str | None = None,
+                          max_iter: int = 50) -> DataFrame:
+    return _graph(spark, edges, vertices).connected_components(
+        max_iter=int(max_iter))
+
+
+def _label_propagation(spark, edges: str, vertices: str | None = None,
+                       max_iter: int = 5) -> DataFrame:
+    return _graph(spark, edges, vertices).label_propagation(
+        max_iter=int(max_iter))
+
+
+def _triangle_count(spark, edges: str, vertices: str | None = None) -> DataFrame:
+    return _graph(spark, edges, vertices).triangle_count()
+
+
+def _degrees(spark, edges: str, vertices: str | None = None) -> DataFrame:
+    return _graph(spark, edges, vertices).degrees()
+
+
+def _shortest_paths(spark, edges: str, landmarks: str,
+                    vertices: str | None = None,
+                    max_iter: int = 20) -> DataFrame:
+    lm = [int(x) for x in str(landmarks).split(",") if str(x).strip()]
+    return _graph(spark, edges, vertices).shortest_paths(
+        lm, max_iter=int(max_iter))
+
+
+def _near_dup_pairs(spark, docs: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text", num_hashes: int = 64,
+                    bands: int = 16, jaccard_threshold: float = 0.5) -> DataFrame:
+    from puregraphdb_spark.operators.similarity import near_dup_pairs
+
+    return near_dup_pairs(
+        _view(spark, docs), id_col=id_col, text_col=text_col,
+        num_hashes=int(num_hashes), bands=int(bands),
+        jaccard_threshold=float(jaccard_threshold),
+    )
+
+
+def _dedup_minhash(spark, docs: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text", num_hashes: int = 64,
+                   bands: int = 16, jaccard_threshold: float = 0.5) -> DataFrame:
+    from puregraphdb_spark.operators.similarity import dedup_minhash
+
+    return dedup_minhash(
+        _view(spark, docs), id_col=id_col, text_col=text_col,
+        num_hashes=int(num_hashes), bands=int(bands),
+        jaccard_threshold=float(jaccard_threshold),
+    )
+
+
+def _embedding_near_dup(spark, corpus: str = "embeddings",
+                        threshold: float = 0.95, dim: int = 64,
+                        num_planes: int = 10, id_col: str = "vec_id",
+                        emb_col: str = "embedding") -> DataFrame:
+    from puregraphdb_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _view(spark, corpus), threshold=float(threshold), dim=int(dim),
+        num_planes=int(num_planes), id_col=id_col, emb_col=emb_col,
+    )
+
+
+def _ann_topk(spark, queries: str, corpus: str = "embeddings",
+              k: int = 10, dim: int = 64, num_planes: int = 8,
+              id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    from puregraphdb_spark.operators.similarity import ann_cosine_topk
+
+    return ann_cosine_topk(
+        _view(spark, queries), _view(spark, corpus), k=int(k), dim=int(dim),
+        num_planes=int(num_planes), id_col=id_col, emb_col=emb_col,
+    )
+
+
+def _text_profile(spark, docs: str = "documents",
+                  text_col: str = "text") -> DataFrame:
+    from puregraphdb_spark.operators.text import profile_documents
+
+    return profile_documents(_view(spark, docs), text_col=text_col)
+
+
+def _quality_report(spark, docs: str = "documents",
+                    text_col: str = "text") -> DataFrame:
+    from puregraphdb_spark.operators.text import corpus_quality_report
+
+    return corpus_quality_report(_view(spark, docs), text_col=text_col)
+
+
+PROCEDURES: dict[str, Callable[..., DataFrame]] = {
+    "pagerank": _pagerank,
+    "connected_components": _connected_components,
+    "label_propagation": _label_propagation,
+    "triangle_count": _triangle_count,
+    "degrees": _degrees,
+    "shortest_paths": _shortest_paths,
+    "near_dup_pairs": _near_dup_pairs,
+    "dedup_minhash": _dedup_minhash,
+    "embedding_near_dup": _embedding_near_dup,
+    "ann_topk": _ann_topk,
+    "text_profile": _text_profile,
+    "quality_report": _quality_report,
+}
+
+
+def dispatch_call(spark: SparkSession, query: str) -> DataFrame:
+    name, args = parse_call(query)
+    if name not in PROCEDURES:
+        known = ", ".join(sorted(PROCEDURES))
+        raise ValueError(f"unknown procedure {name!r}; available: {known}")
+    try:
+        return PROCEDURES[name](spark, **args)
+    except TypeError as e:
+        raise ValueError(f"CALL {name}: bad arguments: {e}") from e

@@ -50,3 +50,48 @@ def test_sql_door_matches_dataframe_door(engine, spark, name):
     ep2 = engine.sql(ORACLES[name]).toPandas()
     ep1 = QUERIES[name](spark, SF_DIR).toPandas()
     assert_frames_match(ep1, ep2)
+
+
+def test_call_door_pagerank_matches_graph_api(engine, spark):
+    # EP2 CALL ≡ EP3: same star graph, procedure vs Graph method
+    from puregraphdb_spark.operators.graph import Graph
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [(i, 1) for i in range(2, 7)], ["src", "dst"])
+    v = spark.createDataFrame([(i,) for i in range(1, 7)], ["id"])
+    e.createOrReplaceTempView("pr_edges")
+    v.createOrReplaceTempView("pr_verts")
+    ep2 = engine.sql(
+        "CALL pagerank(edges => 'pr_edges', vertices => 'pr_verts', "
+        "max_iter => 5)"
+    ).toPandas()
+    ep3 = Graph(v, e).pagerank(max_iter=5).toPandas()
+    assert_frames_match(ep3, ep2)
+
+
+def test_call_door_dedup_and_triangles(engine, spark):
+    from tests.conftest import SF_DIR as _sf  # noqa: F401 (docs view exists)
+
+    pairs = engine.sql(
+        "CALL near_dup_pairs(docs => 'documents', num_hashes => 32, "
+        "bands => 16, jaccard_threshold => 0.9)"
+    )
+    assert set(pairs.columns) == {"a", "b", "est_jaccard"}
+    assert pairs.count() >= 0  # runs end-to-end over the fixture view
+
+    e = spark.createDataFrame(
+        [(u, v) for u in range(1, 5) for v in range(u + 1, 5)],
+        ["src", "dst"])
+    e.createOrReplaceTempView("tri_edges")
+    n = engine.sql("CALL triangle_count(edges => 'tri_edges')").collect()
+    assert n[0]["n_triangles"] == 4  # K4
+
+
+def test_call_door_rejects_unknown_and_malformed(engine):
+    with pytest.raises(ValueError, match="available"):
+        engine.sql("CALL nonsense(x => 1)")
+    with pytest.raises(ValueError, match="bad arguments"):
+        engine.sql("CALL pagerank(bogus_param => 3)")
+    with pytest.raises(ValueError, match="cannot parse"):
+        engine.sql("CALL pagerank(edges => unquoted string)")
