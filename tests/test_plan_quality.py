@@ -64,9 +64,10 @@ def test_q16_part_broadcasts(q):
 def test_q24_single_wide_shuffle(q):
     df = q["q24_graph_triangles"]
     # co-located self-join (no shuffle) -> collect_set agg (1 wide
-    # exchange) -> broadcast adjacency probe; plus the 2 load-time
-    # repartitions of lineitem/orders at most
-    assert count_exchanges(df) <= 3
+    # exchange) -> core-width round-robin of the |V|-row adjacency
+    # (cheap, widens the compute-bound intersect probe) -> broadcast
+    # adjacency probe; plus the 2 load-time repartitions at most
+    assert count_exchanges(df) <= 4
     assert broadcast_join_count(df) >= 1
 
 
