@@ -286,6 +286,139 @@ class Graph:
 
         return self.pregel(initial, step, lambda o, n: False, max_iter=max_iter)
 
+    def strongly_connected_components(self, max_iter: int = 25,
+                                      max_outer: int = 10) -> DataFrame:
+        """SCC decomposition → (id, component), component = min vertex
+        id of the SCC. Forward-backward min-label with peeling:
+
+        Each outer round, propagate min ids to fixpoint along FORWARD
+        edges (F(v) = min id that reaches v) and along REVERSE edges
+        (B(v) = min id v reaches). F(v) = B(v) = c ⟺ v and c are
+        mutually reachable ⟹ v ∈ SCC(c); those vertices are assigned
+        and PEELED, and the next round runs on the shrunken remainder.
+        Every SCC whose min id is a global min of its reachability
+        neighborhood resolves per round, so rounds ≈ the depth of the
+        SCC condensation ordered by min-id domination — small for real
+        graphs (the classic FW-BW-Trim observation).
+
+        Scale: each inner step is one join + min-agg shuffle over the
+        remaining edges (the same shape as connected_components);
+        peeling shrinks the edge set monotonically; lineage is cut per
+        outer round with localCheckpoint.
+        """
+        remaining_v = self.vertices.select("id").localCheckpoint(eager=True)
+        remaining_e = (
+            self.edges.select("src", "dst").distinct()
+            .localCheckpoint(eager=True)
+        )
+        assigned_parts: list[DataFrame] = []
+
+        def min_fixpoint(edges: DataFrame, verts: DataFrame) -> DataFrame:
+            """min-id propagation along edge direction to fixpoint."""
+            state = verts.select("id", F.col("id").alias("lbl")).persist()
+            state.count()
+            for i in range(max_iter):
+                msgs = (
+                    edges.join(state, edges.src == state.id)
+                    .select(F.col("dst").alias("id"), F.col("lbl").alias("msg"))
+                    .groupBy("id")
+                    .agg(F.min("msg").alias("nbr_min"))
+                )
+                new = (
+                    verts.join(state, "id")
+                    .join(msgs, "id", "left")
+                    .select(
+                        "id",
+                        F.least(
+                            F.col("lbl"), F.coalesce("nbr_min", "lbl")
+                        ).alias("lbl"),
+                    )
+                    .persist()
+                )
+                changed = (
+                    state.alias("o").join(new.alias("n"), "id")
+                    .filter(F.col("o.lbl") != F.col("n.lbl"))
+                    .limit(1).count()
+                )
+                state.unpersist()
+                state = new
+                if changed == 0:
+                    break
+            return state
+
+        for _ in range(max_outer):
+            if remaining_v.limit(1).count() == 0:
+                break
+            fwd = min_fixpoint(remaining_e, remaining_v)
+            rev_e = remaining_e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+            bwd = min_fixpoint(rev_e, remaining_v)
+            scc = (
+                fwd.select("id", F.col("lbl").alias("f"))
+                .join(bwd.select("id", F.col("lbl").alias("b")), "id")
+            )
+            done = (
+                scc.filter(F.col("f") == F.col("b"))
+                .select("id", F.col("f").alias("component"))
+                .localCheckpoint(eager=True)
+            )
+            assigned_parts.append(done)
+            remaining_v = (
+                remaining_v.join(done.select("id"), "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            remaining_e = (
+                remaining_e
+                .join(remaining_v.select(F.col("id").alias("src")), "src",
+                      "left_semi")
+                .join(remaining_v.select(F.col("id").alias("dst")), "dst",
+                      "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            fwd.unpersist()
+            bwd.unpersist()
+        if not assigned_parts:  # empty graph
+            return self.vertices.select(
+                "id", F.col("id").alias("component")).limit(0)
+        out = assigned_parts[0]
+        for p in assigned_parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def k_core(self, k: int, max_iter: int = 30) -> DataFrame:
+        """The k-core: vertices of the maximal subgraph where every
+        vertex has undirected degree ≥ k → (id, degree) with the degree
+        measured INSIDE the core. Iterative peeling: drop vertices with
+        degree < k, re-filter edges to surviving endpoints, repeat to
+        fixpoint. Each round is one degree aggregation + two semi joins
+        over the shrinking edge set; lineage cut per round.
+        """
+        und = (
+            self.edges.select("src", "dst")
+            .unionByName(self.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(max_iter):
+            deg = und.groupBy(F.col("src").alias("id")).agg(
+                F.count("*").cast("long").alias("degree"))
+            keep = deg.filter(F.col("degree") >= k).select("id")
+            dropped = deg.filter(F.col("degree") < k).limit(1).count()
+            if dropped == 0:
+                return deg
+            und = (
+                und.join(keep.select(F.col("id").alias("src")), "src",
+                         "left_semi")
+                .join(keep.select(F.col("id").alias("dst")), "dst",
+                      "left_semi")
+                .localCheckpoint(eager=True)
+            )
+        return und.groupBy(F.col("src").alias("id")).agg(
+            F.count("*").cast("long").alias("degree"))
+
     # -- structural operators (GraphX surface) -------------------------------
 
     def reverse(self) -> "Graph":

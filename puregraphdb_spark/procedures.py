@@ -117,6 +117,17 @@ def _degrees(spark, edges: str, vertices: str | None = None) -> DataFrame:
     return _graph(spark, edges, vertices).degrees()
 
 
+def _scc(spark, edges: str, vertices: str | None = None,
+         max_iter: int = 25, max_outer: int = 10) -> DataFrame:
+    return _graph(spark, edges, vertices).strongly_connected_components(
+        max_iter=int(max_iter), max_outer=int(max_outer))
+
+
+def _k_core(spark, edges: str, k: int, vertices: str | None = None,
+            max_iter: int = 30) -> DataFrame:
+    return _graph(spark, edges, vertices).k_core(int(k), max_iter=int(max_iter))
+
+
 def _shortest_paths(spark, edges: str, landmarks: str,
                     vertices: str | None = None,
                     max_iter: int = 20) -> DataFrame:
@@ -189,6 +200,8 @@ def _quality_report(spark, docs: str = "documents",
 PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "pagerank": _pagerank,
     "connected_components": _connected_components,
+    "strongly_connected_components": _scc,
+    "k_core": _k_core,
     "label_propagation": _label_propagation,
     "triangle_count": _triangle_count,
     "degrees": _degrees,

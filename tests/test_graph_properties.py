@@ -127,3 +127,58 @@ def test_q25_small_and_large_paths_agree(spark, tmp_path):
     # sources 0 and 50 share supplier 1 (41 distinct customers each,
     # minus self); source 100 must be ABSENT, not n_2hop=0
     assert small == [(0, 40), (50, 40)]
+
+
+def test_strongly_connected_components(spark):
+    # cycle {1,2,3} -> chain to cycle {4,5}; self-loop 6; isolated 7.
+    # directed reachability: 1 reaches 4/5 but not back -> separate SCCs
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (6, 6)]
+    v = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 6, 7]], ["id"])
+    g = Graph(v, spark.createDataFrame(edges, ["src", "dst"]))
+    comp = {r["id"]: r["component"]
+            for r in g.strongly_connected_components().collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+def test_strongly_connected_components_vs_undirected_cc(spark, k4):
+    # an undirected-style graph (edges both ways) must give SCC == CC
+    e = k4.edges.unionByName(
+        k4.edges.selectExpr("dst as src", "src as dst"))
+    g = Graph(k4.vertices, e)
+    scc = {r["id"]: r["component"]
+           for r in g.strongly_connected_components().collect()}
+    cc = {r["id"]: r["component"]
+          for r in k4.connected_components().collect()}
+    assert scc == cc
+
+
+def test_k_core_peels_pendants(spark):
+    # K4 plus a pendant vertex 5 attached to 1, plus chain 5-6:
+    # 2-core = the K4 (pendant chain peels away), each with degree 3
+    edges = [(u, v) for u in range(1, 5) for v in range(u + 1, 5)]
+    edges += [(1, 5), (5, 6)]
+    v = spark.createDataFrame([(i,) for i in range(1, 7)], ["id"])
+    g = Graph(v, spark.createDataFrame(edges, ["src", "dst"]))
+    core2 = {r["id"]: r["degree"] for r in g.k_core(2).collect()}
+    assert core2 == {1: 3, 2: 3, 3: 3, 4: 3}
+    # 4-core of K4 is empty (max degree is 3)
+    assert g.k_core(4).count() == 0
+    # 1-core keeps everything connected by an edge
+    assert set(r["id"] for r in g.k_core(1).collect()) == {1, 2, 3, 4, 5, 6}
+
+
+def test_scc_and_kcore_via_sql_door(spark):
+    from puregraphdb_spark.engine import Engine
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark, SF_DIR, register_views=False)
+    spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3)], ["src", "dst"]
+    ).createOrReplaceTempView("scc_edges")
+    comp = {r["id"]: r["component"] for r in eng.sql(
+        "CALL strongly_connected_components(edges => 'scc_edges')"
+    ).collect()}
+    assert comp == {1: 1, 2: 1, 3: 3}
+    core = eng.sql("CALL k_core(edges => 'scc_edges', k => 2)").collect()
+    assert core == []
