@@ -4,9 +4,17 @@ events ONCE; every coarser level re-aggregates the finest partials
 (decomposable aggregates), never rescanning the source.
 
 At 100 TB this is the difference between one full scan + tiny re-aggs
-and one full scan PER granularity. The same shape runs incrementally
-under Structured Streaming (watermark + append to the finest level,
-coarser levels refresh from it).
+and one full scan PER granularity.
+
+Incremental maintenance (the continuous-aggregate deployment):
+``incremental_rollup_stream`` keeps the FINEST level fresh under
+Structured Streaming (watermarked tumbling windows — late events beyond
+the watermark are dropped and windows finalize), and
+``refresh_from_finest`` re-derives every coarser level from the
+maintained finest partials in batch — the exact split TimescaleDB-style
+continuous aggregates use: stream maintains the base materialization,
+coarser views refresh from it, the raw stream is aggregated exactly
+once.
 
 Only decomposable measures are accepted (sum/count/min/max); derive
 avg = sum/count at read time.
@@ -30,27 +38,23 @@ _PARTIAL = {
     "max": lambda col: F.max(col),
 }
 
+Measures = dict[str, tuple[str, str | None]]
 
-def time_rollup(events: DataFrame, ts_col: str,
-                granularities: list[str],
-                group_cols: list[str],
-                measures: dict[str, tuple[str, str | None]]) -> DataFrame:
-    """Rollup ``measures`` ({out_name: (fn, col)}) over every
-    granularity (coarsest-compatible ordering required: each coarser
-    window must align with the finest, e.g. 15m → 1h → 1d).
 
-    Returns one DataFrame with a ``granularity`` column; bucket starts
-    in ``bucket``. The finest granularity is the only scan of
-    ``events``; each coarser level re-aggregates the finest result.
-    """
+def _validate(measures: Measures) -> None:
     for name, (fn, _) in measures.items():
         if fn not in _PARTIAL:
             raise ValueError(
                 f"measure {name!r}: {fn!r} is not decomposable "
                 f"(use {sorted(_PARTIAL)})"
             )
-    finest, *coarser = granularities
-    level = (
+
+
+def _finest_agg(events: DataFrame, ts_col: str, finest: str,
+                group_cols: list[str], measures: Measures) -> DataFrame:
+    """The single scan of the raw events → finest-level partials.
+    Works identically on a batch DataFrame and a (watermarked) stream."""
+    return (
         events.groupBy(
             F.window(ts_col, finest).start.alias("bucket"), *group_cols
         )
@@ -59,16 +63,85 @@ def time_rollup(events: DataFrame, ts_col: str,
             for name, (fn, col) in measures.items()
         ])
     )
+
+
+def _merge_level(level: DataFrame, granularity: str,
+                 group_cols: list[str], measures: Measures) -> DataFrame:
+    """Re-aggregate one level's partials into a coarser granularity —
+    partials only, never the raw events."""
+    return (
+        level.groupBy(
+            F.window("bucket", granularity).start.alias("bucket"),
+            *group_cols,
+        )
+        .agg(*[
+            _MERGE[fn](name).alias(name)
+            for name, (fn, _) in measures.items()
+        ])
+    )
+
+
+def time_rollup(events: DataFrame, ts_col: str,
+                granularities: list[str],
+                group_cols: list[str],
+                measures: Measures) -> DataFrame:
+    """Rollup ``measures`` ({out_name: (fn, col)}) over every
+    granularity (coarsest-compatible ordering required: each coarser
+    window must align with the finest, e.g. 15m → 1h → 1d).
+
+    Returns one DataFrame with a ``granularity`` column; bucket starts
+    in ``bucket``. The finest granularity is the only scan of
+    ``events``; each coarser level re-aggregates the finest result.
+    """
+    _validate(measures)
+    finest, *coarser = granularities
+    level = _finest_agg(events, ts_col, finest, group_cols, measures)
     out = level.withColumn("granularity", F.lit(finest))
     for g in coarser:
-        level = (
-            level.groupBy(
-                F.window("bucket", g).start.alias("bucket"), *group_cols
-            )
-            .agg(*[
-                _MERGE[fn](name).alias(name)
-                for name, (fn, _) in measures.items()
-            ])
-        )
+        level = _merge_level(level, g, group_cols, measures)
+        out = out.unionByName(level.withColumn("granularity", F.lit(g)))
+    return out.select("granularity", "bucket", *group_cols, *measures)
+
+
+def incremental_rollup_stream(events_stream: DataFrame, ts_col: str,
+                              finest: str, group_cols: list[str],
+                              measures: Measures,
+                              watermark: str = "2 hours") -> DataFrame:
+    """Streaming maintenance of the FINEST rollup level.
+
+    The returned aggregation streams into the finest materialization
+    (e.g. ``writeStream.partitionBy('bucket').trigger(...)`` to a
+    parquet/warehouse sink): the watermark bounds state — a window
+    finalizes once event time passes bucket_end + watermark, and later
+    events are dropped, matching the continuous-aggregate contract.
+    Coarser levels never see the stream; refresh them from this level
+    with ``refresh_from_finest``.
+    """
+    _validate(measures)
+    return _finest_agg(
+        events_stream.withWatermark(ts_col, watermark),
+        ts_col, finest, group_cols, measures,
+    )
+
+
+def refresh_from_finest(finest_level: DataFrame, granularities: list[str],
+                        group_cols: list[str],
+                        measures: Measures) -> DataFrame:
+    """Batch refresh of coarser levels from the maintained finest
+    materialization (same output contract as ``time_rollup`` minus the
+    finest rows' recomputation — the raw events are never rescanned).
+
+    ``granularities`` lists the finest level's granularity first (for
+    labeling) followed by the coarser ones to derive. Incremental at
+    scale: partition the finest materialization by bucket date and feed
+    only the stale partitions here; decomposability makes the merge
+    correct over any subset of buckets.
+    """
+    _validate(measures)
+    finest, *coarser = granularities
+    out = finest_level.withColumn("granularity", F.lit(finest))
+    level = finest_level
+    for g in coarser:
+        level = _merge_level(level, g, group_cols, measures)
         out = out.unionByName(level.withColumn("granularity", F.lit(g)))
     return out.select("granularity", "bucket", *group_cols, *measures)
