@@ -72,6 +72,26 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.label_propagation(max_iter=3).orderBy("id")
 
 
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly-connected components over the order graph (rows-only:
+    iterative forward-backward peeling, not SQL). The shared id space
+    (q23's union semantics) creates real directed cycles — customer k
+    → supplier j and customer j → supplier k are mutually reachable —
+    so the decomposition is non-trivial (~7% of vertices merge at
+    sf0.01)."""
+    g = _order_graph(spark, sf_dir)
+    return g.strongly_connected_components().orderBy("component", "id")
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-core of the order graph (rows-only: iterative peeling).
+    Returns surviving vertices with their in-core degree; k=5 peels a
+    real fringe yet stays non-empty at every fixture scale (sf0.001's
+    10-supplier graph caps customer degree at 10)."""
+    g = _order_graph(spark, sf_dir)
+    return g.k_core(5).orderBy("id")
+
+
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc language-ID / token counts / quality / fingerprint
     (rows-only: xxhash64-based features have no DuckDB equivalent)."""
@@ -211,6 +231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": graph_pagerank,
         "graph_connected_components": graph_connected_components,
         "graph_label_propagation": graph_label_propagation,
+        "graph_scc": graph_scc,
+        "graph_kcore": graph_kcore,
         "text_profile": text_profile,
         "text_quality_report": text_quality_report,
         "dedup_minhash_near": dedup_minhash_near,
