@@ -207,6 +207,71 @@ def hamming_distance(a: str | F.Column, b: str | F.Column) -> F.Column:
     return F.bit_count(ca.bitwiseXOR(cb))
 
 
+def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", bits: int = 64,
+                           max_hamming: int = 3,
+                           max_bucket_size: int = 1000) -> DataFrame:
+    """EXACT near-duplicate pairs (a < b) under SimHash Hamming distance
+    ≤ ``max_hamming`` — Hamming-LSH with guaranteed recall.
+
+    The ``bits``-wide fingerprint is split into ``max_hamming + 1``
+    disjoint blocks; two fingerprints within ``max_hamming`` differing
+    bits must agree on at least one whole block (pigeonhole), so
+    joining on (block index, block value) finds EVERY true pair, and
+    the exact ``bit_count(xor)`` filter removes false candidates —
+    recall 1.0, precision 1.0, never an all-pairs join.
+
+    100-TB shape: fingerprint is a pure map; block explode is a
+    flatMap; ONE shuffle on (block, value); ``max_bucket_size`` drops
+    degenerate buckets (e.g. all-empty docs collapsing to one value)
+    exactly like ``near_dup_pairs`` does for MinHash bands.
+    Returns (a, b, hamming).
+    """
+    nblocks = max_hamming + 1
+    if bits % nblocks != 0:
+        raise ValueError(
+            f"bits ({bits}) must be divisible by max_hamming+1 "
+            f"({nblocks}) so blocks partition the fingerprint"
+        )
+    width = bits // nblocks
+    mask = F.lit((1 << width) - 1).cast("long")
+    sh = docs.select(
+        F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh")
+    )
+    block_cols = F.array(*[
+        F.struct(
+            F.lit(i).alias("blk"),
+            F.shiftrightunsigned("sh", i * width).bitwiseAND(mask)
+            .alias("val"),
+        )
+        for i in range(nblocks)
+    ])
+    bb = sh.select("id", F.explode(block_cols).alias("b")).select(
+        "id", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    )
+    sized = bb.withColumn(
+        "bsize", F.count("*").over(Window.partitionBy("blk", "val"))
+    ).filter(F.col("bsize") <= max_bucket_size)
+    left = sized.select(F.col("id").alias("a"), "blk", "val")
+    right = sized.select(F.col("id").alias("b"), "blk", "val")
+    pairs = (
+        left.join(right, ["blk", "val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(sa, "a").join(sb, "b")
+        .select(
+            "a", "b",
+            hamming_distance("sh_a", "sh_b").cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def ngram_jaccard(a_text: F.Column, b_text: F.Column, k: int = 3) -> F.Column:
     """Exact k-shingle Jaccard similarity between two text columns —
     the verification metric for MinHash candidates."""

@@ -148,6 +148,17 @@ def _near_dup_pairs(spark, docs: str = "documents", id_col: str = "doc_id",
     )
 
 
+def _simhash_near_dup(spark, docs: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text", bits: int = 64,
+                      max_hamming: int = 3) -> DataFrame:
+    from puregraphdb_spark.operators.similarity import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        _view(spark, docs), id_col=id_col, text_col=text_col,
+        bits=int(bits), max_hamming=int(max_hamming),
+    )
+
+
 def _dedup_minhash(spark, docs: str = "documents", id_col: str = "doc_id",
                    text_col: str = "text", num_hashes: int = 64,
                    bands: int = 16, jaccard_threshold: float = 0.5) -> DataFrame:
@@ -207,6 +218,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "degrees": _degrees,
     "shortest_paths": _shortest_paths,
     "near_dup_pairs": _near_dup_pairs,
+    "simhash_near_dup": _simhash_near_dup,
     "dedup_minhash": _dedup_minhash,
     "embedding_near_dup": _embedding_near_dup,
     "ann_topk": _ann_topk,

@@ -145,6 +145,44 @@ def test_bucketed_write(spark, tmp_path):
         spark.sql("drop table if exists nation_bucketed")
 
 
+def test_bucketed_join_skips_both_shuffles(spark):
+    """The 100-TB co-located-join story, asserted on the plan: two
+    tables bucketed on the same key join with ZERO shuffle exchanges —
+    each side's bucketing satisfies the join's distribution
+    requirement. This is what write_partitioned's bucket_by is FOR."""
+    from puregraphdb_spark.plans import count_exchanges
+
+    orders = load_table(spark, SF_DIR, "orders") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    lineitem = load_table(spark, SF_DIR, "lineitem") \
+        .select("l_orderkey", "l_quantity")
+    try:
+        write_partitioned(orders, path="", bucket_by=(8, ["o_orderkey"]),
+                          table_name="orders_b")
+        write_partitioned(lineitem, path="", bucket_by=(8, ["l_orderkey"]),
+                          table_name="lineitem_b")
+        joined = spark.table("lineitem_b").join(
+            spark.table("orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        # disable broadcast so the join must pick a shuffle-family
+        # strategy — bucketing must then satisfy both sides' clustering
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = spark.table("lineitem_b").join(
+                spark.table("orders_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            assert count_exchanges(joined) == 0
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    finally:
+        spark.sql("drop table if exists orders_b")
+        spark.sql("drop table if exists lineitem_b")
+
+
 def test_bucketed_write_requires_table_name(spark):
     nation = load_table(spark, SF_DIR, "nation")
     with pytest.raises(ValueError):

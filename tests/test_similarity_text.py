@@ -81,6 +81,35 @@ def test_near_dup_pairs_rejects_indivisible_band_split(corpus):
         sim.near_dup_pairs(corpus, num_hashes=30, bands=16)
 
 
+def test_simhash_near_dup_pairs_equals_bruteforce(spark):
+    # Hamming-LSH must return EXACTLY the brute-force pair set:
+    # pigeonhole banding guarantees recall, bit_count verify precision.
+    rows = [(i, " ".join(
+        f"w{(i * 7 + j * 13) % 23}" for j in range(12)
+    )) for i in range(24)]
+    rows += [(100, rows[0][1]), (101, rows[0][1] + " extra")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in sim.simhash_near_dup_pairs(docs, max_hamming=7).collect()
+    }
+    sh = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", sim.simhash("text").alias("sh")).collect()}
+    ids = sorted(sh)
+    brute = {
+        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin(sh[a] ^ sh[b]).count("1") <= 7
+    }
+    assert got == brute
+    assert got[(0, 100)] == 0  # exact dup collides at distance 0
+
+
+def test_simhash_near_dup_rejects_indivisible_blocks(corpus):
+    with pytest.raises(ValueError, match="divisible"):
+        sim.simhash_near_dup_pairs(corpus, bits=64, max_hamming=4)
+
+
 def test_ngram_jaccard(spark):
     df = spark.createDataFrame(
         [("a b c d e", "a b c d e"), ("a b c d e", "x y z w q")],
