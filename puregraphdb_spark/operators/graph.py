@@ -764,13 +764,18 @@ def q25_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = l.join(o, o.o_orderkey == l.l_orderkey).select(
         F.col("o_custkey").alias("b_c"), F.col("l_suppkey").alias("b_s")
     )
-    a = (
-        b.filter(F.col("b_c") % 50 == 0)
-        .select(F.col("b_c").alias("a_c"), F.col("b_s").alias("a_s"))
-        .distinct()
-    )
     if table_bytes(spark, sf_dir, "lineitem") < (32 << 20):
         cs = b.groupBy("b_s").agg(F.collect_set("b_c").alias("cust"))
+        # the sampled source pairs come from the SETS, not a second
+        # pass over the edge stream: exploding the filtered per-supplier
+        # sets yields the distinct (c%50=0, s) pairs by construction —
+        # one less scan of b and no distinct shuffle.
+        a = cs.select(
+            F.col("b_s").alias("a_s"),
+            F.explode(
+                F.filter("cust", lambda c: c % 50 == 0)
+            ).alias("a_c"),
+        )
         merged = (
             a.join(cs, F.col("a_s") == F.col("b_s"))
             .groupBy(F.col("a_c").alias("src"))
@@ -792,6 +797,11 @@ def q25_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n_2hop") > 0)
             .orderBy("src")
         )
+    a = (
+        b.filter(F.col("b_c") % 50 == 0)
+        .select(F.col("b_c").alias("a_c"), F.col("b_s").alias("a_s"))
+        .distinct()
+    )
     return (
         a.join(b, F.col("a_s") == F.col("b_s"))
         .filter(F.col("a_c") != F.col("b_c"))

@@ -65,19 +65,21 @@ def load_table(spark: SparkSession, data_dir: str, name: str) -> DataFrame:
     Hadoop-compatible URI (s3://, hdfs://, file:/), matching the
     partitioned-directory 100-TB posture.
     """
+    key = (id(spark), data_dir, name)
+    if key in _LOADED:
+        return _LOADED[key]
+
     # Event-time columns: the fixtures store events.ts as parquet
     # TIMESTAMP(NANOS), which Spark refuses by default
     # (PARQUET_TYPE_ILLEGAL). Read nanos as long, then convert to a
-    # proper TimestampType. Runtime-settable SQL conf; idempotent.
+    # proper TimestampType. Runtime-settable SQL conf; idempotent — set
+    # on the memo-miss path only (a conf.set is a py4j roundtrip, and
+    # hot query builds call load_table several times per plan).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Event-time bucket starts / year()/month() must be engine-independent
     # regardless of the host session's zone (DuckDB treats parquet
     # timestamps as wall-clock).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-
-    key = (id(spark), data_dir, name)
-    if key in _LOADED:
-        return _LOADED[key]
 
     path = os.path.join(data_dir, f"{name}.parquet")
     try:
