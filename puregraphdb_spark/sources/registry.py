@@ -102,6 +102,7 @@ def load_table(spark: SparkSession, data_dir: str, name: str) -> DataFrame:
             par = min(par, int(spark.conf.get("spark.sql.shuffle.partitions")))
         except (TypeError, ValueError):
             pass  # non-numeric conf (foreign session) → cores-wide default
+        par = int(os.environ.get("SPARK_GRAFT_SCAN_PARTITIONS", par))
         if df.rdd.getNumPartitions() < max(2, par // 2):
             pkey = _PARTITION_KEYS[name]
             df = df.repartition(par, pkey) if pkey else df.repartition(par)
