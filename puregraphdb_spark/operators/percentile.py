@@ -71,6 +71,14 @@ def exact_percentile_cont(vals: DataFrame, group_col: str, val_col: str,
     with zero refinement). Pass a metadata-derived estimate
     (``table_bytes``/bytes-per-row) — never a data scan.
     """
+    # The ±5/accuracy bracket carries (5−1)·n/accuracy ranks of slack
+    # beyond the sketch's worst-case error; below n ≈ accuracy/2 that
+    # is under 2 ranks and the bracket can EXCLUDE a true order
+    # statistic (found by the randomized sweep: a 22-row group at
+    # accuracy=150 bracketed past v[k0]). Such groups must collect
+    # everything — enforce the floor (with 2× safety) instead of
+    # trusting the caller to keep the two knobs consistent.
+    small_group = max(small_group, accuracy)
     margin = 5.0 / accuracy
     g = group_col
 

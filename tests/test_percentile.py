@@ -91,3 +91,35 @@ def test_duplicate_heavy_values(spark):
     df = spark.createDataFrame(pdf)
     res = exact_percentile_cont(df, "g", "val", PS, n_estimate=len(pdf))
     _check(res, pdf)
+
+
+def test_randomized_multiround_configs(spark):
+    # randomized adversarial sweep: skewed sizes, duplicate-heavy
+    # values, extreme percentiles, forced refinement — every config
+    # must match numpy exactly (seeded, deterministic).
+    rng = np.random.RandomState(7)
+    for trial in range(4):
+        sizes = {
+            f"g{j}": int(rng.choice([1, 2, 17, 900, 1500, 30_000]))
+            for j in range(4)
+        }
+        frames = []
+        for gname, n in sizes.items():
+            vals = np.round(rng.lognormal(4, 2, size=n), 2)
+            dups = rng.choice(vals, size=n // 3) if n >= 3 else vals[:0]
+            allv = np.concatenate([vals, dups])
+            frames.append(pd.DataFrame({"g": gname, "val": allv}))
+        pdf = pd.concat(frames, ignore_index=True)
+        df = spark.createDataFrame(pdf)
+        ps = [0.0, 0.25, 0.5, 0.75, 0.99, 1.0]
+        res = exact_percentile_cont(
+            df, "g", "val", ps, accuracy=150, band_target=120,
+            small_group=20, n_estimate=len(pdf),
+        )
+        got = {r["g"]: r for r in res.collect()}
+        for gname, sub in pdf.groupby("g"):
+            for i, p in enumerate(ps):
+                exp = float(np.percentile(sub["val"], p * 100))
+                assert got[gname][f"p_{i}"] == pytest.approx(
+                    exp, rel=0, abs=1e-9
+                ), f"trial={trial} group={gname} p={p}"
