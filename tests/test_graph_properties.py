@@ -182,3 +182,63 @@ def test_scc_and_kcore_via_sql_door(spark):
     assert comp == {1: 1, 2: 1, 3: 3}
     core = eng.sql("CALL k_core(edges => 'scc_edges', k => 2)").collect()
     assert core == []
+
+
+def test_scc_randomized_vs_tarjan(spark):
+    """Randomized digraphs vs an iterative Tarjan reference — the
+    distributed FW-BW peeling must produce the identical partition
+    (components canonicalized by min member id)."""
+    import random
+
+    def tarjan_sccs(n, edges):
+        adj = {v: [] for v in range(n)}
+        for s, d in edges:
+            adj[s].append(d)
+        index = {}; low = {}; on = set(); stack = []
+        sccs = []; counter = [0]
+        for root in range(n):
+            if root in index:
+                continue
+            work = [(root, 0)]
+            while work:
+                v, pi = work[-1]
+                if pi == 0:
+                    index[v] = low[v] = counter[0]; counter[0] += 1
+                    stack.append(v); on.add(v)
+                recurse = False
+                for i in range(pi, len(adj[v])):
+                    w = adj[v][i]
+                    if w not in index:
+                        work[-1] = (v, i + 1)
+                        work.append((w, 0))
+                        recurse = True
+                        break
+                    elif w in on:
+                        low[v] = min(low[v], index[w])
+                if recurse:
+                    continue
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop(); on.discard(w); comp.append(w)
+                        if w == v:
+                            break
+                    sccs.append(comp)
+                work.pop()
+                if work:
+                    p = work[-1][0]
+                    low[p] = min(low[p], low[v])
+        return {v: min(comp) for comp in sccs for v in comp}
+
+    rnd = random.Random(13)
+    for trial in range(3):
+        n = rnd.choice([8, 12, 20])
+        m = rnd.randint(n, 3 * n)
+        edges = list({(rnd.randrange(n), rnd.randrange(n))
+                      for _ in range(m)})
+        want = tarjan_sccs(n, edges)
+        v = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+        e = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r["id"]: r["component"]
+               for r in Graph(v, e).strongly_connected_components().collect()}
+        assert got == want, f"trial={trial} n={n} edges={sorted(edges)}"
