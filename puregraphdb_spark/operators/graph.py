@@ -766,18 +766,22 @@ def q25_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if table_bytes(spark, sf_dir, "lineitem") < (32 << 20):
         cs = b.groupBy("b_s").agg(F.collect_set("b_c").alias("cust"))
-        # the sampled source pairs come from the SETS, not a second
-        # pass over the edge stream: exploding the filtered per-supplier
-        # sets yields the distinct (c%50=0, s) pairs by construction —
-        # one less scan of b and no distinct shuffle.
-        a = cs.select(
-            F.col("b_s").alias("a_s"),
-            F.explode(
-                F.filter("cust", lambda c: c % 50 == 0)
-            ).alias("a_c"),
+        # sampled sources come from a cheap second map-side pass over
+        # the edge stream (the filter keeps ~2% of rows; the distinct
+        # shuffles only those). Deriving them from the sets instead
+        # would put the set-build aggregation in BOTH join branches —
+        # Spark reuses the exchange but re-runs the aggregation, which
+        # was measured slower than this extra thin scan.
+        a = (
+            b.filter(F.col("b_c") % 50 == 0)
+            .select(F.col("b_c").alias("a_c"), F.col("b_s").alias("a_s"))
+            .distinct()
         )
+        # broadcast is safe HERE only because the surrounding size gate
+        # measured the whole input at megabytes; the 100-TB branch below
+        # never hints.
         merged = (
-            a.join(cs, F.col("a_s") == F.col("b_s"))
+            a.join(F.broadcast(cs), F.col("a_s") == F.col("b_s"))
             .groupBy(F.col("a_c").alias("src"))
             .agg(F.flatten(F.collect_list("cust")).alias("all_c"))
         )

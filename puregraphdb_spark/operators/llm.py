@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from puregraphdb_spark.functions.numeric import decimal_round
-from puregraphdb_spark.functions.vector import cosine_similarity
+from puregraphdb_spark.functions.vector import cosine_from_norms, l2_norm
 from puregraphdb_spark.sources.registry import load_table
 
 
@@ -100,14 +100,21 @@ def q29_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.ivf_cosine_topk (cluster-probed), not this.
     """
     e = load_table(spark, sf_dir, "embeddings")
+    # norms materialized per side (once per row, not per pair) — same
+    # doubles, same factoring as cosine_similarity, so oracle-identical.
     q = e.filter(F.col("vec_id") == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        l2_norm("embedding").alias("q_nrm"),
     )
+    c = e.select("vec_id", "embedding", l2_norm("embedding").alias("nrm"))
     return (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
         .select(
             "vec_id",
-            F.round(cosine_similarity(F.col("q_emb"), F.col("embedding")), 4).alias("cos_sim"),
+            F.round(
+                cosine_from_norms(F.col("q_emb"), F.col("embedding"),
+                                  F.col("q_nrm"), F.col("nrm")), 4
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
@@ -129,15 +136,19 @@ def q30_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("src"),
         F.col("label").alias("src_label"),
         F.col("embedding").alias("q_emb"),
+        l2_norm("embedding").alias("q_nrm"),
     )
+    c = e.select("vec_id", "label", "embedding",
+                 l2_norm("embedding").alias("nrm"))
     w = Window.partitionBy("src").orderBy(F.desc("cs"), "vec_id")
     sims = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("src"))
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("src"))
         .select(
             "src",
             "src_label",
             F.col("label").alias("nbr_label"),
-            cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cs"),
+            cosine_from_norms(F.col("q_emb"), F.col("embedding"),
+                              F.col("q_nrm"), F.col("nrm")).alias("cs"),
             "vec_id",
         )
         .withColumn("rn", F.row_number().over(w))

@@ -90,7 +90,8 @@ def exact_percentile_cont(vals: DataFrame, group_col: str, val_col: str,
         vals.groupBy(g)
         .agg(
             F.percentile_approx(
-                val_col, F.array(*[F.lit(x) for x in targets]), F.lit(accuracy)
+                # one array literal, not GRID py4j round-trips of F.lit
+                val_col, F.lit(targets), F.lit(accuracy)
             ).alias("bnd"),
             F.count("*").alias("n_g"),
         )
@@ -123,10 +124,12 @@ def exact_percentile_cont(vals: DataFrame, group_col: str, val_col: str,
         # 0-indexed lower order-statistic position for target p_i
         return F.floor(F.lit(ps[i]) * (F.col("n_g") - 1))
 
-    grid_phis = F.array(*[F.lit(j / GRID) for j in range(GRID + 1)])
-
     # -- refinement rounds: shrink each band by ~(2/GRID + 6/accuracy) -----
+    # (the φ-grid literal is only built when a round actually runs — at
+    # fixture sizes rounds == 0 and building a 201-element expression
+    # would be pure plan-construction latency)
     for _ in range(rounds):
+        grid_phis = F.lit([j / GRID for j in range(GRID + 1)])
         agg = (
             vals.join(F.broadcast(bounds), F.col(g) == F.col("b_g"))
             .groupBy(g)
@@ -211,6 +214,39 @@ def exact_percentile_cont(vals: DataFrame, group_col: str, val_col: str,
 
     return agg.select(
         g, *[interp(i).alias(f"p_{i}") for i in range(len(ps))]
+    )
+
+
+def collect_exact_percentile_cont(vals: DataFrame, group_col: str,
+                                  val_col: str,
+                                  ps: list[float]) -> DataFrame:
+    """Single-pass exact percentile_cont for MEASURED-SMALL inputs:
+    collect + sort each whole group in one aggregation, then index and
+    interpolate. Same output contract as ``exact_percentile_cont``
+    (columns ``p_<idx>``), same interpolation arithmetic.
+
+    This is the latency plan of a size-gated dual: one shuffle whose
+    payload is the group's values. Callers MUST gate it on a measured
+    input size (the per-group buffer is O(group size)); past the gate,
+    ``exact_percentile_cont`` is the size-invariant plan.
+    """
+    agg = vals.groupBy(group_col).agg(
+        F.sort_array(F.collect_list(val_col)).alias("band"),
+        F.count(val_col).alias("n"),
+    )
+
+    def interp(i: int):
+        pos = F.lit(ps[i]) * (F.col("n") - 1)
+        lo = F.floor(pos)
+        frac = pos - lo
+        vlo = F.element_at(F.col("band"), lo.cast("int") + 1)
+        vhi = F.coalesce(
+            F.try_element_at(F.col("band"), lo.cast("int") + 2), vlo
+        )
+        return vlo + frac * (vhi - vlo)
+
+    return agg.select(
+        group_col, *[interp(i).alias(f"p_{i}") for i in range(len(ps))]
     )
 
 

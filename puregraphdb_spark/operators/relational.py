@@ -401,16 +401,25 @@ def q17_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (KB) or the bounded band, never the data.
     """
     from puregraphdb_spark.operators.percentile import (
-        estimate_rows, exact_percentile_cont,
+        collect_exact_percentile_cont, estimate_rows, exact_percentile_cont,
     )
+    from puregraphdb_spark.sources.registry import table_bytes
 
     l = _t(spark, sf_dir, "lineitem")
     vals = l.select("l_returnflag", F.col("l_extendedprice").alias("val"))
-    res = exact_percentile_cont(
-        vals, "l_returnflag", "val", [0.5, 0.9],
-        accuracy=_PCT_ACC, small_group=_PCT_SMALL_GROUP,
-        n_estimate=estimate_rows(spark, sf_dir, "lineitem"),
-    )
+    if table_bytes(spark, sf_dir, "lineitem") < (32 << 20):
+        # measured-small input: one collect-and-sort pass (the whole
+        # input is megabytes — gate, not hint, decides; identical
+        # interpolation arithmetic, verified equal by tests)
+        res = collect_exact_percentile_cont(
+            vals, "l_returnflag", "val", [0.5, 0.9]
+        )
+    else:
+        res = exact_percentile_cont(
+            vals, "l_returnflag", "val", [0.5, 0.9],
+            accuracy=_PCT_ACC, small_group=_PCT_SMALL_GROUP,
+            n_estimate=estimate_rows(spark, sf_dir, "lineitem"),
+        )
     return res.select(
         "l_returnflag",
         # grid=6: interpolated values are identical binary doubles on
