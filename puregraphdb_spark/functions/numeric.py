@@ -38,6 +38,33 @@ def decimal_sum_round(col: Column, scale: int = 2, grid: int = 4) -> Column:
     return F.round(F.sum(col.cast(f"decimal(28,{grid})")), scale).cast("double")
 
 
+def unscaled_sum_round(col: Column, scale: int = 2, grid: int = 4) -> Column:
+    """``decimal_sum_round``'s latency twin: sum exact unscaled longs.
+
+    For inputs whose TRUE decimal expansion has ≤ ``grid`` digits
+    (e.g. 2-dp price × 2-dp discount factor = exact 4-dp product),
+    ``round(col·10^grid)`` recovers the exact integer numerator k —
+    FP noise in the double product is ~1e-7 of a unit, never near the
+    0.5 needed to flip the round. Summing the k's in long arithmetic
+    equals the decimal sum EXACTLY (integer addition, no rounding,
+    order-immune), and the final scale-rounding happens in integer
+    space (pmod), so no double is ever rounded at a half-boundary.
+
+    Positive values only (half-up == half-away). Callers MUST
+    size-gate on measured input bytes: addends are value·10^grid, so
+    past ~2^53 total the exactness argument dies — use
+    ``decimal_sum_round`` (unbounded decimal) beyond the gate.
+    """
+    d = 10 ** (grid - scale)
+    ul = F.round(col * F.lit(10 ** grid)).cast("long")
+    th = F.sum(ul) + F.lit(d // 2)  # +half → floor == round-half-up
+    # (th - pmod) is an exact multiple of d ≤ 2^53 under the gate, so
+    # the double divisions below are exact-integer then correctly
+    # rounded — identical to DuckDB's decimal→double cast.
+    m = (th - F.pmod(th, F.lit(d))) / F.lit(float(d))
+    return (m / F.lit(float(10 ** scale))).cast("double")
+
+
 def oracle_round(expr: str, scale: int = 2, grid: int = 4) -> str:
     """The DuckDB-side spelling of decimal_round (keep in lockstep)."""
     return f"round(cast({expr} as decimal(28,{grid})), {scale})::DOUBLE"

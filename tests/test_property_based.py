@@ -204,3 +204,37 @@ def test_minhash_always_pairs_exact_duplicates(spark, texts, dup_idx):
     assert ((got.a == dup_idx) & (got.b == clone_id)).any()
     dup_row = got[(got.a == dup_idx) & (got.b == clone_id)].iloc[0]
     assert dup_row.est_jaccard == 1.0
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    cents=st.lists(
+        st.tuples(st.integers(0, 2),          # group
+                  st.integers(0, 10**7),      # price in cents
+                  st.integers(0, 99)),        # discount in percent
+        min_size=1, max_size=40,
+    )
+)
+def test_unscaled_sum_round_equals_decimal_sum_round(spark, cents):
+    """The size-gated fast money sum must be bit-identical to the
+    unbounded decimal form on exact-4-dp inputs (2-dp price × 2-dp
+    factor), including half-boundary totals."""
+    from puregraphdb_spark.functions.numeric import (
+        decimal_sum_round, unscaled_sum_round,
+    )
+
+    rows = [(g, p / 100.0, d / 100.0) for g, p, d in cents]
+    df = spark.createDataFrame(rows, "g int, price double, disc double")
+    expr = F.col("price") * (1 - F.col("disc"))
+    got = (
+        df.groupBy("g")
+        .agg(unscaled_sum_round(expr).alias("s"))
+        .orderBy("g").toPandas()
+    )
+    want = (
+        df.groupBy("g")
+        .agg(decimal_sum_round(expr).alias("s"))
+        .orderBy("g").toPandas()
+    )
+    assert got["s"].tolist() == want["s"].tolist()
