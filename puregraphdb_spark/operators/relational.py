@@ -396,17 +396,19 @@ _PCT_SMALL_GROUP = 1000
 
 
 def q17_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact median + p90 per returnflag via the bracket-and-refine
-    percentile operator (operators/percentile.py): GK-sketch bracket →
-    size-chosen grid-refinement rounds → exact bounded-band extraction
-    + linear interpolation (DuckDB's percentile_cont arithmetic).
+    """Exact median + p90 per returnflag — size-gated dual plan.
 
-    Size-invariant memory: the number of refinement passes is derived
-    from a METADATA row estimate (on-disk bytes, no data read), so the
-    collected band is ≤ ~band_target values per group at ANY input
-    size — at fixture scale that is zero refinement rounds (the exact
-    two-pass plan, 0.43 s at sf0.1); at 10¹² rows it is three extra
-    sketch passes instead of a 10¹⁰-value aggregation buffer.
+    Measured-small inputs (gate, not hint): ONE collect-and-sort
+    aggregation pass (collect_exact_percentile_cont, 0.31 s at sf0.1).
+    Past the gate, the bracket-and-refine operator
+    (operators/percentile.py): GK-sketch bracket → size-chosen
+    grid-refinement rounds → exact bounded-band extraction + linear
+    interpolation (DuckDB's percentile_cont arithmetic) — the number
+    of refinement passes is derived from a METADATA row estimate, so
+    the collected band is ≤ ~band_target values per group at ANY
+    input size: at 10¹² rows, three extra sketch passes instead of a
+    10¹⁰-value aggregation buffer. Both plans share the interpolation
+    arithmetic and are property-tested equal.
 
     Alternatives measured (sf0.1, warm cache, fresh plans): row-level
     window sort 1.1 s (the 3-value group key serializes the sort into
