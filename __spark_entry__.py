@@ -226,6 +226,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_stat_agg": extras.q51_stat_agg,
         "q52_histogram": extras.q52_histogram,
         "q53_array_hof": extras.q53_array_hof,
+        "q54_dedup_latest": extras.q54_dedup_latest,
+        "q55_percent_rank": extras.q55_percent_rank,
+        "q56_weighted_avg": extras.q56_weighted_avg,
+        "q57_mode": extras.q57_mode,
+        "q58_bigrams": extras.q58_bigrams,
+        "q59_loo_avg": extras.q59_loo_avg,
         # rows-only (iterative or hash-based; driver records the weaker
         # rows-only check)
         "graph_pagerank": graph_pagerank,
@@ -712,6 +718,72 @@ def oracle_sql() -> dict[str, str]:
                    cast(round(avg(len(list_filter(embedding, x -> x > 0))),4)
                      as double) as avg_n_pos
             from embeddings group by label order by label
+        """,
+        "q54_dedup_latest": """
+            select user_id, event_id, cast(ts as timestamp) as ts, event_type
+            from (
+              select user_id, event_id, ts, event_type,
+                     row_number() over (partition by user_id
+                       order by cast(ts as timestamp) desc, event_id desc)
+                       as rn
+              from events) t
+            where rn = 1 order by user_id
+        """,
+        "q55_percent_rank": """
+            select p_partkey, p_brand,
+                   cast(round(cast(percent_rank() over w as decimal(28,8)),6)
+                     as double) as pr,
+                   cast(round(cast(cume_dist() over w as decimal(28,8)),6)
+                     as double) as cd
+            from part where p_partkey % 20 = 0
+            window w as (partition by p_brand
+                         order by p_retailprice, p_partkey)
+            order by p_partkey
+        """,
+        "q56_weighted_avg": """
+            select l_returnflag,
+                   cast(round(cast(
+                     cast(sum(cast(l_discount*l_quantity as decimal(28,6)))
+                          as double)
+                     / cast(sum(cast(l_quantity as decimal(28,2)))
+                            as double)
+                     as decimal(28,8)),6) as double) as wavg_disc,
+                   count(*) as n
+            from lineitem group by l_returnflag order by l_returnflag
+        """,
+        "q57_mode": """
+            with counts as (
+              select o_orderstatus, o_orderpriority, count(*) as n
+              from orders group by 1, 2)
+            select o_orderstatus, o_orderpriority as top_priority, n from (
+              select o_orderstatus, o_orderpriority, n,
+                     row_number() over (partition by o_orderstatus
+                       order by n desc, o_orderpriority) as rn
+              from counts) t
+            where rn = 1 order by o_orderstatus
+        """,
+        "q58_bigrams": """
+            with t as (
+              select doc_id,
+                     unnest(string_split(lower(text), ' ')) as tok,
+                     generate_subscripts(string_split(lower(text), ' '), 1)
+                       as pos
+              from documents)
+            select a.tok || ' ' || b.tok as bigram, count(*) as tf
+            from t a join t b on a.doc_id = b.doc_id and b.pos = a.pos + 1
+            where a.tok <> '' and b.tok <> ''
+            group by bigram order by tf desc, bigram limit 15
+        """,
+        "q59_loo_avg": """
+            select o_orderkey, o_custkey,
+                   cast(round(cast(
+                     case when count(*) over w > 1 then
+                       (sum(o_totalprice) over w - o_totalprice)
+                       / (count(*) over w - 1) end
+                     as decimal(28,6)),4) as double) as loo_avg
+            from orders where o_custkey % 100 = 0
+            window w as (partition by o_custkey)
+            order by o_orderkey
         """,
         "hypertable_rollup": """
             with ev as (select ts, event_type, value from events)

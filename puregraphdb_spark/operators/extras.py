@@ -657,3 +657,134 @@ def q53_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def q54_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-row-per-key dedup — the standard ingestion compaction
+    (CDC upserts, re-crawled documents): one row_number window over
+    (key, recency desc) keeps the newest event per user. One shuffle on
+    the key; at 100 TB the same window runs per partition after a
+    keyed repartition, and skewed users split under AQE.
+    event_id breaks ts ties (fixture timestamps can collide per user).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+        .orderBy("user_id")
+    )
+
+
+def q55_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of retail price within brand (sampled
+    partkeys). Both engines define percent_rank = (rank-1)/(n-1) and
+    cume_dist = rank''/n identically; the 1e-8 grid snap removes any
+    division-noise risk before the 6-dp round. One window shuffle.
+    """
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_partkey") % 20 == 0
+    )
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return (
+        p.select(
+            "p_partkey", "p_brand",
+            decimal_round(F.percent_rank().over(w), 6, grid=8).alias("pr"),
+            decimal_round(F.cume_dist().over(w), 6, grid=8).alias("cd"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def q56_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average discount per returnflag — the
+    weighted-mean shape every curation pipeline needs (quality-score
+    weighting, token-count weighting). Single hash agg; the ratio of
+    the two exact-decimal sums is snapped to the 1e-8 grid before the
+    6-dp round so both engines round the identical double.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    num = F.sum(
+        (F.col("l_discount") * F.col("l_quantity")).cast("decimal(28,6)")
+    ).cast("double")
+    den = F.sum(F.col("l_quantity").cast("decimal(28,2)")).cast("double")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(decimal_round(num / den, 6, grid=8).alias("wavg_disc"),
+             F.count("*").alias("n"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q57_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent order priority per order status with a
+    deterministic tie-break (count desc, then priority asc) — written
+    as count-agg + row_number window on BOTH engines rather than
+    mode()/arg_max (whose tie rules are implementation-defined).
+    Two shuffles: the (status, priority) count and the tiny window.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    counts = (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus",
+                F.col("o_orderpriority").alias("top_priority"), "n")
+        .orderBy("o_orderstatus")
+    )
+
+
+def q58_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 word bigrams over the corpus — the n-gram statistic under
+    contamination checks and repetition filters. The bigram list is
+    built inside codegen (transform over the token array with its
+    index; no posexplode self-join, no Python): explode is a flatMap,
+    then ONE shuffle for the count with Zipf-friendly map-side combine.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(slice(split(lower(text), ' '), 1,"
+        "          greatest(size(split(lower(text), ' ')) - 1, 0)),"
+        "          (x, i) -> concat(x, ' ', element_at(split(lower(text), ' '), i + 2)))"
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .filter(~F.col("bigram").rlike("^ | $|  "))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.desc("tf"), "bigram")
+        .limit(15)
+    )
+
+
+def q59_loo_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out mean: each order's price vs the average of the
+    customer's OTHER orders — the leakage-safe target-encoding shape
+    ((sum - x)/(n - 1), NULL for singletons). Window sum+count per
+    customer (one shuffle), sampled customers bound the output.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 100 == 0
+    )
+    w = Window.partitionBy("o_custkey")
+    loo = F.when(
+        F.count("*").over(w) > 1,
+        (F.sum("o_totalprice").over(w) - F.col("o_totalprice"))
+        / (F.count("*").over(w) - 1),
+    )
+    return (
+        o.select(
+            "o_orderkey", "o_custkey",
+            decimal_round(loo, 4, grid=6).alias("loo_avg"),
+        )
+        .orderBy("o_orderkey")
+    )
