@@ -777,9 +777,9 @@ def oracle_sql() -> dict[str, str]:
         "q59_loo_avg": """
             select o_orderkey, o_custkey,
                    cast(round(cast(
-                     case when count(*) over w > 1 then
-                       (sum(o_totalprice) over w - o_totalprice)
-                       / (count(*) over w - 1) end
+                     case when (count(*) over w) > 1 then
+                       ((sum(o_totalprice) over w) - o_totalprice)
+                       / ((count(*) over w) - 1) end
                      as decimal(28,6)),4) as double) as loo_avg
             from orders where o_custkey % 100 = 0
             window w as (partition by o_custkey)

@@ -137,6 +137,59 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000,
     )
 
 
+AUDIO_FEATURE_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("n_samples", LongType(), True),
+    StructField("rms_energy", FloatType(), True),
+    StructField("zero_crossing_rate", FloatType(), True),
+    StructField("features", ArrayType(FloatType()), True),
+])
+
+
+def extract_audio_features(assets: DataFrame, feature_dim: int = 16) -> DataFrame:
+    """Audio feature extraction over opaque payloads via mapInPandas.
+
+    The byte→sample interpretation (int8 PCM here) is the codec seam —
+    a deployment swaps in a real decoder (ffmpeg/soundfile) and keeps
+    the frame math. Per-asset features: RMS energy, zero-crossing
+    rate, and a fixed-dim block-mean envelope — all numpy-vectorized
+    per payload, no Python inner loops. Pure map, zero shuffles.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def feats(payload):
+            if payload is None or len(payload) == 0:
+                return None, None, None, None
+            # CODEC SEAM: real decoders produce float PCM; the fake
+            # interprets raw bytes as int8 samples.
+            x = np.frombuffer(payload, dtype=np.int8).astype(np.float32)
+            n = x.size
+            rms = float(np.sqrt(np.mean(x * x)))
+            zcr = float(np.count_nonzero(np.diff(np.signbit(x))) / max(n - 1, 1))
+            # block-mean envelope at fixed dim (pad to a multiple)
+            pad = (-n) % feature_dim
+            env = np.pad(np.abs(x), (0, pad)).reshape(feature_dim, -1).mean(axis=1)
+            return n, rms, zcr, env.astype(np.float32).tolist()
+
+        for pdf in batches:
+            cols = [feats(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "n_samples": pd.array([c[0] for c in cols], dtype="Int64"),
+                "rms_energy": [c[1] for c in cols],
+                "zero_crossing_rate": [c[2] for c in cols],
+                "features": [c[3] for c in cols],
+            })
+
+    return (
+        assets.filter(F.col("modality") == "audio")
+        .select("asset_id", "payload")
+        .mapInPandas(extract, AUDIO_FEATURE_SCHEMA)
+    )
+
+
 def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plan: metadata math JVM-side; the pixel resample is the
     codec seam (payload passed through here)."""

@@ -172,6 +172,29 @@ def dedup_minhash(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def apply_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", **kwargs) -> DataFrame:
+    """End-to-end corpus dedup: near-dup clustering, then keep ONE
+    document per cluster (the min-id keeper) plus every unclustered
+    document — corpus in, cleaned corpus out, original schema.
+
+    Scale: the cluster map is one row per DUPLICATED document (≪ the
+    corpus for real data); the left join on the id key broadcasts when
+    the map is small and falls back to a keyed shuffle join past the
+    threshold — no hint, the planner decides.
+    """
+    clusters = dedup_minhash(docs, id_col, text_col, **kwargs)
+    return (
+        docs.join(
+            clusters.withColumnRenamed("id", id_col), id_col, "left"
+        )
+        .filter(
+            F.col("keep_id").isNull() | (F.col("keep_id") == F.col(id_col))
+        )
+        .drop("keep_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash + n-gram Jaccard
 # ---------------------------------------------------------------------------

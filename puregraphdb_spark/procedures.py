@@ -171,6 +171,25 @@ def _dedup_minhash(spark, docs: str = "documents", id_col: str = "doc_id",
     )
 
 
+def _apply_dedup(spark, docs: str = "documents", id_col: str = "doc_id",
+                 text_col: str = "text", num_hashes: int = 64,
+                 bands: int = 16, jaccard_threshold: float = 0.5) -> DataFrame:
+    from puregraphdb_spark.operators.similarity import apply_dedup
+
+    return apply_dedup(
+        _view(spark, docs), id_col=id_col, text_col=text_col,
+        num_hashes=int(num_hashes), bands=int(bands),
+        jaccard_threshold=float(jaccard_threshold),
+    )
+
+
+def _audio_features(spark, assets: str, feature_dim: int = 16) -> DataFrame:
+    from puregraphdb_spark.operators.multimodal import extract_audio_features
+
+    return extract_audio_features(_view(spark, assets),
+                                  feature_dim=int(feature_dim))
+
+
 def _embedding_near_dup(spark, corpus: str = "embeddings",
                         threshold: float = 0.95, dim: int = 64,
                         num_planes: int = 10, id_col: str = "vec_id",
@@ -220,6 +239,8 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "near_dup_pairs": _near_dup_pairs,
     "simhash_near_dup": _simhash_near_dup,
     "dedup_minhash": _dedup_minhash,
+    "apply_dedup": _apply_dedup,
+    "audio_features": _audio_features,
     "embedding_near_dup": _embedding_near_dup,
     "ann_topk": _ann_topk,
     "text_profile": _text_profile,

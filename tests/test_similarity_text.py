@@ -258,3 +258,17 @@ def test_profile_documents_runs_on_fixture(spark):
     assert row["n_tokens_ws"] > 0
     report = txt.corpus_quality_report(docs)
     assert report.count() > 0
+
+
+def test_apply_dedup_returns_cleaned_corpus(corpus):
+    """End-to-end dedup: one keeper per duplicate cluster, all
+    unclustered docs untouched, schema preserved."""
+    cleaned = sim.apply_dedup(corpus, jaccard_threshold=0.5)
+    assert cleaned.columns == corpus.columns
+    kept = {r["doc_id"] for r in cleaned.collect()}
+    # doc 2 is an exact duplicate of 1 -> only the min-id keeper stays
+    assert 1 in kept and 2 not in kept
+    # singletons survive
+    assert {4, 5, 6} <= kept
+    # cleaned corpus is a subset of the input with no new rows
+    assert kept <= {1, 2, 3, 4, 5, 6}

@@ -33,6 +33,7 @@ DUCKDB_ONLY = {
     "q53_array_hof",         # list_max/list_filter/len
     "sliding_window_counts",  # unnest(generate_series(time_bucket ...))
     "hypertable_rollup",     # time_bucket
+    "q58_bigrams",           # unnest/generate_subscripts positional join
 }
 
 ORACLES = entrymod.oracle_sql()

@@ -84,3 +84,17 @@ def test_resize_metadata(assets):
 def test_decode_raises_on_missing_payload():
     with pytest.raises(NotImplementedError):
         mm._decode_image_bytes(None)
+
+
+def test_extract_audio_features(assets):
+    out = mm.extract_audio_features(assets, feature_dim=8).collect()
+    # synthetic_assets makes every third asset audio
+    assert len(out) == sum(1 for r in assets.collect() if r["modality"] == "audio")
+    for r in out:
+        assert r["n_samples"] == 128  # 32-byte digest * 4
+        assert 0.0 <= r["zero_crossing_rate"] <= 1.0
+        assert r["rms_energy"] > 0
+        assert len(r["features"]) == 8
+    # determinism: same payloads -> same features on a re-run
+    again = mm.extract_audio_features(assets, feature_dim=8).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
