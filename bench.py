@@ -5,11 +5,15 @@ Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
 
 Methodology (steady-state, per SURVEY §6): one shared SparkSession,
 base tables persisted + materialized before timing, one untimed warmup
-pass (JIT/codegen/broadcast warm), then per-query best-of-2 timed runs
-materializing results via Arrow toPandas (comparable to the DuckDB
-baseline's fetch). Session startup (~7 s) is deliberately outside the
-timed region — it is fixed overhead amortized across a workload, not
-per-query cost.
+sweep (JIT/codegen/broadcast warm), then RUNS full TIMED SWEEPS over
+all queries with each query's best kept — the same execution count as
+consecutive best-of-RUNS, but the repeats of one query are minutes
+apart, so a transient host-contention burst (observed: co-tenant load
+spikes to loadavg 10+) must span the entire bench to corrupt a
+query's minimum. Results materialize via Arrow toPandas (comparable
+to the DuckDB baseline's fetch). Session startup (~7 s) is
+deliberately outside the timed region — fixed overhead amortized
+across a workload, not per-query cost.
 """
 
 from __future__ import annotations
@@ -47,15 +51,16 @@ def main() -> None:
 
     qs = {k: v for k, v in entrymod.queries().items() if k.startswith("q")}
 
+    for fn in qs.values():
+        fn(spark, SF_DIR).toPandas()  # warmup sweep (untimed)
     timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        fn(spark, SF_DIR).toPandas()  # warmup (untimed)
-        best = float("inf")
-        for _ in range(RUNS):
+    for _ in range(RUNS):
+        for name, fn in qs.items():
             t0 = time.perf_counter()
             fn(spark, SF_DIR).toPandas()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            dt = time.perf_counter() - t0
+            if dt < timings.get(name, float("inf")):
+                timings[name] = round(dt, 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
