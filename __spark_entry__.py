@@ -83,6 +83,25 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.strongly_connected_components().orderBy("component", "id")
 
 
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart) from the
+    smallest sampled source vertex (rows-only: iterative)."""
+    g = _order_graph(spark, sf_dir)
+    return (
+        g.personalized_pagerank(source=0, max_iter=5)
+        .select("id", F.round("pagerank", 6).alias("ppr"))
+        .filter(F.col("ppr") > 0)
+        .orderBy("id")
+    )
+
+
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted BFS distances to landmark vertices 0 and 1
+    (rows-only: iterative pregel loop)."""
+    g = _order_graph(spark, sf_dir)
+    return g.shortest_paths([0, 1]).orderBy("id", "landmark")
+
+
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-core of the order graph (rows-only: iterative peeling).
     Returns surviving vertices with their in-core degree; k=5 peels a
@@ -239,6 +258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_label_propagation": graph_label_propagation,
         "graph_scc": graph_scc,
         "graph_kcore": graph_kcore,
+        "graph_ppr": graph_ppr,
+        "graph_shortest_paths": graph_shortest_paths,
         "text_profile": text_profile,
         "text_quality_report": text_quality_report,
         "dedup_minhash_near": dedup_minhash_near,
