@@ -31,14 +31,21 @@ def read_parquet_stream(spark: SparkSession, path: str,
 
 def tumbling_window_stream(events: DataFrame, duration: str = "1 hour",
                            watermark: str = "2 hours") -> DataFrame:
-    """Streaming mirror of events.tumbling_window (q20 contract)."""
+    """Streaming mirror of events.tumbling_window (q20 contract).
+
+    Groups on the WINDOW STRUCT (not ``.start``) — extracting the
+    start inside the groupBy severs watermark propagation to the
+    aggregation, and append-mode (durable-sink) queries are then
+    rejected; the start is projected after the agg instead.
+    """
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", duration).start.alias("win"), "event_type")
+        .groupBy(F.window("ts", duration).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum("value"), 2).alias("sum_val"),
         )
+        .select(F.col("w.start").alias("win"), "event_type", "n", "sum_val")
     )
 
 
@@ -58,6 +65,27 @@ def session_window_stream(events: DataFrame, gap: str = "30 minutes",
             "n_events",
         )
     )
+
+
+def write_stream_parquet(stream_df: DataFrame, path: str,
+                         checkpoint: str, mode: str = "append",
+                         trigger_available_now: bool = False):
+    """Durable streaming sink: parquet files + checkpointed offsets —
+    the deployment shape (exactly-once via the checkpoint's WAL; the
+    output directory is the downstream batch engine's source). Append
+    mode requires a watermarked aggregation upstream (finalized windows
+    only); ``trigger_available_now`` drains-and-stops for backfills.
+    Returns the StreamingQuery handle.
+    """
+    w = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(mode)
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def run_available_now(stream_df: DataFrame, table_name: str) -> None:

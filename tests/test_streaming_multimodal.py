@@ -98,3 +98,23 @@ def test_extract_audio_features(assets):
     # determinism: same payloads -> same features on a re-run
     again = mm.extract_audio_features(assets, feature_dim=8).collect()
     assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+def test_streaming_parquet_sink_roundtrip(spark, tmp_path):
+    """Watermarked tumbling agg -> parquet sink (availableNow drain) ->
+    batch read-back: finalized windows only, durable layout."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.write.parquet(src)
+    stream = sw.read_parquet_stream(spark, src, ev.schema)
+    agg = sw.tumbling_window_stream(stream, "1 hour", watermark="0 seconds")
+    q = sw.write_stream_parquet(agg, out, ck, trigger_available_now=True)
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"win", "event_type", "n", "sum_val"}
+    # append mode emits only watermark-finalized windows; with a zero
+    # watermark every window except the open tail is final
+    batch = tumbling_window(ev).count()
+    assert 0 < got.count() <= batch
