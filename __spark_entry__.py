@@ -251,6 +251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_mode": extras.q57_mode,
         "q58_bigrams": extras.q58_bigrams,
         "q59_loo_avg": extras.q59_loo_avg,
+        "q60_having_scalar": extras.q60_having_scalar,
+        "q61_rank_ties": extras.q61_rank_ties,
         # rows-only (iterative or hash-based; driver records the weaker
         # rows-only check)
         "graph_pagerank": graph_pagerank,
@@ -805,6 +807,32 @@ def oracle_sql() -> dict[str, str]:
             from orders where o_custkey % 100 = 0
             window w as (partition by o_custkey)
             order by o_orderkey
+        """,
+        "q60_having_scalar": """
+            with pb as (
+              select p.p_brand,
+                     sum(cast(l.l_extendedprice*(1-l.l_discount)
+                         as decimal(28,4))) as brand_rev_d,
+                     count(*) as n
+              from lineitem l join part p on p.p_partkey = l.l_partkey
+              group by p.p_brand)
+            select p_brand,
+                   cast(round(brand_rev_d, 2) as double) as brand_rev, n
+            from pb
+            where brand_rev_d * (select count(*) from pb)
+                > (select sum(brand_rev_d) from pb)
+            order by p_brand
+        """,
+        "q61_rank_ties": """
+            select o_orderpriority, o_orderkey, o_orderdate,
+                   cast(rk as bigint) as rk
+            from (
+              select o_orderpriority, o_orderkey, o_orderdate,
+                     rank() over (partition by o_orderpriority
+                                  order by o_orderdate desc) as rk
+              from orders where o_orderkey % 200 = 0) t
+            where rk <= 3
+            order by o_orderpriority, rk, o_orderkey
         """,
         "hypertable_rollup": """
             with ev as (select ts, event_type, value from events)

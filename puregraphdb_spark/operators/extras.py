@@ -788,3 +788,60 @@ def q59_loo_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+def q60_having_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brands with above-average brand revenue (TPC-H Q11 shape:
+    scalar subquery inside HAVING). Decorrelated form: the per-brand
+    aggregate is computed ONCE, its 1-row average broadcast-cross-
+    joined back onto itself — the oracle keeps the nested-subquery
+    spelling. Sums are exact decimal; the threshold comparison is the
+    identical double division on both engines (margins are
+    macroscopic, not boundary-dependent).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,4)"
+    )
+    per_brand = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(rev).alias("brand_rev_d"), F.count("*").alias("n"))
+    )
+    # division-free above-average test: brand_rev · n_brands > total,
+    # ALL in exact decimal/integer arithmetic — no double ever enters
+    # the comparison, so no summation-order ulp can flip a brand that
+    # sits exactly on the mean.
+    threshold = per_brand.agg(
+        F.sum("brand_rev_d").alias("total_d"),
+        F.count("*").alias("n_brands"),
+    )
+    return (
+        per_brand.join(F.broadcast(threshold))
+        .filter(F.col("brand_rev_d") * F.col("n_brands") > F.col("total_d"))
+        .select(
+            "p_brand",
+            F.round(F.col("brand_rev_d"), 2).cast("double").alias("brand_rev"),
+            "n",
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q61_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most recent order DATES per priority with ties kept —
+    rank() (gap semantics), not row_number: every order sharing a
+    top-3 date qualifies, so the result needs no artificial tiebreak
+    to be deterministic. One window shuffle over the sampled stream.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 200 == 0
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_orderdate"))
+    return (
+        o.withColumn("rk", F.rank().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_orderdate", "rk")
+        .orderBy("o_orderpriority", "rk", "o_orderkey")
+    )
