@@ -209,3 +209,22 @@ def test_tune_for_data_size_small_input(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", before_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", before_sp)
+
+
+def test_cli_door_runs_sql_and_call(spark, capsys):
+    """CLI main(): SQL and CALL statements over a data dir, CSV out.
+    Runs in-process against the shared session (getOrCreate reuses it)."""
+    from puregraphdb_spark.__main__ import main
+
+    rc = main([
+        "--data-dir", SF_DIR,
+        "--sql", "select count(*) as n from region",
+        "--sql", "select r_regionkey from region order by r_regionkey",
+        "--limit", "3",
+    ])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l]
+    assert lines[0] == "n"
+    assert lines[1] == "5"
+    assert lines[2] == "r_regionkey"
+    assert lines[3:6] == ["0", "1", "2"]
