@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_loo_avg": extras.q59_loo_avg,
         "q60_having_scalar": extras.q60_having_scalar,
         "q61_rank_ties": extras.q61_rank_ties,
+        "q62_json_typed": extras.q62_json_typed,
         # rows-only (iterative or hash-based; driver records the weaker
         # rows-only check)
         "graph_pagerank": graph_pagerank,
@@ -833,6 +834,14 @@ def oracle_sql() -> dict[str, str]:
               from orders where o_orderkey % 200 = 0) t
             where rk <= 3
             order by o_orderpriority, rk, o_orderkey
+        """,
+        "q62_json_typed": """
+            select event_type,
+                   cast(sum(cast(json_extract_string(props,'$.k') as int))
+                     as bigint) as sum_k,
+                   count(case when cast(json_extract_string(props,'$.k')
+                         as int) > 50 then 1 end) as n_high
+            from events group by event_type order by event_type
         """,
         "hypertable_rollup": """
             with ev as (select ts, event_type, value from events)

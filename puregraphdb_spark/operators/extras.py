@@ -845,3 +845,23 @@ def q61_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", "o_orderkey", "o_orderdate", "rk")
         .orderBy("o_orderpriority", "rk", "o_orderkey")
     )
+
+
+def q62_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema'd JSON parsing: from_json with an explicit schema, then
+    aggregation over the typed field — the 100-TB path for
+    semi-structured columns (ONE parse per row into Tungsten struct;
+    per-field get_json_object re-parses the string per extraction,
+    q22's shape). Sum + conditional count per event type, one shuffle.
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("k") > 50, F.lit(1))).alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
