@@ -111,3 +111,31 @@ def test_no_forced_broadcast_of_scale_growing_inputs(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thr)
         registry._SIZES.clear()
         registry._SIZES.update(saved_sizes)
+
+
+def test_q17_small_path_single_agg_pass(spark):
+    """Under the gate, q17 is ONE collect-and-sort aggregation: at most
+    the load repartition + one agg exchange + the result sort. A
+    rewrite that silently reintroduces a second pass fails here."""
+    df = Q["q17_percentile"](spark, SF_DIR)
+    assert count_exchanges(df) <= 3
+
+
+def test_q25_small_path_broadcasts_gated_sets(spark):
+    """Under the gate, the measured-small per-supplier set side is
+    broadcast (no shuffle join of the aggregate), and the whole plan
+    stays within the documented exchange budget."""
+    df = Q["q25_graph_2hop"](spark, SF_DIR)
+    assert broadcast_join_count(df) >= 1
+    assert count_exchanges(df) <= 6
+
+
+def test_q60_reuses_the_per_brand_aggregate(spark):
+    """The threshold side must reuse the per-brand aggregate's exchange
+    (one fact scan), not recompute the join from scratch. AQE applies
+    exchange reuse during execution, so assert on the EXECUTED plan —
+    the static plan legitimately shows the duplicated subtree."""
+    df = Q["q60_having_scalar"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
