@@ -93,7 +93,9 @@ def exact_percentile_cont(vals: DataFrame, group_col: str, val_col: str,
                 # one array literal, not GRID py4j round-trips of F.lit
                 val_col, F.lit(targets), F.lit(accuracy)
             ).alias("bnd"),
-            F.count("*").alias("n_g"),
+            # count the VALUES, not the rows: percentile_cont ignores
+            # NULLs, so the rank arithmetic must too.
+            F.count(val_col).alias("n_g"),
         )
         .select(
             F.col(g).alias("b_g"),
@@ -210,7 +212,9 @@ def exact_percentile_cont(vals: DataFrame, group_col: str, val_col: str,
         # frac·Δ term is 0); try_element_at: Spark 4 element_at RAISES
         # on out-of-bounds (ANSI) instead of returning null.
         vhi = F.coalesce(F.try_element_at(F.col(f"band{i}"), idx + 2), vlo)
-        return vlo + frac * (vhi - vlo)
+        # all-NULL group (n = 0): percentile of no values is NULL —
+        # guarded, because the element_at index would be 0 (invalid).
+        return F.when(F.col("n") > 0, vlo + frac * (vhi - vlo))
 
     return agg.select(
         g, *[interp(i).alias(f"p_{i}") for i in range(len(ps))]
@@ -243,7 +247,9 @@ def collect_exact_percentile_cont(vals: DataFrame, group_col: str,
         vhi = F.coalesce(
             F.try_element_at(F.col("band"), lo.cast("int") + 2), vlo
         )
-        return vlo + frac * (vhi - vlo)
+        # all-NULL group (n = 0) → NULL, matching percentile_cont —
+        # unguarded, the element_at index would be 0 (invalid).
+        return F.when(F.col("n") > 0, vlo + frac * (vhi - vlo))
 
     return agg.select(
         group_col, *[interp(i).alias(f"p_{i}") for i in range(len(ps))]

@@ -123,3 +123,22 @@ def test_randomized_multiround_configs(spark):
                 assert got[gname][f"p_{i}"] == pytest.approx(
                     exp, rel=0, abs=1e-9
                 ), f"trial={trial} group={gname} p={p}"
+
+
+def test_nulls_ignored_and_all_null_group_yields_null(spark):
+    """percentile_cont ignores NULLs: the rank math must count VALUES,
+    and an all-NULL group returns NULL instead of crashing on an
+    element_at(0)."""
+    from puregraphdb_spark.operators.percentile import (
+        collect_exact_percentile_cont, exact_percentile_cont,
+    )
+
+    rows = [(1, None), (1, 10.0), (1, 20.0), (1, None), (2, None), (2, None)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    for fn in (
+        lambda: collect_exact_percentile_cont(df, "g", "v", [0.5]),
+        lambda: exact_percentile_cont(df, "g", "v", [0.5], accuracy=100),
+    ):
+        got = {r["g"]: r["p_0"] for r in fn().collect()}
+        assert got[1] == 15.0   # median of {10, 20}, NULLs ignored
+        assert got[2] is None   # all-NULL group
