@@ -677,12 +677,20 @@ def q23_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (a flatMap, no shuffle), so no second aggregation tree or
     union re-agg exists. Degrees cast to long (DuckDB sum → HUGEINT).
     """
+    from puregraphdb_spark.sources.registry import broadcast_if_small
+
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # no hint on orders (scale-growing): threshold-broadcast at fixture
-    # scale; orderkey-co-partitioned shuffle join at 100 TB.
+    # MEASURED-size broadcast gate on orders (scale-growing, so never a
+    # bare hint): under the gate the edge build is map-side over
+    # lineitem's load partitioning; past it, an orderkey-co-partitioned
+    # shuffle join. The load-time repartition (orders on o_custkey)
+    # otherwise hides the parquet size estimate from the static planner,
+    # which is why relying on autoBroadcastJoinThreshold alone regressed
+    # this query 2.4x in round 3.
     pairs = (
-        l.join(o, o.o_orderkey == l.l_orderkey)
+        l.join(broadcast_if_small(o, spark, sf_dir, "orders"),
+               o.o_orderkey == l.l_orderkey)
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
@@ -757,11 +765,16 @@ def q25_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor produce no row (the oracle's inner join semantics) — the
     small path filters its zero rows explicitly.
     """
-    from puregraphdb_spark.sources.registry import table_bytes
+    from puregraphdb_spark.sources.registry import broadcast_if_small, table_bytes
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    b = l.join(o, o.o_orderkey == l.l_orderkey).select(
+    # MEASURED-size gate on orders (same rationale as q23): under it the
+    # b-leg is map-side over lineitem's load partitioning in BOTH places
+    # it appears (set build + source derivation); past it, the planner
+    # picks the shuffle join with no hint.
+    b = l.join(broadcast_if_small(o, spark, sf_dir, "orders"),
+               o.o_orderkey == l.l_orderkey).select(
         F.col("o_custkey").alias("b_c"), F.col("l_suppkey").alias("b_s")
     )
     if table_bytes(spark, sf_dir, "lineitem") < (32 << 20):

@@ -34,6 +34,7 @@ DUCKDB_ONLY = {
     "sliding_window_counts",  # unnest(generate_series(time_bucket ...))
     "hypertable_rollup",     # time_bucket
     "q58_bigrams",           # unnest/generate_subscripts positional join
+    "q62_json_typed",        # json_extract_string
 }
 
 ORACLES = entrymod.oracle_sql()
