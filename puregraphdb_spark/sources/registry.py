@@ -93,6 +93,16 @@ def load_table(spark: SparkSession, data_dir: str, name: str) -> DataFrame:
         # nanos would lose sub-µs bits and could truncate a boundary µs.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
+    # Fixtures written with isAdjustedToUTC=false read as TIMESTAMP_NTZ;
+    # normalize to TimestampType under the pinned-UTC session so every
+    # operator sees one timestamp type (unix_micros & friends reject NTZ)
+    # and event-time semantics stay wall-clock UTC — exactly how DuckDB
+    # reads the same files. The cast interprets the NTZ wall clock in
+    # the session zone (UTC), so it is value-preserving.
+    ntz = [c for c, d in df.dtypes if d == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+
     if name in _PARTITION_KEYS:
         # The repartition IS a shuffle, so its width honors the session's
         # shuffle fan-out (latency mode pins it low for sub-GB inputs;
