@@ -51,13 +51,21 @@ def main() -> None:
 
     qs = {k: v for k, v in entrymod.queries().items() if k.startswith("q")}
 
-    # Build each query's DataFrame ONCE and time repeated EXECUTIONS of
-    # it. Spark caches the QueryExecution (analysis + optimization +
-    # physical planning) on the Dataset object, so this measures what a
-    # steady-state engine pays per run of a prepared statement — the
-    # DuckDB baseline's prepared-relation re-execution is the same shape.
-    # Plan construction cost is paid once in the build loop below (and
-    # still exercised by the untimed warmup + every pytest/oracle run).
+    # Build each query's DataFrame ONCE (prepared-statement model: the
+    # Python-side plan construction is a one-time cost, like DuckDB's
+    # sub-ms parse+plan), then time FULL RE-EXECUTIONS. Timing the same
+    # Dataset object directly would be wrong in the other direction:
+    # ShuffleExchangeExec caches its shuffled RDD per plan instance, so
+    # repeat actions skip every pre-shuffle stage and measure only the
+    # result fetch (measured: core-30 "total" 0.86 s that way — not an
+    # execution time). `where(lit(True))` forces a fresh QueryExecution
+    # with NEW exchange instances each run — every stage genuinely
+    # re-executes (verified per-query against cold rebuilds; the filter
+    # itself folds away in optimization) — while the prepared plan and
+    # the persisted base tables stay warm, matching the DuckDB
+    # baseline's warm-page-cache full re-execution methodology.
+    from pyspark.sql import functions as F
+
     dfs = {name: fn(spark, SF_DIR) for name, fn in qs.items()}
     for df in dfs.values():
         df.toPandas()  # warmup sweep (untimed)
@@ -65,7 +73,7 @@ def main() -> None:
     for _ in range(RUNS):
         for name, df in dfs.items():
             t0 = time.perf_counter()
-            df.toPandas()
+            df.where(F.lit(True)).toPandas()
             dt = time.perf_counter() - t0
             if dt < timings.get(name, float("inf")):
                 timings[name] = round(dt, 4)

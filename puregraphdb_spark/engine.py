@@ -37,6 +37,12 @@ _DEFAULT_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     # Arrow for any toPandas()/pandas_udf boundary (tests, extensions).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Codegen class cache: the default 100 entries thrash on a 60+-query
+    # workload (each plan holds 4–8 generated classes), forcing Janino
+    # recompilation (~20–100 ms per stage) on every re-execution. Sized
+    # for the whole declared surface; classes are small, the JVM code
+    # cache is the real bound.
+    "spark.sql.codegen.cache.maxEntries": "5000",
     # Session timezone pinned to UTC so event-time bucket starts are
     # engine-independent (DuckDB treats parquet timestamps as wall-clock).
     "spark.sql.session.timeZone": "UTC",

@@ -12,17 +12,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from puregraphdb_spark.functions.numeric import decimal_round, decimal_sum_round
-from puregraphdb_spark.sources.registry import load_table
+from puregraphdb_spark.sources.registry import final_sort, load_table
 
 
-def tumbling_window(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+def tumbling_window(events: DataFrame, duration: str = "1 hour",
+                    ordered: bool = True) -> DataFrame:
     """Epoch-aligned tumbling event-time buckets × event_type.
 
     F.window's bucket starts are epoch-aligned, matching DuckDB
     time_bucket semantics for whole-hour intervals.
     Scale: 1 shuffle on (win, event_type); partial agg first.
+    ``ordered=False`` skips the final sort for callers that apply their
+    own (the oracled wrapper uses the size-gated ``final_sort``).
     """
-    return (
+    res = (
         events.groupBy(
             F.window("ts", duration).start.alias("win"),
             "event_type",
@@ -33,8 +36,8 @@ def tumbling_window(events: DataFrame, duration: str = "1 hour") -> DataFrame:
             # rounding identical to the oracle (functions.numeric).
             decimal_sum_round(F.col("value"), 2, grid=3).alias("sum_val"),
         )
-        .orderBy("win", "event_type")
     )
+    return res.orderBy("win", "event_type") if ordered else res
 
 
 _GAP_UNITS = {
@@ -52,7 +55,8 @@ def _gap_seconds(gap: str) -> int:
         raise ValueError(f"unsupported gap interval: {gap!r}") from None
 
 
-def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+def sessionize(events: DataFrame, gap: str = "30 minutes",
+               ordered: bool = True) -> DataFrame:
     """Gaps-and-islands sessionization: a new session starts when the
     gap to the previous event of the same user exceeds ``gap``.
 
@@ -76,7 +80,7 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > F.lit(gap_us)),
         1,
     ).otherwise(0)
-    return (
+    res = (
         events.select("user_id", "ts", new_s.alias("new_s"))
         .select(
             "user_id",
@@ -85,29 +89,35 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         )
         .groupBy("user_id", "sid")
         .agg(F.count("*").alias("n_events"))
-        .orderBy("user_id", "sid")
     )
+    return res.orderBy("user_id", "sid") if ordered else res
 
 
 def q20_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tumbling_window(load_table(spark, sf_dir, "events"))
+    return final_sort(
+        tumbling_window(load_table(spark, sf_dir, "events"), ordered=False),
+        spark, sf_dir, "events", "win", "event_type",
+    )
 
 
 def q21_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sessionize(load_table(spark, sf_dir, "events"))
+    return final_sort(
+        sessionize(load_table(spark, sf_dir, "events"), ordered=False),
+        spark, sf_dir, "events", "user_id", "sid",
+    )
 
 
 def q22_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average of JSON field $.k per event_type — semi-structured props
     parsed on use (get_json_object stays JVM-side/codegen)."""
     e = load_table(spark, sf_dir, "events")
-    return (
+    return final_sort(
         e.groupBy("event_type")
         .agg(
             decimal_round(
                 F.avg(F.get_json_object("props", "$.k").cast("double")),
                 4, grid=8,
             ).alias("avg_k")
-        )
-        .orderBy("event_type")
+        ),
+        spark, sf_dir, "events", "event_type",
     )

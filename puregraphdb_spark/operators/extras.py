@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 
 from puregraphdb_spark.functions.numeric import decimal_round
 from puregraphdb_spark.operators.asof import as_of_join
-from puregraphdb_spark.sources.registry import broadcast_if_small, load_table
+from puregraphdb_spark.sources.registry import (
+    broadcast_if_small, final_sort, load_table,
+)
 
 
 def q31_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -33,14 +35,14 @@ def q31_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
         right_cols=["ts", "value"], prefix="click_",
     )
-    return (
+    return final_sort(
         joined.filter(F.col("click_ts").isNotNull())
         .select(
             "event_id", "user_id", "ts",
             F.col("click_ts"),
             F.round("click_value", 2).alias("click_val"),
-        )
-        .orderBy("event_id")
+        ),
+        spark, sf_dir, "events", "event_id",
     )
 
 
@@ -60,14 +62,14 @@ def q32_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s_nationkey").alias("nk_s"))
         .agg(F.count("*").alias("n_supp"))
     )
-    return (
+    return final_sort(
         c.join(s, c.nk_c == s.nk_s, "full_outer")
         .select(
             F.coalesce("nk_c", "nk_s").alias("nationkey"),
             F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
             F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
-        )
-        .orderBy("nationkey")
+        ),
+        spark, sf_dir, "customer", "nationkey",
     )
 
 
@@ -75,7 +77,7 @@ def q33_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): all four grouping sets in
     one Expand + single shuffle."""
     l = load_table(spark, sf_dir, "lineitem")
-    return (
+    return final_sort(
         l.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n"),
@@ -86,8 +88,8 @@ def q33_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
             "n",
             "sum_price",
-        )
-        .orderBy("rf", "ls")
+        ),
+        spark, sf_dir, "lineitem", "rf", "ls",
     )
 
 
@@ -99,7 +101,7 @@ def q34_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("o_totalprice"), "o_orderkey"
     )
     wp = Window.partitionBy("o_custkey")
-    return (
+    return final_sort(
         o.filter(F.col("o_orderkey") % 10 == 0)
         .select(
             "o_custkey",
@@ -114,8 +116,8 @@ def q34_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("o_totalprice") - F.avg("o_totalprice").over(wp),
                 2, grid=6,
             ).alias("dev"),
-        )
-        .orderBy("o_custkey", "o_orderkey")
+        ),
+        spark, sf_dir, "orders", "o_custkey", "o_orderkey",
     )
 
 
@@ -126,7 +128,7 @@ def q35_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 500 == 3)
     # no hint on customer (scale-growing): the 64 MB threshold decides
     # from file size — broadcast at fixture scale, shuffle join at 100 TB.
-    return (
+    return final_sort(
         o.join(c, o.o_custkey == c.c_custkey)
         .select(
             "o_orderkey",
@@ -134,8 +136,8 @@ def q35_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.reverse(F.substring("c_name", 1, 6)).alias("rev6"),
             F.split_part("c_name", F.lit("#"), F.lit(2)).alias("cust_num"),
             F.date_trunc("month", "o_orderdate").alias("order_month"),
-        )
-        .orderBy("o_orderkey")
+        ),
+        spark, sf_dir, "orders", "o_orderkey",
     )
 
 
@@ -149,13 +151,13 @@ def q36_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE WHEN conditional aggregation.
     """
     l = load_table(spark, sf_dir, "lineitem")
-    return (
+    return final_sort(
         l.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
         .agg(F.round(F.sum("l_quantity"), 2))
         .withColumnRenamed("F", "qty_f")
-        .withColumnRenamed("O", "qty_o")
-        .orderBy("l_returnflag")
+        .withColumnRenamed("O", "qty_o"),
+        spark, sf_dir, "lineitem", "l_returnflag",
     )
 
 
@@ -166,7 +168,7 @@ def q37_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     under Java regex and RE2). Pure map + 1 shuffle on the group key.
     """
     c = load_table(spark, sf_dir, "customer")
-    return (
+    return final_sort(
         c.groupBy("c_mktsegment")
         .agg(
             F.count(
@@ -178,8 +180,8 @@ def q37_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(
                 F.regexp_replace("c_name", "[0-9]+", "#")
             ).alias("min_masked"),
-        )
-        .orderBy("c_mktsegment")
+        ),
+        spark, sf_dir, "customer", "c_mktsegment",
     )
 
 
@@ -190,7 +192,7 @@ def q38_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's definition exactly (unit-cost insert/delete/substitute).
     """
     p = load_table(spark, sf_dir, "part")
-    return (
+    return final_sort(
         p.groupBy("p_type")
         .agg(
             F.min(F.levenshtein("p_name", F.lit("red widget"))).cast("long").alias("min_dist"),
@@ -198,8 +200,8 @@ def q38_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg(F.levenshtein(F.substring("p_name", 1, 5), F.lit("small"))), 4
             ).alias("avg_prefix_dist"),
             F.count("*").alias("n"),
-        )
-        .orderBy("p_type")
+        ),
+        spark, sf_dir, "part", "p_type",
     )
 
 
@@ -214,7 +216,7 @@ def q39_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    return (
+    return final_sort(
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
@@ -222,8 +224,8 @@ def q39_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sort_array(F.collect_list("s_name")), ","
             ).alias("suppliers"),
             F.count("*").alias("n_supp"),
-        )
-        .orderBy("nation")
+        ),
+        spark, sf_dir, "supplier", "nation",
     )
 
 
@@ -258,7 +260,8 @@ def q40_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n", "sum_qty",
         )
     )
-    return by_rf.unionByName(by_ls).orderBy("rf", "ls")
+    return final_sort(by_rf.unionByName(by_ls),
+                      spark, sf_dir, "lineitem", "rf", "ls")
 
 
 # -- rows-only extras --------------------------------------------------------
@@ -287,13 +290,13 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces each event's window starts with generate_series over
     time_bucket-aligned timestamps."""
     ev = load_table(spark, sf_dir, "events")
-    return (
+    return final_sort(
         ev.groupBy(
             F.window("ts", "1 hour", "15 minutes").start.alias("win"),
             "event_type",
         )
-        .agg(F.count("*").alias("n"))
-        .orderBy("win", "event_type")
+        .agg(F.count("*").alias("n")),
+        spark, sf_dir, "events", "win", "event_type",
     )
 
 
@@ -318,7 +321,7 @@ def q41_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
     )
     per_part = broadcast_if_small(per_part, spark, sf_dir, "part")
-    return (
+    return final_sort(
         l.join(per_part, l.l_partkey == per_part.ap_partkey)
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .join(p, l.l_partkey == p.p_partkey)
@@ -332,8 +335,8 @@ def q41_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 2, grid=6,
             ).alias("avg_yearly"),
             F.count("*").alias("n"),
-        )
-        .orderBy("p_brand")
+        ),
+        spark, sf_dir, "lineitem", "p_brand",
     )
 
 
@@ -346,12 +349,12 @@ def q42_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     jumbo = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
-    return (
+    return final_sort(
         c.filter(F.col("c_acctbal") > 1000)
         .join(jumbo, c.c_custkey == jumbo.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_cust"))
-        .orderBy("c_mktsegment")
+        .agg(F.count("*").alias("n_cust")),
+        spark, sf_dir, "orders", "c_mktsegment",
     )
 
 
@@ -374,7 +377,7 @@ def q43_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("global_avg")
     )
-    return (
+    return final_sort(
         o.join(F.broadcast(threshold))
         .filter(F.col("o_totalprice") > F.col("global_avg"))
         .groupBy("o_orderpriority")
@@ -385,8 +388,8 @@ def q43_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double") / F.count("*"),
                 2, grid=6,
             ).alias("avg_price"),
-        )
-        .orderBy("o_orderpriority")
+        ),
+        spark, sf_dir, "orders", "o_orderpriority",
     )
 
 
@@ -404,15 +407,15 @@ def q44_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no hint on orders (scale-growing): the threshold broadcasts it at
     # fixture scale; at 100 TB this becomes the orderkey-co-partitioned
     # shuffle join (both sides load-partitioned on the key).
-    return (
+    return final_sort(
         l.join(o, l.l_orderkey == o.o_orderkey)
         .filter(
             F.col("l_shipdate").cast("timestamp")
             <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         )
         .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_lines"))
-        .orderBy("o_orderpriority")
+        .agg(F.count("*").alias("n_lines")),
+        spark, sf_dir, "lineitem", "o_orderpriority",
     )
 
 
@@ -423,7 +426,7 @@ def q45_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra passes over the input.
     """
     l = load_table(spark, sf_dir, "lineitem")
-    return (
+    return final_sort(
         l.groupBy("l_returnflag")
         .agg(
             F.countDistinct(
@@ -431,8 +434,8 @@ def q45_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("big_parts"),
             F.countDistinct("l_suppkey").alias("n_supp"),
             F.count("*").alias("n"),
-        )
-        .orderBy("l_returnflag")
+        ),
+        spark, sf_dir, "lineitem", "l_returnflag",
     )
 
 
@@ -451,13 +454,13 @@ def q46_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_totalprice")
         .rangeBetween(-50000, Window.currentRow)
     )
-    return (
+    return final_sort(
         o.select(
             "o_custkey", "o_orderkey",
             decimal_round(F.sum("o_totalprice").over(w), 2, grid=2)
             .alias("nearby_sum"),
-        )
-        .orderBy("o_custkey", "o_orderkey")
+        ),
+        spark, sf_dir, "orders", "o_custkey", "o_orderkey",
     )
 
 
@@ -473,7 +476,7 @@ def q47_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p_size").cast("double").alias("min_size"),
         F.max("p_size").cast("double").alias("max_size"),
     )
-    return (
+    return final_sort(
         wide.unpivot(
             ids=["p_brand"],
             values=["avg_price", "min_size", "max_size"],
@@ -483,8 +486,8 @@ def q47_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_brand", "metric",
             decimal_round(F.col("raw_val"), 4, grid=6).alias("val"),
-        )
-        .orderBy("p_brand", "metric")
+        ),
+        spark, sf_dir, "part", "p_brand", "metric",
     )
 
 
@@ -503,13 +506,13 @@ def q48_trailing_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-3, -1)
     )
-    return (
+    return final_sort(
         ev.select(
             "event_id", "user_id",
             decimal_round(F.avg("value").over(w), 4, grid=6)
             .alias("past_avg"),
-        )
-        .orderBy("user_id", "event_id")
+        ),
+        spark, sf_dir, "events", "user_id", "event_id",
     )
 
 
@@ -571,10 +574,10 @@ def q50_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d")
         )
     )
-    return (
+    return final_sort(
         calendar.join(daily, "d", "left")
-        .select("d", F.coalesce("cnt", F.lit(0)).cast("long").alias("n"))
-        .orderBy("d")
+        .select("d", F.coalesce("cnt", F.lit(0)).cast("long").alias("n")),
+        spark, sf_dir, "events", "d",
     )
 
 
@@ -587,7 +590,7 @@ def q51_stat_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     magnitude below the grid step.
     """
     l = load_table(spark, sf_dir, "lineitem")
-    return (
+    return final_sort(
         l.groupBy("l_returnflag")
         .agg(
             decimal_round(
@@ -598,8 +601,8 @@ def q51_stat_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             decimal_round(
                 F.covar_samp("l_quantity", "l_discount"), 6, grid=8
             ).alias("qty_disc_cov"),
-        )
-        .orderBy("l_returnflag")
+        ),
+        spark, sf_dir, "lineitem", "l_returnflag",
     )
 
 
@@ -614,7 +617,7 @@ def q52_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = o.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
-    return (
+    return final_sort(
         o.join(F.broadcast(bounds))
         .select(
             F.least(
@@ -631,8 +634,8 @@ def q52_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             decimal_round(F.min("o_totalprice"), 2, grid=2)
             .alias("bucket_min"),
-        )
-        .orderBy("bucket")
+        ),
+        spark, sf_dir, "orders", "bucket",
     )
 
 
@@ -644,7 +647,7 @@ def q53_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     for vector columns).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    return (
+    return final_sort(
         e.groupBy("label")
         .agg(
             F.count("*").alias("n"),
@@ -654,8 +657,8 @@ def q53_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg(F.size(F.filter("embedding", lambda x: x > 0))),
                 4, grid=6,
             ).alias("avg_n_pos"),
-        )
-        .orderBy("label")
+        ),
+        spark, sf_dir, "embeddings", "label",
     )
 
 
@@ -671,11 +674,11 @@ def q54_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(
         F.desc("ts"), F.desc("event_id")
     )
-    return (
+    return final_sort(
         e.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "ts", "event_type")
-        .orderBy("user_id")
+        .select("user_id", "event_id", "ts", "event_type"),
+        spark, sf_dir, "events", "user_id",
     )
 
 
@@ -689,13 +692,13 @@ def q55_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey") % 20 == 0
     )
     w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
-    return (
+    return final_sort(
         p.select(
             "p_partkey", "p_brand",
             decimal_round(F.percent_rank().over(w), 6, grid=8).alias("pr"),
             decimal_round(F.cume_dist().over(w), 6, grid=8).alias("cd"),
-        )
-        .orderBy("p_partkey")
+        ),
+        spark, sf_dir, "part", "p_partkey",
     )
 
 
@@ -711,11 +714,11 @@ def q56_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_discount") * F.col("l_quantity")).cast("decimal(28,6)")
     ).cast("double")
     den = F.sum(F.col("l_quantity").cast("decimal(28,2)")).cast("double")
-    return (
+    return final_sort(
         l.groupBy("l_returnflag")
         .agg(decimal_round(num / den, 6, grid=8).alias("wavg_disc"),
-             F.count("*").alias("n"))
-        .orderBy("l_returnflag")
+             F.count("*").alias("n")),
+        spark, sf_dir, "lineitem", "l_returnflag",
     )
 
 
@@ -734,12 +737,12 @@ def q57_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_orderstatus").orderBy(
         F.desc("n"), "o_orderpriority"
     )
-    return (
+    return final_sort(
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("o_orderstatus",
-                F.col("o_orderpriority").alias("top_priority"), "n")
-        .orderBy("o_orderstatus")
+                F.col("o_orderpriority").alias("top_priority"), "n"),
+        spark, sf_dir, "orders", "o_orderstatus",
     )
 
 
@@ -781,12 +784,12 @@ def q59_loo_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("o_totalprice").over(w) - F.col("o_totalprice"))
         / (F.count("*").over(w) - 1),
     )
-    return (
+    return final_sort(
         o.select(
             "o_orderkey", "o_custkey",
             decimal_round(loo, 4, grid=6).alias("loo_avg"),
-        )
-        .orderBy("o_orderkey")
+        ),
+        spark, sf_dir, "orders", "o_orderkey",
     )
 
 
@@ -817,15 +820,15 @@ def q60_having_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("brand_rev_d").alias("total_d"),
         F.count("*").alias("n_brands"),
     )
-    return (
+    return final_sort(
         per_brand.join(F.broadcast(threshold))
         .filter(F.col("brand_rev_d") * F.col("n_brands") > F.col("total_d"))
         .select(
             "p_brand",
             F.round(F.col("brand_rev_d"), 2).cast("double").alias("brand_rev"),
             "n",
-        )
-        .orderBy("p_brand")
+        ),
+        spark, sf_dir, "lineitem", "p_brand",
     )
 
 
@@ -839,11 +842,11 @@ def q61_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey") % 200 == 0
     )
     w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_orderdate"))
-    return (
+    return final_sort(
         o.withColumn("rk", F.rank().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
-        .select("o_orderpriority", "o_orderkey", "o_orderdate", "rk")
-        .orderBy("o_orderpriority", "rk", "o_orderkey")
+        .select("o_orderpriority", "o_orderkey", "o_orderdate", "rk"),
+        spark, sf_dir, "orders", "o_orderpriority", "rk", "o_orderkey",
     )
 
 
@@ -856,12 +859,14 @@ def q62_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     k = F.from_json("props", "k INT").getField("k")
-    return (
+    return final_sort(
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")
         .agg(
             F.sum("k").alias("sum_k"),
             F.count(F.when(F.col("k") > 50, F.lit(1))).alias("n_high"),
-        )
-        .orderBy("event_type")
+        ),
+        spark, sf_dir, "events", "event_type",
     )
+
+

@@ -677,7 +677,9 @@ def q23_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (a flatMap, no shuffle), so no second aggregation tree or
     union re-agg exists. Degrees cast to long (DuckDB sum → HUGEINT).
     """
-    from puregraphdb_spark.sources.registry import broadcast_if_small
+    from puregraphdb_spark.sources.registry import (
+        broadcast_if_small, final_sort,
+    )
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -695,7 +697,7 @@ def q23_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     one, zero = F.lit(1).cast("long"), F.lit(0).cast("long")
-    return (
+    return final_sort(
         pairs.select(
             F.explode(
                 F.array(
@@ -715,8 +717,8 @@ def q23_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("outd").alias("out_degree"),
             F.sum("ind").alias("in_degree"),
-        )
-        .orderBy("v")
+        ),
+        spark, sf_dir, "lineitem", "v",
     )
 
 
@@ -765,7 +767,9 @@ def q25_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor produce no row (the oracle's inner join semantics) — the
     small path filters its zero rows explicitly.
     """
-    from puregraphdb_spark.sources.registry import broadcast_if_small, table_bytes
+    from puregraphdb_spark.sources.registry import (
+        broadcast_if_small, final_sort, table_bytes,
+    )
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -801,7 +805,7 @@ def q25_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the source appears in its own suppliers' customer sets; the
         # oracle's a.c<>b.c excludes it — and a source whose suppliers
         # serve nobody else yields no row (inner-join semantics).
-        return (
+        return final_sort(
             merged.select(
                 "src",
                 (
@@ -811,8 +815,8 @@ def q25_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).otherwise(0)
                 ).cast("long").alias("n_2hop"),
             )
-            .filter(F.col("n_2hop") > 0)
-            .orderBy("src")
+            .filter(F.col("n_2hop") > 0),
+            spark, sf_dir, "lineitem", "src",
         )
     a = (
         b.filter(F.col("b_c") % 50 == 0)

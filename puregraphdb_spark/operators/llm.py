@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from puregraphdb_spark.functions.numeric import decimal_round
 from puregraphdb_spark.functions.vector import cosine_from_norms, l2_norm
-from puregraphdb_spark.sources.registry import load_table
+from puregraphdb_spark.sources.registry import final_sort, load_table
 
 
 def q26_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,14 +39,14 @@ def q26_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup path.
     """
     d = load_table(spark, sf_dir, "documents")
-    return (
+    return final_sort(
         d.groupBy("lang", "n_chars")
         .agg(
             F.min("doc_id").alias("keep_id"),
             F.count("*").alias("n_dupes"),
         )
-        .filter(F.col("n_dupes") > 1)
-        .orderBy("lang", "n_chars")
+        .filter(F.col("n_dupes") > 1),
+        spark, sf_dir, "documents", "lang", "n_chars",
     )
 
 
@@ -76,7 +76,7 @@ def q28_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's len(string_split(..)) including empties. 1 shuffle on lang.
     """
     d = load_table(spark, sf_dir, "documents")
-    return (
+    return final_sort(
         d.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
@@ -84,8 +84,8 @@ def q28_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             decimal_round(
                 F.avg(F.size(F.split("text", " "))), 2, grid=6
             ).alias("avg_tokens"),
-        )
-        .orderBy("lang")
+        ),
+        spark, sf_dir, "documents", "lang",
     )
 
 
@@ -154,8 +154,8 @@ def q30_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
     )
-    return (
+    return final_sort(
         sims.groupBy("src", "src_label", "nbr_label")
-        .agg(F.count("*").alias("votes"))
-        .orderBy("src", F.desc("votes"), "nbr_label")
+        .agg(F.count("*").alias("votes")),
+        spark, sf_dir, "embeddings", "src", F.desc("votes"), "nbr_label",
     )

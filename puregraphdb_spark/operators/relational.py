@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 from puregraphdb_spark.functions.numeric import (
     decimal_round, decimal_sum_round, unscaled_sum_round,
 )
-from puregraphdb_spark.sources.registry import load_table, table_bytes
+from puregraphdb_spark.sources.registry import (
+    final_sort, load_table, table_bytes,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -78,7 +80,7 @@ def q02_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen covers scan→partial-agg.
     """
     l = _t(spark, sf_dir, "lineitem")
-    return (
+    return final_sort(
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -89,8 +91,8 @@ def q02_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice") * (1 - F.col("l_discount")),
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+        ),
+        spark, sf_dir, "lineitem", "l_returnflag", "l_linestatus",
     )
 
 
@@ -108,13 +110,13 @@ def q03_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     not oracled (SURVEY §2.2).
     """
     l = _t(spark, sf_dir, "lineitem")
-    return (
+    return final_sort(
         l.groupBy("l_returnflag")
         .agg(
             F.countDistinct("l_partkey").alias("n_parts"),
             F.countDistinct("l_suppkey").alias("n_supp"),
-        )
-        .orderBy("l_returnflag")
+        ),
+        spark, sf_dir, "lineitem", "l_returnflag",
     )
 
 
@@ -125,15 +127,15 @@ def q04_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny so exchange volume is the number of sets × groups.
     """
     l = _t(spark, sf_dir, "lineitem")
-    return (
+    return final_sort(
         l.rollup("l_returnflag", "l_linestatus")
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
             "sum_qty",
-        )
-        .orderBy("rf", "ls")
+        ),
+        spark, sf_dir, "lineitem", "rf", "ls",
     )
 
 
@@ -195,7 +197,7 @@ def q06_join_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_nationkey", "n_name")
     )
     cdim = broadcast_if_small(cdim, spark, sf_dir, "customer")
-    return (
+    return final_sort(
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(cdim, o.o_custkey == F.col("c_custkey"))
         .join(
@@ -207,8 +209,8 @@ def q06_join_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_money_sum(
             spark, sf_dir,
             F.col("l_extendedprice") * (1 - F.col("l_discount")),
-        ).alias("revenue"))
-        .orderBy(F.desc("revenue"), "nation")
+        ).alias("revenue")),
+        spark, sf_dir, "lineitem", F.desc("revenue"), "nation",
     )
 
 
@@ -221,10 +223,10 @@ def q07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return (
+    return final_sort(
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+        .select("c_custkey", "c_name"),
+        spark, sf_dir, "orders", "c_custkey",
     )
 
 
@@ -249,14 +251,14 @@ def q09_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return (
+    return final_sort(
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
             F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total"),
-        )
-        .orderBy("c_custkey")
+        ),
+        spark, sf_dir, "orders", "c_custkey",
     )
 
 
@@ -294,15 +296,15 @@ def q11_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
-    return (
+    return final_sort(
         o.select(
             "o_custkey",
             "o_orderkey",
             "o_totalprice",
             F.row_number().over(w).cast("long").alias("rn"),
         )
-        .filter(F.col("rn") <= 3)
-        .orderBy("o_custkey", "rn")
+        .filter(F.col("rn") <= 3),
+        spark, sf_dir, "orders", "o_custkey", "rn",
     )
 
 
@@ -314,24 +316,30 @@ def q12_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
-    ).orderBy("o_custkey", "o_orderkey")
+    return final_sort(
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        ),
+        spark, sf_dir, "orders", "o_custkey", "o_orderkey",
+    )
 
 
 def q13_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta vs previous order price (analytic lag window)."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(
-            F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2
-        ).alias("delta"),
-    ).orderBy("o_custkey", "o_orderkey")
+    return final_sort(
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(
+                F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2
+            ).alias("delta"),
+        ),
+        spark, sf_dir, "orders", "o_custkey", "o_orderkey",
+    )
 
 
 def q14_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,7 +350,8 @@ def q14_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     in_cust = n.join(c, n.n_nationkey == c.c_nationkey, "left_semi").select("n_nationkey")
     in_supp = n.join(s, n.n_nationkey == s.s_nationkey, "left_semi").select("n_nationkey")
-    return in_cust.intersect(in_supp).orderBy("n_nationkey")
+    return final_sort(in_cust.intersect(in_supp),
+                      spark, sf_dir, "customer", "n_nationkey")
 
 
 def q15_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,7 +367,8 @@ def q15_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_regionkey") == 0)
         .select(F.col("n_nationkey").alias("k"))
     )
-    return c.union(s).distinct().subtract(n0).orderBy("k")
+    return final_sort(c.union(s).distinct().subtract(n0),
+                      spark, sf_dir, "customer", "k")
 
 
 def q16_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,7 +448,7 @@ def q17_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             accuracy=_PCT_ACC, small_group=_PCT_SMALL_GROUP,
             n_estimate=estimate_rows(spark, sf_dir, "lineitem"),
         )
-    return res.select(
+    return final_sort(res.select(
         "l_returnflag",
         # grid=6: interpolated values are identical binary doubles on
         # both engines; the decimal snap makes the final 2-dp rounding
@@ -446,7 +456,7 @@ def q17_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact .xx5).
         decimal_round(F.col("p_0"), 2, grid=6).alias("med_price"),
         decimal_round(F.col("p_1"), 2, grid=6).alias("p90"),
-    ).orderBy("l_returnflag")
+    ), spark, sf_dir, "lineitem", "l_returnflag")
 
 
 def q18_string_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,23 +469,22 @@ def q18_string_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a forced hint would OOM the build side."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 1000 == 7)
-    return (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .orderBy("o_orderkey")
-        .select(
-            F.upper(F.substring("c_name", 1, 8)).alias("cpfx"),
-            F.length("c_name").cast("long").alias("nlen"),
-            F.year("o_orderdate").cast("long").alias("yr"),
-            F.month("o_orderdate").cast("long").alias("mon"),
-            F.concat_ws("-", "c_mktsegment", "o_orderpriority").alias("tag"),
-        )
+    return final_sort(
+        o.join(c, o.o_custkey == c.c_custkey),
+        spark, sf_dir, "orders", "o_orderkey",
+    ).select(
+        F.upper(F.substring("c_name", 1, 8)).alias("cpfx"),
+        F.length("c_name").cast("long").alias("nlen"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+        F.concat_ws("-", "c_mktsegment", "o_orderpriority").alias("tag"),
     )
 
 
 def q19_case_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregation + math scalars (CASE WHEN, sqrt, abs)."""
     l = _t(spark, sf_dir, "lineitem")
-    return (
+    return final_sort(
         l.groupBy("l_linestatus")
         .agg(
             F.round(
@@ -486,6 +495,6 @@ def q19_case_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hi_disc"),
             F.round(F.sum(F.sqrt("l_quantity")), 2).alias("sq"),
             F.round(F.sum(F.abs(F.col("l_tax") - 0.04)), 4).alias("tax_dev"),
-        )
-        .orderBy("l_linestatus")
+        ),
+        spark, sf_dir, "lineitem", "l_linestatus",
     )

@@ -1,0 +1,108 @@
+"""CALL-door parity for the time-series/custom operators (VERDICT r3
+gap #2): as_of_join, time_rollup, sessionize, percentile_cont must be
+reachable from EP2 and produce exactly what the Python surface does.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from puregraphdb_spark.engine import Engine
+from puregraphdb_spark.sources.registry import load_table
+from tests.conftest import SF_DIR, assert_frames_match
+
+
+def _engine(spark) -> Engine:
+    return Engine(spark, SF_DIR)  # registers fixture views
+
+
+def test_call_as_of_join_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from puregraphdb_spark.operators.asof import as_of_join
+
+    eng = _engine(spark)
+    ev = load_table(spark, SF_DIR, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value")
+    p.createOrReplaceTempView("asof_left")
+    c.createOrReplaceTempView("asof_right")
+
+    via_call = eng.sql(
+        "CALL as_of_join(left => 'asof_left', right => 'asof_right', "
+        "on => 'user_id', left_ts => 'ts', right_ts => 'ts', "
+        "right_cols => 'ts,value')"
+    ).toPandas()
+    direct = as_of_join(p, c, on="user_id", left_ts="ts", right_ts="ts",
+                        right_cols=["ts", "value"]).toPandas()
+    assert_frames_match(via_call, direct)
+    assert len(direct) > 0
+
+
+def test_call_time_rollup_matches_python(spark):
+    from puregraphdb_spark.operators.rollup import time_rollup
+
+    eng = _engine(spark)
+    via_call = eng.sql(
+        "CALL time_rollup(events => 'events', ts_col => 'ts', "
+        "granularities => '15 minutes,1 hour,1 day', "
+        "group_cols => 'event_type', "
+        "measures => 'n:count,sum_val:sum:value')"
+    ).toPandas()
+    direct = time_rollup(
+        load_table(spark, SF_DIR, "events"), "ts",
+        ["15 minutes", "1 hour", "1 day"], ["event_type"],
+        {"n": ("count", None), "sum_val": ("sum", "value")},
+    ).toPandas()
+    assert_frames_match(via_call, direct)
+    assert set(via_call["granularity"]) == {"15 minutes", "1 hour", "1 day"}
+
+
+def test_call_sessionize_matches_python(spark):
+    from puregraphdb_spark.operators.events import sessionize
+
+    eng = _engine(spark)
+    via_call = eng.sql(
+        "CALL sessionize(events => 'events', gap => '30 minutes')"
+    ).toPandas()
+    direct = sessionize(load_table(spark, SF_DIR, "events"),
+                        gap="30 minutes").toPandas()
+    assert_frames_match(via_call, direct)
+    assert len(direct) > 0
+
+
+def test_call_percentile_cont_matches_python(spark):
+    from puregraphdb_spark.operators.percentile import exact_percentile_cont
+
+    eng = _engine(spark)
+    via_call = eng.sql(
+        "CALL percentile_cont(table => 'lineitem', "
+        "group_col => 'l_returnflag', val_col => 'l_extendedprice', "
+        "ps => '0.5,0.9')"
+    ).toPandas()
+    direct = exact_percentile_cont(
+        load_table(spark, SF_DIR, "lineitem"), "l_returnflag",
+        "l_extendedprice", [0.5, 0.9],
+    ).toPandas()
+    assert_frames_match(via_call, direct)
+    # cross-check p50 against the SQL door's own median
+    med = eng.sql(
+        "select l_returnflag, median(l_extendedprice) as m "
+        "from lineitem group by l_returnflag"
+    ).toPandas().set_index("l_returnflag")["m"]
+    got = via_call.set_index("l_returnflag")["p_0"]
+    for k in got.index:
+        assert abs(got[k] - med[k]) < 1e-6
+
+
+def test_call_bad_measures_raises(spark):
+    import pytest
+
+    eng = _engine(spark)
+    with pytest.raises(ValueError, match="bad measure"):
+        eng.sql(
+            "CALL time_rollup(events => 'events', ts_col => 'ts', "
+            "granularities => '1 hour', measures => 'oops')"
+        )
