@@ -25,8 +25,17 @@ from pyspark.sql.types import StructType
 def read_parquet_stream(spark: SparkSession, path: str,
                         schema: StructType) -> DataFrame:
     """File-arrival stream over a parquet directory (schema required by
-    Structured Streaming; take it from a batch read of the same data)."""
-    return spark.readStream.schema(schema).parquet(path)
+    Structured Streaming; take it from a batch read of the same data).
+
+    TIMESTAMP_NTZ columns are normalized to TimestampType, mirroring
+    ``sources.registry.load_table``: event-time operators (watermarks,
+    windows) reject NTZ, and the engine pins the session to UTC so the
+    cast is value-preserving wall-clock."""
+    df = spark.readStream.schema(schema).parquet(path)
+    for c, d in df.dtypes:
+        if d == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def tumbling_window_stream(events: DataFrame, duration: str = "1 hour",
