@@ -139,3 +139,29 @@ def test_q60_reuses_the_per_brand_aggregate(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_final_sort_paths(spark):
+    """final_sort: under the measured gate the result is sorted in ONE
+    partition with NO range exchange (a plain orderBy would plan a
+    RangePartitioner whose sampling job re-executes the whole child);
+    past the gate the distributed range sort must come back — a
+    single-partition sort of a cluster-scale result would serialize
+    the query."""
+    from puregraphdb_spark.plans import physical_plan
+    from puregraphdb_spark.sources import registry
+
+    small = Q["q02_agg_pricing_summary"](spark, SF_DIR)
+    p = physical_plan(small)
+    assert "SinglePartition" in p
+    assert "rangepartitioning" not in p.lower()
+
+    saved = dict(registry._SIZES)
+    try:
+        for t in registry.TABLES:
+            registry._SIZES[(SF_DIR, t)] = 10 << 40  # pretend 10 TiB
+        large = Q["q02_agg_pricing_summary"](spark, SF_DIR)
+        assert "rangepartitioning" in physical_plan(large).lower()
+    finally:
+        registry._SIZES.clear()
+        registry._SIZES.update(saved)
