@@ -173,17 +173,18 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket sums."""
     from puregraphdb_spark.functions.numeric import decimal_round
     from puregraphdb_spark.operators.rollup import time_rollup
+    from puregraphdb_spark.sources.registry import final_sort
 
     ev = load_table(spark, sf_dir, "events")
     rolled = time_rollup(
         ev, "ts", ["15 minutes", "1 hour", "1 day"], ["event_type"],
         {"n": ("count", None), "sum_val": ("sum", "value")},
     )
-    return (
+    return final_sort(
         rolled.withColumn(
             "sum_val", decimal_round(F.col("sum_val"), 2, grid=4)
-        )
-        .orderBy("granularity", "bucket", "event_type")
+        ),
+        spark, sf_dir, "events", "granularity", "bucket", "event_type",
     )
 
 
