@@ -255,6 +255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_having_scalar": extras.q60_having_scalar,
         "q61_rank_ties": extras.q61_rank_ties,
         "q62_json_typed": extras.q62_json_typed,
+        "q63_ngram_jaccard": llm.q63_ngram_jaccard,
+        "q64_regex_tokens": llm.q64_regex_tokens,
         # rows-only (iterative or hash-based; driver records the weaker
         # rows-only check)
         "graph_pagerank": graph_pagerank,
@@ -843,6 +845,42 @@ def oracle_sql() -> dict[str, str]:
                    count(case when cast(json_extract_string(props,'$.k')
                          as int) > 50 then 1 end) as n_high
             from events group by event_type order by event_type
+        """,
+        "q63_ngram_jaccard": """
+            with sh as (
+              select doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(length(text)-2, 0)),
+                       i -> substring(lower(text), i, 3))) as sh
+              from documents),
+            a as (select doc_id as src, sh as sh_a from sh
+                  where doc_id % 20 = 0),
+            b as (select doc_id as dst, sh as sh_b from sh)
+            select src, dst,
+                   cast(round(cast(jac_raw as decimal(28,10)), 6)
+                     as double) as jac
+            from (
+              select src, dst,
+                     cast(len(list_intersect(sh_a, sh_b)) as double)
+                     / cast(len(list_distinct(list_concat(sh_a, sh_b)))
+                            as double) as jac_raw
+              from b join a on dst <> src)
+            where jac_raw >= 0.6
+            order by src, dst
+        """,
+        "q64_regex_tokens": """
+            select lang, count(*) as n_docs,
+                   cast(sum(len(toks)) as bigint) as tot_tokens,
+                   cast(round(cast(avg(len(toks)) as decimal(28,8)),4)
+                     as double) as avg_tokens,
+                   cast(round(cast(avg(cast(len(list_distinct(toks))
+                           as double) / cast(len(toks) as double))
+                         as decimal(28,10)),6) as double) as avg_uniq_ratio
+            from (select lang,
+                         regexp_extract_all(lower(text),
+                           '[a-z]+|[0-9]+|[^a-z0-9\\s]') as toks
+                  from documents)
+            group by lang order by lang
         """,
         "hypertable_rollup": """
             with ev as (select ts, event_type, value from events)

@@ -159,3 +159,97 @@ def q30_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("votes")),
         spark, sf_dir, "embeddings", "src", F.desc("votes"), "nbr_label",
     )
+
+
+def char_ngram_set(col, n: int = 3):
+    """Distinct character n-gram (shingle) set of a lowercased string —
+    a pure Column expression (transform over sequence, Column.substr
+    with Column offsets; JVM-side, no UDF). The exact-Jaccard building
+    block; the MinHash pipeline in operators/similarity.py approximates
+    the same set semantics at corpus scale."""
+    lowered = F.lower(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length(lowered) - (n - 1), F.lit(0)),
+            ),
+            lambda i: lowered.substr(i, F.lit(n)),
+        )
+    )
+
+
+def q63_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT character-3-gram Jaccard near-dup pairs for sampled source
+    docs (doc_id % 20 = 0) against the whole corpus — the verification
+    half of the MinHash-LSH dedup family, oracled against DuckDB's
+    list_intersect/list_union arithmetic.
+
+    Scale: the shingle sets build map-side (one transform per doc, no
+    shuffle); the bounded sample side (5% of docs) broadcasts under the
+    measured gate, so the pair scan never shuffles the corpus. Jaccard
+    is a ratio of integer cardinalities — bit-identical across engines
+    — so the threshold filter selects the identical pair set. At 100 TB
+    you band first (similarity.near_dup_pairs) and run THIS arithmetic
+    only inside candidate buckets; the operator is that verify step as
+    a standalone oracled query.
+    """
+    from puregraphdb_spark.sources.registry import broadcast_if_small
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", char_ngram_set(F.col("text")).alias("sh"))
+    a = (
+        sh.filter(F.col("doc_id") % 20 == 0)
+        .select(F.col("doc_id").alias("src"), F.col("sh").alias("sh_a"))
+    )
+    b = sh.select(F.col("doc_id").alias("dst"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return final_sort(
+        b.join(broadcast_if_small(a, spark, sf_dir, "documents"),
+               F.col("dst") != F.col("src"))
+        .select(
+            "src", "dst",
+            (inter.cast("double") / union.cast("double")).alias("jac_raw"),
+        )
+        .filter(F.col("jac_raw") >= 0.6)
+        .select(
+            "src", "dst",
+            decimal_round(F.col("jac_raw"), 6, grid=10).alias("jac"),
+        ),
+        spark, sf_dir, "documents", "src", "dst",
+    )
+
+
+def q64_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization profile per language: alpha runs,
+    digit runs, and single punctuation marks as separate tokens
+    (regexp_extract_all — JVM-side codegen in Spark, RE2 in DuckDB;
+    the pattern uses only character classes so both dialects agree).
+
+    Scale: 1 shuffle on lang (5 groups) after a map-side tokenize+count
+    — the token arrays never cross the exchange, only the per-doc
+    counts do.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+    )
+    per_doc = d.select(
+        "lang",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+    )
+    return final_sort(
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("tot_tokens"),
+            decimal_round(F.avg("n_toks"), 4, grid=8).alias("avg_tokens"),
+            decimal_round(
+                F.avg(F.col("n_uniq").cast("double")
+                      / F.col("n_toks").cast("double")), 6, grid=10,
+            ).alias("avg_uniq_ratio"),
+        ),
+        spark, sf_dir, "documents", "lang",
+    )

@@ -35,6 +35,8 @@ DUCKDB_ONLY = {
     "hypertable_rollup",     # time_bucket
     "q58_bigrams",           # unnest/generate_subscripts positional join
     "q62_json_typed",        # json_extract_string
+    "q63_ngram_jaccard",     # list_transform/list_intersect/len
+    "q64_regex_tokens",      # len()/list_distinct over regex lists
 }
 
 ORACLES = entrymod.oracle_sql()
