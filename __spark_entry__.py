@@ -854,7 +854,7 @@ def oracle_sql() -> dict[str, str]:
                        i -> substring(lower(text), i, 3))) as sh
               from documents),
             a as (select doc_id as src, sh as sh_a from sh
-                  where doc_id % 20 = 0),
+                  where doc_id % 100 = 0),
             b as (select doc_id as dst, sh as sh_b from sh)
             select src, dst,
                    cast(round(cast(jac_raw as decimal(28,10)), 6)
