@@ -1,0 +1,275 @@
+"""Spark-dialect SQL for every §2 query whose ORACLE text is
+DuckDB-only — so EP2 (``Engine.sql``) covers the full declared surface
+with plain SQL strings, not just the DataFrame/CALL doors.
+
+Each statement is parity-tested against its DataFrame implementation
+(tests/test_sql_library.py) with the driver's exact-match comparison:
+same aliases, same decimal-grid rounding (functions.numeric), same
+higher-order-function factoring for vector math (functions.vector) —
+so the SQL and DataFrame doors return bit-identical frames.
+
+Queries whose oracle already runs verbatim through Spark SQL (plain
+ANSI) are deliberately absent — tests/test_sql_door_parity.py covers
+those with the shared text.
+"""
+
+from __future__ import annotations
+
+#: name -> Spark SQL (run over the Engine's registered temp views)
+SPARK_SQL: dict[str, str] = {
+    "q20_tumbling_window": """
+        select w.start as win, event_type, count(*) as n,
+               cast(round(sum(cast(value as decimal(28,3))), 2) as double)
+                 as sum_val
+        from (select window(ts, '1 hour') as w, event_type, value
+              from events)
+        group by w, event_type
+        order by win, event_type
+    """,
+    "q22_json_extract": """
+        select event_type,
+               cast(round(cast(avg(cast(get_json_object(props, '$.k')
+                       as double)) as decimal(28,8)), 4) as double) as avg_k
+        from events group by event_type order by event_type
+    """,
+    "q27_text_tokens": """
+        select tok, count(*) as tf
+        from (select explode(split(lower(text), ' ')) as tok
+              from documents)
+        where tok <> ''
+        group by tok order by tf desc, tok limit 20
+    """,
+    "q28_text_stats": """
+        select lang, count(*) as n_docs,
+               cast(round(cast(avg(n_chars) as decimal(28,6)), 2)
+                 as double) as avg_chars,
+               cast(round(cast(avg(size(split(text, ' ')))
+                     as decimal(28,6)), 2) as double) as avg_tokens
+        from documents group by lang order by lang
+    """,
+    "q29_knn_cosine": """
+        with q as (
+          select embedding as q_emb,
+                 sqrt(aggregate(zip_with(cast(embedding as array<double>),
+                                         cast(embedding as array<double>),
+                                         (x, y) -> x * y),
+                                cast(0 as double), (acc, x) -> acc + x))
+                   as q_nrm,
+                 vec_id as q_id
+          from embeddings where vec_id = 0)
+        select vec_id,
+               round(aggregate(zip_with(cast(q.q_emb as array<double>),
+                                        cast(e.embedding as array<double>),
+                                        (x, y) -> x * y),
+                               cast(0 as double), (acc, x) -> acc + x)
+                     / (q.q_nrm *
+                        sqrt(aggregate(zip_with(cast(e.embedding as array<double>),
+                                                cast(e.embedding as array<double>),
+                                                (x, y) -> x * y),
+                                       cast(0 as double), (acc, x) -> acc + x))),
+                     4) as cos_sim
+        from embeddings e join q on e.vec_id <> q.q_id
+        order by cos_sim desc, vec_id limit 10
+    """,
+    "q30_knn_label": """
+        with q as (
+          select vec_id as src, label as src_label,
+                 cast(embedding as array<double>) as q_emb,
+                 sqrt(aggregate(zip_with(cast(embedding as array<double>),
+                                         cast(embedding as array<double>),
+                                         (x, y) -> x * y),
+                                cast(0 as double), (acc, x) -> acc + x))
+                   as q_nrm
+          from embeddings where vec_id < 20),
+        sims as (
+          select q.src, q.src_label, e.label as nbr_label, e.vec_id,
+                 aggregate(zip_with(q.q_emb,
+                                    cast(e.embedding as array<double>),
+                                    (x, y) -> x * y),
+                           cast(0 as double), (acc, x) -> acc + x)
+                 / (q.q_nrm *
+                    sqrt(aggregate(zip_with(cast(e.embedding as array<double>),
+                                            cast(e.embedding as array<double>),
+                                            (x, y) -> x * y),
+                                   cast(0 as double), (acc, x) -> acc + x)))
+                   as cs
+          from embeddings e join q on e.vec_id <> q.src),
+        ranked as (
+          select src, src_label, nbr_label,
+                 row_number() over (partition by src
+                                    order by cs desc, vec_id) as rn
+          from sims)
+        select src, src_label, nbr_label, count(*) as votes
+        from ranked where rn <= 5
+        group by src, src_label, nbr_label
+        order by src, votes desc, nbr_label
+    """,
+    "q31_asof_join": """
+        select p.event_id, p.user_id, p.ts, c.ts as click_ts,
+               round(c.value, 2) as click_val
+        from (select event_id, user_id, ts from events
+              where event_type = 'purchase') p
+        join lateral (
+          select c0.ts, c0.value from events c0
+          where c0.event_type = 'click'
+            and c0.user_id = p.user_id and c0.ts <= p.ts
+          order by c0.ts desc limit 1) c
+        order by p.event_id
+    """,
+    "q35_string_date": """
+        select o_orderkey,
+               lpad(cast(o_orderkey as string), 12, '0') as padded,
+               reverse(substring(c_name, 1, 6)) as rev6,
+               split_part(c_name, '#', 2) as cust_num,
+               date_trunc('month', o_orderdate) as order_month
+        from orders o join customer c on o.o_custkey = c.c_custkey
+        where o.o_orderkey % 500 = 3 order by o_orderkey
+    """,
+    "q37_regex": """
+        select c_mktsegment,
+               count(case when c_name rlike '[0-9]{9}$' then 1 end)
+                 as n_match,
+               max(cast(regexp_extract(c_name, '([0-9]+)', 1) as bigint))
+                 as max_id,
+               min(regexp_replace(c_name, '[0-9]+', '#')) as min_masked
+        from customer group by c_mktsegment order by c_mktsegment
+    """,
+    "q39_array_agg": """
+        select n_name as nation,
+               array_join(sort_array(collect_list(s_name)), ',')
+                 as suppliers,
+               count(*) as n_supp
+        from supplier join nation on s_nationkey = n_nationkey
+        group by n_name order by nation
+    """,
+    "q40_grouping_sets": """
+        select coalesce(l_returnflag, 'ALL') as rf,
+               coalesce(l_linestatus, 'ALL') as ls,
+               cast(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                    as bigint) as gid,
+               count(*) as n, round(sum(l_quantity), 2) as sum_qty
+        from lineitem
+        group by grouping sets ((l_returnflag), (l_linestatus))
+        order by rf, ls
+    """,
+    "q49_array_ops": """
+        with per_nation as (
+          select n_name,
+                 array_sort(collect_set(s_suppkey % 10)) as buckets
+          from supplier join nation on s_nationkey = n_nationkey
+          group by n_name)
+        select a.n_name as na, b.n_name as nb,
+               cast(size(array_intersect(a.buckets, b.buckets)) as bigint)
+                 as n_common
+        from per_nation a join per_nation b on a.n_name < b.n_name
+        order by na, nb limit 20
+    """,
+    "q50_gap_fill": """
+        with daily as (
+          select date_trunc('day', ts) as d, count(*) as cnt
+          from events where event_type = 'purchase' group by 1
+        ), bounds as (select min(d) as lo, max(d) as hi from daily)
+        select gs.d, cast(coalesce(daily.cnt, 0) as bigint) as n
+        from (select explode(sequence(lo, hi, interval 1 day)) as d
+              from bounds) gs
+        left join daily on gs.d = daily.d
+        order by gs.d
+    """,
+    "q53_array_hof": """
+        select label, count(*) as n,
+               cast(round(cast(avg(array_max(embedding))
+                     as decimal(28,8)), 6) as double) as avg_max_comp,
+               cast(round(avg(size(filter(embedding, x -> x > 0))), 4)
+                 as double) as avg_n_pos
+        from embeddings group by label order by label
+    """,
+    "q58_bigrams": """
+        with t as (
+          select doc_id, pos, tok
+          from documents
+          lateral view posexplode(split(lower(text), ' ')) as pos, tok)
+        select concat(a.tok, ' ', b.tok) as bigram, count(*) as tf
+        from t a join t b on a.doc_id = b.doc_id and b.pos = a.pos + 1
+        where a.tok <> '' and b.tok <> ''
+        group by bigram order by tf desc, bigram limit 15
+    """,
+    "q62_json_typed": """
+        select event_type,
+               cast(sum(p.k) as bigint) as sum_k,
+               count(case when p.k > 50 then 1 end) as n_high
+        from (select event_type,
+                     from_json(props, 'k INT, tag STRING') as p
+              from events)
+        group by event_type order by event_type
+    """,
+    "q63_ngram_jaccard": """
+        with sh as (
+          select doc_id,
+                 array_distinct(transform(
+                   sequence(1, greatest(length(lower(text)) - 2, 0)),
+                   i -> substring(lower(text), i, 3))) as sh
+          from documents),
+        a as (select doc_id as src, sh as sh_a from sh
+              where doc_id % 100 = 0),
+        b as (select doc_id as dst, sh as sh_b from sh)
+        select src, dst,
+               cast(round(cast(jac_raw as decimal(28,10)), 6) as double)
+                 as jac
+        from (
+          select src, dst,
+                 cast(size(array_intersect(sh_a, sh_b)) as double)
+                 / cast(size(array_union(sh_a, sh_b)) as double) as jac_raw
+          from b join a on dst <> src)
+        where jac_raw >= 0.6
+        order by src, dst
+    """,
+    "q64_regex_tokens": """
+        select lang, count(*) as n_docs,
+               cast(sum(size(toks)) as bigint) as tot_tokens,
+               cast(round(cast(avg(size(toks)) as decimal(28,8)), 4)
+                 as double) as avg_tokens,
+               cast(round(cast(avg(cast(size(array_distinct(toks))
+                       as double) / cast(size(toks) as double))
+                     as decimal(28,10)), 6) as double) as avg_uniq_ratio
+        from (select lang,
+                     regexp_extract_all(lower(text),
+                       '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0) as toks
+              from documents)
+        group by lang order by lang
+    """,
+    "sliding_window_counts": """
+        select win, event_type, cast(count(*) as bigint) as n
+        from (
+          select explode(sequence(
+                   window(ts, '15 minutes').start - interval 45 minutes,
+                   window(ts, '15 minutes').start,
+                   interval 15 minutes)) as win,
+                 event_type
+          from events)
+        group by win, event_type
+        order by win, event_type
+    """,
+    "hypertable_rollup": """
+        with ev as (select ts, event_type, value from events),
+        finest as (
+          select window(ts, '15 minutes').start as bucket, event_type,
+                 count(*) as n,
+                 sum(cast(value as decimal(28,4))) as sum_val_d
+          from ev group by 1, 2)
+        select granularity, bucket, event_type, n,
+               cast(round(sum_val_d, 2) as double) as sum_val
+        from (
+          select '15 minutes' as granularity, bucket, event_type,
+                 n, sum_val_d
+          from finest
+          union all
+          select '1 hour', window(bucket, '1 hour').start, event_type,
+                 cast(sum(n) as bigint), sum(sum_val_d)
+          from finest group by 2, 3
+          union all
+          select '1 day', window(bucket, '1 day').start, event_type,
+                 cast(sum(n) as bigint), sum(sum_val_d)
+          from finest group by 2, 3)
+        order by granularity, bucket, event_type
+    """,
+}
