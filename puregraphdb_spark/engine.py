@@ -133,6 +133,20 @@ class Engine:
         from puregraphdb_spark.operators.graph import Graph
         return Graph(vertices, edges)
 
+    def sql_for(self, query_name: str) -> DataFrame:
+        """Run a named §2 query through EP2 from its Spark-dialect SQL
+        text (sql_library) — the SQL-door twin of the DataFrame-door
+        operators, parity-tested bit-for-bit against them."""
+        from puregraphdb_spark.sql_library import SPARK_SQL
+
+        if query_name not in SPARK_SQL:
+            known = ", ".join(sorted(SPARK_SQL))
+            raise KeyError(
+                f"no Spark-dialect SQL for {query_name!r} (have: {known}); "
+                "shared-ANSI queries run verbatim via .sql(oracle text)"
+            )
+        return self.sql(SPARK_SQL[query_name])
+
     def input_bytes(self) -> int:
         """Total on-disk size of this engine's data_dir, resolved through
         the Hadoop FileSystem API so any URI scheme works (file:/, s3://,

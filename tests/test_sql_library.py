@@ -38,3 +38,11 @@ def test_spark_sql_matches_dataframe_door(eng, spark, name):
     sdf = eng.sql(SPARK_SQL[name]).toPandas()
     ddf = QUERIES[name](spark, SF_DIR).toPandas()
     assert_frames_match(sdf, ddf)
+
+
+def test_engine_sql_for(eng, spark):
+    got = eng.sql_for("q28_text_stats").toPandas()
+    want = QUERIES["q28_text_stats"](spark, SF_DIR).toPandas()
+    assert_frames_match(got, want)
+    with pytest.raises(KeyError):
+        eng.sql_for("not_a_query")
