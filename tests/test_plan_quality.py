@@ -165,3 +165,16 @@ def test_final_sort_paths(spark):
     finally:
         registry._SIZES.clear()
         registry._SIZES.update(saved)
+
+
+def test_final_sort_emits_totally_ordered_rows(spark):
+    """Oracle hashes are order-insensitive, so pin the ORDER contract
+    separately: the collected rows of a final_sort query must already
+    be in sort order (single-partition path preserves it end-to-end)."""
+    rows = Q["q02_agg_pricing_summary"](spark, SF_DIR).collect()
+    keys = [(r["l_returnflag"], r["l_linestatus"]) for r in rows]
+    assert keys == sorted(keys)
+
+    rows = Q["q23_graph_degree"](spark, SF_DIR).collect()
+    vs = [r["v"] for r in rows]
+    assert vs == sorted(vs)
