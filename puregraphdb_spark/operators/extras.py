@@ -461,6 +461,7 @@ def q46_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nearby_sum"),
         ),
         spark, sf_dir, "orders", "o_custkey", "o_orderkey",
+        row_preserving=True,
     )
 
 
@@ -513,6 +514,7 @@ def q48_trailing_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("past_avg"),
         ),
         spark, sf_dir, "events", "user_id", "event_id",
+        row_preserving=True,
     )
 
 
@@ -679,6 +681,7 @@ def q54_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type"),
         spark, sf_dir, "events", "user_id",
+        row_preserving=True,
     )
 
 
@@ -699,6 +702,7 @@ def q55_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             decimal_round(F.cume_dist().over(w), 6, grid=8).alias("cd"),
         ),
         spark, sf_dir, "part", "p_partkey",
+        row_preserving=True,
     )
 
 
@@ -790,6 +794,7 @@ def q59_loo_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             decimal_round(loo, 4, grid=6).alias("loo_avg"),
         ),
         spark, sf_dir, "orders", "o_orderkey",
+        row_preserving=True,
     )
 
 

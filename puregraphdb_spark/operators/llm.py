@@ -168,15 +168,19 @@ def char_ngram_set(col, n: int = 3):
     block; the MinHash pipeline in operators/similarity.py approximates
     the same set semantics at corpus scale."""
     lowered = F.lower(col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(1),
-                F.greatest(F.length(lowered) - (n - 1), F.lit(0)),
-            ),
-            lambda i: lowered.substr(i, F.lit(n)),
-        )
-    )
+    # Texts shorter than n chars have NO n-grams. Without the guard,
+    # sequence(1, 0) yields a DESCENDING [1, 0] (Spark semantics), which
+    # would fabricate a non-empty shingle set for short/empty docs —
+    # DuckDB's generate_series(1, 0) yields [] and disagrees.
+    return F.when(
+        F.length(lowered) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(lowered) - (n - 1)),
+                lambda i: lowered.substr(i, F.lit(n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def q63_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -323,6 +323,7 @@ def q12_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
         ),
         spark, sf_dir, "orders", "o_custkey", "o_orderkey",
+        row_preserving=True,
     )
 
 
@@ -339,6 +340,7 @@ def q13_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("delta"),
         ),
         spark, sf_dir, "orders", "o_custkey", "o_orderkey",
+        row_preserving=True,
     )
 
 

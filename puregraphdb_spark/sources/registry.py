@@ -172,7 +172,8 @@ def broadcast_if_small(df: DataFrame, spark: SparkSession, data_dir: str,
 
 def final_sort(df: DataFrame, spark: SparkSession, data_dir: str,
                source_table: str, *sort_cols,
-               threshold: int = 2 << 30) -> DataFrame:
+               threshold: int = 2 << 30,
+               row_preserving: bool = False) -> DataFrame:
     """Totally-ordered FINAL result, sized by the measured input.
 
     A plain ``orderBy`` plans a range sort: RangePartitioner first runs
@@ -189,7 +190,18 @@ def final_sort(df: DataFrame, spark: SparkSession, data_dir: str,
     would serialize the rest of the plan). ``orderBy(...).limit(k)``
     call sites should stay as-is: Catalyst already plans those as
     TakeOrderedAndProject with no sampling job.
+
+    ``row_preserving=True`` is for queries that emit ~one row per input
+    row (windowed projections, keep-latest dedup): the gate compares the
+    source's COMPRESSED on-disk bytes, but the result the single task
+    must sort is the DECOMPRESSED row set — a source just under 2 GiB
+    would funnel a multi-GiB result through one spilling task. Those
+    call sites gate at threshold/8 (256 MiB compressed ≈ ~1-2 GiB
+    in-memory rows), keeping the distributed range sort for anything
+    bigger.
     """
+    if row_preserving:
+        threshold //= 8
     if table_bytes(spark, data_dir, source_table) < threshold:
         return df.repartition(1).sortWithinPartitions(*sort_cols)
     return df.orderBy(*sort_cols)

@@ -205,9 +205,14 @@ SPARK_SQL: dict[str, str] = {
     "q63_ngram_jaccard": """
         with sh as (
           select doc_id,
-                 array_distinct(transform(
-                   sequence(1, greatest(length(lower(text)) - 2, 0)),
-                   i -> substring(lower(text), i, 3))) as sh
+                 -- length guard: sequence(1,0) is DESCENDING in Spark
+                 -- (would fabricate shingles for <3-char docs);
+                 -- mirrors operators/llm.py char_ngram_set
+                 case when length(lower(text)) >= 3 then
+                   array_distinct(transform(
+                     sequence(1, length(lower(text)) - 2),
+                     i -> substring(lower(text), i, 3)))
+                 else cast(array() as array<string>) end as sh
           from documents),
         a as (select doc_id as src, sh as sh_a from sh
               where doc_id % 100 = 0),

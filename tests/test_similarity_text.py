@@ -272,3 +272,23 @@ def test_apply_dedup_returns_cleaned_corpus(corpus):
     assert {4, 5, 6} <= kept
     # cleaned corpus is a subset of the input with no new rows
     assert kept <= {1, 2, 3, 4, 5, 6}
+
+
+def test_char_ngram_set_short_docs_are_empty(spark):
+    """Texts shorter than n chars have NO n-grams. Spark's
+    sequence(1, 0) is DESCENDING ([1, 0]) — unguarded it fabricates a
+    shingle set for short/empty docs while DuckDB's generate_series
+    yields [] (ADVICE r4, medium)."""
+    from puregraphdb_spark.operators.llm import char_ngram_set
+
+    df = spark.createDataFrame(
+        [("",), ("a",), ("ab",), ("abc",), ("abcd",)], ["t"]
+    )
+    rows = df.select(
+        "t", char_ngram_set(F.col("t")).alias("sh")
+    ).orderBy(F.length("t")).collect()
+    assert rows[0]["sh"] == []          # ""
+    assert rows[1]["sh"] == []          # "a"
+    assert rows[2]["sh"] == []          # "ab"
+    assert rows[3]["sh"] == ["abc"]
+    assert sorted(rows[4]["sh"]) == ["abc", "bcd"]

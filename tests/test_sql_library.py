@@ -26,6 +26,13 @@ def test_library_covers_exactly_the_duckdb_only_set():
     assert set(SPARK_SQL) >= (DUCKDB_ONLY & oracled), (
         (DUCKDB_ONLY & oracled) - set(SPARK_SQL)
     )
+    # ... and nothing else: a SPARK_SQL entry for a query that is not
+    # declared, or whose oracle became shared-ANSI (double-tested),
+    # would otherwise rot silently.
+    extras = set(SPARK_SQL) - set(QUERIES)
+    assert not extras, f"SPARK_SQL entries for undeclared queries: {extras}"
+    stale = set(SPARK_SQL) - (DUCKDB_ONLY & oracled)
+    assert not stale, f"SPARK_SQL entries outside the DuckDB-only set: {stale}"
 
 
 @pytest.fixture(scope="module")
