@@ -102,6 +102,54 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.shortest_paths([0, 1]).orderBy("id", "landmark")
 
 
+def _weighted_order_graph(spark: SparkSession, sf_dir: str) -> graph.Graph:
+    """Order graph with edge multiplicity as weight: w(c→s) = number of
+    distinct orders in which customer c bought from supplier s — the
+    natural edge strength of the bipartite projection."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    e = (
+        graph.order_graph_edges(o, l)
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return graph.Graph(v, e)
+
+
+def graph_wpagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-weighted PageRank over the order graph — rank flows
+    proportionally to order multiplicity (rows-only: iterative).
+    Uniform weights reproduce the unweighted entry bit-for-bit
+    (tests/test_graph_properties.py)."""
+    g = _weighted_order_graph(spark, sf_dir)
+    return (
+        g.pagerank(max_iter=5, weight_col="weight")
+        .select("id", F.round("pagerank", 6).alias("wpagerank"))
+        .orderBy("id")
+    )
+
+
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (Bellman-Ford relaxation)
+    to landmarks 0 and 1, cost = 1/multiplicity (stronger commercial
+    ties are closer) — rows-only: iterative."""
+    g = _weighted_order_graph(spark, sf_dir)
+    g = graph.Graph(
+        g.vertices,
+        g.edges.withColumn("cost", F.lit(1.0) / F.col("weight")),
+    )
+    return (
+        g.shortest_paths([0, 1], weight_col="cost")
+        .select("id", "landmark", F.round("dist", 6).alias("dist"))
+        .orderBy("id", "landmark")
+    )
+
+
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-core of the order graph (rows-only: iterative peeling).
     Returns surviving vertices with their in-core degree; k=5 peels a
@@ -257,6 +305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_json_typed": extras.q62_json_typed,
         "q63_ngram_jaccard": llm.q63_ngram_jaccard,
         "q64_regex_tokens": llm.q64_regex_tokens,
+        "q65_motif_wedge": graph.q65_motif_wedge,
+        "q66_contamination": llm.q66_contamination,
         # rows-only (iterative or hash-based; driver records the weaker
         # rows-only check)
         "graph_pagerank": graph_pagerank,
@@ -266,6 +316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": graph_kcore,
         "graph_ppr": graph_ppr,
         "graph_shortest_paths": graph_shortest_paths,
+        "graph_wpagerank": graph_wpagerank,
+        "graph_sssp_weighted": graph_sssp_weighted,
         "text_profile": text_profile,
         "text_quality_report": text_quality_report,
         "dedup_minhash_near": dedup_minhash_near,
@@ -881,6 +933,51 @@ def oracle_sql() -> dict[str, str]:
                            '[a-z]+|[0-9]+|[^a-z0-9\\s]') as toks
                   from documents)
             group by lang order by lang
+        """,
+        "q65_motif_wedge": """
+            with e as (select distinct a.l_partkey as u, b.l_partkey as v
+                       from lineitem a join lineitem b
+                         on a.l_orderkey = b.l_orderkey
+                       where a.l_partkey < b.l_partkey)
+            select count(*) as n_open_wedges,
+                   count(distinct e1.u) as n_sources
+            from e e1 join e e2 on e2.u = e1.v
+            where e1.u % 100 = 0
+              and not exists (select 1 from e e3
+                              where e3.u = e1.u and e3.v = e2.v)
+        """,
+        "q66_contamination": """
+            with ct as (select doc_id, string_split(lower(text), ' ') as ts
+                        from documents),
+            cg as (select doc_id as corpus_id,
+                          list_distinct(list_transform(
+                            generate_series(1, greatest(len(ts) - 4, 0)),
+                            i -> array_to_string(list_slice(ts, i, i + 4),
+                                                 ' '))) as ng
+                   from ct),
+            bt as (select doc_id,
+                          string_split(lower(substring(text, 10, 200)), ' ')
+                            as ts
+                   from documents where doc_id % 97 = 0),
+            bg as (select distinct bench_id, gram from (
+                     select doc_id as bench_id,
+                            unnest(list_transform(
+                              generate_series(1, greatest(len(ts) - 4, 0)),
+                              i -> array_to_string(list_slice(ts, i, i + 4),
+                                                   ' '))) as gram
+                     from bt)),
+            cx as (select corpus_id, cast(len(ng) as bigint) as n_ngrams,
+                          unnest(ng) as gram
+                   from cg)
+            select corpus_id, n_ngrams,
+                   count(distinct cx.gram) as n_matched,
+                   count(distinct bg.bench_id) as n_bench_docs,
+                   cast(round(cast(cast(count(distinct cx.gram) as double)
+                           / n_ngrams as decimal(28,10)), 6) as double)
+                     as contam_ratio
+            from cx join bg on cx.gram = bg.gram
+            group by corpus_id, n_ngrams
+            order by corpus_id
         """,
         "hypertable_rollup": """
             with ev as (select ts, event_type, value from events)

@@ -23,12 +23,26 @@ without it, iterative DataFrame plans grow unboundedly (SURVEY §3 EP3).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from puregraphdb_spark.sources.registry import load_table
+
+#: One motif term: optional ``!`` negation, ``(name?)-[name?]->(name?)``.
+_MOTIF_TERM = re.compile(
+    r"^(?P<neg>!)?\s*\((?P<src>[A-Za-z_]\w*)?\)\s*-\s*"
+    r"\[(?P<edge>[A-Za-z_]\w*)?\]\s*->\s*\((?P<dst>[A-Za-z_]\w*)?\)$"
+)
+
+
+def _plan_chars(df: DataFrame) -> int:
+    """Size of the analyzed logical plan — the lineage-growth metric
+    the iterative loops checkpoint on (cheap: analysis only, no
+    optimizer run, no job)."""
+    return len(df._jdf.queryExecution().analyzed().toString())
 
 
 class Graph:
@@ -61,6 +75,161 @@ class Graph:
             [F.col(c).alias("dst" if c == "id" else f"dst_{c}") for c in self.vertices.columns]
         )
         return self.edges.join(src_v, "src").join(dst_v, "dst")
+
+    # -- motif / pattern matching ------------------------------------------
+
+    def find(self, pattern: str,
+             attach_vertex_attrs: bool = True) -> DataFrame:
+        """Declarative motif matching: ``find("(a)-[e]->(b); (b)-[]->(c)")``
+        returns one row per binding of the pattern in the graph.
+
+        DSL (the GraphFrames-style public pattern syntax):
+
+        - terms are ``;``-separated directed edges ``(src)-[edge]->(dst)``;
+        - a vertex/edge NAME binds across terms (``(b)`` above is the
+          same vertex in both terms); ``()`` / ``[]`` are anonymous and
+          never bind;
+        - a ``!`` prefix negates a term: no edge may exist between the
+          two endpoints, which must be bound by positive terms. Negated
+          terms cannot name their edge.
+
+        Every named vertex and edge becomes a STRUCT column (vertex
+        attrs / edge attrs) in first-appearance order, so callers write
+        ``result.filter(F.col("a.id") % 10 == 0)`` — such predicates
+        push down into the underlying scans like any other filter.
+
+        Plan shape (the 100-TB posture): motif matching lowers to a
+        multi-way EQUI-join pipeline — each positive term is the edge
+        table with endpoints renamed to binding slots, folded
+        left-to-right joining on shared slots; negated terms are
+        left-anti joins; named vertices attach by an id equi-join.
+        A connected pattern therefore never plans a cartesian product,
+        and Catalyst remains free to reorder/broadcast
+        (tests/test_graph_extended.py asserts the no-cartesian plan).
+        Disconnected patterns are rejected rather than silently
+        cross-joined.
+
+        ``attach_vertex_attrs=False`` skips the per-named-vertex id
+        join: vertex structs then carry ONLY the id. Use when the
+        pattern needs bindings, not attributes, and the edge set is
+        known closed over the vertex set (e.g. endpoint-derived
+        vertices) — it removes one join per named vertex, but also the
+        membership filtering that join performs.
+        """
+        terms = [t.strip() for t in pattern.split(";") if t.strip()]
+        if not terms:
+            raise ValueError("empty motif pattern")
+        parsed = []
+        for t in terms:
+            m = _MOTIF_TERM.match(t)
+            if not m:
+                raise ValueError(
+                    f"bad motif term {t!r}: expected '(a)-[e]->(b)' "
+                    "(optionally '!'-negated)"
+                )
+            parsed.append(
+                (bool(m["neg"]), m["src"], m["edge"], m["dst"])
+            )
+
+        edge_names = [e for neg, _, e, _ in parsed if e]
+        if len(edge_names) != len(set(edge_names)):
+            raise ValueError("edge names must be unique across terms")
+        vertex_names = {n for _, s, _, d in parsed for n in (s, d) if n}
+        if vertex_names & set(edge_names):
+            raise ValueError("a name cannot be both a vertex and an edge")
+
+        def slot(name: str) -> str:
+            return f"__id_{name}"
+
+        out_order: list[str] = []  # struct columns, first-appearance order
+
+        result: DataFrame | None = None
+        anon = 0
+        for neg, s, e, d in parsed:
+            if neg:
+                if e:
+                    raise ValueError("negated terms cannot name their edge")
+                if not (s and d):
+                    raise ValueError(
+                        "negated terms need named endpoints bound by a "
+                        "positive term"
+                    )
+                continue
+            if s is None:
+                anon += 1
+                s = f"__anon{anon}"
+            elif s not in out_order:
+                out_order.append(s)
+            if e is not None and e not in out_order:
+                out_order.append(e)
+            if d is None:
+                anon += 1
+                d = f"__anon{anon}"
+            elif d not in out_order:
+                out_order.append(d)
+
+            edf = self.edges
+            if s == d:  # self-loop term binds one slot
+                edf = edf.filter(F.col("src") == F.col("dst"))
+                sel = [F.col("src").alias(slot(s))]
+            else:
+                sel = [
+                    F.col("src").alias(slot(s)),
+                    F.col("dst").alias(slot(d)),
+                ]
+            if e is not None:
+                sel.append(F.struct(*self.edges.columns).alias(e))
+            tdf = edf.select(*sel)
+
+            if result is None:
+                result = tdf
+            else:
+                shared = [
+                    c for c in tdf.columns
+                    if c in result.columns and c.startswith("__id_")
+                ]
+                if not shared:
+                    raise ValueError(
+                        "disconnected motif pattern (a term shares no "
+                        "vertex with the preceding ones) — split the "
+                        "pattern and crossJoin explicitly if intended"
+                    )
+                result = result.join(tdf, on=shared)
+        if result is None:
+            raise ValueError("pattern has no positive terms")
+
+        for neg, s, e, d in parsed:
+            if not neg:
+                continue
+            for n in (s, d):
+                if slot(n) not in result.columns:
+                    raise ValueError(
+                        f"negated-term vertex '{n}' is not bound by any "
+                        "positive term"
+                    )
+            absent = self.edges.select(
+                F.col("src").alias(slot(s)), F.col("dst").alias(slot(d))
+            )
+            result = result.join(absent, on=[slot(s), slot(d)],
+                                 how="left_anti")
+
+        # Named vertices: attach attribute structs (the id equi-join also
+        # enforces vertex membership for them). Anonymous slots stay as
+        # raw edge endpoints — property-graph integrity (edges reference
+        # existing vertices) is assumed, as in the triplet view.
+        for vname in [n for n in out_order if n in vertex_names]:
+            if attach_vertex_attrs:
+                vdf = self.vertices.select(
+                    F.struct(*self.vertices.columns).alias(vname),
+                    F.col("id").alias(slot(vname)),
+                )
+                result = result.join(vdf, on=slot(vname))
+            else:
+                result = result.withColumn(
+                    vname, F.struct(F.col(slot(vname)).alias("id"))
+                )
+
+        return result.select(*out_order)
 
     # -- degree family -----------------------------------------------------
 
@@ -134,6 +303,7 @@ class Graph:
         converged: Callable[[DataFrame, DataFrame], bool],
         max_iter: int = 20,
         checkpoint_interval: int = 5,
+        max_plan_chars: int = 150_000,
     ) -> DataFrame:
         """Driver-side superstep loop over vertex state DataFrames.
 
@@ -149,13 +319,21 @@ class Graph:
         materialization points supersteps stay lazy: one job per
         checkpoint window, not one per superstep. The returned state is
         materialized and persisted — the caller owns its unpersist.
+
+        Lineage is ALSO cut whenever the analyzed plan outgrows
+        ``max_plan_chars`` (VERDICT r4: map-typed state can accumulate
+        dozens of broadcasts inside one fixed-cadence window —
+        shortest_paths hit 62) — so plan size stays bounded regardless
+        of what the superstep body builds, and the returned state's
+        plan is itself capped the same way.
         """
         state = initial(self.vertices).persist()
         state.count()  # materialize
         pending: list[DataFrame] = []  # persisted ancestors awaiting drop
         for i in range(max_iter):
             new_state = superstep(self, state, i)
-            if (i + 1) % checkpoint_interval == 0:
+            if ((i + 1) % checkpoint_interval == 0
+                    or _plan_chars(new_state) > max_plan_chars):
                 new_state = new_state.localCheckpoint(eager=True)  # action
                 for s in pending:
                     s.unpersist()
@@ -168,6 +346,14 @@ class Graph:
             if done:
                 break
         state.count()  # materialize the final state before dropping parents
+        if _plan_chars(state) > 30_000:
+            # cap the RETURNED plan too (it may sit mid-window carrying
+            # several supersteps of lineage) — cheap: partitions come
+            # straight from the persisted cache, and downstream
+            # composition then starts from a flat scan instead of the
+            # superstep tree (graph_shortest_paths carried 62 broadcasts
+            # into its final plan before this, VERDICT r4)
+            state = state.localCheckpoint(eager=True)
         for s in pending:
             s.unpersist()
         return state
@@ -217,17 +403,38 @@ class Graph:
 
         return self.pregel(initial, step, converged, max_iter=max_iter)
 
-    def pagerank(self, reset_prob: float = 0.15, max_iter: int = 10) -> DataFrame:
+    def pagerank(self, reset_prob: float = 0.15, max_iter: int = 10,
+                 weight_col: str | None = None) -> DataFrame:
         """Classic iterative PageRank → (id, pagerank).
 
         rank_{i+1} = reset + (1-reset) * Σ_in rank_i/outdeg. Dangling
         vertices contribute nothing (GraphX semantics). Fixed iteration
         count; each superstep is one join + one groupBy shuffle.
+
+        ``weight_col``: edge-weighted variant — each neighbor receives
+        rank · w/Σ_out w instead of rank/outdeg (weights must be
+        positive). Uniform weights (all 1.0) reproduce the unweighted
+        result bit-for-bit: rank·1.0/Σ1.0 is the identical double
+        division (property-tested). Same shuffle count — the weight-sum
+        aggregation replaces the degree aggregation one-for-one.
         """
-        out_deg = self.out_degrees()
-        edges = self.edges.select("src", "dst").join(out_deg, F.col("src") == F.col("id")).select(
-            "src", "dst", "out_degree"
-        ).persist()
+        if weight_col is None:
+            pre = self.out_degrees()
+            contrib_expr = F.col("pagerank") / F.col("out_degree")
+            keep = ["src", "dst", "out_degree"]
+        else:
+            pre = self.edges.groupBy(F.col("src").alias("id")).agg(
+                F.sum(weight_col).alias("w_out")
+            )
+            contrib_expr = (
+                F.col("pagerank") * F.col(weight_col) / F.col("w_out")
+            )
+            keep = ["src", "dst", weight_col, "w_out"]
+        edges = (
+            self.edges.join(pre, self.edges.src == pre.id)
+            .select(*keep)
+            .persist()
+        )
 
         def initial(v: DataFrame) -> DataFrame:
             return v.select("id", F.lit(1.0).alias("pagerank"))
@@ -237,7 +444,7 @@ class Graph:
                 edges.join(state, edges.src == state.id)
                 .select(
                     F.col("dst").alias("id"),
-                    (F.col("pagerank") / F.col("out_degree")).alias("contrib"),
+                    contrib_expr.alias("contrib"),
                 )
                 .groupBy("id")
                 .agg(F.sum("contrib").alias("in_sum"))
@@ -456,35 +663,47 @@ class Graph:
         return Graph(self.vertices.join(other, "id", "left"), self.edges)
 
     def shortest_paths(self, landmarks: list[int],
-                       max_iter: int = 20) -> DataFrame:
-        """Hop-count shortest path distances to each landmark following
-        edge direction (GraphX ShortestPaths). Returns (id, landmark,
-        dist) rows for reachable pairs.
+                       max_iter: int = 20,
+                       weight_col: str | None = None) -> DataFrame:
+        """Shortest path distances to each landmark following edge
+        direction (GraphX ShortestPaths). Returns (id, landmark, dist)
+        rows for reachable pairs — hop counts (int) by default, or
+        weighted costs (double, Bellman-Ford) when ``weight_col`` names
+        a non-negative edge weight.
 
         State is the (id, landmark, dist) relation; each superstep
         relaxes one hop backwards over edges (dst→src) and keeps the
-        min. Converges when the frontier adds nothing: at most
-        diameter supersteps, each one join + one min-agg shuffle.
+        min. Each superstep is one join + one min-agg shuffle.
+
+        Convergence differs by mode and it matters: unweighted BFS
+        assigns each vertex its final dist the first time it appears,
+        so a stable ROW COUNT is a sound fixpoint. Bellman-Ford keeps
+        improving dists of already-present rows, so the weighted mode
+        compares the (count, sum(dist)) signature instead — dist only
+        ever decreases, so an unchanged signature ⟺ no relaxation
+        happened.
         """
-        lm = [F.lit(x).cast("long") for x in landmarks]
         state = (
             self.vertices.select("id")
             .filter(F.col("id").isin(landmarks))
             .select(
                 "id", F.col("id").alias("landmark"),
-                F.lit(0).cast("int").alias("dist"),
+                (F.lit(0).cast("int") if weight_col is None
+                 else F.lit(0.0)).alias("dist"),
             )
             .persist()
         )
         state.count()
-        edges = self.edges.select("src", "dst").persist()
-        n_prev = -1
+        ecols = ["src", "dst"] + ([weight_col] if weight_col else [])
+        edges = self.edges.select(*ecols).persist()
+        step_cost = F.lit(1) if weight_col is None else F.col(weight_col)
+        sig_prev = None
         for i in range(max_iter):
             relaxed = (
                 edges.join(state, edges.dst == state.id)
                 .select(
                     F.col("src").alias("id"), "landmark",
-                    (F.col("dist") + 1).alias("dist"),
+                    (F.col("dist") + step_cost).alias("dist"),
                 )
             )
             new_state = (
@@ -492,17 +711,25 @@ class Graph:
                 .groupBy("id", "landmark")
                 .agg(F.min("dist").alias("dist"))
             )
-            if (i + 1) % 5 == 0:
+            if (i + 1) % 5 == 0 or _plan_chars(new_state) > 150_000:
                 new_state = new_state.localCheckpoint(eager=True)
             else:
                 new_state = new_state.persist()
-            n_new = new_state.count()
+            if weight_col is None:
+                sig_new = (new_state.count(),)
+            else:
+                row = new_state.agg(
+                    F.count("*").alias("n"), F.sum("dist").alias("s")
+                ).collect()[0]
+                sig_new = (row["n"], row["s"])
             state.unpersist()
             state = new_state
-            if n_new == n_prev:
+            if sig_new == sig_prev:
                 break
-            n_prev = n_new
+            sig_prev = sig_new
         edges.unpersist()
+        if _plan_chars(state) > 30_000:
+            state = state.localCheckpoint(eager=True)
         return state
 
     def personalized_pagerank(self, source: int, reset_prob: float = 0.15,
@@ -829,4 +1056,44 @@ def q25_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a_c").alias("src"))
         .agg(F.countDistinct("b_c").alias("n_2hop"))
         .orderBy("src")
+    )
+
+
+def q65_motif_wedge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-wedge motif over the directed (u<v) part co-occurrence graph
+    through the ``Graph.find`` pattern DSL: paths a→b→c with NO closing
+    a→c edge, sources sampled (a.id % 100 = 0), counted in one row.
+
+    The motif lowers to: edge ⋈ edge on the shared b slot (equi-join —
+    never a cartesian), a left-anti join for the ``!(a)-[]->(c)`` term,
+    and id equi-joins attaching the vertex structs. The % 100 source
+    sample written OVER the motif result pushes down into the first
+    edge scan (verified in tests/test_graph_extended.py), bounding the
+    wedge expansion to ~1% of sources — the same pre-join sampling
+    discipline as q25. At 100 TB the wedge join shuffles on the b slot
+    and AQE splits hot parts; the anti-join probes the canonical edge
+    set on (a, c).
+    """
+    from puregraphdb_spark.sources.registry import final_sort
+
+    l = load_table(spark, sf_dir, "lineitem")
+    e = part_cooccurrence_edges(l).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    g = Graph(v, e)
+    # bindings only — the vertex set IS the endpoint set, so the
+    # attribute joins would be membership no-ops (3 joins saved)
+    m = g.find("(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)",
+               attach_vertex_attrs=False)
+    return (
+        m.filter(F.col("a.id") % 100 == 0)
+        .agg(
+            F.count("*").alias("n_open_wedges"),
+            F.countDistinct(F.col("a.id")).alias("n_sources"),
+        )
     )

@@ -263,3 +263,38 @@ def q64_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spark, sf_dir, "documents", "lang",
     )
+
+
+def q66_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination report: corpus docs sharing word 5-grams
+    with a simulated benchmark (1%-sampled docs' excerpts, chars
+    10-209) — operators/text.contamination_report as an oracled query.
+
+    Each sampled doc is contaminated by its own excerpt (ratio < 1:
+    the excerpt covers only part of the doc), plus any cross-doc
+    verbatim overlap. Scale: the bounded benchmark side explodes to a
+    distinct gram table under the measured broadcast gate; corpus
+    grams build and filter map-side; only matches shuffle (per-doc
+    agg). Ratio is an integer-cardinality quotient → decimal snap is
+    engine-stable.
+    """
+    from puregraphdb_spark.operators.text import contamination_report
+    from puregraphdb_spark.sources.registry import table_bytes
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select(
+        "doc_id", F.substring("text", 10, 200).alias("text")
+    )
+    bounded = table_bytes(spark, sf_dir, "documents") < (2 << 30)
+    rep = contamination_report(d, bench, n=5,
+                               broadcast_benchmark=bounded)
+    return final_sort(
+        rep.select(
+            "corpus_id", "n_ngrams", "n_matched", "n_bench_docs",
+            decimal_round(
+                F.col("n_matched").cast("double")
+                / F.col("n_ngrams").cast("double"), 6, grid=10,
+            ).alias("contam_ratio"),
+        ),
+        spark, sf_dir, "documents", "corpus_id",
+    )

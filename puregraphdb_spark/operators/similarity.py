@@ -309,27 +309,68 @@ def ngram_jaccard(a_text: F.Column, b_text: F.Column, k: int = 3) -> F.Column:
 # ---------------------------------------------------------------------------
 
 
-def _centroid_cosine(emb_col: str | F.Column, centroid: list[float]) -> F.Column:
-    """cos(emb, centroid) with the centroid folded in as literals —
-    the centroid norm is a Python-side constant."""
-    lit_c = F.array(*[F.lit(x) for x in centroid])
-    norm_c = math.sqrt(sum(x * x for x in centroid)) or 1.0
-    return dot(emb_col, lit_c) / (
-        F.sqrt(dot(emb_col, emb_col)) * F.lit(norm_c)
+def _centroid_relation(spark, centroids: list[list[float]]) -> DataFrame:
+    """Centroid model state as a 1-ROW broadcastable relation:
+    ``cents: array<struct<idx:int, vec:array<double>, nrm:double>>``.
+
+    This is the k-scaling fix (VERDICT r4): folding k centroids into
+    the plan as literals (a per-centroid ``F.when`` chain or k struct
+    literals) grows the expression tree and generated code O(k·dim) —
+    fine at k≤64, fatal at realistic IVF k (thousands). Here the k×dim
+    floats live as DATA inside a broadcast 1-row relation; the plan
+    holds one column reference, so plan/codegen size is flat in k
+    (pinned by tests/test_similarity_text.py::test_ivf_plan_size_flat_in_k).
+    """
+    rows = [
+        [(i, c, math.sqrt(sum(x * x for x in c)) or 1.0)
+         for i, c in enumerate(centroids)]
+    ]
+    return spark.createDataFrame(
+        [(rows[0],)],
+        "cents array<struct<idx:int,vec:array<double>,nrm:double>>",
     )
 
 
-def _nearest_centroid(emb_col: str | F.Column,
-                      centroids: list[list[float]]) -> F.Column:
-    """argmax-cosine centroid index as a Column expression."""
-    best_i = F.lit(0)
-    best_s = _centroid_cosine(emb_col, centroids[0])
-    for i, c in enumerate(centroids[1:], start=1):
-        s = _centroid_cosine(emb_col, c)
-        better = s > best_s
-        best_i = F.when(better, F.lit(i)).otherwise(best_i)
-        best_s = F.when(better, s).otherwise(best_s)
-    return best_i
+def _centroid_scores(emb_col: str | F.Column,
+                     cents_col: F.Column) -> F.Column:
+    """Per-centroid cosine numerators as array<struct<s, idx>> — one
+    JVM higher-order pass over the centroid array. The query-vector
+    norm is a common positive factor across centroids, so for
+    argmax/top-nprobe ranking dot/|c| (dropping |emb|) orders
+    identically and saves one sqrt per row."""
+    c = F.col(emb_col) if isinstance(emb_col, str) else emb_col
+    emb_d = c.cast("array<double>")
+    return F.transform(
+        cents_col,
+        lambda ct: F.struct(
+            (
+                F.aggregate(
+                    F.zip_with(emb_d, ct["vec"], lambda x, y: x * y),
+                    F.lit(0.0), lambda a, x: a + x,
+                ) / ct["nrm"]
+            ).alias("s"),
+            ct["idx"].alias("idx"),
+        ),
+    )
+
+
+def _with_nearest_centroid(df: DataFrame, centroids: list[list[float]],
+                           emb_col: str = "embedding",
+                           out_col: str = "cluster") -> DataFrame:
+    """Attach argmax-cosine centroid index — broadcast the 1-row
+    centroid relation (BroadcastNestedLoopJoin against ONE row: a
+    map-side column append, no row explosion, no shuffle), then a
+    single transform + array_max. Ties keep the smallest idx (the
+    struct max orders by (s, -idx))."""
+    spark = df.sparkSession
+    joined = df.crossJoin(F.broadcast(_centroid_relation(spark, centroids)))
+    scored = F.transform(
+        _centroid_scores(emb_col, F.col("cents")),
+        lambda t: F.struct(t["s"].alias("s"), (-t["idx"]).alias("nidx")),
+    )
+    return joined.withColumn(
+        out_col, (-F.array_max(scored)["nidx"]).cast("int")
+    ).drop("cents")
 
 
 def kmeans_centroids(corpus: DataFrame, emb_col: str = "embedding",
@@ -350,8 +391,8 @@ def kmeans_centroids(corpus: DataFrame, emb_col: str = "embedding",
     )
     cents = [list(r[1]) for r in seeds]
     for _ in range(iters):
-        assigned = corpus.select(
-            _nearest_centroid(emb_col, cents).alias("cluster"),
+        assigned = _with_nearest_centroid(corpus, cents, emb_col).select(
+            "cluster",
             F.posexplode(F.col(emb_col).cast("array<double>")).alias("pos", "val"),
         )
         means = (
@@ -371,9 +412,10 @@ def kmeans_centroids(corpus: DataFrame, emb_col: str = "embedding",
 
 def ivf_assign(corpus: DataFrame, centroids: list[list[float]],
                emb_col: str = "embedding") -> DataFrame:
-    """Attach the inverted-file cluster id (pure map; at scale this is
-    the write-time partition key of the vector table)."""
-    return corpus.withColumn("cluster", _nearest_centroid(emb_col, centroids))
+    """Attach the inverted-file cluster id (pure map via the broadcast
+    centroid relation; at scale this is the write-time partition key of
+    the vector table — see write_ivf_index)."""
+    return _with_nearest_centroid(corpus, centroids, emb_col)
 
 
 def ivf_cosine_topk(queries: DataFrame, corpus: DataFrame,
@@ -384,27 +426,40 @@ def ivf_cosine_topk(queries: DataFrame, corpus: DataFrame,
     exact-cosine re-rank inside them. ONE shuffle keyed on cluster id;
     recall is tuned by nprobe (nprobe = k_clusters → exhaustive).
     Returns (src, vec_id, cos_sim, rn ≤ k).
+
+    A ``corpus`` that already carries a ``cluster`` column (a persisted
+    index read back via read_ivf_index) is served as-is — no re-assign
+    pass; with the index written cluster-partitioned, the probe join's
+    broadcast side drives dynamic partition pruning on the vector
+    files.
     """
-    scored = [
-        (i, _centroid_cosine(emb_col, c)) for i, c in enumerate(centroids)
-    ]
-    # nprobe nearest clusters per query = top slots of a sorted struct
-    # array (all JVM-side; centroids are literals)
-    slots = F.sort_array(
-        F.array(*[
-            F.struct(s.alias("cos"), F.lit(i).alias("cluster"))
-            for i, s in scored
-        ]),
-        asc=False,
+    spark = queries.sparkSession
+    # nprobe nearest clusters per query: sort the per-centroid score
+    # array desc, slice — one HOF pass, centroids stay a broadcast
+    # relation (plan size flat in k).
+    q = (
+        queries.crossJoin(F.broadcast(_centroid_relation(spark, centroids)))
+        .select(
+            F.col(id_col).alias("src"),
+            F.col(emb_col).alias("q_emb"),
+            F.explode(
+                F.slice(
+                    F.sort_array(
+                        _centroid_scores(emb_col, F.col("cents")), asc=False
+                    ),
+                    1, nprobe,
+                )
+            ).alias("probe"),
+        )
+        .select("src", "q_emb", F.col("probe.idx").alias("cluster"))
     )
-    q = queries.select(
-        F.col(id_col).alias("src"),
-        F.col(emb_col).alias("q_emb"),
-        F.explode(F.slice(slots, 1, nprobe)).alias("probe"),
-    ).select("src", "q_emb", F.col("probe.cluster").alias("cluster"))
-    c = ivf_assign(corpus, centroids, emb_col).select(
-        F.col(id_col), F.col(emb_col), "cluster"
-    )
+    if "cluster" in corpus.columns:
+        c = corpus.select(F.col(id_col), F.col(emb_col),
+                          F.col("cluster").cast("int").alias("cluster"))
+    else:
+        c = ivf_assign(corpus, centroids, emb_col).select(
+            F.col(id_col), F.col(emb_col), "cluster"
+        )
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), id_col)
     return (
         c.join(F.broadcast(q), "cluster")
@@ -416,6 +471,48 @@ def ivf_cosine_topk(queries: DataFrame, corpus: DataFrame,
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )
+
+
+def write_ivf_index(corpus: DataFrame, centroids: list[list[float]],
+                    path: str, id_col: str = "vec_id",
+                    emb_col: str = "embedding") -> None:
+    """Persist the inverted file: the vector table partitioned by
+    cluster id (``{path}/vectors/cluster=N/``) plus the centroid table
+    (``{path}/centroids``).
+
+    The cluster-directory layout is the point: a probe of nprobe
+    clusters reads ONLY those directories (static pruning when the
+    clusters are literals, dynamic partition pruning from the
+    broadcast probe side otherwise) — at 1B vectors a 2-of-256 probe
+    touches <1% of the files.
+    """
+    import os
+
+    from puregraphdb_spark.sources.registry import write_partitioned
+
+    assigned = ivf_assign(corpus, centroids, emb_col)
+    write_partitioned(assigned, os.path.join(path, "vectors"),
+                      partition_by=["cluster"])
+    cdf = corpus.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cluster int, cvec array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+
+
+def read_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """Read a persisted IVF index back: (cluster-carrying vector
+    DataFrame, centroid model state). The centroid read is k×dim
+    parameter traffic, mirroring kmeans_centroids' contract."""
+    import os
+
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    cents = spark.read.parquet(os.path.join(path, "centroids")).orderBy(
+        "cluster"
+    ).collect()
+    return vectors, [list(r["cvec"]) for r in cents]
 
 
 # ---------------------------------------------------------------------------

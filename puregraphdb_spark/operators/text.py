@@ -115,6 +115,77 @@ def fingerprint(text_col: str | F.Column, window: int = 8) -> F.Column:
     return F.coalesce(F.array_min(windows_arr), F.lit(0).cast("long"))
 
 
+def word_ngrams(text_col: str | F.Column, n: int = 5) -> F.Column:
+    """Distinct word n-grams of a lowercased, space-split text — the
+    contamination-check unit (a benchmark excerpt appearing verbatim in
+    a training doc shares its word n-grams). Plain single-space split
+    (not ``\\s+``) so the set is bit-identical to an engine-independent
+    ``string_split(lower(text), ' ')`` oracle. Texts with fewer than n
+    tokens have NO n-grams (explicit guard: Spark's sequence(1,0) is
+    descending and would fabricate one — the q63 lesson)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    ts = F.split(F.lower(c), " ")
+    return F.when(
+        F.size(ts) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - (n - 1)),
+                lambda i: F.array_join(F.slice(ts, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination_report(corpus: DataFrame, benchmark: DataFrame,
+                         n: int = 5, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         broadcast_benchmark: bool = True) -> DataFrame:
+    """Benchmark-contamination check: which corpus docs contain word
+    n-grams of any benchmark doc, and how much of the doc is covered.
+
+    Returns one row per CONTAMINATED corpus doc: (corpus_id, n_ngrams,
+    n_matched, n_bench_docs) — n_matched distinct corpus n-grams also
+    present in the benchmark, n_bench_docs distinct benchmark docs hit.
+    Callers derive the ratio n_matched/n_ngrams and threshold it (the
+    usual decontamination rule: drop docs over ~some % overlap).
+
+    Scale shape (100 TB corpus, bounded benchmark — the contract): the
+    benchmark explodes to a distinct (gram, bench_id) table and is
+    BROADCAST; the corpus builds n-gram sets map-side and explodes into
+    the broadcast hash join, so non-matching grams (the overwhelming
+    majority) die map-side — the only shuffle is the per-doc aggregation
+    of MATCHES, which is at most benchmark-sized × dup-factor, never
+    corpus-sized. ``broadcast_benchmark=False`` switches to a plain
+    shuffle join for an unbounded benchmark side.
+    """
+    c_ng = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        word_ngrams(text_col, n).alias("ng"),
+    )
+    cx = c_ng.select(
+        "corpus_id",
+        F.size("ng").cast("long").alias("n_ngrams"),
+        F.explode("ng").alias("gram"),
+    )
+    bg = (
+        benchmark.select(
+            F.col(id_col).alias("bench_id"),
+            F.explode(word_ngrams(text_col, n)).alias("gram"),
+        )
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bg = F.broadcast(bg)
+    return (
+        cx.join(bg, "gram")
+        .groupBy("corpus_id", "n_ngrams")
+        .agg(
+            F.countDistinct("gram").alias("n_matched"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
 # -- corpus-level operators (rows-only queries() entries) --------------------
 
 

@@ -254,6 +254,38 @@ SPARK_SQL: dict[str, str] = {
         group by win, event_type
         order by win, event_type
     """,
+    "q66_contamination": """
+        with ct as (select doc_id, split(lower(text), ' ') as ts
+                    from documents),
+        cg as (select doc_id as corpus_id,
+                      case when size(ts) >= 5 then
+                        array_distinct(transform(sequence(1, size(ts) - 4),
+                          i -> array_join(slice(ts, i, 5), ' ')))
+                      else cast(array() as array<string>) end as ng
+               from ct),
+        bt as (select doc_id,
+                      split(lower(substring(text, 10, 200)), ' ') as ts
+               from documents where doc_id % 97 = 0),
+        bg as (select distinct bench_id, gram from (
+                 select doc_id as bench_id,
+                        explode(case when size(ts) >= 5 then
+                          array_distinct(transform(sequence(1, size(ts) - 4),
+                            i -> array_join(slice(ts, i, 5), ' ')))
+                        else cast(array() as array<string>) end) as gram
+                 from bt)),
+        cx as (select corpus_id, cast(size(ng) as bigint) as n_ngrams,
+                      explode(ng) as gram
+               from cg)
+        select corpus_id, n_ngrams,
+               count(distinct cx.gram) as n_matched,
+               count(distinct bg.bench_id) as n_bench_docs,
+               cast(round(cast(cast(count(distinct cx.gram) as double)
+                       / n_ngrams as decimal(28,10)), 6) as double)
+                 as contam_ratio
+        from cx join bg on cx.gram = bg.gram
+        group by corpus_id, n_ngrams
+        order by corpus_id
+    """,
     "hypertable_rollup": """
         with ev as (select ts, event_type, value from events),
         finest as (

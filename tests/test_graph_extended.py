@@ -68,3 +68,107 @@ def test_personalized_pagerank_localizes(spark):
           for r in g.personalized_pagerank(source=1, max_iter=8).collect()}
     assert pr[10] == pr[11] == pr[12] == 0.0
     assert pr[1] > pr[2] > 0
+
+
+# -- motif / pattern matching (Graph.find) -----------------------------------
+
+
+@pytest.fixture(scope="module")
+def motif_graph(spark):
+    """1→2→3→4, 2→5, 1→3 (closing edge), 6→6 (self-loop); vertices
+    carry a name attribute."""
+    v = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 7)], ["id", "name"]
+    )
+    e = spark.createDataFrame(
+        [(1, 2, "a"), (2, 3, "b"), (3, 4, "c"), (2, 5, "d"),
+         (1, 3, "e"), (6, 6, "f")],
+        ["src", "dst", "etype"],
+    )
+    return Graph(v, e)
+
+
+def test_find_single_edge_binds_structs(motif_graph):
+    rows = motif_graph.find("(a)-[e]->(b)").collect()
+    assert len(rows) == 6
+    r = {(x["a"]["id"], x["b"]["id"]): x for x in rows}
+    assert r[(1, 2)]["e"]["etype"] == "a"
+    assert r[(1, 2)]["a"]["name"] == "v1"
+    # column order = first appearance
+    assert motif_graph.find("(a)-[e]->(b)").columns == ["a", "e", "b"]
+
+
+def test_find_two_hop_chain(motif_graph):
+    got = {
+        (x["a"]["id"], x["b"]["id"], x["c"]["id"])
+        for x in motif_graph.find("(a)-[]->(b); (b)-[]->(c)").collect()
+    }
+    assert got == {(1, 2, 3), (2, 3, 4), (1, 3, 4), (1, 2, 5), (6, 6, 6)}
+
+
+def test_find_negated_term_open_wedges(motif_graph):
+    got = {
+        (x["a"]["id"], x["b"]["id"], x["c"]["id"])
+        for x in motif_graph.find(
+            "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)"
+        ).collect()
+    }
+    # 1→2→3 is CLOSED by 1→3; 6→6→6 closed by 6→6 itself
+    assert got == {(2, 3, 4), (1, 3, 4), (1, 2, 5)}
+
+
+def test_find_shared_dst_and_anonymous(motif_graph):
+    # co-parents of a shared child; anonymous edges don't bind
+    got = {
+        (x["a"]["id"], x["b"]["id"], x["c"]["id"])
+        for x in motif_graph.find("(a)-[]->(c); (b)-[]->(c)").collect()
+        if x["a"]["id"] < x["b"]["id"]
+    }
+    assert got == {(1, 2, 3)}
+
+
+def test_find_self_loop_pattern(motif_graph):
+    rows = motif_graph.find("(a)-[]->(a)").collect()
+    assert [x["a"]["id"] for x in rows] == [6]
+
+
+def test_find_without_vertex_attrs_matches(motif_graph):
+    full = {
+        (x["a"]["id"], x["b"]["id"], x["c"]["id"])
+        for x in motif_graph.find("(a)-[]->(b); (b)-[]->(c)").collect()
+    }
+    bare_df = motif_graph.find("(a)-[]->(b); (b)-[]->(c)",
+                               attach_vertex_attrs=False)
+    bare = {
+        (x["a"]["id"], x["b"]["id"], x["c"]["id"])
+        for x in bare_df.collect()
+    }
+    assert bare == full
+    assert bare_df.schema["a"].dataType.fieldNames() == ["id"]
+
+
+def test_find_plans_equi_joins_not_cartesian(motif_graph):
+    plan = motif_graph.find(
+        "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_find_rejects_malformed_patterns(motif_graph):
+    with pytest.raises(ValueError, match="bad motif term"):
+        motif_graph.find("(a)->(b)")
+    with pytest.raises(ValueError, match="empty"):
+        motif_graph.find("  ;  ")
+    with pytest.raises(ValueError, match="unique"):
+        motif_graph.find("(a)-[e]->(b); (b)-[e]->(c)")
+    with pytest.raises(ValueError, match="disconnected"):
+        motif_graph.find("(a)-[]->(b); (c)-[]->(d)")
+    with pytest.raises(ValueError, match="not bound"):
+        motif_graph.find("(a)-[]->(b); !(a)-[]->(z)")
+    with pytest.raises(ValueError, match="cannot name"):
+        motif_graph.find("(a)-[]->(b); !(a)-[x]->(b)")
+    with pytest.raises(ValueError, match="both a vertex and an edge"):
+        motif_graph.find("(a)-[b]->(b)")
+    with pytest.raises(ValueError, match="no positive"):
+        motif_graph.find("!(a)-[]->(b)")

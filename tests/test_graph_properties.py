@@ -242,3 +242,99 @@ def test_scc_randomized_vs_tarjan(spark):
         got = {r["id"]: r["component"]
                for r in Graph(v, e).strongly_connected_components().collect()}
         assert got == want, f"trial={trial} n={n} edges={sorted(edges)}"
+
+
+# -- edge-weighted algorithms -------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def weighted_diamond(spark):
+    """1→2 (w 1), 1→3 (w 10), 2→4 (w 1), 3→4 (w 1): the cheap 1→2→4
+    path beats the direct-hop-count-equal 1→3→4."""
+    v = spark.createDataFrame([(i,) for i in range(1, 5)], ["id"])
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 3, 10.0), (2, 4, 1.0), (3, 4, 1.0)],
+        ["src", "dst", "w"],
+    )
+    return Graph(v, e)
+
+
+def test_uniform_weights_reproduce_unweighted_pagerank(spark, k4):
+    g1 = Graph(k4.vertices, k4.edges.withColumn("w", F.lit(1.0)))
+    unw = {r["id"]: r["pagerank"] for r in k4.pagerank(max_iter=4).collect()}
+    wtd = {
+        r["id"]: r["pagerank"]
+        for r in g1.pagerank(max_iter=4, weight_col="w").collect()
+    }
+    assert wtd == unw  # bit-for-bit: rank·1.0/Σ1.0 ≡ rank/outdeg
+
+
+def test_weighted_pagerank_follows_weight(spark):
+    # 1 sends 9× more mass to 2 than to 3
+    v = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    e = spark.createDataFrame(
+        [(1, 2, 9.0), (1, 3, 1.0)], ["src", "dst", "w"]
+    )
+    pr = {
+        r["id"]: r["pagerank"]
+        for r in Graph(v, e).pagerank(max_iter=3, weight_col="w").collect()
+    }
+    assert pr[2] > pr[3]
+
+
+def test_uniform_weights_reproduce_unweighted_sssp(spark, k4):
+    g1 = Graph(k4.vertices, k4.edges.withColumn("w", F.lit(1.0)))
+    unw = {
+        (r["id"], r["landmark"]): float(r["dist"])
+        for r in k4.shortest_paths([1]).collect()
+    }
+    wtd = {
+        (r["id"], r["landmark"]): float(r["dist"])
+        for r in g1.shortest_paths([1], weight_col="w").collect()
+    }
+    assert wtd == unw
+
+
+def test_weighted_sssp_prefers_cheap_path(weighted_diamond):
+    d = {
+        r["id"]: r["dist"]
+        for r in weighted_diamond.shortest_paths(
+            [4], weight_col="w"
+        ).collect()
+    }
+    # distances TO landmark 4 (relaxation runs dst→src)
+    assert d[2] == 1.0 and d[3] == 1.0
+    assert d[1] == 2.0  # via 2, not the w=10 edge through 3
+    assert d[4] == 0.0
+
+
+def test_weighted_sssp_converges_past_bfs_horizon(spark):
+    """Bellman-Ford must keep improving an already-assigned dist: the
+    direct hop 1→3 (w 10) is found first, the 2-hop detour (w 2) must
+    replace it — exactly the case row-count convergence would miss."""
+    v = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    e = spark.createDataFrame(
+        [(1, 3, 10.0), (1, 2, 1.0), (2, 3, 1.0)], ["src", "dst", "w"]
+    )
+    d = {
+        r["id"]: r["dist"]
+        for r in Graph(v, e).shortest_paths([3], weight_col="w").collect()
+    }
+    assert d[1] == 2.0
+
+
+def test_iterative_final_plan_is_bounded(spark):
+    """Pregel results must not drag superstep lineage into downstream
+    composition: past the plan-size cap the returned state is a flat
+    checkpoint scan (VERDICT r4: shortest_paths once carried 62
+    broadcasts in its final plan)."""
+    # long path graph → many supersteps
+    n = 30
+    v = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["src", "dst"]
+    )
+    d = Graph(v, e).shortest_paths([n - 1], max_iter=n + 2)
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastExchange") <= 5, len(plan)
+    assert {r["id"]: r["dist"] for r in d.collect()}[0] == n - 1

@@ -37,6 +37,7 @@ DUCKDB_ONLY = {
     "q62_json_typed",        # json_extract_string
     "q63_ngram_jaccard",     # list_transform/list_intersect/len
     "q64_regex_tokens",      # len()/list_distinct over regex lists
+    "q66_contamination",     # string_split/list_transform/unnest
 }
 
 ORACLES = entrymod.oracle_sql()

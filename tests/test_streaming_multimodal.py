@@ -118,3 +118,186 @@ def test_streaming_parquet_sink_roundtrip(spark, tmp_path):
     # watermark every window except the open tail is final
     batch = tumbling_window(ev).count()
     assert 0 < got.count() <= batch
+
+
+# -- real codecs (functions/codecs.py) ---------------------------------------
+
+
+def _checker(h, w, ch=3):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((yy + xx) % 2 * 255).astype("uint8")
+    return np.stack([base] * ch, axis=2) if ch > 1 else base[:, :, None]
+
+
+def test_png_round_trip_exact():
+    import numpy as np
+
+    from puregraphdb_spark.functions import codecs
+
+    for ch in (1, 3, 4):
+        px = _checker(5, 7, ch)
+        back = codecs.decode_png(codecs.encode_png(px))
+        assert back.shape == (5, 7, ch)
+        assert np.array_equal(back, px)
+
+
+def test_png_decoder_handles_all_filters():
+    """Hand-build one PNG per scanline filter type and check exact
+    pixel recovery — the decoder must implement the full spec, not
+    just the filter-0 path our encoder emits."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from puregraphdb_spark.functions import codecs
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(4, 6, 3)).astype("uint8")
+    h, w, ch = px.shape
+
+    def paeth(a, b, c):
+        p = int(a) + int(b) - int(c)
+        pa, pb, pc = abs(p - int(a)), abs(p - int(b)), abs(p - int(c))
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    for filt in (0, 1, 2, 3, 4):
+        raw = b""
+        prev = np.zeros(w * ch, dtype=np.uint8)
+        for y in range(h):
+            line = px[y].ravel()
+            enc = np.empty_like(line)
+            for x in range(w * ch):
+                left = int(line[x - ch]) if x >= ch else 0
+                up = int(prev[x])
+                ul = int(prev[x - ch]) if x >= ch else 0
+                if filt == 0:
+                    pred = 0
+                elif filt == 1:
+                    pred = left
+                elif filt == 2:
+                    pred = up
+                elif filt == 3:
+                    pred = (left + up) >> 1
+                else:
+                    pred = paeth(left, up, ul)
+                enc[x] = (int(line[x]) - pred) & 0xFF
+            raw += bytes([filt]) + enc.tobytes()
+            prev = line
+
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+        payload = (
+            codecs.PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(codecs.decode_png(payload), px), filt
+
+
+def test_png_decoder_rejects_non_png_and_bad_profile():
+    import pytest as _pytest
+
+    from puregraphdb_spark.functions import codecs
+
+    assert codecs.decode_png(b"not a png at all") is None
+    assert codecs.decode_png(None) is None
+    # 16-bit depth is outside the supported profile
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    bad = (codecs.PNG_MAGIC
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)))
+    with _pytest.raises(ValueError, match="unsupported"):
+        codecs.decode_png(bad)
+
+
+def test_wav_round_trip_and_features():
+    import math as m
+
+    import numpy as np
+
+    from puregraphdb_spark.functions import codecs
+
+    tone = np.sin(np.arange(1600) * 2 * m.pi * 440 / 16000)
+    payload = codecs.encode_wav(tone, rate=16000)
+    x, rate = codecs.decode_wav(payload)
+    assert rate == 16000 and x.size == 1600
+    # 16-bit quantization: correlation with the source stays ~1
+    assert np.corrcoef(x, tone)[0, 1] > 0.9999
+    assert codecs.decode_wav(b"RIFX" + payload[4:]) is None
+
+
+def test_decode_images_real_png_through_spark(spark):
+    """A REAL PNG payload must yield pixel-derived dims and features
+    (not the digest fallback), alongside fallback rows in one batch."""
+    import numpy as np
+
+    from puregraphdb_spark.functions import codecs
+
+    px = _checker(12, 9, 3)
+    real = codecs.encode_png(px)
+    fake = b"\xde\xad\xbe\xef" * 8
+    df = spark.createDataFrame(
+        [
+            (1, "image", "image/png", bytearray(real), 999, 999, None),
+            (2, "image", "image/x-fake", bytearray(fake), 10, 8, None),
+        ],
+        mm.ASSET_SCHEMA,
+    )
+    rows = {r["asset_id"]: r for r in mm.decode_images(df, 8).collect()}
+    # real PNG: dims come from the pixels, not the (wrong) metadata
+    assert rows[1]["width"] == 9 and rows[1]["height"] == 12
+    assert rows[1]["n_pixels"] == 108
+    # checkerboard grayscale mean ≈ 0.5 in every block bucket
+    assert all(abs(f - 0.5) < 0.2 for f in rows[1]["features"])
+    # fallback row: metadata preserved, digest features
+    assert rows[2]["width"] == 10 and rows[2]["n_pixels"] == 80
+
+
+def test_extract_audio_features_real_wav(spark):
+    import numpy as np
+
+    from puregraphdb_spark.functions import codecs
+
+    tone = np.sin(np.arange(3200) * 2 * np.pi * 440 / 16000)
+    df = spark.createDataFrame(
+        [(5, "audio", "audio/wav", bytearray(codecs.encode_wav(tone)),
+          None, None, 200)],
+        mm.ASSET_SCHEMA,
+    )
+    row = mm.extract_audio_features(df, feature_dim=4).collect()[0]
+    assert row["n_samples"] == 3200
+    # 440 Hz sine at 16 kHz: zcr ≈ 2*440/16000 = 0.055
+    assert abs(row["zero_crossing_rate"] - 0.055) < 0.01
+    # RMS of a full-scale sine ≈ 32767/sqrt(2)
+    assert abs(row["rms_energy"] - 32767 / np.sqrt(2)) < 200
+
+
+def test_resize_image_payloads_real(spark):
+    import numpy as np
+
+    from puregraphdb_spark.functions import codecs
+
+    px = _checker(16, 16, 3)
+    df = spark.createDataFrame(
+        [(1, "image", "image/png", bytearray(codecs.encode_png(px)),
+          16, 16, None),
+         (2, "image", "image/x-fake", bytearray(b"zz" * 20), 7, 7, None)],
+        mm.ASSET_SCHEMA,
+    )
+    rows = {r["asset_id"]: r
+            for r in mm.resize_image_payloads(df, 4, 6).collect()}
+    assert rows[1]["resized"] == "true"
+    out = codecs.decode_png(bytes(rows[1]["payload"]))
+    assert out.shape == (6, 4, 3)
+    assert rows[2]["resized"] == "false" and rows[2]["width"] == 7

@@ -59,9 +59,11 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
 
     failures = []
+    n_checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -98,7 +100,7 @@ def main() -> int:
             continue
         print(f"ok   {name}: {len(sdf)} rows hash-match  ({dt_spark:.2f}s)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    print(f"\n{n_checked - len(failures)}/{n_checked} pass")
     return 1 if failures else 0
 
 
