@@ -92,9 +92,11 @@ def _graph(spark: SparkSession, edges: str, vertices: str | None = None):
 
 
 def _pagerank(spark, edges: str, vertices: str | None = None,
-              reset_prob: float = 0.15, max_iter: int = 10) -> DataFrame:
+              reset_prob: float = 0.15, max_iter: int = 10,
+              weight_col: str | None = None) -> DataFrame:
     return _graph(spark, edges, vertices).pagerank(
-        reset_prob=reset_prob, max_iter=int(max_iter))
+        reset_prob=reset_prob, max_iter=int(max_iter),
+        weight_col=weight_col)
 
 
 def _connected_components(spark, edges: str, vertices: str | None = None,
@@ -130,10 +132,34 @@ def _k_core(spark, edges: str, k: int, vertices: str | None = None,
 
 def _shortest_paths(spark, edges: str, landmarks: str,
                     vertices: str | None = None,
-                    max_iter: int = 20) -> DataFrame:
+                    max_iter: int = 20,
+                    weight_col: str | None = None) -> DataFrame:
     lm = [int(x) for x in str(landmarks).split(",") if str(x).strip()]
     return _graph(spark, edges, vertices).shortest_paths(
-        lm, max_iter=int(max_iter))
+        lm, max_iter=int(max_iter), weight_col=weight_col)
+
+
+def _find_motifs(spark, edges: str, pattern: str,
+                 vertices: str | None = None,
+                 attach_vertex_attrs: bool = True) -> DataFrame:
+    """CALL find_motifs(edges => 'e', pattern => '(a)-[]->(b); (b)-[]->(c)')
+    — the Graph.find DSL through the SQL door; named vertices/edges
+    come back as struct columns."""
+    return _graph(spark, edges, vertices).find(
+        pattern, attach_vertex_attrs=bool(attach_vertex_attrs))
+
+
+def _contamination_report(spark, corpus: str, benchmark: str,
+                          n: int = 5, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          broadcast_benchmark: bool = True) -> DataFrame:
+    from puregraphdb_spark.operators.text import contamination_report
+
+    return contamination_report(
+        _view(spark, corpus), _view(spark, benchmark), n=int(n),
+        text_col=text_col, id_col=id_col,
+        broadcast_benchmark=bool(broadcast_benchmark),
+    )
 
 
 def _near_dup_pairs(spark, docs: str = "documents", id_col: str = "doc_id",
@@ -294,6 +320,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "triangle_count": _triangle_count,
     "degrees": _degrees,
     "shortest_paths": _shortest_paths,
+    "find_motifs": _find_motifs,
     "near_dup_pairs": _near_dup_pairs,
     "simhash_near_dup": _simhash_near_dup,
     "dedup_minhash": _dedup_minhash,
@@ -303,6 +330,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "ann_topk": _ann_topk,
     "text_profile": _text_profile,
     "quality_report": _quality_report,
+    "contamination_report": _contamination_report,
     # time-series / custom operators (SURVEY §2.2; VERDICT r3 gap #2)
     "as_of_join": _as_of_join,
     "time_rollup": _time_rollup,

@@ -106,3 +106,74 @@ def test_call_bad_measures_raises(spark):
             "CALL time_rollup(events => 'events', ts_col => 'ts', "
             "granularities => '1 hour', measures => 'oops')"
         )
+
+
+def test_call_find_motifs_matches_graph_api(spark):
+    from puregraphdb_spark.operators.graph import Graph
+
+    eng = _engine(spark)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3)], ["src", "dst"]
+    )
+    e.createOrReplaceTempView("motif_edges")
+    via_call = eng.sql(
+        "CALL find_motifs(edges => 'motif_edges', "
+        "pattern => '(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)')"
+    ).toPandas()
+    v = (
+        e.selectExpr("src as id").union(e.selectExpr("dst as id")).distinct()
+    )
+    direct = Graph(v, e).find(
+        "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)"
+    ).toPandas()
+    key = lambda df: sorted(  # noqa: E731
+        (r["a"]["id"], r["b"]["id"], r["c"]["id"])
+        for _, r in df.iterrows()
+    )
+    assert key(via_call) == key(direct)
+    # 1→2→3 is closed by the 1→3 edge; 1→3→4 and 2→3→4 stay open
+    assert key(via_call) == [(1, 3, 4), (2, 3, 4)]
+
+
+def test_call_contamination_report_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from puregraphdb_spark.operators.text import contamination_report
+    from puregraphdb_spark.sources.registry import load_table
+
+    eng = _engine(spark)
+    d = load_table(spark, SF_DIR, "documents")
+    bench = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.substring("text", 5, 120).alias("text")
+    )
+    bench.createOrReplaceTempView("bench_docs")
+    via_call = eng.sql(
+        "CALL contamination_report(corpus => 'documents', "
+        "benchmark => 'bench_docs')"
+    ).toPandas().sort_values("corpus_id", ignore_index=True)
+    direct = contamination_report(d, bench).toPandas().sort_values(
+        "corpus_id", ignore_index=True
+    )
+    assert_frames_match(via_call, direct)
+    assert len(direct) > 0
+
+
+def test_call_weighted_graph_params(spark):
+    eng = _engine(spark)
+    e = spark.createDataFrame(
+        [(1, 2, 9.0), (1, 3, 1.0)], ["src", "dst", "w"]
+    )
+    e.createOrReplaceTempView("wedges")
+    pr = eng.sql(
+        "CALL pagerank(edges => 'wedges', max_iter => 3, "
+        "weight_col => 'w')"
+    ).toPandas().set_index("id")["pagerank"]
+    assert pr[2] > pr[3]
+    spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 10.0)], ["src", "dst", "w"]
+    ).createOrReplaceTempView("sp_edges")
+    sp = eng.sql(
+        "CALL shortest_paths(edges => 'sp_edges', landmarks => '3', "
+        "weight_col => 'w')"
+    ).toPandas().set_index("id")["dist"]
+    assert sp[1] == 2.0  # detour 1→2→3 (1+1) beats the w=10 direct edge
