@@ -157,17 +157,23 @@ class Engine:
             self.spark._jsc.hadoopConfiguration())
         return int(fs.getContentSummary(path).getLength())
 
-    def tune_for_data_size(self, interactive_threshold: int = 2 << 30) -> None:
+    def tune_for_data_size(self,
+                           interactive_threshold: int = 128 << 20) -> None:
         """Size shuffle parallelism to the measured input volume.
 
-        Below ~2 GiB every shuffle is a handful of MB: 32-way fan-out
+        Below ~128 MiB every shuffle is a handful of MB: 32-way fan-out
         and AQE's stage-barrier re-planning are pure scheduling latency
-        (measured at sf0.1: core-30 total 18.8 s with AQE+32 partitions
-        vs 11.1 s with fixed 8 and AQE off). Above the threshold the
-        defaults stand — AQE coalescing/skew-splitting is the win at
-        cluster scale, where a mis-sized static fan-out costs far more
-        than stage re-planning. This mirrors what AQE's own
-        advisoryPartitionSize does, minus the per-stage barrier cost.
+        (measured at sf0.1 = 17 MiB: core-30 total 18.8 s with AQE+32
+        partitions vs 11.1 s with fixed 8 and AQE off). Above the
+        threshold the defaults stand — AQE coalescing/skew-splitting is
+        the win once shuffles carry real volume. The line was 2 GiB
+        through round 4; SCALECHECK's sf1 run (172 MiB input) showed
+        that is too coarse: the graph self-joins shuffle tens of
+        millions of rows there, and 8 fixed partitions starved 32 cores
+        (q24 48 s latency-mode vs 25 s cluster posture, q25 39 s vs
+        25 s). 128 MiB keeps the measured latency win where it was
+        measured and returns to cluster posture as soon as shuffle
+        volume can dominate barriers.
         """
         if self.input_bytes() < interactive_threshold:
             self.spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -804,15 +804,29 @@ def count_triangles(canonical_edges: DataFrame,
 
     ``broadcast_adjacency=True``: the adjacency table (|V| rows) is
     broadcast for both probes → the whole count is one pass over the
-    edge set with zero wedge shuffle. ``False``: co-partitioned shuffle
-    join on the probe key — the 100-TB path (at extreme skew split
-    heavy-hitter vertices' neighbor lists before the join).
-    ``None`` (default): SIZE-AWARE — decide from Catalyst's size
-    estimate of the edge plan vs the session broadcast threshold, so a
-    graph that outgrows the broadcast budget automatically takes the
-    shuffle path instead of force-broadcasting an OOM. Callers with
-    better knowledge of their edge volume (e.g. q24's measured input
-    size) pass the bool explicitly.
+    edge set with zero wedge shuffle. ``False``: shuffle join on the
+    probe key — the 100-TB path. ``None`` (default): SIZE-AWARE —
+    decide from Catalyst's size estimate of the edge plan vs the
+    session broadcast threshold, so a graph that outgrows the
+    broadcast budget automatically takes the shuffle path instead of
+    force-broadcasting an OOM. Callers with better knowledge of their
+    edge volume (e.g. q24's measured input size) pass the bool
+    explicitly.
+
+    The shuffle path re-orients edges LOW-DEGREE → HIGH-DEGREE first
+    (id tiebreak). The probe stream carries N⁺(u) per edge, so its
+    shuffle volume is Σ_u deg⁺(u)² — under id-orientation a power-law
+    hub with millions of neighbors keeps ~half of them as one giant
+    array row (OOM at web scale); degree-orientation caps deg⁺ at
+    O(√E) (standard triangle-counting bound), trading three skinny
+    edge-list shuffles (degree agg + two attach joins) for bounded
+    array rows. Orientation never changes the count: each triangle's
+    three edges acquire exactly one acyclic orientation, so it is
+    still counted once, at its minimum-degree vertex
+    (tests/test_graph_properties.py pins equality with the broadcast
+    path and brute force). SCALECHECK's sf1 run (12M uniform-degree
+    edges) measures the two orientations equal there — the payoff is
+    skew robustness, not mean speed.
     """
     if broadcast_adjacency is None:
         try:
@@ -823,6 +837,30 @@ def count_triangles(canonical_edges: DataFrame,
         except Exception:  # estimate unavailable → conservative shuffle
             est = 1 << 62
         broadcast_adjacency = est < (64 << 20)
+    if not broadcast_adjacency:
+        # Degree-ordered orientation (see docstring). Degrees must
+        # count DISTINCT edges, so dedup the pair stream first — the
+        # distinct's shuffle replaces the dedup work collect_set would
+        # have done anyway.
+        e = canonical_edges.select("u", "v").distinct()
+        deg = (
+            e.select(F.col("u").alias("x"))
+            .unionByName(e.select(F.col("v").alias("x")))
+            .groupBy("x").agg(F.count("*").alias("d"))
+        )
+        u_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        canonical_edges = (
+            e.join(deg.select(F.col("x").alias("u"),
+                              F.col("d").alias("du")), "u")
+            .join(deg.select(F.col("x").alias("v"),
+                             F.col("d").alias("dv")), "v")
+            .select(
+                F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("u"),
+                F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("v"),
+            )
+        )
     # collect_set both DEDUPS and groups in one shuffle — callers may
     # pass a raw (u<v) pair stream without a separate distinct().
     adj = canonical_edges.groupBy("u").agg(

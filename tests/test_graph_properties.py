@@ -338,3 +338,31 @@ def test_iterative_final_plan_is_bounded(spark):
     plan = d._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastExchange") <= 5, len(plan)
     assert {r["id"]: r["dist"] for r in d.collect()}[0] == n - 1
+
+
+def test_triangle_shuffle_path_degree_orientation_equals_broadcast(spark):
+    """The shuffle path re-orients edges by degree; the count must be
+    identical to the broadcast path (id-orientation) on a skewed graph
+    — a hub star + clique mix where the orientations genuinely differ."""
+    import itertools
+    import random
+
+    from puregraphdb_spark.operators.graph import count_triangles
+
+    rnd = random.Random(11)
+    verts = list(range(40))
+    edges = set()
+    for v in range(1, 30):
+        edges.add((0, v))  # hub star
+    for a, b in itertools.combinations(range(1, 8), 2):
+        edges.add((a, b))  # clique closing many hub wedges
+    for _ in range(60):
+        a, b = rnd.sample(verts, 2)
+        edges.add((min(a, b), max(a, b)))
+    e = spark.createDataFrame(sorted(edges), ["u", "v"])
+    bcast = count_triangles(e, broadcast_adjacency=True).collect()[0][0]
+    shuffled = count_triangles(e, broadcast_adjacency=False).collect()[0][0]
+    assert bcast == shuffled
+    # sanity: the clique alone closes C(7,3) hub-free triangles plus
+    # hub triangles — count must be at least C(7,3)
+    assert bcast >= 35

@@ -133,18 +133,23 @@ def main() -> int:
     report["final_sort_branches_equal_rows"] = [len(single), bool(same)]
     ok &= same
 
-    # 4. tune_for_data_size posture at the measured size
+    # 4. tune_for_data_size posture at the measured size: 172 MiB is
+    # past the 128 MiB latency line (lowered from 2 GiB BECAUSE of this
+    # scale check — q24/q25 shuffle tens of millions of rows at sf1 and
+    # 8 fixed partitions starved 32 cores), so the DEFAULT posture here
+    # is cluster (AQE untouched); raising the threshold above the input
+    # flips to latency mode.
     eng = Engine(spark, sf_dir, register_views=False)
     inp = eng.input_bytes()
-    eng.tune_for_data_size()  # 165 MiB < 2 GiB → latency mode
-    latency_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    eng.tune_for_data_size(interactive_threshold=64 << 20)  # input above
+    eng.tune_for_data_size()  # 172 MiB > 128 MiB → cluster kept
     cluster_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    eng.tune_for_data_size(interactive_threshold=inp + 1)
+    latency_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     report["tune_for_data_size"] = {
         "input_bytes": inp,
-        "latency_mode_aqe": latency_aqe,   # expect "false"
-        "cluster_posture_aqe": cluster_aqe,  # expect "true" (untouched)
+        "default_posture_aqe": cluster_aqe,          # expect "true"
+        "forced_latency_mode_aqe": latency_aqe,      # expect "false"
     }
     ok &= latency_aqe == "false" and cluster_aqe == "true"
 
