@@ -55,39 +55,171 @@ def _hash_bucket(id_col: F.Column, buckets: int) -> F.Column:
     return (id_col * F.lit(_MULT)) % F.lit(_RING) % F.lit(buckets)
 
 
-def q67_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-bit SimHash similarity search: for each query vector
-    (vec_id < 10) the 5 nearest corpus vectors by hamming distance of
-    the per-dimension sign bits — the oracled verify member of the
-    SimHash family (operators/similarity.simhash holds the banded
-    scale path).
+# -- generic cores (CALL-door procedures dispatch here; the qNN entries
+# below bind them to the fixture tables) -------------------------------------
 
-    Scale: the 10-row query side broadcasts; the corpus is a map-side
+
+def simhash_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                 id_col: str = "vec_id",
+                 emb_col: str = "embedding") -> DataFrame:
+    """Top-k neighbors per query by sign-bit hamming distance.
+
+    Scale: the bounded query side broadcasts; the corpus is a map-side
     scan computing one zip_with/filter/size per pair in codegen (no
-    corpus shuffle); one shuffle for the per-query top-5 window.
-    Hamming is an integer count → bit-identical across engines; ties
-    break on dst id.
+    corpus shuffle); one shuffle for the per-query top-k window.
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("src"), F.col("embedding").alias("q_emb")
+    q = queries.select(
+        F.col(id_col).alias("src"), F.col(emb_col).alias("q_emb")
     )
-    c = e.select(F.col("vec_id").alias("dst"), "embedding")
+    c = corpus.select(F.col(id_col).alias("dst"), F.col(emb_col))
     ham = F.size(
         F.filter(
             F.zip_with(
-                "q_emb", "embedding",
+                "q_emb", emb_col,
                 lambda x, y: (x >= 0) != (y >= 0),
             ),
             lambda b: b,
         )
     ).cast("long")
     w = Window.partitionBy("src").orderBy("ham", "dst")
-    return final_sort(
+    return (
         c.join(F.broadcast(q), F.col("dst") != F.col("src"))
         .select("src", "dst", ham.alias("ham"))
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5),
+        .filter(F.col("rn") <= k)
+    )
+
+
+def chunk_documents(docs: DataFrame, size: int = 32, stride: int = 24,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Sliding-window token chunking: one row per chunk with start
+    position, length, and md5 content hash. Shuffle-free pure map at
+    any scale (split → explode starts → slice/hash map-side); tail
+    chunks keep their natural short length.
+    """
+    staged = docs.select(
+        F.col(id_col), F.split(F.lower(text_col), " ").alias("ts")
+    )
+    starts = staged.select(
+        id_col, "ts",
+        F.explode(
+            F.sequence(F.lit(1), F.size("ts"), F.lit(stride))
+        ).alias("start"),
+    )
+    chunk = F.slice("ts", F.col("start"), size)
+    return starts.select(
+        id_col,
+        F.floor((F.col("start") - 1) / stride).cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start_pos"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id",
+               train_pct: int = 80, val_pct: int = 10) -> DataFrame:
+    """Annotate rows with a deterministic train/val/test split column
+    (multiplicative-hash bucket of the id — same row lands in the same
+    split on any engine, partitioning, or run). Map-side expression.
+    """
+    b = _hash_bucket(F.col(id_col), 100)
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      rates: dict[str, float], id_col: str = "doc_id",
+                      default_rate: float = 1.0) -> DataFrame:
+    """Deterministic stratified sampling: keep a per-stratum fraction
+    of rows by hash-bucket membership (no RNG — reproducible, and the
+    same row set on any engine). Rates are in [0, 1] at 1/1000
+    resolution. Map-side filter; no shuffle.
+    """
+    b = _hash_bucket(F.col(id_col), 1000)
+    thr: F.Column = F.lit(int(round(default_rate * 1000)))
+    for value, rate in rates.items():
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(int(round(rate * 1000)))
+        ).otherwise(thr)
+    return df.filter(b < thr)
+
+
+def content_hash_annotate(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Per-doc content hash after canonical normalization (lowercase,
+    strip non-alphanumerics, collapse whitespace) + group size and
+    keeper decision (min id per hash). ONE shuffle on the (uniform)
+    hash for the window.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text_col), "[^a-z0-9 ]", ""),
+            " +", " ",
+        )
+    )
+    w = Window.partitionBy("content_hash")
+    return (
+        docs.select(F.col(id_col), F.md5(norm).alias("content_hash"))
+        .select(
+            id_col,
+            "content_hash",
+            F.count("*").over(w).alias("n_same"),
+            F.min(id_col).over(w).alias("keeper"),
+        )
+        .withColumn(
+            "is_dup", (F.col(id_col) != F.col("keeper")).cast("long")
+        )
+    )
+
+
+def zscore_outliers(df: DataFrame, part_cols: list[str], val_col: str,
+                    id_cols: list[str], threshold: float = 2.0) -> DataFrame:
+    """Rows whose value deviates ≥ threshold standard deviations from
+    their group mean. Moments come from EXACT decimal sums (Σv at 6dp,
+    Σv² at 8dp — order-immune), then mean/var/z are IEEE arithmetic on
+    those identical doubles, so the threshold cut is tolerance-free
+    across engines. 1 shuffle on the partition key.
+    """
+    w = Window.partitionBy(*part_cols)
+    v = F.col(val_col)
+    st = df.select(
+        *id_cols, *part_cols, v,
+        F.sum(v.cast("decimal(28,6)")).over(w).cast("double").alias("s"),
+        F.sum((v * v).cast("decimal(28,8)")).over(w)
+        .cast("double").alias("ss"),
+        F.count("*").over(w).alias("n"),
+    )
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = (v - F.col("s") / F.col("n")) / F.sqrt(var)
+    return st.filter(
+        (F.col("n") > 1) & (var > 0) & (F.abs(z) >= threshold)
+    ).select(
+        *id_cols, *part_cols,
+        decimal_round(z, 4, grid=8).alias("z"),
+    )
+
+
+# -- oracled fixture queries (SURVEY §2) -------------------------------------
+
+
+def q67_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit SimHash similarity search: for each query vector
+    (vec_id < 10) the 5 nearest corpus vectors by hamming distance of
+    the per-dimension sign bits — the oracled verify member of the
+    SimHash family (operators/similarity.simhash holds the banded
+    scale path). Hamming is an integer count → bit-identical across
+    engines; ties break on dst id. Plan shape: see simhash_topk.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return final_sort(
+        simhash_topk(e.filter(F.col("vec_id") < 10), e, k=5),
         spark, sf_dir, "embeddings", "src", "rn",
     )
 
@@ -96,30 +228,12 @@ def q68_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (size 32 tokens, stride 24):
     the context-window preparation step of a pretraining pipeline.
     One row per chunk with its md5 content hash — so the oracle
-    verifies the exact chunk text without shipping it.
-
-    Scale: split + stage, one explode per chunk start (flatMap, no
-    shuffle), chunk slice/hash map-side. The whole operator is
-    shuffle-free until final_sort; at 100 TB it is a pure map over
-    the corpus. Tail chunks keep their natural short length.
+    verifies the exact chunk text without shipping it. Plan shape:
+    see chunk_documents (shuffle-free pure map until final_sort).
     """
     d = load_table(spark, sf_dir, "documents")
-    staged = d.select("doc_id", F.split(F.lower("text"), " ").alias("ts"))
-    starts = staged.select(
-        "doc_id", "ts",
-        F.explode(
-            F.sequence(F.lit(1), F.size("ts"), F.lit(24))
-        ).alias("start"),
-    )
-    chunk = F.slice("ts", F.col("start"), 32)
     return final_sort(
-        starts.select(
-            "doc_id",
-            F.floor((F.col("start") - 1) / 24).cast("long").alias("chunk_id"),
-            F.col("start").cast("long").alias("start_pos"),
-            F.size(chunk).cast("long").alias("n_tokens"),
-            F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
-        ),
+        chunk_documents(d, size=32, stride=24),
         spark, sf_dir, "documents", "doc_id", "chunk_id",
     )
 
@@ -130,18 +244,14 @@ def q69_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     training pipeline needs (same doc lands in the same split on any
     engine, any partitioning, any run).
 
-    Scale: split assignment is a map-side pure-arithmetic expression;
-    1 shuffle for the 3-group aggregate with map-side combine.
+    Scale: split assignment is a map-side pure-arithmetic expression
+    (hash_split); 1 shuffle for the 3-group aggregate with map-side
+    combine.
     """
     d = load_table(spark, sf_dir, "documents")
-    b = _hash_bucket(F.col("doc_id"), 100)
-    split = (
-        F.when(b < 80, F.lit("train"))
-        .when(b < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return final_sort(
-        d.select(split.alias("split"), "lang", "doc_id", "n_chars")
+        hash_split(d, "doc_id", 80, 10)
+        .select("split", "lang", "doc_id", "n_chars")
         .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),
@@ -478,23 +588,8 @@ def q77_content_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction).
     """
     d = load_table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
-        )
-    )
-    w = Window.partitionBy("content_hash")
     return final_sort(
-        d.select("doc_id", F.md5(norm).alias("content_hash"))
-        .select(
-            "doc_id",
-            "content_hash",
-            F.count("*").over(w).alias("n_same"),
-            F.min("doc_id").over(w).alias("keeper"),
-        )
-        .withColumn(
-            "is_dup", (F.col("doc_id") != F.col("keeper")).cast("long")
-        ),
+        content_hash_annotate(d),
         spark, sf_dir, "documents", "doc_id",
     )
 
@@ -514,24 +609,10 @@ def q78_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("user_id") % 100 == 7
     )
-    w = Window.partitionBy("user_id", "event_type")
-    st = ev.select(
-        "event_id", "user_id", "event_type", "value",
-        F.sum(F.col("value").cast("decimal(28,6)"))
-        .over(w).cast("double").alias("s"),
-        F.sum((F.col("value") * F.col("value")).cast("decimal(28,8)"))
-        .over(w).cast("double").alias("ss"),
-        F.count("*").over(w).alias("n"),
-    )
-    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (
-        F.col("n") - 1
-    )
-    z = (F.col("value") - F.col("s") / F.col("n")) / F.sqrt(var)
     return final_sort(
-        st.filter((F.col("n") > 1) & (var > 0) & (F.abs(z) >= 2.0))
-        .select(
-            "event_id", "user_id", "event_type",
-            decimal_round(z, 4, grid=8).alias("z"),
+        zscore_outliers(
+            ev, ["user_id", "event_type"], "value", ["event_id"],
+            threshold=2.0,
         ),
         spark, sf_dir, "events", "event_id",
     )

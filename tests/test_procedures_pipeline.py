@@ -1,0 +1,118 @@
+"""CALL-door parity for the training-pipeline operators (round-5
+generic cores): chunk_documents, hash_split, stratified_sample,
+content_hash_dedup, zscore_outliers, simhash_topk must be reachable
+from EP2 and produce exactly what the Python surface does — and the
+oracled qNN entries must be pure bindings of those same cores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from puregraphdb_spark.engine import Engine
+from puregraphdb_spark.sources.registry import load_table
+from tests.conftest import SF_DIR, assert_frames_match
+
+
+def _engine(spark) -> Engine:
+    return Engine(spark, SF_DIR)  # registers fixture views
+
+
+def test_call_chunk_documents_matches_python(spark):
+    from puregraphdb_spark.operators.pipeline import chunk_documents
+
+    eng = _engine(spark)
+    via_call = eng.sql(
+        "CALL chunk_documents(docs => 'documents', size => 16, "
+        "stride => 8)"
+    ).toPandas()
+    direct = chunk_documents(
+        load_table(spark, SF_DIR, "documents"), size=16, stride=8
+    ).toPandas()
+    assert_frames_match(via_call, direct)
+    assert len(direct) > 0
+    # chunks cover the doc: max start + chunk length reaches the end
+    assert (direct["n_tokens"] >= 1).all()
+
+
+def test_call_hash_split_is_deterministic_partition(spark):
+    eng = _engine(spark)
+    out = eng.sql(
+        "CALL hash_split(table => 'documents', id_col => 'doc_id', "
+        "train_pct => 70, val_pct => 20)"
+    )
+    counts = dict(
+        out.groupBy("split").count().collect()
+        and [(r["split"], r["count"]) for r in
+             out.groupBy("split").count().collect()]
+    )
+    n = sum(counts.values())
+    assert set(counts) <= {"train", "val", "test"}
+    assert n == load_table(spark, SF_DIR, "documents").count()
+    # same assignment on re-run (pure arithmetic, no RNG)
+    again = eng.sql(
+        "CALL hash_split(table => 'documents', id_col => 'doc_id', "
+        "train_pct => 70, val_pct => 20)"
+    )
+    assert (
+        out.select("doc_id", "split").exceptAll(
+            again.select("doc_id", "split")).count() == 0
+    )
+
+
+def test_call_stratified_sample_rates(spark):
+    eng = _engine(spark)
+    sampled = eng.sql(
+        "CALL stratified_sample(table => 'documents', "
+        "strata_col => 'lang', rates => 'en:0.0', "
+        "default_rate => 1.0)"
+    )
+    # en entirely dropped, every other stratum fully kept
+    assert sampled.filter(F.col("lang") == "en").count() == 0
+    d = load_table(spark, SF_DIR, "documents")
+    assert (
+        sampled.count()
+        == d.filter(F.col("lang") != "en").count()
+    )
+
+
+def test_call_content_hash_dedup_matches_q77(spark):
+    import __spark_entry__ as em
+
+    eng = _engine(spark)
+    via_call = eng.sql(
+        "CALL content_hash_dedup(docs => 'documents')"
+    ).toPandas()
+    q77 = em.queries()["q77_content_hash_dedup"](spark, SF_DIR).toPandas()
+    assert_frames_match(via_call, q77)
+
+
+def test_call_zscore_outliers_matches_python(spark):
+    from puregraphdb_spark.operators.pipeline import zscore_outliers
+
+    eng = _engine(spark)
+    via_call = eng.sql(
+        "CALL zscore_outliers(table => 'events', "
+        "partition_cols => 'event_type', val_col => 'value', "
+        "id_cols => 'event_id', threshold => 2.5)"
+    ).toPandas()
+    direct = zscore_outliers(
+        load_table(spark, SF_DIR, "events"), ["event_type"], "value",
+        ["event_id"], threshold=2.5,
+    ).toPandas()
+    assert_frames_match(via_call, direct)
+
+
+def test_call_simhash_topk_matches_q67(spark):
+    import __spark_entry__ as em
+
+    eng = _engine(spark)
+    spark.table("embeddings").filter(
+        F.col("vec_id") < 10
+    ).createOrReplaceTempView("sh_queries")
+    via_call = eng.sql(
+        "CALL simhash_topk(queries => 'sh_queries', "
+        "corpus => 'embeddings', k => 5)"
+    ).toPandas()
+    q67 = em.queries()["q67_simhash_hamming"](spark, SF_DIR).toPandas()
+    assert_frames_match(via_call, q67)
