@@ -321,6 +321,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_zscore_outliers": pipeline.q78_zscore_outliers,
         "q79_vocab_coverage": pipeline.q79_vocab_coverage,
         "q80_doc_embedding_join": pipeline.q80_doc_embedding_join,
+        "q81_repetition_filter": pipeline.q81_repetition_filter,
+        "q82_cosine_pairs": pipeline.q82_cosine_pairs,
+        "q83_graph_strength": graph.q83_graph_strength,
+        "q84_winnow_fingerprint": pipeline.q84_winnow_fingerprint,
         # rows-only (iterative or hash-based; driver records the weaker
         # rows-only check)
         "graph_pagerank": graph_pagerank,
@@ -1268,6 +1272,77 @@ def oracle_sql() -> dict[str, str]:
                        embedding::DOUBLE[], embedding::DOUBLE[]))
                      as decimal(28,8)), 6) as double) as l2_norm
             from documents d join embeddings e on d.doc_id = e.vec_id
+            order by doc_id
+        """,
+        "q81_repetition_filter": """
+            with pd as (
+              select lang,
+                     cast(len(bigr) as bigint) as total,
+                     cast(list_max(list_transform(list_distinct(bigr),
+                       b -> len(list_filter(bigr, x -> x = b))))
+                       as bigint) as top
+              from (select lang,
+                      case when len(ts) >= 2
+                           then list_transform(
+                                  generate_series(1, len(ts) - 1),
+                                  i -> ts[i] || ' ' || ts[i + 1])
+                           else cast([] as varchar[]) end as bigr
+                    from (select lang,
+                            list_filter(string_split(lower(text), ' '),
+                                        t -> t <> '') as ts
+                          from documents)))
+            select lang, count(*) as n_docs,
+                   cast(sum(case when total > 0 and
+                       cast(top as double) / cast(total as double) > 0.05
+                       then 1 else 0 end) as bigint) as n_flagged,
+                   cast(round(cast(avg(case when total > 0 then
+                       cast(top as double) / cast(total as double) end)
+                     as decimal(28,10)), 6) as double) as avg_top_frac
+            from pd group by lang order by lang
+        """,
+        "q82_cosine_pairs": """
+            select a.vec_id as a, b.vec_id as b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4)
+                     as cos_sim
+            from embeddings a join embeddings b on a.vec_id < b.vec_id
+            where a.vec_id % 25 = 0
+              and list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.3
+            order by a, b
+        """,
+        "q83_graph_strength": """
+            with e as (select o_custkey as src, l_suppkey as dst,
+                              count(*) as w
+                       from orders o join lineitem l
+                         on l.l_orderkey = o.o_orderkey
+                       group by 1, 2)
+            select v, cast(sum(outs) as bigint) as out_strength,
+                   cast(sum(ins) as bigint) as in_strength,
+                   cast(sum(outd) as bigint) as out_degree,
+                   cast(sum(ind) as bigint) as in_degree
+            from (
+              select src as v, w as outs, 0 as ins, 1 as outd, 0 as ind
+              from e
+              union all
+              select dst, 0, w, 0, 1 from e
+            ) t group by v order by v
+        """,
+        "q84_winnow_fingerprint": """
+            select doc_id,
+                   cast(len(wg) as bigint) as n_windows,
+                   list_min(wg) as fingerprint
+            from (select doc_id,
+                    case when len(ts) >= 4
+                         then list_transform(
+                                generate_series(1, len(ts) - 3),
+                                i -> md5(array_to_string(
+                                       list_slice(ts, i, i + 3), ' ')))
+                         else cast([] as varchar[]) end as wg
+                  from (select doc_id,
+                          list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '') as ts
+                        from documents))
             order by doc_id
         """,
         "hypertable_rollup": """

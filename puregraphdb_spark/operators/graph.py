@@ -1143,3 +1143,61 @@ def q65_motif_wedge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.col("a.id")).alias("n_sources"),
         )
     )
+
+
+def q83_graph_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted degree (strength) of the customer→supplier order graph:
+    per vertex, the sum of incident edge weights (lineitem
+    multiplicities) alongside the plain degree — the ORACLED member of
+    the weighted-graph family (graph_wpagerank / graph_sssp_weighted
+    consume exactly this edge-weight build, rows-only because they
+    iterate; this query hash-proves the weights themselves).
+
+    Scale: one shuffle for the (src, dst) weight aggregate with
+    map-side combine, then q23's one-pass both-endpoint explode (a
+    flatMap) into ONE strength aggregation — no union re-agg. Weights
+    stay exact bigint counts end-to-end.
+    """
+    from puregraphdb_spark.sources.registry import (
+        broadcast_if_small, final_sort,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        l.join(broadcast_if_small(o, spark, sf_dir, "orders"),
+               o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    one, zero = F.lit(1).cast("long"), F.lit(0).cast("long")
+    wl, zl = F.col("w"), zero
+    return final_sort(
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("v"), wl.alias("outs"),
+                        zl.alias("ins"), one.alias("outd"),
+                        zero.alias("ind"),
+                    ),
+                    F.struct(
+                        F.col("dst").alias("v"), zl.alias("outs"),
+                        wl.alias("ins"), zero.alias("outd"),
+                        one.alias("ind"),
+                    ),
+                )
+            ).alias("d")
+        )
+        .select("d.*")
+        .groupBy("v")
+        .agg(
+            F.sum("outs").alias("out_strength"),
+            F.sum("ins").alias("in_strength"),
+            F.sum("outd").alias("out_degree"),
+            F.sum("ind").alias("in_degree"),
+        ),
+        spark, sf_dir, "lineitem", "v",
+    )

@@ -454,11 +454,16 @@ def q74_minhash_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("tok") != "")
     )
+    from puregraphdb_spark.sources.registry import broadcast_if_small
+
     vocab = tok.select("tok").distinct().withColumn(
         "tid", F.row_number().over(Window.orderBy("tok")).cast("long")
     )
+    # vocab is Heaps-bounded but still grows with the corpus → hint it
+    # only under the measured gate (documents bytes as the conservative
+    # proxy); past the gate the planner keeps a shuffle join.
     joined = tok.filter(F.col("doc_id") % 20 == 0).join(
-        F.broadcast(vocab), "tok"
+        broadcast_if_small(vocab, spark, sf_dir, "documents"), "tok"
     )
     aggs = [
         F.min(
@@ -506,16 +511,22 @@ def q75_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
     )
+    from puregraphdb_spark.sources.registry import broadcast_if_small
+
     t = bg.agg(F.sum("cab").alias("t_big"))
     ratio = (
         F.col("cab").cast("double") * F.col("t_big").cast("double")
     ) / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+    # unigram side is vocab-bounded (Heaps) but corpus-correlated →
+    # measured gate, not a bare hint (same rule as q74's vocab join).
     return (
         bg.filter(F.col("cab") >= 5)
-        .join(F.broadcast(uni.withColumnRenamed("c", "ca")),
+        .join(broadcast_if_small(uni.withColumnRenamed("c", "ca"),
+                                 spark, sf_dir, "documents"),
               F.col("tok_a") == F.col("tok"))
         .drop("tok")
-        .join(F.broadcast(uni.withColumnRenamed("c", "cb")),
+        .join(broadcast_if_small(uni.withColumnRenamed("c", "cb"),
+                                 spark, sf_dir, "documents"),
               F.col("tok_b") == F.col("tok"))
         .drop("tok")
         .crossJoin(F.broadcast(t))
@@ -615,6 +626,130 @@ def q78_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             threshold=2.0,
         ),
         spark, sf_dir, "events", "event_id",
+    )
+
+
+def q81_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter (Gopher-style): per language,
+    how many docs have a single bigram claiming > 5% of all their
+    bigram slots, plus the average top-bigram fraction — the
+    repetitive-boilerplate screen of a pretraining pipeline.
+
+    The per-doc top-bigram count is computed ENTIRELY map-side with
+    nested array HOFs (distinct bigrams × count-each — O(b²) per doc
+    on a bounded doc, zero shuffle), so the only exchange is the
+    per-language aggregate. The fraction is an integer ratio → the
+    flag cut is exact on both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ts = _nonempty_tokens()
+    bigr = F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.concat(
+                F.element_at(ts, i), F.lit(" "), F.element_at(ts, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = d.select("lang", bigr.alias("bigr"))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("bigr")),
+            lambda b: F.size(F.filter(F.col("bigr"), lambda x: x == b)),
+        )
+    )
+    pd_ = staged.select(
+        "lang",
+        F.size("bigr").cast("long").alias("total"),
+        top.cast("long").alias("top"),
+    )
+    frac = F.col("top").cast("double") / F.col("total").cast("double")
+    return final_sort(
+        pd_.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                ((F.col("total") > 0) & (frac > 0.05)).cast("long")
+            ).alias("n_flagged"),
+            decimal_round(
+                F.avg(F.when(F.col("total") > 0, frac)), 6, grid=10
+            ).alias("avg_top_frac"),
+        ),
+        spark, sf_dir, "documents", "lang",
+    )
+
+
+def q82_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine-threshold near-dup pairs (sampled left side,
+    vec_id % 25 = 0, canonical a < b, cos ≥ 0.3) — the oracled verify
+    member of the embedding-dedup family
+    (similarity.embedding_near_dup_pairs is the LSH-bucketed scale
+    path that feeds THIS arithmetic only candidate pairs).
+
+    Scale: the sampled side broadcasts UNDER THE MEASURED GATE (it is
+    4% of a scale-growing table, so never a bare hint — past the gate
+    the planner chooses); the corpus is a map-side scan (norms computed
+    once per row via cosine_from_norms); the threshold cut happens
+    before anything shuffles. Exact all-pairs is inherently the
+    bounded-verify member — at 100 TB the LSH path generates the
+    candidate pairs and THIS arithmetic runs per candidate. Cosine sums
+    are sequential-identical across engines (q29 discipline), so the
+    cut is tolerance-free.
+    """
+    from puregraphdb_spark.functions.vector import cosine_from_norms, l2_norm
+    from puregraphdb_spark.sources.registry import broadcast_if_small
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("a_emb"),
+        l2_norm("embedding").alias("a_nrm"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b"), "embedding",
+        l2_norm("embedding").alias("b_nrm"),
+    )
+    cs = cosine_from_norms(
+        F.col("a_emb"), F.col("embedding"), F.col("a_nrm"), F.col("b_nrm")
+    )
+    return final_sort(
+        b.join(broadcast_if_small(a, spark, sf_dir, "embeddings"),
+               F.col("a") < F.col("b"))
+        .select("a", "b", cs.alias("cs"))
+        .filter(F.col("cs") >= 0.3)
+        .select("a", "b", F.round("cs", 4).alias("cos_sim")),
+        spark, sf_dir, "embeddings", "a", "b",
+    )
+
+
+def q84_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable winnowing fingerprint per doc: the MINIMUM md5 of the
+    doc's token-4-gram windows — robust to small edits (only an edit
+    inside the minimal window changes it), and bit-identical across
+    engines because md5 + lexicographic string min are both
+    engine-independent (text.fingerprint is the same family over
+    xxhash64, which is Spark-only). Docs with fewer than 4 tokens
+    have no windows → NULL fingerprint.
+
+    Scale: pure map over the corpus — window hashes and their min
+    never leave the row.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ts = _nonempty_tokens()
+    wg = F.when(
+        F.size(ts) >= 4,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 3),
+            lambda i: F.md5(F.array_join(F.slice(ts, i, 4), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = d.select("doc_id", wg.alias("wg"))
+    return final_sort(
+        staged.select(
+            "doc_id",
+            F.size("wg").cast("long").alias("n_windows"),
+            F.array_min("wg").alias("fingerprint"),
+        ),
+        spark, sf_dir, "documents", "doc_id",
     )
 
 

@@ -514,6 +514,70 @@ SPARK_SQL: dict[str, str] = {
         where cum * 100 >= pct * total
         group by pct order by pct
     """,
+    "q81_repetition_filter": """
+        with pd as (
+          select lang,
+                 cast(size(bigr) as bigint) as total,
+                 cast(array_max(transform(array_distinct(bigr),
+                   b -> size(filter(bigr, x -> x = b)))) as bigint) as top
+          from (select lang,
+                  case when size(ts) >= 2
+                       then transform(sequence(1, size(ts) - 1),
+                              i -> concat(element_at(ts, i), ' ',
+                                          element_at(ts, i + 1)))
+                       else cast(array() as array<string>) end as bigr
+                from (select lang,
+                        filter(split(lower(text), ' '), t -> t != '')
+                          as ts
+                      from documents)))
+        select lang, count(*) as n_docs,
+               cast(sum(case when total > 0 and
+                   cast(top as double) / cast(total as double) > 0.05
+                   then 1 else 0 end) as bigint) as n_flagged,
+               cast(round(cast(avg(case when total > 0 then
+                   cast(top as double) / cast(total as double) end)
+                 as decimal(28,10)), 6) as double) as avg_top_frac
+        from pd group by lang order by lang
+    """,
+    "q82_cosine_pairs": """
+        with q as (
+          select vec_id as a, cast(embedding as array<double>) as a_emb,
+                 sqrt(aggregate(zip_with(cast(embedding as array<double>),
+                                         cast(embedding as array<double>),
+                                         (x, y) -> x * y),
+                                cast(0.0 as double),
+                                (acc, x) -> acc + x)) as a_nrm
+          from embeddings where vec_id % 25 = 0),
+        c as (
+          select vec_id as b, cast(embedding as array<double>) as e,
+                 sqrt(aggregate(zip_with(cast(embedding as array<double>),
+                                         cast(embedding as array<double>),
+                                         (x, y) -> x * y),
+                                cast(0.0 as double),
+                                (acc, x) -> acc + x)) as b_nrm
+          from embeddings)
+        select a, b, round(cs, 4) as cos_sim from (
+          select a, b,
+                 aggregate(zip_with(a_emb, e, (x, y) -> x * y),
+                           cast(0.0 as double), (acc, x) -> acc + x)
+                 / (a_nrm * b_nrm) as cs
+          from c join q on a < b)
+        where cs >= 0.3
+        order by a, b
+    """,
+    "q84_winnow_fingerprint": """
+        select doc_id, cast(size(wg) as bigint) as n_windows,
+               array_min(wg) as fingerprint
+        from (select doc_id,
+                case when size(ts) >= 4
+                     then transform(sequence(1, size(ts) - 3),
+                            i -> md5(array_join(slice(ts, i, 4), ' ')))
+                     else cast(array() as array<string>) end as wg
+              from (select doc_id,
+                      filter(split(lower(text), ' '), t -> t != '') as ts
+                    from documents))
+        order by doc_id
+    """,
     "q80_doc_embedding_join": """
         select doc_id, lang, label, n_chars,
                cast(size(filter(split(lower(text), ' '), t -> t != ''))

@@ -98,6 +98,9 @@ def test_no_forced_broadcast_of_scale_growing_inputs(spark):
             "q18_string_date_funcs", "q23_graph_degree",
             "q24_graph_triangles", "q25_graph_2hop", "q35_string_date",
             "q41_correlated_avg", "q44_interval_join",
+            # round-5 pipeline: vocab/sample sides are corpus-correlated
+            # → their hints must vanish past the measured gate
+            "q74_minhash_vocab", "q75_pmi_bigrams", "q83_graph_strength",
         ]
         for name in must_not_broadcast:
             df = Q[name](spark, SF_DIR)

@@ -49,6 +49,9 @@ DUCKDB_ONLY = {
     "q77_content_hash_dedup",  # regexp_replace 'g' flag argument
     "q79_vocab_coverage",    # unnest/arg_min/VALUES p(pct)
     "q80_doc_embedding_join",  # list_inner_product/list_filter
+    "q81_repetition_filter",   # nested list lambdas/[] literal
+    "q82_cosine_pairs",      # list_cosine_similarity
+    "q84_winnow_fingerprint",  # list_transform/list_min/[] literal
 }
 
 ORACLES = entrymod.oracle_sql()
