@@ -150,6 +150,21 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-approximated harmonic centrality (Eppstein–Wang
+    estimator) from landmarks 0 and 1 over the order graph — rows-only:
+    iterative BFS underneath. Property-tested against closed forms on
+    path/star graphs (tests/test_graph_extended.py)."""
+    g = _order_graph(spark, sf_dir)
+    return (
+        graph.harmonic_centrality(g, [0, 1])
+        .select(
+            "id", F.round("harmonic", 6).alias("harmonic"), "n_reached"
+        )
+        .orderBy("id")
+    )
+
+
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-core of the order graph (rows-only: iterative peeling).
     Returns surviving vertices with their in-core degree; k=5 peels a
@@ -325,6 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_cosine_pairs": pipeline.q82_cosine_pairs,
         "q83_graph_strength": graph.q83_graph_strength,
         "q84_winnow_fingerprint": pipeline.q84_winnow_fingerprint,
+        "q85_clustering_coeff": graph.q85_clustering_coeff,
         # rows-only (iterative or hash-based; driver records the weaker
         # rows-only check)
         "graph_pagerank": graph_pagerank,
@@ -336,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_shortest_paths": graph_shortest_paths,
         "graph_wpagerank": graph_wpagerank,
         "graph_sssp_weighted": graph_sssp_weighted,
+        "graph_harmonic": graph_harmonic,
         "text_profile": text_profile,
         "text_quality_report": text_quality_report,
         "dedup_minhash_near": dedup_minhash_near,
@@ -1344,6 +1361,32 @@ def oracle_sql() -> dict[str, str]:
                                       t -> t <> '') as ts
                         from documents))
             order by doc_id
+        """,
+        "q85_clustering_coeff": """
+            with e as (select distinct a.l_partkey as u, b.l_partkey as v
+                       from lineitem a join lineitem b
+                         on a.l_orderkey = b.l_orderkey
+                       where a.l_partkey < b.l_partkey),
+            und as (select u, v from e
+                    union all
+                    select v as u, u as v from e),
+            ctr as (select u, v from und where u % 100 = 0),
+            dg as (select u as w, count(*) as deg from ctr group by u),
+            tri as (select a.w, count(*) as n_tri
+                    from (select u as w, v as n1 from ctr) a
+                    join (select u as w, v as n2 from ctr) b
+                      on b.w = a.w and a.n1 < b.n2
+                    join e on e.u = a.n1 and e.v = b.n2
+                    group by a.w)
+            select dg.w as w, cast(deg as bigint) as deg,
+                   cast(coalesce(n_tri, 0) as bigint) as n_tri,
+                   cast(round(cast(
+                       cast(2.0 as double)
+                       * cast(coalesce(n_tri, 0) as double)
+                       / (cast(deg as double) * cast(deg - 1 as double))
+                     as decimal(28,10)), 6) as double) as cc
+            from dg left join tri on tri.w = dg.w
+            where deg >= 2 order by w
         """,
         "hypertable_rollup": """
             with ev as (select ts, event_type, value from events)

@@ -1201,3 +1201,81 @@ def q83_graph_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spark, sf_dir, "lineitem", "v",
     )
+
+
+def harmonic_centrality(g: "Graph", landmarks: list[int],
+                        max_iter: int = 20,
+                        weight_col: str | None = None) -> DataFrame:
+    """Landmark-approximated harmonic centrality (Eppstein–Wang):
+    h(v) = Σ_L 1/d(v, L) over the landmark sample, zero-distance terms
+    excluded. Exact when ``landmarks`` is the whole vertex set; with a
+    uniform sample of k landmarks, (n/k)·h is an unbiased estimator of
+    the full harmonic centrality — the standard way to rank centrality
+    at graph sizes where all-pairs BFS is impossible.
+
+    Scale: one pregel BFS per call covering ALL landmarks at once (the
+    state relation is (id, landmark, dist)); the centrality reduction
+    is one further shuffle on id.
+    """
+    sp = g.shortest_paths(landmarks, max_iter=max_iter,
+                          weight_col=weight_col)
+    return (
+        sp.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic"),
+            F.count("*").alias("n_reached"),
+        )
+    )
+
+
+def q85_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the part co-occurrence graph
+    for sampled vertices (w % 100 = 0, degree ≥ 2):
+    cc(w) = 2·T(w) / (deg(w)·(deg(w)−1)) — the per-vertex refinement of
+    q24's global triangle count (a graph-db staple for community/role
+    analysis).
+
+    Scale: the center sample (% 100) filters the directed neighbor
+    relation BEFORE the wedge expansion, so the deg² blowup pays only
+    on 1% of vertices; the wedge→edge probe is an equi-join on the
+    canonical (u<v) edge set (shuffle join — everything here derives
+    from lineitem and is never broadcast-hinted). cc is an integer
+    ratio → exact cross-engine; the decimal snap only formats it.
+    """
+    from puregraphdb_spark.functions.numeric import decimal_round
+    from puregraphdb_spark.sources.registry import final_sort
+
+    l = load_table(spark, sf_dir, "lineitem")
+    e = part_cooccurrence_edges(l)
+    und = e.select("u", "v").unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    ctr = und.filter(F.col("u") % 100 == 0)
+    deg = ctr.groupBy(F.col("u").alias("w")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    n1 = ctr.select(F.col("u").alias("w"), F.col("v").alias("n1"))
+    n2 = ctr.select(F.col("u").alias("w"), F.col("v").alias("n2"))
+    wedges = n1.join(n2, "w").filter(F.col("n1") < F.col("n2"))
+    tri = (
+        wedges.join(
+            e, (e["u"] == F.col("n1")) & (e["v"] == F.col("n2")), "leftsemi"
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )
+    cc = (
+        F.lit(2.0) * F.col("n_tri").cast("double")
+        / (F.col("deg").cast("double") * (F.col("deg") - 1).cast("double"))
+    )
+    return final_sort(
+        deg.join(tri, "w", "left")
+        .withColumn("n_tri", F.coalesce(F.col("n_tri"), F.lit(0).cast("long")))
+        .filter(F.col("deg") >= 2)
+        .select(
+            "w", "deg", "n_tri",
+            decimal_round(cc, 6, grid=10).alias("cc"),
+        ),
+        spark, sf_dir, "lineitem", "w",
+    )

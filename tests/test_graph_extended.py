@@ -172,3 +172,36 @@ def test_find_rejects_malformed_patterns(motif_graph):
         motif_graph.find("(a)-[b]->(b)")
     with pytest.raises(ValueError, match="no positive"):
         motif_graph.find("!(a)-[]->(b)")
+
+
+def test_harmonic_centrality_path_graph_closed_form(spark):
+    from puregraphdb_spark.operators.graph import Graph, harmonic_centrality
+
+    # directed path 0→1→2→3: distances to landmark 0 follow edge
+    # direction REVERSED in shortest_paths (dst→src relaxation), i.e.
+    # d(v, L) is the forward distance v→L.
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    v = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    g = Graph(v, e)
+    h = {
+        r["id"]: (round(r["harmonic"], 6), r["n_reached"])
+        for r in harmonic_centrality(g, [3]).collect()
+    }
+    # forward distances to 3: d(0)=3, d(1)=2, d(2)=1; 3 itself excluded
+    assert h == {0: (round(1 / 3, 6), 1), 1: (0.5, 1), 2: (1.0, 1)}
+
+
+def test_harmonic_centrality_multi_landmark_sums(spark):
+    from puregraphdb_spark.operators.graph import Graph, harmonic_centrality
+
+    # star with spokes → hub (id 0) plus hub → 9
+    e = spark.createDataFrame(
+        [(i, 0) for i in range(1, 5)] + [(0, 9)], ["src", "dst"])
+    v = spark.createDataFrame([(i,) for i in [0, 1, 2, 3, 4, 9]], ["id"])
+    g = Graph(v, e)
+    h = {r["id"]: (round(r["harmonic"], 6), r["n_reached"])
+         for r in harmonic_centrality(g, [0, 9]).collect()}
+    # spokes: d=1 to hub, d=2 to 9 → 1 + 0.5; hub: d=1 to 9 only
+    assert h[1] == (1.5, 2) and h[2] == (1.5, 2)
+    assert h[0] == (1.0, 1)
