@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_graph_strength": graph.q83_graph_strength,
         "q84_winnow_fingerprint": pipeline.q84_winnow_fingerprint,
         "q85_clustering_coeff": graph.q85_clustering_coeff,
+        "q86_reach2": graph.q86_reach2,
         # rows-only (iterative or hash-based; driver records the weaker
         # rows-only check)
         "graph_pagerank": graph_pagerank,
@@ -1387,6 +1388,18 @@ def oracle_sql() -> dict[str, str]:
                      as decimal(28,10)), 6) as double) as cc
             from dg left join tri on tri.w = dg.w
             where deg >= 2 order by w
+        """,
+        "q86_reach2": """
+            with e as (select distinct a.l_partkey as u, b.l_partkey as v
+                       from lineitem a join lineitem b
+                         on a.l_orderkey = b.l_orderkey
+                       where a.l_partkey < b.l_partkey),
+            r as (select u as s, v as d from e where u % 100 = 0
+                  union
+                  select a.u as s, b.v as d
+                  from e a join e b on b.u = a.v
+                  where a.u % 100 = 0)
+            select s, count(*) as n_reach from r group by s order by s
         """,
         "hypertable_rollup": """
             with ev as (select ts, event_type, value from events)

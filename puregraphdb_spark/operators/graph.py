@@ -31,10 +31,12 @@ from pyspark.sql import functions as F
 
 from puregraphdb_spark.sources.registry import load_table
 
-#: One motif term: optional ``!`` negation, ``(name?)-[name?]->(name?)``.
+#: One motif term: optional ``!`` negation, ``(name?)-[name?]->(name?)``
+#: or a variable-length hop spec ``(a)-[*..k]->(b)``.
 _MOTIF_TERM = re.compile(
     r"^(?P<neg>!)?\s*\((?P<src>[A-Za-z_]\w*)?\)\s*-\s*"
-    r"\[(?P<edge>[A-Za-z_]\w*)?\]\s*->\s*\((?P<dst>[A-Za-z_]\w*)?\)$"
+    r"\[(?:(?P<edge>[A-Za-z_]\w*)?|\*\.\.(?P<maxh>\d+))\]"
+    r"\s*->\s*\((?P<dst>[A-Za-z_]\w*)?\)$"
 )
 
 
@@ -76,6 +78,38 @@ class Graph:
         )
         return self.edges.join(src_v, "src").join(dst_v, "dst")
 
+    def reach(self, max_hops: int) -> DataFrame:
+        """Bounded reachability relation: distinct (src, dst) pairs
+        connected by a directed path of 1..``max_hops`` edges (dedup'd
+        — one row per pair, NOT one per path, which is what keeps this
+        computable at scale; Cypher-style per-path enumeration explodes
+        combinatorially on dense graphs).
+
+        Built by ``max_hops − 1`` frontier joins with a dedup against
+        the accumulated set each round, so the intermediate size is
+        bounded by the true closure, never the path count. Lazy (no
+        checkpoint) for the small hop counts patterns use — the filter
+        a caller writes over ``find()`` output pushes down through all
+        the joins into the first edge scan.
+        """
+        if max_hops < 1:
+            raise ValueError("max_hops must be >= 1")
+        e = self.edges.select("src", "dst").distinct()
+        reached = e
+        frontier = e
+        for _ in range(max_hops - 1):
+            step = (
+                frontier.select(F.col("src"), F.col("dst").alias("__mid"))
+                .join(
+                    e.select(F.col("src").alias("__mid"), "dst"), "__mid"
+                )
+                .select("src", "dst")
+                .distinct()
+            )
+            frontier = step.join(reached, ["src", "dst"], "left_anti")
+            reached = reached.unionByName(frontier)
+        return reached
+
     # -- motif / pattern matching ------------------------------------------
 
     def find(self, pattern: str,
@@ -92,6 +126,11 @@ class Graph:
         - a ``!`` prefix negates a term: no edge may exist between the
           two endpoints, which must be bound by positive terms. Negated
           terms cannot name their edge.
+        - ``(a)-[*..k]->(b)`` is a variable-length term: a directed
+          path of 1..k edges must exist (dedup'd reachability via
+          ``reach(k)``, one binding per PAIR, not per path). Works
+          negated too: ``!(a)-[*..k]->(b)`` = no path within k hops.
+          Variable-length terms cannot name their edge.
 
         Every named vertex and edge becomes a STRUCT column (vertex
         attrs / edge attrs) in first-appearance order, so callers write
@@ -128,13 +167,14 @@ class Graph:
                     "(optionally '!'-negated)"
                 )
             parsed.append(
-                (bool(m["neg"]), m["src"], m["edge"], m["dst"])
+                (bool(m["neg"]), m["src"], m["edge"], m["dst"],
+                 int(m["maxh"]) if m["maxh"] else None)
             )
 
-        edge_names = [e for neg, _, e, _ in parsed if e]
+        edge_names = [e for neg, _, e, _, _ in parsed if e]
         if len(edge_names) != len(set(edge_names)):
             raise ValueError("edge names must be unique across terms")
-        vertex_names = {n for _, s, _, d in parsed for n in (s, d) if n}
+        vertex_names = {n for _, s, _, d, _ in parsed for n in (s, d) if n}
         if vertex_names & set(edge_names):
             raise ValueError("a name cannot be both a vertex and an edge")
 
@@ -145,7 +185,7 @@ class Graph:
 
         result: DataFrame | None = None
         anon = 0
-        for neg, s, e, d in parsed:
+        for neg, s, e, d, maxh in parsed:
             if neg:
                 if e:
                     raise ValueError("negated terms cannot name their edge")
@@ -155,6 +195,8 @@ class Graph:
                         "positive term"
                     )
                 continue
+            if maxh is not None and maxh < 1:
+                raise ValueError("variable-length terms need ..k with k >= 1")
             if s is None:
                 anon += 1
                 s = f"__anon{anon}"
@@ -168,8 +210,8 @@ class Graph:
             elif d not in out_order:
                 out_order.append(d)
 
-            edf = self.edges
-            if s == d:  # self-loop term binds one slot
+            edf = self.edges if maxh is None else self.reach(maxh)
+            if s == d:  # self-loop / cycle term binds one slot
                 edf = edf.filter(F.col("src") == F.col("dst"))
                 sel = [F.col("src").alias(slot(s))]
             else:
@@ -198,7 +240,7 @@ class Graph:
         if result is None:
             raise ValueError("pattern has no positive terms")
 
-        for neg, s, e, d in parsed:
+        for neg, s, e, d, maxh in parsed:
             if not neg:
                 continue
             for n in (s, d):
@@ -207,7 +249,8 @@ class Graph:
                         f"negated-term vertex '{n}' is not bound by any "
                         "positive term"
                     )
-            absent = self.edges.select(
+            rel = self.edges if maxh is None else self.reach(maxh)
+            absent = rel.select(
                 F.col("src").alias(slot(s)), F.col("dst").alias(slot(d))
             )
             result = result.join(absent, on=[slot(s), slot(d)],
@@ -1278,4 +1321,37 @@ def q85_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             decimal_round(cc, 6, grid=10).alias("cc"),
         ),
         spark, sf_dir, "lineitem", "w",
+    )
+
+
+def q86_reach2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-reachability census via the variable-length motif term:
+    for sampled sources (s % 100 = 0) of the directed (u<v) part
+    co-occurrence graph, the number of parts reachable within ≤ 2 hops
+    — ``find("(a)-[*..2]->(b)")`` as an oracled query (the DSL's
+    variable-length lowering is a frontier join + pair dedup, so the
+    count is exactly DuckDB's UNION-distinct closure).
+
+    Scale: the % 100 source filter written over the motif result
+    pushes through the reach() union branches into the first edge
+    scan (the reach relation is lazy — no checkpoint at k=2); pair
+    dedup bounds intermediates by the true closure, never path count.
+    """
+    from puregraphdb_spark.sources.registry import final_sort
+
+    l = load_table(spark, sf_dir, "lineitem")
+    e = part_cooccurrence_edges(l).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    m = Graph(v, e).find("(a)-[*..2]->(b)", attach_vertex_attrs=False)
+    return final_sort(
+        m.filter(F.col("a.id") % 100 == 0)
+        .groupBy(F.col("a.id").alias("s"))
+        .agg(F.count("*").cast("long").alias("n_reach")),
+        spark, sf_dir, "lineitem", "s",
     )

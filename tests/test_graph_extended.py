@@ -205,3 +205,48 @@ def test_harmonic_centrality_multi_landmark_sums(spark):
     # spokes: d=1 to hub, d=2 to 9 → 1 + 0.5; hub: d=1 to 9 only
     assert h[1] == (1.5, 2) and h[2] == (1.5, 2)
     assert h[0] == (1.0, 1)
+
+
+def test_reach_bounded_hops_dedups_pairs(spark):
+    from puregraphdb_spark.operators.graph import Graph
+
+    # diamond 1→2→4, 1→3→4 plus tail 4→5
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)], ["src", "dst"])
+    v = spark.createDataFrame([(i,) for i in range(1, 6)], ["id"])
+    g = Graph(v, e)
+    r2 = {(r["src"], r["dst"]) for r in g.reach(2).collect()}
+    # (1,4) via two distinct paths appears ONCE; (1,5) needs 3 hops
+    assert r2 == {(1, 2), (1, 3), (2, 4), (3, 4), (4, 5),
+                  (1, 4), (2, 5), (3, 5)}
+    r3 = {(r["src"], r["dst"]) for r in g.reach(3).collect()}
+    assert r3 == r2 | {(1, 5)}
+    assert g.reach(1).count() == 5
+
+
+def test_find_variable_length_term(motif_graph):
+    from pyspark.sql import functions as F
+
+    # pairs within <=2 hops
+    m = motif_graph.find("(a)-[*..2]->(b)", attach_vertex_attrs=False)
+    got = {(r["a"]["id"], r["b"]["id"]) for r in m.collect()}
+    direct = {
+        (r["src"], r["dst"]) for r in motif_graph.reach(2).collect()
+    }
+    assert got == direct and len(got) > 0
+
+    # negated variable-length: 1-hop neighbors NOT closable in 2 hops
+    n = motif_graph.find(
+        "(a)-[]->(b); !(b)-[*..2]->(a)", attach_vertex_attrs=False)
+    pairs1 = {(r["src"], r["dst"])
+              for r in motif_graph.edges.select("src", "dst").collect()}
+    back2 = direct
+    expect = {(a, b) for a, b in pairs1 if (b, a) not in back2}
+    assert {(r["a"]["id"], r["b"]["id"]) for r in n.collect()} == expect
+
+
+def test_find_variable_length_rejects_named_edge(motif_graph):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad motif term"):
+        motif_graph.find("(a)-[e*..2]->(b)")
