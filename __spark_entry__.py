@@ -342,6 +342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_winnow_fingerprint": pipeline.q84_winnow_fingerprint,
         "q85_clustering_coeff": graph.q85_clustering_coeff,
         "q86_reach2": graph.q86_reach2,
+        "q87_funnel": events.q87_funnel,
+        "q88_retention": events.q88_retention,
         # rows-only (iterative or hash-based; driver records the weaker
         # rows-only check)
         "graph_pagerank": graph_pagerank,
@@ -1400,6 +1402,49 @@ def oracle_sql() -> dict[str, str]:
                   from e a join e b on b.u = a.v
                   where a.u % 100 = 0)
             select s, count(*) as n_reach from r group by s order by s
+        """,
+        "q87_funnel": """
+            with v as (select user_id, min(ts) as t1 from events
+                       where event_type = 'view' group by user_id),
+            c as (select e.user_id, min(e.ts) as t2
+                  from events e join v on v.user_id = e.user_id
+                  where e.event_type = 'click' and e.ts > v.t1
+                  group by e.user_id),
+            p as (select e.user_id, min(e.ts) as t3
+                  from events e join c on c.user_id = e.user_id
+                  where e.event_type = 'purchase' and e.ts > c.t2
+                  group by e.user_id)
+            select stage_index, stage, n_users from (
+              select cast(0 as bigint) as stage_index, 'view' as stage,
+                     count(*) as n_users from v
+              union all
+              select cast(1 as bigint), 'click', count(*) from c
+              union all
+              select cast(2 as bigint), 'purchase', count(*) from p)
+            order by stage_index
+        """,
+        "q88_retention": """
+            with f as (select user_id,
+                              cast(date_trunc('week', min(ts)) as timestamp)
+                                as cohort
+                       from events group by user_id),
+            a as (select distinct user_id,
+                         cast(date_trunc('week', ts) as timestamp) as wk
+                  from events),
+            j as (select f.cohort,
+                         cast(floor(date_diff('day', f.cohort, a.wk) / 7)
+                           as bigint) as week_n
+                  from a join f on f.user_id = a.user_id),
+            cs as (select cohort, count(*) as cohort_size from f
+                   group by cohort)
+            select j.cohort, week_n, count(*) as n_active,
+                   min(cohort_size) as cohort_size,
+                   cast(round(cast(cast(count(*) as double)
+                           / cast(min(cohort_size) as double)
+                         as decimal(28,10)), 6) as double) as retention
+            from j join cs on cs.cohort = j.cohort
+            group by j.cohort, week_n
+            order by j.cohort, week_n
         """,
         "hypertable_rollup": """
             with ev as (select ts, event_type, value from events)

@@ -121,3 +121,94 @@ def q22_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spark, sf_dir, "events", "event_type",
     )
+
+
+def funnel(events: DataFrame, stages: list[str],
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type") -> DataFrame:
+    """Ordered-funnel stage table: for each user, the FIRST time they
+    completed each stage strictly after completing the previous one
+    (the standard product-analytics funnel with strict ordering).
+    Returns (user, stage_index, stage, ts) rows for reached stages.
+
+    Scale: one min-agg + one co-keyed join per stage, all on the user
+    key — with the events table bucketed by user the whole funnel is
+    shuffle-free; no window over the full event stream is ever built.
+    """
+    if not stages:
+        raise ValueError("funnel needs at least one stage")
+    reached: DataFrame | None = None
+    out: DataFrame | None = None
+    for i, stage in enumerate(stages):
+        ev = events.filter(F.col(type_col) == stage)
+        if reached is None:
+            cur = ev.groupBy(user_col).agg(F.min(ts_col).alias("__t"))
+        else:
+            cur = (
+                ev.join(reached.select(user_col, "__t").withColumnRenamed(
+                    "__t", "__prev"), user_col)
+                .filter(F.col(ts_col) > F.col("__prev"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("__t"))
+            )
+        stage_rows = cur.select(
+            user_col,
+            F.lit(i).cast("long").alias("stage_index"),
+            F.lit(stage).alias("stage"),
+            F.col("__t").alias("ts"),
+        )
+        out = stage_rows if out is None else out.unionByName(stage_rows)
+        reached = cur
+    return out
+
+
+def q87_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel counts with strict temporal
+    ordering (each stage's first completion must be strictly after the
+    previous stage's): the canonical product-analytics query. Counts
+    are exact integers → bit-identical across engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    f = funnel(ev, ["view", "click", "purchase"])
+    return final_sort(
+        f.groupBy("stage_index", "stage")
+        .agg(F.count("*").alias("n_users")),
+        spark, sf_dir, "events", "stage_index",
+    )
+
+
+def q88_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-activity
+    week, the fraction still active N weeks later — the standard
+    growth-analytics query. Week bucketing is date_trunc('week')
+    (Monday epoch in both engines); week_n is exact day arithmetic / 7;
+    the retention ratio is an integer quotient under the decimal snap.
+
+    Scale: one min-agg per user (co-keyed with the activity dedup),
+    one join on user, then a tiny (cohort × week) aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    a = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    j = a.join(f, "user_id").select(
+        "cohort",
+        F.floor(F.datediff("wk", "cohort") / 7).cast("long").alias("week_n"),
+    )
+    cs = f.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    return final_sort(
+        j.groupBy("cohort", "week_n")
+        .agg(F.count("*").alias("n_active"))
+        .join(cs, "cohort")
+        .select(
+            "cohort", "week_n", "n_active", "cohort_size",
+            decimal_round(
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double"), 6, grid=10,
+            ).alias("retention"),
+        ),
+        spark, sf_dir, "events", "cohort", "week_n",
+    )

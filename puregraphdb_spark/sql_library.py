@@ -578,6 +578,26 @@ SPARK_SQL: dict[str, str] = {
                     from documents))
         order by doc_id
     """,
+    "q88_retention": """
+        with f as (select user_id, date_trunc('week', min(ts)) as cohort
+                   from events group by user_id),
+        a as (select distinct user_id, date_trunc('week', ts) as wk
+              from events),
+        j as (select f.cohort,
+                     cast(floor(datediff(a.wk, f.cohort) / 7) as bigint)
+                       as week_n
+              from a join f on f.user_id = a.user_id),
+        cs as (select cohort, count(*) as cohort_size from f
+               group by cohort)
+        select j.cohort, week_n, count(*) as n_active,
+               min(cohort_size) as cohort_size,
+               cast(round(cast(cast(count(*) as double)
+                       / cast(min(cohort_size) as double)
+                     as decimal(28,10)), 6) as double) as retention
+        from j join cs on cs.cohort = j.cohort
+        group by j.cohort, week_n
+        order by j.cohort, week_n
+    """,
     "q80_doc_embedding_join": """
         select doc_id, lang, label, n_chars,
                cast(size(filter(split(lower(text), ' '), t -> t != ''))

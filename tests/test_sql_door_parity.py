@@ -52,6 +52,7 @@ DUCKDB_ONLY = {
     "q81_repetition_filter",   # nested list lambdas/[] literal
     "q82_cosine_pairs",      # list_cosine_similarity
     "q84_winnow_fingerprint",  # list_transform/list_min/[] literal
+    "q88_retention",         # date_diff('day', ...) 3-arg signature
 }
 
 ORACLES = entrymod.oracle_sql()
