@@ -943,18 +943,19 @@ def oracle_sql() -> dict[str, str]:
                        generate_series(1, greatest(length(text)-2, 0)),
                        i -> substring(lower(text), i, 3))) as sh
               from documents),
-            a as (select doc_id as src, sh as sh_a from sh
+            a as (select doc_id as src, sh as sh_a, len(sh) as na from sh
                   where doc_id % 100 = 0),
-            b as (select doc_id as dst, sh as sh_b from sh)
+            b as (select doc_id as dst, sh as sh_b, len(sh) as nb from sh)
             select src, dst,
                    cast(round(cast(jac_raw as decimal(28,10)), 6)
                      as double) as jac
             from (
               select src, dst,
                      cast(len(list_intersect(sh_a, sh_b)) as double)
-                     / cast(len(list_distinct(list_concat(sh_a, sh_b)))
+                     / cast(na + nb - len(list_intersect(sh_a, sh_b))
                             as double) as jac_raw
-              from b join a on dst <> src)
+              from b join a on dst <> src
+              where least(na, nb) * 5 >= greatest(na, nb) * 3)
             where jac_raw >= 0.6
             order by src, dst
         """,

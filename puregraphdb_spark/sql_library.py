@@ -214,17 +214,23 @@ SPARK_SQL: dict[str, str] = {
                      i -> substring(lower(text), i, 3)))
                  else cast(array() as array<string>) end as sh
           from documents),
-        a as (select doc_id as src, sh as sh_a from sh
+        a as (select doc_id as src, sh as sh_a, size(sh) as na from sh
               where doc_id % 100 = 0),
-        b as (select doc_id as dst, sh as sh_b from sh)
+        b as (select doc_id as dst, sh as sh_b, size(sh) as nb from sh)
         select src, dst,
                cast(round(cast(jac_raw as decimal(28,10)), 6) as double)
                  as jac
         from (
+          -- size prefilter (J >= t needs min/max sizes >= t) mirrors
+          -- llm.q63's cheap pre-intersect cut; results identical
+          -- |A∪B| = na + nb − |A∩B| (sets are distinct): no union
+          -- array is materialized, mirroring llm.q63
           select src, dst,
                  cast(size(array_intersect(sh_a, sh_b)) as double)
-                 / cast(size(array_union(sh_a, sh_b)) as double) as jac_raw
-          from b join a on dst <> src)
+                 / cast(na + nb - size(array_intersect(sh_a, sh_b))
+                        as double) as jac_raw
+          from b join a on dst <> src
+          where least(na, nb) * 5 >= greatest(na, nb) * 3)
         where jac_raw >= 0.6
         order by src, dst
     """,
