@@ -382,6 +382,44 @@ def _simhash_topk(spark, queries: str, corpus: str = "embeddings",
                         k=int(k), id_col=id_col, emb_col=emb_col)
 
 
+def _funnel(spark, events: str = "events", stages: str = "",
+            user_col: str = "user_id", ts_col: str = "ts",
+            type_col: str = "event_type") -> DataFrame:
+    from puregraphdb_spark.operators.events import funnel
+
+    return funnel(
+        _view(spark, events),
+        [s.strip() for s in stages.split(",") if s.strip()],
+        user_col=user_col, ts_col=ts_col, type_col=type_col,
+    )
+
+
+def _reach(spark, edges: str, max_hops: int = 2) -> DataFrame:
+    from puregraphdb_spark.operators.graph import Graph
+
+    e = _view(spark, edges)
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return Graph(v, e).reach(int(max_hops))
+
+
+def _harmonic(spark, edges: str, landmarks: str,
+              max_iter: int = 20) -> DataFrame:
+    from puregraphdb_spark.operators.graph import Graph, harmonic_centrality
+
+    e = _view(spark, edges)
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    lm = [int(x) for x in str(landmarks).split(",") if str(x).strip()]
+    return harmonic_centrality(Graph(v, e), lm, max_iter=int(max_iter))
+
+
 PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "pagerank": _pagerank,
     "connected_components": _connected_components,
@@ -403,6 +441,9 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "quality_report": _quality_report,
     "contamination_report": _contamination_report,
     # time-series / custom operators (SURVEY §2.2; VERDICT r3 gap #2)
+    "funnel": _funnel,
+    "reach": _reach,
+    "harmonic_centrality": _harmonic,
     "chunk_documents": _chunk_documents,
     "hash_split": _hash_split,
     "stratified_sample": _stratified_sample,

@@ -116,3 +116,37 @@ def test_call_simhash_topk_matches_q67(spark):
     ).toPandas()
     q67 = em.queries()["q67_simhash_hamming"](spark, SF_DIR).toPandas()
     assert_frames_match(via_call, q67)
+
+
+def test_call_funnel_matches_q87(spark):
+    import __spark_entry__ as em
+
+    eng = _engine(spark)
+    via_call = (
+        eng.sql(
+            "CALL funnel(events => 'events', "
+            "stages => 'view,click,purchase')"
+        )
+        .groupBy("stage_index", "stage")
+        .count()
+        .withColumnRenamed("count", "n_users")
+        .toPandas()
+    )
+    q87 = em.queries()["q87_funnel"](spark, SF_DIR).toPandas()
+    assert_frames_match(via_call, q87)
+
+
+def test_call_reach_and_harmonic(spark):
+    from puregraphdb_spark.operators.graph import Graph
+
+    eng = _engine(spark)
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    e.createOrReplaceTempView("reach_edges")
+    r = eng.sql("CALL reach(edges => 'reach_edges', max_hops => 2)")
+    assert {(x["src"], x["dst"]) for x in r.collect()} == {
+        (1, 2), (2, 3), (3, 4), (1, 3), (2, 4)}
+    h = eng.sql(
+        "CALL harmonic_centrality(edges => 'reach_edges', "
+        "landmarks => '4')")
+    got = {x["id"]: round(x["harmonic"], 6) for x in h.collect()}
+    assert got == {1: round(1 / 3, 6), 2: 0.5, 3: 1.0}
