@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_graph_strength": graph.q83_graph_strength,
         "q84_winnow_fingerprint": pipeline.q84_winnow_fingerprint,
         "q85_clustering_coeff": graph.q85_clustering_coeff,
+        "q89_skyline": pipeline.q89_skyline,
         "q86_reach2": graph.q86_reach2,
         "q87_funnel": events.q87_funnel,
         "q88_retention": events.q88_retention,
@@ -1446,6 +1447,20 @@ def oracle_sql() -> dict[str, str]:
             from j join cs on cs.cohort = j.cohort
             group by j.cohort, week_n
             order by j.cohort, week_n
+        """,
+        "q89_skyline": """
+            with s as (select p_brand, p_partkey,
+                              p_retailprice as price, p_size as size
+                       from part where p_partkey % 10 = 0)
+            select p.p_brand, p.p_partkey, p.price,
+                   cast(p.size as bigint) as size
+            from s p
+            where not exists (
+              select 1 from s q
+              where q.p_brand = p.p_brand
+                and q.price <= p.price and q.size >= p.size
+                and (q.price < p.price or q.size > p.size))
+            order by p.p_brand, p.p_partkey
         """,
         "hypertable_rollup": """
             with ev as (select ts, event_type, value from events)

@@ -753,6 +753,51 @@ def q84_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q89_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of sampled parts: cheapest-for-
+    their-size parts, where q dominates p iff q is no more expensive
+    AND no smaller, strictly better on at least one axis.
+
+    Spark-first formulation: instead of the O(n²) NOT-EXISTS dominance
+    join, sort by price and take two RANGE-frame window maxima —
+    dominated(p) ⟺ max(size | price < p.price) ≥ p.size OR
+    max(size | price = p.price) > p.size — an O(n log n) plan with ONE
+    shuffle. The DuckDB oracle intentionally uses the independent
+    quadratic NOT-EXISTS formulation, so the two derivations
+    cross-check each other. Prices are exact 2-dp decimals in double,
+    so the strict/non-strict boundaries are engine-identical.
+    """
+    d = load_table(spark, sf_dir, "part").filter(
+        F.col("p_partkey") % 10 == 0
+    ).select(
+        "p_brand", "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").alias("size"),
+        # exact integer cents: range-frame boundaries on raw doubles
+        # would be computed as price − 0.01 in FP (inexact); the cents
+        # bijection keeps the strict/equal split in integer arithmetic
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("pc"),
+    )
+    cheaper = (
+        Window.partitionBy("p_brand").orderBy("pc")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    same = Window.partitionBy("p_brand").orderBy("pc").rangeBetween(0, 0)
+    ann = d.select(
+        "p_brand", "p_partkey", "price", "size",
+        F.max("size").over(cheaper).alias("m_lt"),
+        F.max("size").over(same).alias("m_eq"),
+    )
+    return final_sort(
+        ann.filter(
+            (F.col("m_lt").isNull() | (F.col("m_lt") < F.col("size")))
+            & (F.col("m_eq") <= F.col("size"))
+        ).select("p_brand", "p_partkey", "price",
+                 F.col("size").cast("long").alias("size")),
+        spark, sf_dir, "part", "p_brand", "p_partkey",
+    )
+
+
 def q79_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage curve: the smallest top-k vocabulary (by
     corpus frequency) covering 25/50/75/90% of all token occurrences —
