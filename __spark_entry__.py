@@ -342,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_winnow_fingerprint": pipeline.q84_winnow_fingerprint,
         "q85_clustering_coeff": graph.q85_clustering_coeff,
         "q89_skyline": pipeline.q89_skyline,
+        "q90_regression": pipeline.q90_regression,
         "q86_reach2": graph.q86_reach2,
         "q87_funnel": events.q87_funnel,
         "q88_retention": events.q88_retention,
@@ -1461,6 +1462,17 @@ def oracle_sql() -> dict[str, str]:
                 and q.price <= p.price and q.size >= p.size
                 and (q.price < p.price or q.size > p.size))
             order by p.p_brand, p.p_partkey
+        """,
+        "q90_regression": """
+            select l_returnflag, count(*) as n,
+                   cast(round(cast(regr_slope(l_extendedprice, l_quantity)
+                         as decimal(28,8)), 4) as double) as slope,
+                   cast(round(cast(regr_intercept(l_extendedprice,
+                                                  l_quantity)
+                         as decimal(28,8)), 4) as double) as intercept,
+                   cast(round(cast(regr_r2(l_extendedprice, l_quantity)
+                         as decimal(28,10)), 6) as double) as r2
+            from lineitem group by l_returnflag order by l_returnflag
         """,
         "hypertable_rollup": """
             with ev as (select ts, event_type, value from events)

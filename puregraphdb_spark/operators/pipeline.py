@@ -798,6 +798,31 @@ def q89_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q90_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend: slope / intercept / R² of extended price
+    against quantity per return flag — the in-database modeling
+    primitive (both engines implement regr_* as one-pass moment
+    aggregates; merge-order FP noise is absorbed by the decimal snap,
+    the q51 discipline).
+
+    Scale: ONE shuffle with map-side partial moment aggregation —
+    identical shape to any sum/avg groupBy.
+    """
+    d = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return final_sort(
+        d.groupBy("l_returnflag").agg(
+            F.count("*").alias("n"),
+            decimal_round(F.regr_slope(y, x), 4, grid=8).alias("slope"),
+            decimal_round(F.regr_intercept(y, x), 4, grid=8).alias(
+                "intercept"
+            ),
+            decimal_round(F.regr_r2(y, x), 6, grid=10).alias("r2"),
+        ),
+        spark, sf_dir, "lineitem", "l_returnflag",
+    )
+
+
 def q79_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage curve: the smallest top-k vocabulary (by
     corpus frequency) covering 25/50/75/90% of all token occurrences —
