@@ -167,12 +167,26 @@ def q87_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering (each stage's first completion must be strictly after the
     previous stage's): the canonical product-analytics query. Counts
     are exact integers → bit-identical across engines.
+
+    Every declared stage emits a row even when no user reached it
+    (n_users = 0): the aggregated counts are right-joined against the
+    literal stage frame, matching the oracle's scalar-count shape on
+    datasets where a stage never converts (ADVICE r5).
     """
     ev = load_table(spark, sf_dir, "events")
-    f = funnel(ev, ["view", "click", "purchase"])
+    stages = ["view", "click", "purchase"]
+    f = funnel(ev, stages)
+    counts = f.groupBy("stage_index", "stage").agg(
+        F.count("*").alias("n_users")
+    )
+    frame = spark.createDataFrame(
+        list(enumerate(stages)), "stage_index long, stage string"
+    )
     return final_sort(
-        f.groupBy("stage_index", "stage")
-        .agg(F.count("*").alias("n_users")),
+        frame.join(counts, ["stage_index", "stage"], "left").select(
+            "stage_index", "stage",
+            F.coalesce("n_users", F.lit(0).cast("long")).alias("n_users"),
+        ),
         spark, sf_dir, "events", "stage_index",
     )
 

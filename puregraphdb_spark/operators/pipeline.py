@@ -49,10 +49,31 @@ from puregraphdb_spark.sources.registry import final_sort, load_table
 #: (never the engines' own hash builtins, which differ).
 _MULT = 2654435761
 _RING = 4294967296
+#: 16-bit split of _MULT for overflow-free 64-bit evaluation
+_MULT_HI, _MULT_LO = divmod(_MULT, 65536)
 
 
 def _hash_bucket(id_col: F.Column, buckets: int) -> F.Column:
-    return (id_col * F.lit(_MULT)) % F.lit(_RING) % F.lit(buckets)
+    """Bucket = (id · _MULT) mod 2³² mod buckets, computed without ever
+    overflowing a signed 64-bit intermediate and with the dividend
+    normalized into [0, 2³²) first — so negative ids land in real
+    buckets instead of Spark's sign-preserving ``%`` leaking negative
+    values into "always train / always sampled" (ADVICE r5), and ids
+    past ~3.47e9 no longer silently wrap where the DuckDB oracle would
+    raise on bigint overflow.
+
+    Identity with the oracle's inline ``(id * 2654435761) %
+    4294967296 % B``: for ids in [0, 2³²) — every fixture id — the
+    values are bit-identical (a·b mod 2³² depends only on a mod 2³²;
+    the 16-bit split of the multiplier keeps each partial product
+    under 2⁴⁸). Outside that envelope this form is the mathematically
+    correct extension, where the naive product is UB-by-wraparound.
+    """
+    ring = F.lit(_RING)
+    a = ((id_col % ring) + ring) % ring  # pmod into [0, 2^32)
+    lo = a * F.lit(_MULT_LO)                      # < 2^48
+    hi = (a * F.lit(_MULT_HI)) % F.lit(65536)     # (a·b_hi) mod 2^16
+    return (lo + hi * F.lit(65536)) % ring % F.lit(buckets)
 
 
 # -- generic cores (CALL-door procedures dispatch here; the qNN entries

@@ -51,12 +51,20 @@ def test_stream_matches_batch_and_drops_contaminated(spark, tmp_path):
         got.exceptAll(batch).count() == 0
         and batch.exceptAll(got).count() == 0
     )
-    # benchmark members self-contaminate at ratio 1.0 → all dropped
+    # benchmark members self-contaminate at ratio 1.0 → all dropped.
+    # Token counting mirrors word_ngrams' tokenization (\s+ split,
+    # empties dropped) so docs with doubled/trailing whitespace and
+    # < 5 real tokens aren't spuriously expected to be dropped
+    # (ADVICE r5).
     kept_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
     bench_with_grams = {
         r["doc_id"]
         for r in bench.filter(
-            F.size(F.split(F.lower("text"), " ")) >= 5
+            F.size(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+                )
+            ) >= 5
         ).collect()
     }
     assert not (kept_ids & bench_with_grams)
