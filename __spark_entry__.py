@@ -165,6 +165,37 @@ def graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brandes-sampled betweenness centrality over the undirected order
+    graph (rows-only: two-phase iterative BFS + dependency
+    accumulation, not SQL). Sources are the deterministic id % 200
+    sample; the n/k scale makes it the standard unbiased
+    Brandes–Pich estimator of full betweenness. The source-id collect
+    is bounded parameter traffic (≤ |V|/200 longs), not data movement.
+    Closed-form-verified on path/star/cycle/diamond graphs
+    (tests/test_graph_properties.py)."""
+    g = _order_graph(spark, sf_dir)
+    und = graph.Graph(
+        g.vertices,
+        g.edges.unionByName(
+            g.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        ),
+    )
+    srcs = sorted(
+        r["id"]
+        for r in g.vertices.filter(F.col("id") % 200 == 0).collect()
+    )
+    n = und.vertices.count()
+    bc = und.betweenness_centrality(srcs, scale=n / len(srcs))
+    return (
+        bc.filter(F.col("betweenness") > 0)
+        .select("id", F.round("betweenness", 6).alias("betweenness"))
+        .orderBy("id")
+    )
+
+
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-core of the order graph (rows-only: iterative peeling).
     Returns surviving vertices with their in-core degree; k=5 peels a
@@ -313,8 +344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scc": graph_scc,
         "graph_kcore": graph_kcore,
         "graph_ppr": graph_ppr,
-        "graph_shortest_paths": graph_shortest_paths,
+        "graph_betweenness": graph_betweenness,
         # ---- end of the 50-entry recorded window ----
+        "graph_shortest_paths": graph_shortest_paths,
         # r5-driver-verified core (q01–q50)
         "q01_filter_project": relational.q01_filter_project,
         "q02_agg_pricing_summary": relational.q02_agg_pricing_summary,

@@ -366,3 +366,85 @@ def test_triangle_shuffle_path_degree_orientation_equals_broadcast(spark):
     # sanity: the clique alone closes C(7,3) hub-free triangles plus
     # hub triangles — count must be at least C(7,3)
     assert bcast >= 35
+
+
+# -- betweenness centrality (Brandes) ----------------------------------------
+
+
+def _bc(g, sources, **kw):
+    return {
+        r["id"]: r["betweenness"]
+        for r in g.betweenness_centrality(sources, **kw).collect()
+    }
+
+
+def test_betweenness_directed_path(spark):
+    """0→1→2→3, all sources: the interior vertices each lie on two
+    source-target shortest paths (closed form)."""
+    v = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(3)], ["src", "dst"]
+    )
+    got = _bc(Graph(v, e), [0, 1, 2, 3])
+    assert got == {0: 0.0, 1: 2.0, 2: 2.0, 3: 0.0}
+
+
+def test_betweenness_undirected_star(spark):
+    """Center 0, leaves 1..4 (both directions): every ordered leaf
+    pair routes through the center → bc(center) = 4·3 = 12."""
+    v = spark.createDataFrame([(i,) for i in range(5)], ["id"])
+    ed = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    e = spark.createDataFrame(ed, ["src", "dst"])
+    got = _bc(Graph(v, e), [0, 1, 2, 3, 4])
+    assert got == {0: 12.0, 1: 0.0, 2: 0.0, 3: 0.0, 4: 0.0}
+
+
+def test_betweenness_directed_cycle(spark):
+    """Directed 5-cycle: by symmetry every vertex carries the same
+    load, Σ_{k=2..4}(k−1) = 6 pairs each."""
+    n = 5
+    v = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    e = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], ["src", "dst"]
+    )
+    got = _bc(Graph(v, e), list(range(n)))
+    assert got == {i: 6.0 for i in range(n)}
+
+
+def test_betweenness_sigma_splits_over_equal_paths(spark):
+    """Diamond 1→2→4, 1→3→4: two equal shortest 1→4 paths, so the
+    σ_v/σ_w ratio must credit each middle vertex exactly 0.5."""
+    v = spark.createDataFrame([(i,) for i in range(1, 5)], ["id"])
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], ["src", "dst"]
+    )
+    got = _bc(Graph(v, e), [1, 2, 3, 4])
+    assert got == {1: 0.0, 2: 0.5, 3: 0.5, 4: 0.0}
+
+
+def test_betweenness_sampling_scale(spark):
+    """Source-sampled estimator: δ from the sampled source times the
+    n/k scale — path graph from source 0 has δ(1)=2, δ(2)=1."""
+    v = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(3)], ["src", "dst"]
+    )
+    got = _bc(Graph(v, e), [0], scale=4.0)
+    assert got == {0: 0.0, 1: 8.0, 2: 4.0, 3: 0.0}
+
+
+def test_betweenness_final_plan_bounded(spark):
+    """The returned plan must be a composition of flat checkpoint
+    scans, not the full two-phase BFS lineage (same discipline as
+    test_iterative_final_plan_is_bounded)."""
+    n = 24
+    v = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["src", "dst"]
+    )
+    d = Graph(v, e).betweenness_centrality([0], max_depth=n + 2)
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastExchange") <= 6, len(plan)
+    got = {r["id"]: r["betweenness"] for r in d.collect()}
+    # interior vertex i of the path lies on (n−1−i) 0-rooted pairs
+    assert got[1] == float(n - 2) and got[n - 1] == 0.0
