@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_reach2": graph.q86_reach2,
         "q87_funnel": events.q87_funnel,
         "q88_retention": events.q88_retention,
+        "q91_motif_weighted": graph.q91_motif_weighted,
         "hypertable_rollup": hypertable_rollup,
         "sliding_window_counts": extras.sliding_window_counts,
         # rows-only entries 44–50 of the recorded window (driver records
@@ -343,9 +344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_label_propagation": graph_label_propagation,
         "graph_scc": graph_scc,
         "graph_kcore": graph_kcore,
-        "graph_ppr": graph_ppr,
         "graph_betweenness": graph_betweenness,
         # ---- end of the 50-entry recorded window ----
+        "graph_ppr": graph_ppr,
         "graph_shortest_paths": graph_shortest_paths,
         # r5-driver-verified core (q01–q50)
         "q01_filter_project": relational.q01_filter_project,
@@ -1504,6 +1505,27 @@ def oracle_sql() -> dict[str, str]:
                 and q.price <= p.price and q.size >= p.size
                 and (q.price < p.price or q.size > p.size))
             order by p.p_brand, p.p_partkey
+        """,
+        "q91_motif_weighted": """
+            with ew as (select a.l_partkey as u, b.l_partkey as v,
+                               count(distinct a.l_orderkey) as w
+                        from lineitem a join lineitem b
+                          on a.l_orderkey = b.l_orderkey
+                        where a.l_partkey < b.l_partkey
+                        group by 1, 2),
+            e as (select u, v from ew),
+            h as (select u, v, w from ew where w >= 2),
+            r as (select distinct a.u as s, b.v as d
+                  from e a join e b on b.u = a.v
+                  where not exists (select 1 from e x
+                                    where x.u = a.u and x.v = b.v))
+            select h.u as src, count(*) as n_paths,
+                   count(distinct h.v) as n_mid,
+                   count(distinct r.d) as n_dst,
+                   cast(max(h.w) as bigint) as max_w
+            from h join r on r.s = h.v
+            where h.u % 100 = 0
+            group by h.u order by src
         """,
         "q90_regression": """
             select l_returnflag, count(*) as n,

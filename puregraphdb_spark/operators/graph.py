@@ -32,12 +32,48 @@ from pyspark.sql import functions as F
 from puregraphdb_spark.sources.registry import load_table
 
 #: One motif term: optional ``!`` negation, ``(name?)-[name?]->(name?)``
-#: or a variable-length hop spec ``(a)-[*..k]->(b)``.
+#: with an optional edge-attribute predicate ``[e:w>=2]`` / ``[:w>=2]``,
+#: or a variable-length hop spec ``(a)-[*..k]->(b)`` / ``(a)-[*m..k]->(b)``.
 _MOTIF_TERM = re.compile(
     r"^(?P<neg>!)?\s*\((?P<src>[A-Za-z_]\w*)?\)\s*-\s*"
-    r"\[(?:(?P<edge>[A-Za-z_]\w*)?|\*\.\.(?P<maxh>\d+))\]"
+    r"\[(?:\*(?P<minh>\d+)?\.\.(?P<maxh>\d+)"
+    r"|(?P<edge>[A-Za-z_]\w*)?(?:\s*:\s*(?P<pred>[^\]]+))?)\]"
     r"\s*->\s*\((?P<dst>[A-Za-z_]\w*)?\)$"
 )
+
+#: Edge-attribute predicate inside a term: ``col op literal`` with a
+#: numeric or single-quoted string literal.
+_EDGE_PRED = re.compile(
+    r"^\s*(?P<col>[A-Za-z_]\w*)\s*(?P<op>>=|<=|!=|<>|==|=|>|<)\s*"
+    r"(?P<val>-?\d+(?:\.\d+)?|'[^']*')\s*$"
+)
+
+
+def _pred_column(pred: str, edge_cols: list[str]) -> Column:
+    """Compile a term predicate string into a Column over the edge
+    relation's own columns — applied BEFORE the join pipeline, so it
+    prunes the edge scan exactly like a hand-written pushed filter."""
+    m = _EDGE_PRED.match(pred)
+    if not m:
+        raise ValueError(
+            f"bad edge predicate {pred!r}: expected 'col op literal' "
+            "(ops > >= < <= = != ; literal numeric or 'string')"
+        )
+    col, op, val = m["col"], m["op"], m["val"]
+    if col not in edge_cols:
+        raise ValueError(
+            f"edge predicate references unknown column {col!r} "
+            f"(edge columns: {edge_cols})"
+        )
+    if val.startswith("'"):
+        lit = F.lit(val[1:-1])
+    else:
+        lit = F.lit(float(val) if "." in val else int(val))
+    c = F.col(col)
+    return {
+        ">": c > lit, ">=": c >= lit, "<": c < lit, "<=": c <= lit,
+        "=": c == lit, "==": c == lit, "!=": c != lit, "<>": c != lit,
+    }[op]
 
 
 def _plan_chars(df: DataFrame) -> int:
@@ -78,26 +114,33 @@ class Graph:
         )
         return self.edges.join(src_v, "src").join(dst_v, "dst")
 
-    def reach(self, max_hops: int) -> DataFrame:
+    def reach(self, max_hops: int, min_hops: int = 1) -> DataFrame:
         """Bounded reachability relation: distinct (src, dst) pairs
-        connected by a directed path of 1..``max_hops`` edges (dedup'd
-        — one row per pair, NOT one per path, which is what keeps this
-        computable at scale; Cypher-style per-path enumeration explodes
-        combinatorially on dense graphs).
+        whose shortest directed path uses ``min_hops..max_hops`` edges
+        (dedup'd — one row per pair, NOT one per path, which is what
+        keeps this computable at scale; Cypher-style per-path
+        enumeration explodes combinatorially on dense graphs).
 
         Built by ``max_hops − 1`` frontier joins with a dedup against
         the accumulated set each round, so the intermediate size is
-        bounded by the true closure, never the path count. Lazy (no
-        checkpoint) for the small hop counts patterns use — the filter
-        a caller writes over ``find()`` output pushes down through all
-        the joins into the first edge scan.
+        bounded by the true closure, never the path count. A
+        ``min_hops`` above 1 subtracts the reach(min_hops−1) snapshot
+        — captured DURING the same frontier loop, never recomputed —
+        with one left-anti join, i.e. pairs at shortest-path distance
+        < min_hops are excluded. Lazy (no checkpoint) for the small
+        hop counts patterns use — the filter a caller writes over
+        ``find()`` output pushes down through all the joins into the
+        first edge scan.
         """
         if max_hops < 1:
             raise ValueError("max_hops must be >= 1")
+        if not 1 <= min_hops <= max_hops:
+            raise ValueError("need 1 <= min_hops <= max_hops")
         e = self.edges.select("src", "dst").distinct()
         reached = e
         frontier = e
-        for _ in range(max_hops - 1):
+        below = e if min_hops == 2 else None  # reach(min_hops − 1)
+        for h in range(2, max_hops + 1):
             step = (
                 frontier.select(F.col("src"), F.col("dst").alias("__mid"))
                 .join(
@@ -108,7 +151,11 @@ class Graph:
             )
             frontier = step.join(reached, ["src", "dst"], "left_anti")
             reached = reached.unionByName(frontier)
-        return reached
+            if h == min_hops - 1:
+                below = reached
+        if min_hops == 1:
+            return reached
+        return reached.join(below, ["src", "dst"], "left_anti")
 
     # -- motif / pattern matching ------------------------------------------
 
@@ -131,6 +178,18 @@ class Graph:
           ``reach(k)``, one binding per PAIR, not per path). Works
           negated too: ``!(a)-[*..k]->(b)`` = no path within k hops.
           Variable-length terms cannot name their edge.
+        - ``(a)-[*m..k]->(b)`` adds a MIN hop count: the shortest
+          directed path from a to b must use between m and k edges
+          (``reach(k, m)`` = reach(k) minus reach(m−1) — pairs also
+          connected by a shorter path are excluded). Negated form =
+          no path of shortest length in [m, k].
+        - ``(a)-[e:w>=2]->(b)`` / ``(a)-[:w>=2]->(b)`` attach an
+          edge-attribute predicate (``col op literal``; ops
+          ``> >= < <= = !=``, numeric or ``'string'`` literal) that
+          filters the edge relation BEFORE the join pipeline — it
+          prunes the edge scan like any pushed filter. Works on
+          negated terms (= no matching edge may exist); not on
+          variable-length terms.
 
         Every named vertex and edge becomes a STRUCT column (vertex
         attrs / edge attrs) in first-appearance order, so callers write
@@ -168,13 +227,17 @@ class Graph:
                 )
             parsed.append(
                 (bool(m["neg"]), m["src"], m["edge"], m["dst"],
-                 int(m["maxh"]) if m["maxh"] else None)
+                 int(m["minh"]) if m["minh"] else None,
+                 int(m["maxh"]) if m["maxh"] else None,
+                 m["pred"])
             )
 
-        edge_names = [e for neg, _, e, _, _ in parsed if e]
+        edge_names = [e for _, _, e, _, _, _, _ in parsed if e]
         if len(edge_names) != len(set(edge_names)):
             raise ValueError("edge names must be unique across terms")
-        vertex_names = {n for _, s, _, d, _ in parsed for n in (s, d) if n}
+        vertex_names = {
+            n for _, s, _, d, _, _, _ in parsed for n in (s, d) if n
+        }
         if vertex_names & set(edge_names):
             raise ValueError("a name cannot be both a vertex and an edge")
 
@@ -185,7 +248,7 @@ class Graph:
 
         result: DataFrame | None = None
         anon = 0
-        for neg, s, e, d, maxh in parsed:
+        for neg, s, e, d, minh, maxh, pred in parsed:
             if neg:
                 if e:
                     raise ValueError("negated terms cannot name their edge")
@@ -194,9 +257,15 @@ class Graph:
                         "negated terms need named endpoints bound by a "
                         "positive term"
                     )
+                if pred is not None:  # compile now so bad preds fail fast
+                    _pred_column(pred, self.edges.columns)
                 continue
             if maxh is not None and maxh < 1:
                 raise ValueError("variable-length terms need ..k with k >= 1")
+            if maxh is not None and minh is not None and minh > maxh:
+                raise ValueError(
+                    "variable-length terms need m <= k in [*m..k]"
+                )
             if s is None:
                 anon += 1
                 s = f"__anon{anon}"
@@ -210,7 +279,9 @@ class Graph:
             elif d not in out_order:
                 out_order.append(d)
 
-            edf = self.edges if maxh is None else self.reach(maxh)
+            edf = self.edges if maxh is None else self.reach(maxh, minh or 1)
+            if pred is not None:
+                edf = edf.filter(_pred_column(pred, self.edges.columns))
             if s == d:  # self-loop / cycle term binds one slot
                 edf = edf.filter(F.col("src") == F.col("dst"))
                 sel = [F.col("src").alias(slot(s))]
@@ -240,7 +311,7 @@ class Graph:
         if result is None:
             raise ValueError("pattern has no positive terms")
 
-        for neg, s, e, d, maxh in parsed:
+        for neg, s, e, d, minh, maxh, pred in parsed:
             if not neg:
                 continue
             for n in (s, d):
@@ -249,7 +320,9 @@ class Graph:
                         f"negated-term vertex '{n}' is not bound by any "
                         "positive term"
                     )
-            rel = self.edges if maxh is None else self.reach(maxh)
+            rel = self.edges if maxh is None else self.reach(maxh, minh or 1)
+            if pred is not None:
+                rel = rel.filter(_pred_column(pred, self.edges.columns))
             absent = rel.select(
                 F.col("src").alias(slot(s)), F.col("dst").alias(slot(d))
             )
@@ -1359,6 +1432,63 @@ def q83_graph_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ind").alias("in_degree"),
         ),
         spark, sf_dir, "lineitem", "v",
+    )
+
+
+def q91_motif_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-attribute predicate + min-hop motif over the WEIGHTED part
+    co-occurrence graph: ``(a)-[e:w>=2]->(b); (b)-[*2..2]->(c)`` —
+    strong ties (pairs co-occurring in ≥ 2 distinct orders) whose
+    endpoint reaches a third part at shortest-path distance exactly 2.
+    Oracles BOTH round-6 DSL extensions at once: the ``:w>=2``
+    in-term predicate (filters the edge relation before the join
+    pipeline) and ``[*2..2]`` (= reach(2) ∖ reach(1), pairs whose
+    shortest path is exactly 2 hops). The exact integer weights make
+    the oracle clean (q83's discipline).
+
+    Scale: the weight aggregate is one groupBy over the co-located
+    pair self-join; the predicate prunes the probe side BEFORE the
+    wedge joins; the % 100 source sample over the motif output pushes
+    into the predicate-edge scan; the min-hop lowering adds one
+    left-anti equi-join on the pair key. Everything derives from
+    lineitem, so under the measured 32 MiB gate the whole motif is
+    map-side broadcast joins; past it the planner keeps shuffle joins
+    with no hint anywhere (q65's discipline).
+    """
+    from puregraphdb_spark.sources.registry import (
+        broadcast_if_small, final_sort,
+    )
+
+    l = load_table(spark, sf_dir, "lineitem")
+    a = l.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = l.select("l_orderkey", F.col("l_partkey").alias("v"))
+    ew = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.countDistinct("l_orderkey").alias("w"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
+    )
+    ew = broadcast_if_small(ew, spark, sf_dir, "lineitem",
+                            threshold=32 << 20)
+    v = (
+        ew.select(F.col("src").alias("id"))
+        .unionByName(ew.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    g = Graph(v, ew)
+    m = g.find("(a)-[e:w>=2]->(b); (b)-[*2..2]->(c)",
+               attach_vertex_attrs=False)
+    return final_sort(
+        m.filter(F.col("a.id") % 100 == 0)
+        .groupBy(F.col("a.id").alias("src"))
+        .agg(
+            F.count("*").alias("n_paths"),
+            F.countDistinct(F.col("b.id")).alias("n_mid"),
+            F.countDistinct(F.col("c.id")).alias("n_dst"),
+            F.max(F.col("e.w")).alias("max_w"),
+        ),
+        spark, sf_dir, "lineitem", "src",
     )
 
 

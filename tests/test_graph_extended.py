@@ -250,3 +250,88 @@ def test_find_variable_length_rejects_named_edge(motif_graph):
 
     with _pytest.raises(ValueError, match="bad motif term"):
         motif_graph.find("(a)-[e*..2]->(b)")
+
+
+def test_find_edge_predicate_filters_and_binds(spark):
+    """``[e:w>=2]`` keeps only matching edges, and the bound struct
+    still carries the attribute; ``[:w<2]`` works anonymously."""
+    v = spark.createDataFrame([(i,) for i in range(1, 7)], ["id"])
+    e = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 5), (3, 4, 2), (4, 5, 1), (1, 3, 7)],
+        ["src", "dst", "w"],
+    )
+    g = Graph(v, e)
+    got = sorted(
+        (x["a"]["id"], x["b"]["id"], x["e"]["w"])
+        for x in g.find("(a)-[e:w>=2]->(b)").collect()
+    )
+    assert got == [(1, 3, 7), (2, 3, 5), (3, 4, 2)]
+    anon = sorted(
+        (x["a"]["id"], x["b"]["id"])
+        for x in g.find("(a)-[:w<2]->(b)").collect()
+    )
+    assert anon == [(1, 2), (4, 5)]
+    # negated predicate: edge exists but no heavy (w>=5) edge
+    neg = sorted(
+        (x["a"]["id"], x["b"]["id"])
+        for x in g.find("(a)-[]->(b); !(a)-[:w>=5]->(b)").collect()
+    )
+    assert neg == [(1, 2), (3, 4), (4, 5)]
+
+
+def test_find_min_hop_range(spark):
+    """``[*m..k]`` = shortest-path distance in [m, k]: the 1→3
+    shortcut removes (1,3) from [*2..2] even though a 2-hop path
+    1→2→3 exists."""
+    v = spark.createDataFrame([(i,) for i in range(1, 6)], ["id"])
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3)], ["src", "dst"]
+    )
+    g = Graph(v, e)
+    got = sorted(
+        (x["a"]["id"], x["b"]["id"])
+        for x in g.find(
+            "(a)-[*2..2]->(b)", attach_vertex_attrs=False
+        ).collect()
+    )
+    assert got == [(1, 4), (2, 4), (3, 5)]
+    got23 = sorted(
+        (x["a"]["id"], x["b"]["id"])
+        for x in g.find(
+            "(a)-[*2..3]->(b)", attach_vertex_attrs=False
+        ).collect()
+    )
+    assert got23 == [(1, 4), (1, 5), (2, 4), (2, 5), (3, 5)]
+
+
+def test_find_predicate_and_minhop_reject_malformed(spark):
+    v = spark.createDataFrame([(1,), (2,)], ["id"])
+    e = spark.createDataFrame([(1, 2, 1)], ["src", "dst", "w"])
+    g = Graph(v, e)
+    with pytest.raises(ValueError):
+        g.find("(a)-[e:q>2]->(b)")  # unknown column
+    with pytest.raises(ValueError):
+        g.find("(a)-[e:w>>2]->(b)")  # bad operator
+    with pytest.raises(ValueError):
+        g.find("(a)-[*3..2]->(b)")  # m > k
+    with pytest.raises(ValueError):
+        g.find("(a)-[]->(b); !(a)-[:q>1]->(b)")  # bad pred on negated
+
+
+def test_find_predicate_minhop_plan_no_cartesian(spark):
+    """The q91 shape (predicate edge joined to a min-hop term) must
+    stay an equi-join pipeline — no cartesian, no nested-loop."""
+    v = spark.createDataFrame([(i,) for i in range(1, 7)], ["id"])
+    e = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 5), (3, 4, 2), (4, 5, 1)], ["src", "dst", "w"]
+    )
+    m = Graph(v, e).find(
+        "(a)-[e:w>=2]->(b); (b)-[*2..2]->(c)", attach_vertex_attrs=False
+    )
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = sorted(
+        (x["a"]["id"], x["c"]["id"]) for x in m.collect()
+    )
+    assert got == [(2, 5)]
