@@ -50,3 +50,84 @@ def test_stateful_sessionizer_matches_batch(spark, tmp_path):
         (r["user_id"], r["n_events"]) for r in batch_closed.collect()
     )
     assert got_counts == want_counts
+
+
+def test_stateful_funnel_matches_batch(spark, tmp_path):
+    """Streaming funnel ≡ batch funnel on the fixture (availableNow)."""
+    from puregraphdb_spark.operators.events import funnel
+    from puregraphdb_spark.streaming.funnel import funnel_stateful
+
+    stages = ["view", "click", "purchase"]
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "events_funnel")
+    ev.write.parquet(path)
+
+    stream = sw.read_parquet_stream(spark, path, ev.schema)
+    q = (
+        funnel_stateful(stream, stages)
+        .writeStream.format("memory")
+        .queryName("t_funnel")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["user_id"], r["stage_index"], r["stage"], r["ts"])
+        for r in spark.table("t_funnel").collect()
+    )
+    want = sorted(
+        (r["user_id"], r["stage_index"], r["stage"], r["ts"])
+        for r in funnel(ev, stages).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_stateful_funnel_incremental_across_triggers(spark, tmp_path):
+    """State carries the funnel position across triggers: a time-split
+    two-file stream (maxFilesPerTrigger=1, in event-time order) must
+    emit exactly the batch funnel — completions spanning the split
+    depend on state from trigger 1."""
+    from puregraphdb_spark.operators.events import funnel
+    from puregraphdb_spark.streaming.funnel import funnel_stateful
+
+    stages = ["view", "click", "purchase"]
+    ev = load_table(spark, SF_DIR, "events").persist()
+    mid = ev.select(
+        F.percentile_approx("ts", 0.5).cast("timestamp")
+    ).collect()[0][0]
+    path = str(tmp_path / "events_funnel_inc")
+    # lexicographic file order must equal time order for in-order arrival
+    ev.filter(F.col("ts") <= F.lit(mid)).coalesce(1).write.parquet(
+        path + "/b=0")
+    ev.filter(F.col("ts") > F.lit(mid)).coalesce(1).write.parquet(
+        path + "/b=1")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(path + "/b=*")
+    )
+    for c, d in stream.dtypes:
+        if d == "timestamp_ntz":
+            stream = stream.withColumn(c, F.col(c).cast("timestamp"))
+    q = (
+        funnel_stateful(stream, stages)
+        .writeStream.format("memory")
+        .queryName("t_funnel_inc")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["user_id"], r["stage_index"], r["stage"], r["ts"])
+        for r in spark.table("t_funnel_inc").collect()
+    )
+    want = sorted(
+        (r["user_id"], r["stage_index"], r["stage"], r["ts"])
+        for r in funnel(ev, stages).collect()
+    )
+    ev.unpersist()
+    assert got == want and len(got) > 0
