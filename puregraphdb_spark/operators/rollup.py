@@ -53,15 +53,22 @@ def _validate(measures: Measures) -> None:
 def _finest_agg(events: DataFrame, ts_col: str, finest: str,
                 group_cols: list[str], measures: Measures) -> DataFrame:
     """The single scan of the raw events → finest-level partials.
-    Works identically on a batch DataFrame and a (watermarked) stream."""
+    Works identically on a batch DataFrame and a (watermarked) stream.
+
+    Groups on the WINDOW STRUCT and projects ``.start`` after the agg
+    — extracting the start inside the groupBy severs watermark
+    propagation, and the append-mode durable sink
+    (``persistent_rollup_sink``) would be rejected
+    (streaming/windows.py documents the same trap)."""
     return (
-        events.groupBy(
-            F.window(ts_col, finest).start.alias("bucket"), *group_cols
-        )
+        events.groupBy(F.window(ts_col, finest).alias("__w"), *group_cols)
         .agg(*[
             _PARTIAL[fn](col).alias(name)
             for name, (fn, col) in measures.items()
         ])
+        .select(
+            F.col("__w.start").alias("bucket"), *group_cols, *measures
+        )
     )
 
 
@@ -121,6 +128,48 @@ def incremental_rollup_stream(events_stream: DataFrame, ts_col: str,
     return _finest_agg(
         events_stream.withWatermark(ts_col, watermark),
         ts_col, finest, group_cols, measures,
+    )
+
+
+def persistent_rollup_sink(finest_stream: DataFrame, table_path: str,
+                           checkpoint_path: str,
+                           available_now: bool = True):
+    """Durable deployment of the finest continuous-aggregate level:
+    the watermarked stream from ``incremental_rollup_stream`` appends
+    FINALIZED buckets to a date-partitioned parquet materialization
+    with a streaming checkpoint — the piece that makes the hypertable
+    survive a restart. Exactly-once: the file source's processed-file
+    log and the sink's commit log both live in ``checkpoint_path``, so
+    a killed query resumes where it stopped and never double-writes a
+    bucket (tests/test_rollup.py kill-and-restart proof).
+
+    Partitioning by bucket DATE gives coarser-level refreshes and
+    time-range reads partition pruning at the 100-TB layout; the
+    append-only contract is exactly why only decomposable measures are
+    accepted upstream. Returns the started StreamingQuery (caller
+    awaits/stops).
+    """
+    out = finest_stream.withColumn("bucket_date", F.to_date("bucket"))
+    w = (
+        out.writeStream.format("parquet")
+        .option("path", table_path)
+        .option("checkpointLocation", checkpoint_path)
+        .partitionBy("bucket_date")
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def read_finest(spark, table_path: str, group_cols: list[str],
+                measures: Measures) -> DataFrame:
+    """Load the persisted finest materialization back into the
+    ``refresh_from_finest`` contract (drops the partition column,
+    restores column order). Feed a bucket-range filter over
+    ``bucket_date`` to prune partitions on incremental refreshes."""
+    return spark.read.parquet(table_path).select(
+        "bucket", *group_cols, *measures
     )
 
 

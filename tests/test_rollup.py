@@ -103,3 +103,98 @@ def test_incremental_stream_plus_refresh_equals_batch(spark, tmp_path):
     w = {tuple(r[k] for k in key): (r["n"], round(r["sm"], 6))
          for r in want.collect()}
     assert g == w
+
+
+def test_persistent_rollup_survives_restart(spark, tmp_path):
+    """Kill-and-restart durability: run 1 drains the first half of the
+    fixture into the parquet materialization and dies; run 2 (a brand
+    new query on the same checkpoint + sink) drains the second half
+    plus two far-future flush sentinels. The persisted finest level,
+    refreshed through refresh_from_finest, must equal the one-shot
+    batch time_rollup over the full fixture — and nothing from run 1
+    may be reprocessed or double-written."""
+    import os
+    import shutil
+
+    from puregraphdb_spark.operators.rollup import (
+        incremental_rollup_stream, persistent_rollup_sink, read_finest,
+        refresh_from_finest,
+    )
+    from puregraphdb_spark.streaming.windows import read_parquet_stream
+
+    ev = load_table(spark, SF_DIR, "events").persist()
+    grans = ["1 hour", "1 day"]
+    groups = ["event_type"]
+    measures = {"n": ("count", None), "sm": ("sum", "value")}
+
+    mid, mx = ev.select(
+        F.percentile_approx("ts", 0.5).cast("timestamp"),
+        F.max("ts"),
+    ).collect()[0]
+
+    stream_dir = tmp_path / "arrivals"
+    stream_dir.mkdir()
+    scratch = tmp_path / "scratch"
+
+    def arrive(df, name, mtime):
+        df.coalesce(1).write.mode("overwrite").parquet(str(scratch))
+        part = next(
+            p for p in os.listdir(scratch) if p.endswith(".parquet")
+        )
+        dest = str(stream_dir / name)
+        shutil.copy(str(scratch / part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    arrive(ev.filter(F.col("ts") <= F.lit(mid)), "b0.parquet", 1_000_000)
+
+    table_path = str(tmp_path / "finest_table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(str(stream_dir)).schema
+
+    def run_once():
+        stream = read_parquet_stream(spark, str(stream_dir), schema)
+        q = persistent_rollup_sink(
+            incremental_rollup_stream(
+                stream, "ts", grans[0], groups, measures,
+                watermark="1 minute",
+            ),
+            table_path, ckpt,
+        )
+        q.awaitTermination()
+
+    run_once()  # run 1, then the query is dead ("kill")
+    n_after_run1 = spark.read.parquet(table_path).count()
+    assert n_after_run1 > 0  # something finalized and persisted
+
+    # second half + two sentinels (each its own trigger, so the batch-N
+    # watermark flushes batch N-1's tail) arrive before the restart
+    arrive(ev.filter(F.col("ts") > F.lit(mid)), "b1.parquet", 2_000_000)
+    sent = ev.limit(1)
+    arrive(
+        sent.withColumn("ts", F.lit(mx) + F.expr("interval 30 days")),
+        "s1.parquet", 3_000_000,
+    )
+    arrive(
+        sent.withColumn("ts", F.lit(mx) + F.expr("interval 60 days")),
+        "s2.parquet", 4_000_000,
+    )
+
+    run_once()  # run 2: fresh query objects, same checkpoint + sink
+
+    finest = read_finest(spark, table_path, groups, list(measures)).filter(
+        F.col("bucket") <= F.lit(mx)  # exclude sentinel buckets
+    )
+    # exactly-once across the restart: every (bucket, group) appears once
+    assert (
+        finest.groupBy("bucket", *groups).count()
+        .filter(F.col("count") > 1).count() == 0
+    )
+    got = refresh_from_finest(finest, grans, groups, measures)
+    want = time_rollup(ev, "ts", grans, groups, measures)
+    key = ["granularity", "bucket", "event_type"]
+    g = {tuple(r[k] for k in key): (r["n"], round(r["sm"], 6))
+         for r in got.collect()}
+    w = {tuple(r[k] for k in key): (r["n"], round(r["sm"], 6))
+         for r in want.collect()}
+    ev.unpersist()
+    assert g == w
