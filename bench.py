@@ -86,13 +86,59 @@ def main() -> None:
     # headline total = the BASELINE.md-comparable core 30 (q01–q30);
     # extended queries (q31+) are timed and reported but not summed.
     core = {k: v for k, v in timings.items() if k[:3] <= "q30"}
-    print(json.dumps({
+    record = {
         "metric": "survey30_total",
         "value": round(sum(core.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-    }))
+    }
+    _track_history(record)
+    print(json.dumps(record))
+
+
+def _track_history(record: dict) -> None:
+    """Append this run to the tracked ``bench_history.json`` and report
+    per-query deltas vs the previous same-sf run on stderr — the
+    mechanical regression diff VERDICT r5 asked for (item 7), instead
+    of hand-spelunking BENCH_r{N} blobs. stdout stays ONE JSON line
+    for the driver; history writes are best-effort (a read-only
+    checkout must not fail the bench)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_history.json")
+    try:
+        with open(path) as f:
+            history = json.load(f)
+    except (OSError, ValueError):
+        history = []
+    prev = next(
+        (h for h in reversed(history) if h.get("sf") == record["sf"]),
+        None,
+    )
+    if prev:
+        regressions = []
+        for name, t in sorted(record["queries"].items()):
+            p = prev["queries"].get(name)
+            if p and t > p * 1.3 and t - p > 0.05:
+                regressions.append(f"{name}: {p:.3f}s -> {t:.3f}s")
+        if regressions:
+            print(
+                "bench regressions vs previous run "
+                f"({prev.get('at', '?')}):\n  " + "\n  ".join(regressions),
+                file=sys.stderr,
+            )
+        else:
+            print("bench: no per-query regressions >1.3x vs previous run",
+                  file=sys.stderr)
+    entry = dict(record)
+    entry["at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    history.append(entry)
+    try:
+        with open(path, "w") as f:
+            json.dump(history, f, indent=1)
+            f.write("\n")
+    except OSError as exc:
+        print(f"bench: history not written ({exc})", file=sys.stderr)
 
 
 if __name__ == "__main__":

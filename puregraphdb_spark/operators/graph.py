@@ -31,45 +31,58 @@ from pyspark.sql import functions as F
 
 from puregraphdb_spark.sources.registry import load_table
 
-#: One motif term: optional ``!`` negation, ``(name?)-[name?]->(name?)``
-#: with an optional edge-attribute predicate ``[e:w>=2]`` / ``[:w>=2]``,
-#: or a variable-length hop spec ``(a)-[*..k]->(b)`` / ``(a)-[*m..k]->(b)``.
+#: One motif term: optional ``!`` negation,
+#: ``(name?[:idpred]?)-[name?[:pred]?]->(name?[:idpred]?)`` with
+#: optional edge-attribute (``[e:w>=2]`` / ``[:w>=2]``) and vertex-id
+#: (``(b:id%50=0)``) predicates, or a variable-length hop spec
+#: ``(a)-[*..k]->(b)`` / ``(a)-[*m..k]->(b)``.
 _MOTIF_TERM = re.compile(
-    r"^(?P<neg>!)?\s*\((?P<src>[A-Za-z_]\w*)?\)\s*-\s*"
+    r"^(?P<neg>!)?\s*"
+    r"\((?P<src>[A-Za-z_]\w*)?(?:\s*:\s*(?P<spred>[^)]+))?\)\s*-\s*"
     r"\[(?:\*(?P<minh>\d+)?\.\.(?P<maxh>\d+)"
     r"|(?P<edge>[A-Za-z_]\w*)?(?:\s*:\s*(?P<pred>[^\]]+))?)\]"
-    r"\s*->\s*\((?P<dst>[A-Za-z_]\w*)?\)$"
+    r"\s*->\s*"
+    r"\((?P<dst>[A-Za-z_]\w*)?(?:\s*:\s*(?P<dpred>[^)]+))?\)$"
 )
 
-#: Edge-attribute predicate inside a term: ``col op literal`` with a
-#: numeric or single-quoted string literal.
+#: Term predicate: ``col [% m] op literal`` with a numeric or
+#: single-quoted string literal (the optional modulus covers the
+#: dominant sampling idiom, ``id % 50 = 0``).
 _EDGE_PRED = re.compile(
-    r"^\s*(?P<col>[A-Za-z_]\w*)\s*(?P<op>>=|<=|!=|<>|==|=|>|<)\s*"
+    r"^\s*(?P<col>[A-Za-z_]\w*)\s*(?:%\s*(?P<mod>\d+)\s*)?"
+    r"(?P<op>>=|<=|!=|<>|==|=|>|<)\s*"
     r"(?P<val>-?\d+(?:\.\d+)?|'[^']*')\s*$"
 )
 
 
-def _pred_column(pred: str, edge_cols: list[str]) -> Column:
-    """Compile a term predicate string into a Column over the edge
-    relation's own columns — applied BEFORE the join pipeline, so it
-    prunes the edge scan exactly like a hand-written pushed filter."""
+def _pred_column(pred: str, cols: dict[str, Column],
+                 what: str = "edge") -> Column:
+    """Compile a term predicate string into a Column over ``cols``
+    (allowed name → actual column) — applied BEFORE the join pipeline,
+    so it prunes the underlying scan exactly like a hand-written
+    pushed filter."""
     m = _EDGE_PRED.match(pred)
     if not m:
         raise ValueError(
-            f"bad edge predicate {pred!r}: expected 'col op literal' "
-            "(ops > >= < <= = != ; literal numeric or 'string')"
+            f"bad {what} predicate {pred!r}: expected 'col [% m] op "
+            "literal' (ops > >= < <= = != ; literal numeric or 'string')"
         )
     col, op, val = m["col"], m["op"], m["val"]
-    if col not in edge_cols:
+    if col not in cols:
         raise ValueError(
-            f"edge predicate references unknown column {col!r} "
-            f"(edge columns: {edge_cols})"
+            f"{what} predicate references unknown column {col!r} "
+            f"(allowed: {sorted(cols)})"
         )
     if val.startswith("'"):
         lit = F.lit(val[1:-1])
     else:
         lit = F.lit(float(val) if "." in val else int(val))
-    c = F.col(col)
+    c = cols[col]
+    if m["mod"]:
+        if val.startswith("'"):
+            raise ValueError(f"bad {what} predicate {pred!r}: "
+                             "modulus needs a numeric literal")
+        c = c % F.lit(int(m["mod"]))
     return {
         ">": c > lit, ">=": c >= lit, "<": c < lit, "<=": c <= lit,
         "=": c == lit, "==": c == lit, "!=": c != lit, "<>": c != lit,
@@ -139,7 +152,11 @@ class Graph:
         e = self.edges.select("src", "dst").distinct()
         reached = e
         frontier = e
-        below = e if min_hops == 2 else None  # reach(min_hops − 1)
+        # frontier_h is EXACTLY the dist-h pairs (step minus everything
+        # already reached), so the [m, k] band is just the union of
+        # frontiers m..k — no final subtraction pass, and no wasted
+        # anti(e, e) union arm from an anti-over-union rewrite.
+        parts: list[DataFrame] = [e] if min_hops == 1 else []
         for h in range(2, max_hops + 1):
             step = (
                 frontier.select(F.col("src"), F.col("dst").alias("__mid"))
@@ -151,11 +168,12 @@ class Graph:
             )
             frontier = step.join(reached, ["src", "dst"], "left_anti")
             reached = reached.unionByName(frontier)
-            if h == min_hops - 1:
-                below = reached
-        if min_hops == 1:
-            return reached
-        return reached.join(below, ["src", "dst"], "left_anti")
+            if h >= min_hops:
+                parts.append(frontier)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # -- motif / pattern matching ------------------------------------------
 
@@ -184,12 +202,28 @@ class Graph:
           connected by a shorter path are excluded). Negated form =
           no path of shortest length in [m, k].
         - ``(a)-[e:w>=2]->(b)`` / ``(a)-[:w>=2]->(b)`` attach an
-          edge-attribute predicate (``col op literal``; ops
+          edge-attribute predicate (``col [% m] op literal``; ops
           ``> >= < <= = !=``, numeric or ``'string'`` literal) that
           filters the edge relation BEFORE the join pipeline — it
           prunes the edge scan like any pushed filter. Works on
           negated terms (= no matching edge may exist); not on
           variable-length terms.
+        - ``(b:id%50=0)`` attaches a vertex-ID predicate to a binding.
+          It is applied to EVERY term relation where the name appears
+          (both endpoints of plain terms AND the endpoints of
+          variable-length reach relations) — which is the load-bearing
+          difference from filtering the ``find()`` output: a filter
+          written over the output provably reaches only one join
+          branch when the binding spans several (Catalyst does not
+          propagate it through join equalities into union-of-frontier
+          subtrees), while the in-term form prunes each occurrence at
+          its scan. Use it for source sampling in large motifs. Only
+          ``id`` may be referenced (the predicate runs against raw
+          edge endpoints before any vertex join); vertex-ATTRIBUTE
+          predicates belong on the output, where they push into the
+          vertex-attach join. Anonymous endpoints may carry a
+          predicate too (``(:id%2=0)``) — it applies to that
+          occurrence only.
 
         Every named vertex and edge becomes a STRUCT column (vertex
         attrs / edge attrs) in first-appearance order, so callers write
@@ -218,6 +252,7 @@ class Graph:
         if not terms:
             raise ValueError("empty motif pattern")
         parsed = []
+        vpreds: dict[str, list[str]] = {}  # binding name → id-predicates
         for t in terms:
             m = _MOTIF_TERM.match(t)
             if not m:
@@ -229,14 +264,20 @@ class Graph:
                 (bool(m["neg"]), m["src"], m["edge"], m["dst"],
                  int(m["minh"]) if m["minh"] else None,
                  int(m["maxh"]) if m["maxh"] else None,
-                 m["pred"])
+                 m["pred"], m["spred"], m["dpred"])
             )
+            for nm, p in ((m["src"], m["spred"]), (m["dst"], m["dpred"])):
+                if nm and p:
+                    vpreds.setdefault(nm, []).append(p)
+        for plist in vpreds.values():
+            for p in plist:  # compile-check named vertex preds up front
+                _pred_column(p, {"id": F.lit(0)}, "vertex")
 
-        edge_names = [e for _, _, e, _, _, _, _ in parsed if e]
+        edge_names = [e for _, _, e, _, _, _, _, _, _ in parsed if e]
         if len(edge_names) != len(set(edge_names)):
             raise ValueError("edge names must be unique across terms")
         vertex_names = {
-            n for _, s, _, d, _, _, _ in parsed for n in (s, d) if n
+            n for _, s, _, d, _, _, _, _, _ in parsed for n in (s, d) if n
         }
         if vertex_names & set(edge_names):
             raise ValueError("a name cannot be both a vertex and an edge")
@@ -246,9 +287,10 @@ class Graph:
 
         out_order: list[str] = []  # struct columns, first-appearance order
 
+        ecols = {c: F.col(c) for c in self.edges.columns}
         result: DataFrame | None = None
         anon = 0
-        for neg, s, e, d, minh, maxh, pred in parsed:
+        for neg, s, e, d, minh, maxh, pred, spred, dpred in parsed:
             if neg:
                 if e:
                     raise ValueError("negated terms cannot name their edge")
@@ -258,7 +300,7 @@ class Graph:
                         "positive term"
                     )
                 if pred is not None:  # compile now so bad preds fail fast
-                    _pred_column(pred, self.edges.columns)
+                    _pred_column(pred, ecols)
                 continue
             if maxh is not None and maxh < 1:
                 raise ValueError("variable-length terms need ..k with k >= 1")
@@ -266,6 +308,10 @@ class Graph:
                 raise ValueError(
                     "variable-length terms need m <= k in [*m..k]"
                 )
+            # named bindings: ALL of the name's predicates, at every
+            # occurrence; anonymous endpoints: this occurrence's only
+            s_preds = vpreds.get(s, []) if s else ([spred] if spred else [])
+            d_preds = vpreds.get(d, []) if d else ([dpred] if dpred else [])
             if s is None:
                 anon += 1
                 s = f"__anon{anon}"
@@ -281,7 +327,13 @@ class Graph:
 
             edf = self.edges if maxh is None else self.reach(maxh, minh or 1)
             if pred is not None:
-                edf = edf.filter(_pred_column(pred, self.edges.columns))
+                edf = edf.filter(_pred_column(pred, ecols))
+            for p in s_preds:
+                edf = edf.filter(
+                    _pred_column(p, {"id": F.col("src")}, "vertex"))
+            for p in d_preds:
+                edf = edf.filter(
+                    _pred_column(p, {"id": F.col("dst")}, "vertex"))
             if s == d:  # self-loop / cycle term binds one slot
                 edf = edf.filter(F.col("src") == F.col("dst"))
                 sel = [F.col("src").alias(slot(s))]
@@ -311,7 +363,7 @@ class Graph:
         if result is None:
             raise ValueError("pattern has no positive terms")
 
-        for neg, s, e, d, minh, maxh, pred in parsed:
+        for neg, s, e, d, minh, maxh, pred, _, _ in parsed:
             if not neg:
                 continue
             for n in (s, d):
@@ -322,7 +374,15 @@ class Graph:
                     )
             rel = self.edges if maxh is None else self.reach(maxh, minh or 1)
             if pred is not None:
-                rel = rel.filter(_pred_column(pred, self.edges.columns))
+                rel = rel.filter(_pred_column(pred, ecols))
+            # the bindings already satisfy their id-predicates; applying
+            # them to the negation relation is pure pruning
+            for p in vpreds.get(s, []):
+                rel = rel.filter(
+                    _pred_column(p, {"id": F.col("src")}, "vertex"))
+            for p in vpreds.get(d, []):
+                rel = rel.filter(
+                    _pred_column(p, {"id": F.col("dst")}, "vertex"))
             absent = rel.select(
                 F.col("src").alias(slot(s)), F.col("dst").alias(slot(d))
             )
@@ -1436,59 +1496,59 @@ def q83_graph_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q91_motif_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edge-attribute predicate + min-hop motif over the WEIGHTED part
-    co-occurrence graph: ``(a)-[e:w>=2]->(b); (b)-[*2..2]->(c)`` —
-    strong ties (pairs co-occurring in ≥ 2 distinct orders) whose
-    endpoint reaches a third part at shortest-path distance exactly 2.
-    Oracles BOTH round-6 DSL extensions at once: the ``:w>=2``
-    in-term predicate (filters the edge relation before the join
-    pipeline) and ``[*2..2]`` (= reach(2) ∖ reach(1), pairs whose
-    shortest path is exactly 2 hops). The exact integer weights make
-    the oracle clean (q83's discipline).
+    """Edge-attribute predicate + min-hop + in-term vertex-sampling
+    motif over the WEIGHTED part co-occurrence graph:
+    ``(a)-[e:w>=2]->(b:id%50=0); (b)-[*2..2]->(c)`` — for sampled mid
+    parts b, the strong in-ties (pairs co-occurring in ≥ 2 distinct
+    orders) crossed with the parts reachable from b at shortest-path
+    distance exactly 2. Oracles all three round-6 DSL extensions at
+    once: the ``:w>=2`` in-term edge predicate, ``[*2..2]``
+    (exact-distance frontier union), and the ``(b:id%50=0)`` in-term
+    vertex predicate. Exact integer weights (q83's discipline).
 
-    Scale: the weight aggregate is one groupBy over the co-located
-    pair self-join; the predicate prunes the probe side BEFORE the
-    wedge joins; the % 100 source sample over the motif output pushes
-    into the predicate-edge scan; the min-hop lowering adds one
-    left-anti equi-join on the pair key. Everything derives from
-    lineitem, so under the measured 32 MiB gate the whole motif is
-    map-side broadcast joins; past it the planner keeps shuffle joins
-    with no hint anywhere (q65's discipline).
+    Scale — this query is WHY the in-term vertex predicate exists:
+    the b binding spans both terms, and a sample filter written over
+    the ``find()`` output reaches only ONE join branch (Catalyst does
+    not propagate it through the join equality into the reach union;
+    measured 13 s at sf0.1 that way). In-term, the predicate prunes
+    term 1's dst scan AND the reach frontier's source scan — measured
+    ~2 s. Weights come from a pre-deduped (order, part) item stream so
+    the weight is a plain count(*) with map-side combine, not a
+    countDistinct expansion; the min-hop lowering is the dist-2
+    frontier (step minus reach(1)) — no subtraction pass. Every input
+    derives from lineitem and nothing is broadcast-hinted: the planner
+    picks join strategies from real sizes at any scale.
     """
-    from puregraphdb_spark.sources.registry import (
-        broadcast_if_small, final_sort,
-    )
+    from puregraphdb_spark.sources.registry import final_sort
 
     l = load_table(spark, sf_dir, "lineitem")
-    a = l.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = l.select("l_orderkey", F.col("l_partkey").alias("v"))
+    it = l.select("l_orderkey", "l_partkey").distinct()
+    a = it.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = it.select("l_orderkey", F.col("l_partkey").alias("v"))
     ew = (
         a.join(b, "l_orderkey")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
-        .agg(F.countDistinct("l_orderkey").alias("w"))
+        .agg(F.count("*").alias("w"))
         .select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
     )
-    ew = broadcast_if_small(ew, spark, sf_dir, "lineitem",
-                            threshold=32 << 20)
     v = (
         ew.select(F.col("src").alias("id"))
         .unionByName(ew.select(F.col("dst").alias("id")))
         .distinct()
     )
     g = Graph(v, ew)
-    m = g.find("(a)-[e:w>=2]->(b); (b)-[*2..2]->(c)",
+    m = g.find("(a)-[e:w>=2]->(b:id%50=0); (b)-[*2..2]->(c)",
                attach_vertex_attrs=False)
     return final_sort(
-        m.filter(F.col("a.id") % 100 == 0)
-        .groupBy(F.col("a.id").alias("src"))
+        m.groupBy(F.col("b.id").alias("mid"))
         .agg(
             F.count("*").alias("n_paths"),
-            F.countDistinct(F.col("b.id")).alias("n_mid"),
+            F.countDistinct(F.col("a.id")).alias("n_src"),
             F.countDistinct(F.col("c.id")).alias("n_dst"),
             F.max(F.col("e.w")).alias("max_w"),
         ),
-        spark, sf_dir, "lineitem", "src",
+        spark, sf_dir, "lineitem", "mid",
     )
 
 

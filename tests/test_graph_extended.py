@@ -335,3 +335,41 @@ def test_find_predicate_minhop_plan_no_cartesian(spark):
         (x["a"]["id"], x["c"]["id"]) for x in m.collect()
     )
     assert got == [(2, 5)]
+
+
+def test_find_vertex_id_predicate_applies_to_all_occurrences(spark):
+    """``(b:id%2=0)`` must constrain the binding at BOTH terms that
+    mention b — including the reach relation of a variable-length
+    term, where an output-level filter provably fails to push."""
+    v = spark.createDataFrame([(i,) for i in range(1, 8)], ["id"])
+    e = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 3), (2, 4, 1), (4, 5, 1), (3, 6, 1),
+         (6, 7, 1)],
+        ["src", "dst", "w"],
+    )
+    g = Graph(v, e)
+    got = sorted(
+        (x["a"]["id"], x["b"]["id"], x["c"]["id"])
+        for x in g.find(
+            "(a)-[e:w>=2]->(b:id%2=0); (b)-[*2..2]->(c)",
+            attach_vertex_attrs=False,
+        ).collect()
+    )
+    # strong edges: 1→2, 1→3; b must be even → b=2 only; dist-2 from
+    # 2: 2→4→5 → c=5. b=3 (odd) is excluded even though 3→6→7 exists.
+    assert got == [(1, 2, 5)]
+    # equivalence: in-term pred ≡ output filter on the same binding
+    outf = sorted(
+        (x["a"]["id"], x["b"]["id"], x["c"]["id"])
+        for x in g.find(
+            "(a)-[e:w>=2]->(b); (b)-[*2..2]->(c)",
+            attach_vertex_attrs=False,
+        ).filter(F.col("b.id") % 2 == 0).collect()
+    )
+    assert outf == got
+    # anonymous-endpoint predicate applies to that occurrence only
+    anon = sorted(
+        (x["a"]["id"],)
+        for x in g.find("(a)-[]->(:id%2=0)").collect()
+    )
+    assert anon == [(1,), (2,), (3,)]  # →2, →4, →6
