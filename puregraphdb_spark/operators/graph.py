@@ -963,6 +963,13 @@ class Graph:
         BFS is impossible). Directed semantics; undirected graphs pass
         both edge directions.
 
+        ``sources`` must be a BOUNDED sample: total work is
+        O(|sources|·|E|) (each BFS level shuffles the frontier×edges
+        message stream), so pick a fixed k (tens to low hundreds) —
+        never a fixed FRACTION of the vertices, which silently turns
+        the estimator into O(|V|·|E|/c) and does not fit any cluster
+        at 100-TB graph sizes.
+
         Two phases, both set-at-a-time over a (source, vertex) state
         relation covering every sampled source at once:
 
