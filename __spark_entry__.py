@@ -345,17 +345,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_funnel": events.q87_funnel,
         "q88_retention": events.q88_retention,
         "q91_motif_weighted": graph.q91_motif_weighted,
+        "q92_sequence_pack": pipeline.q92_sequence_pack,
+        "q93_minhash_bands": pipeline.q93_minhash_bands,
         "hypertable_rollup": hypertable_rollup,
         "sliding_window_counts": extras.sliding_window_counts,
-        # rows-only entries 44–50 of the recorded window (driver records
+        # rows-only entries 46–50 of the recorded window (driver records
         # the weaker rows-only check for these)
         "graph_pagerank": graph_pagerank,
         "graph_connected_components": graph_connected_components,
         "graph_label_propagation": graph_label_propagation,
-        "graph_scc": graph_scc,
-        "graph_kcore": graph_kcore,
         "graph_betweenness": graph_betweenness,
+        "graph_kcore": graph_kcore,
         # ---- end of the 50-entry recorded window ----
+        "graph_scc": graph_scc,
         "graph_ppr": graph_ppr,
         "graph_shortest_paths": graph_shortest_paths,
         # r5-driver-verified core (q01–q50)
@@ -1549,6 +1551,66 @@ def oracle_sql() -> dict[str, str]:
                    cast(max(h.w) as bigint) as max_w
             from h join r on r.s = h.v
             group by h.v order by mid
+        """,
+        "q92_sequence_pack": """
+            with t as (select lang, doc_id,
+                         cast(len(list_filter(
+                           string_split(lower(text), ' '),
+                           x -> x <> '')) as bigint) as n_tok
+                       from documents),
+            p as (select lang, doc_id, n_tok,
+                    cast(floor(coalesce(sum(n_tok) over (
+                      partition by lang order by doc_id
+                      rows between unbounded preceding and 1 preceding),
+                      0) / 256) as bigint) as pack_id
+                  from t)
+            select lang, pack_id, count(*) as n_docs,
+                   cast(sum(n_tok) as bigint) as pack_tokens,
+                   min(doc_id) as first_doc, max(doc_id) as last_doc,
+                   cast(round(cast(cast(sum(n_tok) as double) / 256.0
+                         as decimal(28,10)), 6) as double) as fill_ratio
+            from p group by lang, pack_id order by lang, pack_id
+        """,
+        "q93_minhash_bands": """
+            with tk as (select doc_id,
+                               unnest(string_split(lower(text), ' ')) as tok
+                        from documents),
+            tkf as (select * from tk where tok <> ''),
+            vocab as (select tok,
+                             row_number() over (order by tok) as tid
+                      from (select distinct tok from tkf)),
+            j as (select doc_id, tid from tkf join vocab using (tok)),
+            sig as (select doc_id,
+                      min((tid *  823731426 +  433494437) % 2147483647)
+                        as minh0,
+                      min((tid * 1500450271 +     700001) % 2147483647)
+                        as minh1,
+                      min((tid *  713002666 +    1046527) % 2147483647)
+                        as minh2,
+                      min((tid * 1119516366 +   16769023) % 2147483647)
+                        as minh3,
+                      min((tid * 1251695901 + 1073676287) % 2147483647)
+                        as minh4,
+                      min((tid * 1278945319 +  479001599) % 2147483647)
+                        as minh5,
+                      min((tid * 2038074743 +   87178291) % 2147483647)
+                        as minh6,
+                      min((tid * 1912602701 + 2147483629) % 2147483647)
+                        as minh7
+                    from j group by doc_id),
+            bands as (
+              select 0 as band, minh0 as h1, minh1 as h2 from sig
+              union all select 1, minh2, minh3 from sig
+              union all select 2, minh4, minh5 from sig
+              union all select 3, minh6, minh7 from sig),
+            sz as (select band, h1, h2, count(*) as s from bands
+                   group by 1, 2, 3)
+            select cast(band as bigint) as band, count(*) as n_buckets,
+                   cast(sum(case when s > 1 then s else 0 end) as bigint)
+                     as n_collide_docs,
+                   cast(sum(s * (s - 1)) // 2 as bigint)
+                     as n_candidate_pairs
+            from sz group by band order by band
         """,
         "q90_regression": """
             select l_returnflag, count(*) as n,

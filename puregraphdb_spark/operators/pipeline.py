@@ -453,21 +453,11 @@ _MINHASH_COEF = [
 ]
 
 
-def q74_minhash_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arithmetic MinHash signatures (8 affine permutations over a
-    ranked vocabulary) for sampled docs (doc_id % 20 = 0) — the
-    ORACLED member of the MinHash dedup family: similarity.
-    minhash_signatures uses xxhash64 (engine-native, not portable);
-    this variant replaces the hash with dense vocabulary ranks +
-    affine permutations mod a Mersenne prime, which both engines
-    compute bit-identically.
-
-    Scale: the vocabulary build uses a GLOBAL dense_rank — sound
-    because the vocab is corpus-bounded (Heaps' law: ≪ corpus size);
-    at 100 TB the rank window runs over the distinct-token table, not
-    the corpus. Tokens explode map-side; one shuffle for distinct
-    vocab, one broadcast-join back, one per-doc min-agg.
-    """
+def _minhash_vocab_signatures(spark: SparkSession, sf_dir: str,
+                              sample_mod: int | None) -> DataFrame:
+    """Shared core of q74/q93: (doc_id, minh0..minh7) arithmetic
+    MinHash signatures over the ranked vocabulary (optionally for the
+    doc_id % sample_mod = 0 sample)."""
     d = load_table(spark, sf_dir, "documents")
     tok = (
         d.select(
@@ -483,7 +473,10 @@ def q74_minhash_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocab is Heaps-bounded but still grows with the corpus → hint it
     # only under the measured gate (documents bytes as the conservative
     # proxy); past the gate the planner keeps a shuffle join.
-    joined = tok.filter(F.col("doc_id") % 20 == 0).join(
+    probe = tok if sample_mod is None else tok.filter(
+        F.col("doc_id") % sample_mod == 0
+    )
+    joined = probe.join(
         broadcast_if_small(vocab, spark, sf_dir, "documents"), "tok"
     )
     aggs = [
@@ -492,8 +485,26 @@ def q74_minhash_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"minh{j}")
         for j, (a, b) in enumerate(_MINHASH_COEF)
     ]
+    return joined.groupBy("doc_id").agg(*aggs)
+
+
+def q74_minhash_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic MinHash signatures (8 affine permutations over a
+    ranked vocabulary) for sampled docs (doc_id % 20 = 0) — the
+    ORACLED member of the MinHash dedup family: similarity.
+    minhash_signatures uses xxhash64 (engine-native, not portable);
+    this variant replaces the hash with dense vocabulary ranks +
+    affine permutations mod a Mersenne prime, which both engines
+    compute bit-identically.
+
+    Scale: the vocabulary build uses a GLOBAL dense_rank — sound
+    because the vocab is corpus-bounded (Heaps' law: ≪ corpus size);
+    at 100 TB the rank window runs over the distinct-token table, not
+    the corpus. Tokens explode map-side; one shuffle for distinct
+    vocab, one broadcast-join back, one per-doc min-agg.
+    """
     return final_sort(
-        joined.groupBy("doc_id").agg(*aggs),
+        _minhash_vocab_signatures(spark, sf_dir, sample_mod=20),
         spark, sf_dir, "documents", "doc_id",
     )
 
@@ -923,4 +934,96 @@ def q80_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             decimal_round(l2_norm("embedding"), 6, grid=8).alias("l2_norm"),
         ),
         spark, sf_dir, "documents", "doc_id",
+    )
+
+
+def q92_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing (training-batch assembly): per language
+    stream, docs in doc_id order are assigned to 256-token packs by
+    the streaming boundary rule — a doc belongs to pack
+    floor(tokens_before_it / 256). This is the deterministic
+    one-pass approximation of greedy sequence packing every large
+    pretraining pipeline runs before tokenizer sharding (true
+    first-fit needs a recursive scan; the boundary rule is
+    order-stable, engine-portable, and the fill-ratio report below is
+    exactly how its overflow cost is audited).
+
+    Scale: token counting is a pure map; ONE shuffle on lang for the
+    cumulative window (at 100 TB, partition the stream by
+    (lang, doc_id-range) and pack within ranges — decomposable because
+    the boundary rule only needs the per-range token prefix). Counts
+    and boundaries are exact integers; fill_ratio is n/256 with 256 a
+    power of two, so the double is exact before the snap.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "lang", "doc_id",
+        F.size(_nonempty_tokens()).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long"))
+    packed = staged.withColumn(
+        "pack_id", F.floor(cum_before / F.lit(256)).cast("long")
+    )
+    return final_sort(
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .withColumn(
+            "fill_ratio",
+            decimal_round(
+                F.col("pack_tokens").cast("double") / F.lit(256.0),
+                6, grid=10,
+            ),
+        ),
+        spark, sf_dir, "documents", "lang", "pack_id",
+    )
+
+
+def q93_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding statistics over the full corpus' arithmetic MinHash
+    signatures (q74's core, unsampled): 4 bands × 2 rows each; per
+    band, the bucket count, how many docs share a bucket with another
+    doc, and the candidate-pair volume Σ C(|bucket|, 2) the band
+    would emit. This hash-proves the BANDING layer that the rows-only
+    `similarity.near_dup_pairs` LSH dedup rests on — bucket membership
+    is pure integer arithmetic, so both engines agree bit-for-bit.
+
+    Scale: band expansion is a 4-way explode (map-side); one shuffle
+    for the (band, signature) bucket sizes with map-side combine, one
+    tiny 4-row reduction. The candidate-pair column is exactly the
+    quantity the `max_bucket_size` skew guardrail bounds at 100 TB —
+    this query is the audit that sizes that guardrail.
+    """
+    sig = _minhash_vocab_signatures(spark, sf_dir, sample_mod=None)
+    bands = F.array(*[
+        F.struct(
+            F.lit(j).cast("long").alias("band"),
+            F.col(f"minh{2 * j}").alias("h1"),
+            F.col(f"minh{2 * j + 1}").alias("h2"),
+        )
+        for j in range(4)
+    ])
+    exploded = sig.select(F.explode(bands).alias("b")).select("b.*")
+    sizes = exploded.groupBy("band", "h1", "h2").agg(
+        F.count("*").alias("s")
+    )
+    return final_sort(
+        sizes.groupBy("band").agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(
+                F.when(F.col("s") > 1, F.col("s")).otherwise(0)
+            ).cast("long").alias("n_collide_docs"),
+            F.floor(
+                F.sum(F.col("s") * (F.col("s") - 1)) / F.lit(2)
+            ).cast("long").alias("n_candidate_pairs"),
+        ),
+        spark, sf_dir, "documents", "band",
     )
