@@ -937,52 +937,63 @@ def q80_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q92_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Context-window packing (training-batch assembly): per language
-    stream, docs in doc_id order are assigned to 256-token packs by
-    the streaming boundary rule — a doc belongs to pack
-    floor(tokens_before_it / 256). This is the deterministic
-    one-pass approximation of greedy sequence packing every large
-    pretraining pipeline runs before tokenizer sharding (true
-    first-fit needs a recursive scan; the boundary rule is
-    order-stable, engine-portable, and the fill-ratio report below is
-    exactly how its overflow cost is audited).
+def sequence_pack(docs: DataFrame, budget: int = 256,
+                  stream_col: str = "lang", id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Context-window packing (training-batch assembly): within each
+    ``stream_col`` stream, docs in ``id_col`` order are assigned to
+    ``budget``-token packs by the streaming boundary rule — a doc
+    belongs to pack floor(tokens_before_it / budget). The
+    deterministic one-pass approximation of greedy sequence packing
+    (true first-fit needs a recursive scan; the boundary rule is
+    order-stable and engine-portable). Returns per-pack stats with
+    the fill-ratio overflow audit.
 
-    Scale: token counting is a pure map; ONE shuffle on lang for the
-    cumulative window (at 100 TB, partition the stream by
-    (lang, doc_id-range) and pack within ranges — decomposable because
-    the boundary rule only needs the per-range token prefix). Counts
-    and boundaries are exact integers; fill_ratio is n/256 with 256 a
-    power of two, so the double is exact before the snap.
+    Scale: token counting is a pure map; ONE shuffle on the stream key
+    for the prefix-sum window (at 100 TB, partition the stream by
+    (stream, id-range) and pack within ranges — decomposable because
+    the boundary rule only needs the per-range token prefix).
     """
-    d = load_table(spark, sf_dir, "documents")
-    staged = d.select(
-        "lang", "doc_id",
-        F.size(_nonempty_tokens()).cast("long").alias("n_tok"),
+    staged = docs.select(
+        F.col(stream_col).alias("__stream"), F.col(id_col).alias("__id"),
+        F.size(_nonempty_tokens(text_col)).cast("long").alias("n_tok"),
     )
     w = (
-        Window.partitionBy("lang").orderBy("doc_id")
+        Window.partitionBy("__stream").orderBy("__id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long"))
     packed = staged.withColumn(
-        "pack_id", F.floor(cum_before / F.lit(256)).cast("long")
+        "pack_id", F.floor(cum_before / F.lit(budget)).cast("long")
     )
-    return final_sort(
-        packed.groupBy("lang", "pack_id")
+    return (
+        packed.groupBy("__stream", "pack_id")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tok").alias("pack_tokens"),
-            F.min("doc_id").alias("first_doc"),
-            F.max("doc_id").alias("last_doc"),
+            F.min("__id").alias("first_doc"),
+            F.max("__id").alias("last_doc"),
         )
         .withColumn(
             "fill_ratio",
             decimal_round(
-                F.col("pack_tokens").cast("double") / F.lit(256.0),
-                6, grid=10,
+                F.col("pack_tokens").cast("double")
+                / F.lit(float(budget)), 6, grid=10,
             ),
-        ),
+        )
+        .withColumnRenamed("__stream", stream_col)
+    )
+
+
+def q92_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing over documents: per-language 256-token
+    packs (`sequence_pack` core — the step every large pretraining
+    pipeline runs before tokenizer sharding). Counts and boundaries
+    are exact integers; fill_ratio is n/256 with 256 a power of two,
+    so the double is exact before the snap.
+    """
+    return final_sort(
+        sequence_pack(load_table(spark, sf_dir, "documents"), budget=256),
         spark, sf_dir, "documents", "lang", "pack_id",
     )
 

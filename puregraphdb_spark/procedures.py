@@ -394,7 +394,8 @@ def _funnel(spark, events: str = "events", stages: str = "",
     )
 
 
-def _reach(spark, edges: str, max_hops: int = 2) -> DataFrame:
+def _reach(spark, edges: str, max_hops: int = 2,
+           min_hops: int = 1) -> DataFrame:
     from puregraphdb_spark.operators.graph import Graph
 
     e = _view(spark, edges)
@@ -403,7 +404,29 @@ def _reach(spark, edges: str, max_hops: int = 2) -> DataFrame:
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
     )
-    return Graph(v, e).reach(int(max_hops))
+    return Graph(v, e).reach(int(max_hops), int(min_hops))
+
+
+def _betweenness(spark, edges: str, sources: str,
+                 max_depth: int = 20, scale: float = 1.0,
+                 vertices: str | None = None) -> DataFrame:
+    """CALL betweenness(edges => 'e', sources => '0,1,2') — Brandes
+    betweenness from the comma-separated source sample; pass
+    scale => n/k for the unbiased sampled estimator. Sources must be
+    a bounded k-sample (work is O(k·|E|))."""
+    srcs = [int(x) for x in str(sources).split(",") if str(x).strip()]
+    return _graph(spark, edges, vertices).betweenness_centrality(
+        srcs, max_depth=int(max_depth), scale=float(scale))
+
+
+def _sequence_pack(spark, docs: str = "documents", budget: int = 256,
+                   stream_col: str = "lang", id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    from puregraphdb_spark.operators.pipeline import sequence_pack
+
+    return sequence_pack(
+        _view(spark, docs), budget=int(budget), stream_col=stream_col,
+        id_col=id_col, text_col=text_col)
 
 
 def _harmonic(spark, edges: str, landmarks: str,
@@ -443,6 +466,8 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     # time-series / custom operators (SURVEY §2.2; VERDICT r3 gap #2)
     "funnel": _funnel,
     "reach": _reach,
+    "betweenness": _betweenness,
+    "sequence_pack": _sequence_pack,
     "harmonic_centrality": _harmonic,
     "chunk_documents": _chunk_documents,
     "hash_split": _hash_split,

@@ -177,3 +177,45 @@ def test_call_weighted_graph_params(spark):
         "weight_col => 'w')"
     ).toPandas().set_index("id")["dist"]
     assert sp[1] == 2.0  # detour 1→2→3 (1+1) beats the w=10 direct edge
+
+
+def test_call_sequence_pack_matches_python(spark):
+    from puregraphdb_spark.operators.pipeline import sequence_pack
+
+    eng = _engine(spark)
+    via_call = eng.sql(
+        "CALL sequence_pack(docs => 'documents', budget => 128)"
+    ).toPandas()
+    direct = sequence_pack(
+        load_table(spark, SF_DIR, "documents"), budget=128
+    ).toPandas()
+    assert_frames_match(via_call, direct)
+
+
+def test_call_betweenness_and_minhop_reach(spark):
+    from pyspark.sql import functions as F
+
+    eng = _engine(spark)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 2)], ["src", "dst"]
+    )
+    edges.createOrReplaceTempView("proc_bc_edges")
+    got = {
+        r["id"]: r["betweenness"]
+        for r in eng.sql(
+            "CALL betweenness(edges => 'proc_bc_edges', "
+            "sources => '0,1,2,3')"
+        ).collect()
+    }
+    # path 0→1→2→3 with the 0→2 shortcut: 1 carries nothing 0-rooted
+    # (0 reaches 2 directly); dependencies: δ0(2)=1 (to 3), δ1(2)=1
+    assert got == {0: 0.0, 1: 0.0, 2: 2.0, 3: 0.0}
+    reach23 = sorted(
+        (r["src"], r["dst"])
+        for r in eng.sql(
+            "CALL reach(edges => 'proc_bc_edges', max_hops => 3, "
+            "min_hops => 2)"
+        ).collect()
+    )
+    # dist: (0,1)=1 (0,2)=1 (0,3)=2 (1,2)=1 (1,3)=2 (2,3)=1
+    assert reach23 == [(0, 3), (1, 3)]
