@@ -419,6 +419,20 @@ def _betweenness(spark, edges: str, sources: str,
         srcs, max_depth=int(max_depth), scale=float(scale))
 
 
+def _interval_join(spark, left: str, right: str, on: str = "user_id",
+                   left_ts: str = "ts", right_ts: str = "ts",
+                   before: str = "1 hour",
+                   after: str = "0 seconds") -> DataFrame:
+    """CALL interval_join(left => 'purchases', right => 'clicks') —
+    the attribution-style bounded-time join (same core the streaming
+    deployment uses; on batch views the watermark is inert)."""
+    from puregraphdb_spark.streaming.joins import interval_join
+
+    return interval_join(
+        _view(spark, left), _view(spark, right), on=on,
+        left_ts=left_ts, right_ts=right_ts, before=before, after=after)
+
+
 def _sequence_pack(spark, docs: str = "documents", budget: int = 256,
                    stream_col: str = "lang", id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
@@ -468,6 +482,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "reach": _reach,
     "betweenness": _betweenness,
     "sequence_pack": _sequence_pack,
+    "interval_join": _interval_join,
     "harmonic_centrality": _harmonic,
     "chunk_documents": _chunk_documents,
     "hash_split": _hash_split,
