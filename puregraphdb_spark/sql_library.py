@@ -604,6 +604,68 @@ SPARK_SQL: dict[str, str] = {
         group by j.cohort, week_n
         order by j.cohort, week_n
     """,
+    "q92_sequence_pack": """
+        with t as (select lang, doc_id,
+                     cast(size(filter(split(lower(text), ' '),
+                       x -> x != '')) as bigint) as n_tok
+                   from documents),
+        p as (select lang, doc_id, n_tok,
+                cast(floor(coalesce(sum(n_tok) over (
+                  partition by lang order by doc_id
+                  rows between unbounded preceding and 1 preceding),
+                  0) / 256) as bigint) as pack_id
+              from t)
+        select lang, pack_id, count(*) as n_docs,
+               sum(n_tok) as pack_tokens,
+               min(doc_id) as first_doc, max(doc_id) as last_doc,
+               cast(round(cast(cast(sum(n_tok) as double)
+                     / cast(256 as double)
+                     as decimal(28,10)), 6) as double) as fill_ratio
+        from p group by lang, pack_id order by lang, pack_id
+    """,
+    "q93_minhash_bands": """
+        with tk as (select doc_id,
+                           explode(split(lower(text), ' ')) as tok
+                    from documents),
+        tkf as (select * from tk where tok != ''),
+        vocab as (select tok,
+                         cast(row_number() over (order by tok)
+                           as bigint) as tid
+                  from (select distinct tok from tkf)),
+        j as (select doc_id, tid from tkf join vocab using (tok)),
+        sig as (select doc_id,
+                  min((tid *  823731426 +  433494437) % 2147483647)
+                    as minh0,
+                  min((tid * 1500450271 +     700001) % 2147483647)
+                    as minh1,
+                  min((tid *  713002666 +    1046527) % 2147483647)
+                    as minh2,
+                  min((tid * 1119516366 +   16769023) % 2147483647)
+                    as minh3,
+                  min((tid * 1251695901 + 1073676287) % 2147483647)
+                    as minh4,
+                  min((tid * 1278945319 +  479001599) % 2147483647)
+                    as minh5,
+                  min((tid * 2038074743 +   87178291) % 2147483647)
+                    as minh6,
+                  min((tid * 1912602701 + 2147483629) % 2147483647)
+                    as minh7
+                from j group by doc_id),
+        bands as (
+          select cast(0 as bigint) as band, minh0 as h1, minh1 as h2
+          from sig
+          union all select 1, minh2, minh3 from sig
+          union all select 2, minh4, minh5 from sig
+          union all select 3, minh6, minh7 from sig),
+        sz as (select band, h1, h2, count(*) as s from bands
+               group by 1, 2, 3)
+        select band, count(*) as n_buckets,
+               cast(sum(case when s > 1 then s else 0 end) as bigint)
+                 as n_collide_docs,
+               cast(floor(sum(s * (s - 1)) / 2) as bigint)
+                 as n_candidate_pairs
+        from sz group by band order by band
+    """,
     "q80_doc_embedding_join": """
         select doc_id, lang, label, n_chars,
                cast(size(filter(split(lower(text), ' '), t -> t != ''))

@@ -53,6 +53,8 @@ DUCKDB_ONLY = {
     "q82_cosine_pairs",      # list_cosine_similarity
     "q84_winnow_fingerprint",  # list_transform/list_min/[] literal
     "q88_retention",         # date_diff('day', ...) 3-arg signature
+    "q92_sequence_pack",     # list_filter/string_split
+    "q93_minhash_bands",     # unnest/string_split
 }
 
 ORACLES = entrymod.oracle_sql()
