@@ -162,6 +162,57 @@ def persistent_rollup_sink(finest_stream: DataFrame, table_path: str,
     return w.start()
 
 
+def compact_closed_partitions(spark, table_path: str,
+                              closed_before,
+                              target_files: int = 1) -> list[str]:
+    """Small-file compaction for the durable finest materialization:
+    every streaming trigger appends a file per partition, so a
+    long-running rollup accumulates many tiny files per
+    ``bucket_date``. Once a date partition is CLOSED (its buckets can
+    no longer receive appends because the watermark has passed —
+    caller supplies ``closed_before``, e.g. watermark-lagged today),
+    its files can be rewritten into ``target_files`` without
+    coordination with the running query: Structured Streaming only
+    ever appends NEW files and never reads the sink, so compaction
+    races nothing as long as it touches only closed dates.
+
+    Rewrites each closed partition directory in place (write to a
+    sibling temp dir, then atomic-ish swap) and returns the list of
+    compacted partition paths. At 100 TB this runs as a scheduled
+    maintenance job per closed date — the read side then opens
+    ``target_files`` files per date instead of one per trigger.
+    """
+    import os
+    import shutil
+
+    closed = str(closed_before)
+    out: list[str] = []
+    for entry in sorted(os.listdir(table_path)):
+        if not entry.startswith("bucket_date="):
+            continue
+        date_val = entry.split("=", 1)[1]
+        if date_val >= closed:
+            continue
+        part_dir = os.path.join(table_path, entry)
+        files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        if len(files) <= target_files:
+            continue
+        df = spark.read.parquet(part_dir)
+        tmp_dir = part_dir + "._compact"
+        (
+            df.coalesce(target_files)
+            .write.mode("overwrite").parquet(tmp_dir)
+        )
+        shutil.rmtree(part_dir)
+        os.rename(tmp_dir, part_dir)
+        # drop the _SUCCESS marker etc. Spark wrote into the swapped dir
+        for f in os.listdir(part_dir):
+            if f.startswith("_"):
+                os.remove(os.path.join(part_dir, f))
+        out.append(part_dir)
+    return out
+
+
 def read_finest(spark, table_path: str, group_cols: list[str],
                 measures: Measures) -> DataFrame:
     """Load the persisted finest materialization back into the

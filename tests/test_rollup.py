@@ -198,3 +198,47 @@ def test_persistent_rollup_survives_restart(spark, tmp_path):
          for r in want.collect()}
     ev.unpersist()
     assert g == w
+
+
+def test_compaction_preserves_data_and_shrinks_files(spark, tmp_path):
+    """Closed-partition compaction must leave the table's CONTENT
+    bit-identical while collapsing per-trigger file fragments, and
+    must not touch partitions at/after the closed_before line."""
+    import os
+
+    from puregraphdb_spark.operators.rollup import (
+        compact_closed_partitions,
+    )
+
+    table = str(tmp_path / "finest")
+    base = spark.range(0, 100).selectExpr(
+        "id as bucket", "id % 3 as grp", "id * 10 as n"
+    ).withColumn(
+        "bucket_date",
+        F.when(F.col("bucket") < 50, "2026-01-01").otherwise("2026-01-02"),
+    )
+    # simulate per-trigger appends: 4 fragment writes
+    for i in range(4):
+        base.filter(F.col("bucket") % 4 == i).write.mode(
+            "append"
+        ).partitionBy("bucket_date").parquet(table)
+
+    def frag_count(date):
+        d = os.path.join(table, f"bucket_date={date}")
+        return len([f for f in os.listdir(d) if f.endswith(".parquet")])
+
+    assert frag_count("2026-01-01") >= 4
+    before = sorted(tuple(r) for r in spark.read.parquet(table).collect())
+
+    compacted = compact_closed_partitions(
+        spark, table, closed_before="2026-01-02"
+    )
+    assert len(compacted) == 1  # only the closed date
+    assert frag_count("2026-01-01") == 1   # collapsed
+    assert frag_count("2026-01-02") >= 4   # open partition untouched
+    after = sorted(tuple(r) for r in spark.read.parquet(table).collect())
+    assert after == before
+    # idempotent: second run finds nothing to do
+    assert compact_closed_partitions(
+        spark, table, closed_before="2026-01-02"
+    ) == []
