@@ -373,3 +373,32 @@ def test_find_vertex_id_predicate_applies_to_all_occurrences(spark):
         for x in g.find("(a)-[]->(:id%2=0)").collect()
     )
     assert anon == [(1,), (2,), (3,)]  # →2, →4, →6
+
+
+def test_find_typed_edge_patterns_via_string_predicate(spark):
+    """Property-graph TYPED patterns fall out of the string-literal
+    edge predicate: ``[e:etype='follows']`` is the Cypher
+    ``-[:FOLLOWS]->`` shape over a single edge table with a type
+    column — no per-type edge table needed."""
+    v = spark.createDataFrame([(i,) for i in range(1, 5)], ["id"])
+    e = spark.createDataFrame(
+        [(1, 2, "follows"), (2, 3, "follows"), (2, 3, "blocks"),
+         (3, 4, "likes")],
+        ["src", "dst", "etype"],
+    )
+    g = Graph(v, e)
+    got = sorted(
+        (x["a"]["id"], x["b"]["id"], x["c"]["id"])
+        for x in g.find(
+            "(a)-[e:etype='follows']->(b); (b)-[f:etype='follows']->(c)"
+        ).collect()
+    )
+    assert got == [(1, 2, 3)]
+    # negated typed term: follows-edges not shadowed by a block
+    clean = sorted(
+        (x["a"]["id"], x["b"]["id"])
+        for x in g.find(
+            "(a)-[e:etype='follows']->(b); !(a)-[:etype='blocks']->(b)"
+        ).collect()
+    )
+    assert clean == [(1, 2)]
