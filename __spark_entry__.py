@@ -347,16 +347,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_motif_weighted": graph.q91_motif_weighted,
         "q92_sequence_pack": pipeline.q92_sequence_pack,
         "q93_minhash_bands": pipeline.q93_minhash_bands,
+        "q94_bounded_funnel": events.q94_bounded_funnel,
         "hypertable_rollup": hypertable_rollup,
         "sliding_window_counts": extras.sliding_window_counts,
-        # rows-only entries 46–50 of the recorded window (driver records
+        # rows-only entries 47–50 of the recorded window (driver records
         # the weaker rows-only check for these)
         "graph_pagerank": graph_pagerank,
         "graph_connected_components": graph_connected_components,
         "graph_label_propagation": graph_label_propagation,
         "graph_betweenness": graph_betweenness,
-        "graph_kcore": graph_kcore,
         # ---- end of the 50-entry recorded window ----
+        "graph_kcore": graph_kcore,
         "graph_scc": graph_scc,
         "graph_ppr": graph_ppr,
         "graph_shortest_paths": graph_shortest_paths,
@@ -1491,6 +1492,45 @@ def oracle_sql() -> dict[str, str]:
               union all
               select cast(2 as bigint), 'purchase', count(*) from p)
             order by stage_index
+        """,
+        "q94_bounded_funnel": """
+            with v as (select user_id, min(ts) as t1 from events
+                       where event_type = 'view' group by user_id),
+            c as (select e.user_id, min(e.ts) as t2
+                  from events e join v on v.user_id = e.user_id
+                  where e.event_type = 'click' and e.ts > v.t1
+                  group by e.user_id),
+            p as (select e.user_id, min(e.ts) as t3
+                  from events e join c on c.user_id = e.user_id
+                  where e.event_type = 'purchase' and e.ts > c.t2
+                  group by e.user_id),
+            cb as (select e.user_id, min(e.ts) as t2
+                   from events e join v on v.user_id = e.user_id
+                   where e.event_type = 'click' and e.ts > v.t1
+                     and e.ts <= v.t1 + interval 2 days
+                   group by e.user_id),
+            pb as (select e.user_id, min(e.ts) as t3
+                   from events e join cb on cb.user_id = e.user_id
+                   where e.event_type = 'purchase' and e.ts > cb.t2
+                     and e.ts <= cb.t2 + interval 2 days
+                   group by e.user_id),
+            t as (
+              select cast(0 as bigint) as stage_index, 'view' as stage,
+                     (select count(*) from v) as n_bounded,
+                     (select count(*) from v) as n_users
+              union all
+              select 1, 'click', (select count(*) from cb),
+                     (select count(*) from c)
+              union all
+              select 2, 'purchase', (select count(*) from pb),
+                     (select count(*) from p))
+            select stage_index, stage,
+                   cast(n_bounded as bigint) as n_bounded,
+                   cast(n_users as bigint) as n_users,
+                   cast(round(cast(cast(n_bounded as double)
+                         / cast(greatest(n_users, 1) as double)
+                         as decimal(28,10)), 6) as double) as bounded_ratio
+            from t order by stage_index
         """,
         "q88_retention": """
             with f as (select user_id,

@@ -125,11 +125,20 @@ def q22_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def funnel(events: DataFrame, stages: list[str],
            user_col: str = "user_id", ts_col: str = "ts",
-           type_col: str = "event_type") -> DataFrame:
+           type_col: str = "event_type",
+           within: str | None = None) -> DataFrame:
     """Ordered-funnel stage table: for each user, the FIRST time they
     completed each stage strictly after completing the previous one
     (the standard product-analytics funnel with strict ordering).
     Returns (user, stage_index, stage, ts) rows for reached stages.
+
+    ``within``: optional conversion window (e.g. ``'7 days'``) — each
+    stage must complete within that interval AFTER the previous
+    stage's completion, the bounded-funnel variant every product
+    funnel eventually needs (unbounded funnels overcount conversions
+    that happen months later). The FIRST qualifying event is still
+    the completion; a user whose only stage-i events fall outside the
+    window never reaches stage i (and so never reaches i+1).
 
     Scale: one min-agg + one co-keyed join per stage, all on the user
     key — with the events table bucketed by user the whole funnel is
@@ -144,10 +153,16 @@ def funnel(events: DataFrame, stages: list[str],
         if reached is None:
             cur = ev.groupBy(user_col).agg(F.min(ts_col).alias("__t"))
         else:
+            gate = F.col(ts_col) > F.col("__prev")
+            if within is not None:
+                gate = gate & (
+                    F.col(ts_col)
+                    <= F.col("__prev") + F.expr(f"interval {within}")
+                )
             cur = (
                 ev.join(reached.select(user_col, "__t").withColumnRenamed(
                     "__t", "__prev"), user_col)
-                .filter(F.col(ts_col) > F.col("__prev"))
+                .filter(gate)
                 .groupBy(user_col)
                 .agg(F.min(ts_col).alias("__t"))
             )
@@ -186,6 +201,58 @@ def q87_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame.join(counts, ["stage_index", "stage"], "left").select(
             "stage_index", "stage",
             F.coalesce("n_users", F.lit(0).cast("long")).alias("n_users"),
+        ),
+        spark, sf_dir, "events", "stage_index",
+    )
+
+
+def q94_bounded_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel: view → click → purchase where each stage
+    must complete within 2 DAYS of the previous stage's completion —
+    q87's conversion-window variant (the report product analytics
+    actually ships: unbounded funnels credit conversions that happen
+    months later). Emits every stage row (zero-filled) plus the
+    bounded-over-unbounded retention ratio per stage, exact integer
+    counts under the decimal snap.
+
+    Scale: two funnel passes (bounded + unbounded), each the q87
+    shape — per-stage min-agg + co-keyed user join, shuffle-free on a
+    user-bucketed table; the final frame is 3 rows.
+    """
+    from puregraphdb_spark.functions.numeric import decimal_round
+
+    ev = load_table(spark, sf_dir, "events")
+    stages = ["view", "click", "purchase"]
+    frame = spark.createDataFrame(
+        list(enumerate(stages)), "stage_index long, stage string"
+    )
+
+    def counts(within: str | None, alias: str) -> DataFrame:
+        return (
+            funnel(ev, stages, within=within)
+            .groupBy("stage_index", "stage")
+            .agg(F.count("*").alias(alias))
+        )
+
+    b = counts("2 days", "n_bounded")
+    u = counts(None, "n_users")
+    return final_sort(
+        frame.join(b, ["stage_index", "stage"], "left")
+        .join(u, ["stage_index", "stage"], "left")
+        .select(
+            "stage_index", "stage",
+            F.coalesce("n_bounded", F.lit(0).cast("long"))
+            .alias("n_bounded"),
+            F.coalesce("n_users", F.lit(0).cast("long")).alias("n_users"),
+            decimal_round(
+                F.coalesce("n_bounded", F.lit(0).cast("long"))
+                .cast("double")
+                / F.greatest(
+                    F.coalesce("n_users", F.lit(0).cast("long")),
+                    F.lit(1).cast("long"),
+                ).cast("double"),
+                6, grid=10,
+            ).alias("bounded_ratio"),
         ),
         spark, sf_dir, "events", "stage_index",
     )

@@ -54,14 +54,20 @@ FUNNEL_STATE_SCHEMA = StructType([
 
 def funnel_stateful(events: DataFrame, stages: list[str],
                     user_col: str = "user_id", ts_col: str = "ts",
-                    type_col: str = "event_type") -> DataFrame:
+                    type_col: str = "event_type",
+                    within_seconds: int | None = None) -> DataFrame:
     """Streaming funnel tracker emitting stage completions incrementally.
 
     ``events`` must be a streaming DataFrame with (user_col, ts_col,
     type_col). Returns the append-mode stream of FUNNEL_SCHEMA rows.
+    ``within_seconds`` mirrors the batch funnel's ``within`` window:
+    stages past the first must complete within that many seconds of
+    the previous completion (events outside the window are skipped,
+    not funnel-resetting — same as batch).
     """
     if not stages:
         raise ValueError("funnel needs at least one stage")
+    within_us = None if within_seconds is None else within_seconds * 1_000_000
 
     def track(key: tuple, pdfs: Iterator[pd.DataFrame],
               state: Any) -> Iterator[pd.DataFrame]:
@@ -79,7 +85,10 @@ def funnel_stateful(events: DataFrame, stages: list[str],
         for t_us, et in evs:
             if n_reached >= len(stages):
                 break
-            if et == stages[n_reached] and (n_reached == 0 or t_us > last):
+            if et == stages[n_reached] and (n_reached == 0 or (
+                t_us > last
+                and (within_us is None or t_us <= last + within_us)
+            )):
                 out.append((user_id, n_reached, stages[n_reached], t_us))
                 last = t_us
                 n_reached += 1

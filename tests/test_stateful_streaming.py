@@ -131,3 +131,37 @@ def test_stateful_funnel_incremental_across_triggers(spark, tmp_path):
     )
     ev.unpersist()
     assert got == want and len(got) > 0
+
+
+def test_stateful_bounded_funnel_matches_batch(spark, tmp_path):
+    """within window parity: streaming tracker with within_seconds ≡
+    batch funnel with the same interval (q94's conversion window)."""
+    from puregraphdb_spark.operators.events import funnel
+    from puregraphdb_spark.streaming.funnel import funnel_stateful
+
+    stages = ["view", "click", "purchase"]
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "events_funnel_b")
+    ev.write.parquet(path)
+
+    stream = sw.read_parquet_stream(spark, path, ev.schema)
+    q = (
+        funnel_stateful(stream, stages, within_seconds=2 * 86400)
+        .writeStream.format("memory")
+        .queryName("t_funnel_b")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["user_id"], r["stage_index"], r["ts"])
+        for r in spark.table("t_funnel_b").collect()
+    )
+    want = sorted(
+        (r["user_id"], r["stage_index"], r["ts"])
+        for r in funnel(ev, stages, within="2 days").collect()
+    )
+    unbounded = funnel(ev, stages).count()
+    assert got == want and len(got) > 0
+    assert len(got) < unbounded  # the window genuinely bites
