@@ -407,6 +407,30 @@ class Graph:
 
         return result.select(*out_order)
 
+    def materialized(self) -> "Graph":
+        """Graph whose vertex and edge relations are LAZILY
+        checkpointed: the first action materializes each relation
+        once, and every later reference — including the several
+        per-term instances a multi-term ``find()`` plans, or the
+        repeated edge scans of an iterative algorithm — reads the
+        materialization instead of replaying the derivation.
+
+        Use when the edge relation is DERIVED by real work (a weighted
+        aggregate, a projection join): q91's three-term motif measured
+        6.4 s → 4.5 s first-action and 2.4 s → 1.2 s steady-state at
+        sf0.1 with the weighted co-occurrence derivation shared
+        (SURVEY §7.7 item 1). Trade-offs: term predicates no longer
+        push BELOW the boundary (they filter the materialized relation
+        instead — cheap when the derivation dominated), and the
+        materialization occupies executor storage for the RDD cache
+        lifetime. Raw-table graphs gain nothing — parquet scans are
+        already cheap and pushdown-friendly; don't wrap those.
+        """
+        return Graph(
+            self.vertices.localCheckpoint(eager=False),
+            self.edges.localCheckpoint(eager=False),
+        )
+
     # -- degree family -----------------------------------------------------
 
     def out_degrees(self) -> DataFrame:

@@ -402,3 +402,33 @@ def test_find_typed_edge_patterns_via_string_predicate(spark):
         ).collect()
     )
     assert clean == [(1, 2)]
+
+
+def test_materialized_graph_same_results(spark):
+    """materialized() must be a pure performance choice: identical
+    find() bindings and degrees on a derived-edge graph."""
+    base = spark.createDataFrame(
+        [(1, 2, 2), (2, 3, 1), (1, 3, 3), (3, 4, 2)],
+        ["src", "dst", "n"],
+    )
+    e = base.groupBy("src", "dst").agg(F.sum("n").alias("w"))
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    plain = Graph(v, e)
+    mat = plain.materialized()
+    pat = "(a)-[x:w>=2]->(b); (b)-[*..2]->(c)"
+    got_p = sorted(
+        (r["a"]["id"], r["b"]["id"], r["c"]["id"])
+        for r in plain.find(pat, attach_vertex_attrs=False).collect()
+    )
+    got_m = sorted(
+        (r["a"]["id"], r["b"]["id"], r["c"]["id"])
+        for r in mat.find(pat, attach_vertex_attrs=False).collect()
+    )
+    assert got_m == got_p and len(got_m) > 0
+    assert sorted(map(tuple, mat.degrees().collect())) == sorted(
+        map(tuple, plain.degrees().collect())
+    )
