@@ -348,15 +348,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_sequence_pack": pipeline.q92_sequence_pack,
         "q93_minhash_bands": pipeline.q93_minhash_bands,
         "q94_bounded_funnel": events.q94_bounded_funnel,
+        "q95_degree_assortativity": graph.q95_degree_assortativity,
         "hypertable_rollup": hypertable_rollup,
         "sliding_window_counts": extras.sliding_window_counts,
-        # rows-only entries 47–50 of the recorded window (driver records
+        # rows-only entries 48–50 of the recorded window (driver records
         # the weaker rows-only check for these)
         "graph_pagerank": graph_pagerank,
         "graph_connected_components": graph_connected_components,
         "graph_label_propagation": graph_label_propagation,
-        "graph_betweenness": graph_betweenness,
         # ---- end of the 50-entry recorded window ----
+        "graph_betweenness": graph_betweenness,
         "graph_kcore": graph_kcore,
         "graph_scc": graph_scc,
         "graph_ppr": graph_ppr,
@@ -1531,6 +1532,25 @@ def oracle_sql() -> dict[str, str]:
                          / cast(greatest(n_users, 1) as double)
                          as decimal(28,10)), 6) as double) as bounded_ratio
             from t order by stage_index
+        """,
+        "q95_degree_assortativity": """
+            with e as (select distinct o.o_custkey as src,
+                              l.l_suppkey as dst
+                       from orders o join lineitem l
+                         on l.l_orderkey = o.o_orderkey),
+            od as (select src, cast(count(*) as bigint) as src_deg
+                   from e group by src),
+            idg as (select dst, cast(count(*) as bigint) as dst_deg
+                    from e group by dst)
+            select count(*) as n_edges,
+                   cast(round(cast(corr(cast(src_deg as double),
+                                        cast(dst_deg as double))
+                         as decimal(28,8)), 6) as double) as assortativity,
+                   cast(round(cast(avg(src_deg) as decimal(28,8)), 4)
+                     as double) as avg_src_deg,
+                   cast(round(cast(avg(dst_deg) as decimal(28,8)), 4)
+                     as double) as avg_dst_deg
+            from e join od using (src) join idg using (dst)
         """,
         "q88_retention": """
             with f as (select user_id,

@@ -1584,6 +1584,48 @@ def q91_motif_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q95_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer→supplier order graph: the
+    Pearson correlation between source out-degree and destination
+    in-degree across distinct edges (Newman's directed
+    out–in assortativity) plus the mean endpoint degrees — the
+    one-row structural summary graph analysts check before picking
+    partition/skew strategy (disassortative hubs → salting;
+    assortative cores → clustering).
+
+    Scale: one dedup shuffle for the edge set, one degree aggregate
+    per side (map-side combine), two equi-joins attaching degrees,
+    then a single one-pass moment aggregate (corr is a decomposable
+    moment sum). The correlation double goes through the decimal snap
+    (q51 discipline — Spark and DuckDB sum moments in different
+    orders).
+    """
+    from puregraphdb_spark.functions.numeric import decimal_round
+    from puregraphdb_spark.sources.registry import broadcast_if_small
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        l.join(broadcast_if_small(o, spark, sf_dir, "orders"),
+               o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("src"),
+                F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    outd = e.groupBy("src").agg(F.count("*").cast("long").alias("src_deg"))
+    ind = e.groupBy("dst").agg(F.count("*").cast("long").alias("dst_deg"))
+    j = e.join(outd, "src").join(ind, "dst")
+    return j.agg(
+        F.count("*").alias("n_edges"),
+        decimal_round(
+            F.corr(F.col("src_deg").cast("double"),
+                   F.col("dst_deg").cast("double")), 6, grid=8,
+        ).alias("assortativity"),
+        decimal_round(F.avg("src_deg"), 4, grid=8).alias("avg_src_deg"),
+        decimal_round(F.avg("dst_deg"), 4, grid=8).alias("avg_dst_deg"),
+    )
+
+
 def harmonic_centrality(g: "Graph", landmarks: list[int],
                         max_iter: int = 20,
                         weight_col: str | None = None) -> DataFrame:
