@@ -939,7 +939,8 @@ def q80_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sequence_pack(docs: DataFrame, budget: int = 256,
                   stream_col: str = "lang", id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  range_size: int = 65536) -> DataFrame:
     """Context-window packing (training-batch assembly): within each
     ``stream_col`` stream, docs in ``id_col`` order are assigned to
     ``budget``-token packs by the streaming boundary rule — a doc
@@ -949,22 +950,53 @@ def sequence_pack(docs: DataFrame, budget: int = 256,
     order-stable and engine-portable). Returns per-pack stats with
     the fill-ratio overflow audit.
 
-    Scale: token counting is a pure map; ONE shuffle on the stream key
-    for the prefix-sum window (at 100 TB, partition the stream by
-    (stream, id-range) and pack within ranges — decomposable because
-    the boundary rule only needs the per-range token prefix).
+    Scale — distributed two-pass scan, NOT a per-stream window: a
+    window partitioned only by the stream key serializes each stream
+    through one task (5 languages = 5 tasks holding the corpus — dead
+    at 100 TB). Instead the id axis is cut into ``range_size`` ranges
+    (order-preserving: range = id div range_size):
+
+    1. per-(stream, range) token totals — an aggregate with map-side
+       combine, rows ≈ corpus/range_size;
+    2. the range-offset prefix — a window over that TINY relation;
+    3. per-(stream, range) LOCAL prefix windows — parallel across all
+       ranges — plus the broadcast-size offset join; global prefix =
+       offset + local prefix, exactly.
+
+    Token counting itself is a pure map. The same decomposition is why
+    the boundary rule (unlike true first-fit) distributes at all.
     """
     staged = docs.select(
         F.col(stream_col).alias("__stream"), F.col(id_col).alias("__id"),
         F.size(_nonempty_tokens(text_col)).cast("long").alias("n_tok"),
+    ).withColumn("__range", F.floor(F.col("__id") / F.lit(range_size)))
+    part = staged.groupBy("__stream", "__range").agg(
+        F.sum("n_tok").alias("__rtot")
     )
-    w = (
-        Window.partitionBy("__stream").orderBy("__id")
+    wp = (
+        Window.partitionBy("__stream").orderBy("__range")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long"))
-    packed = staged.withColumn(
-        "pack_id", F.floor(cum_before / F.lit(budget)).cast("long")
+    offs = part.select(
+        "__stream", "__range",
+        F.coalesce(F.sum("__rtot").over(wp), F.lit(0).cast("long"))
+        .alias("__off"),
+    )
+    wl = (
+        Window.partitionBy("__stream", "__range").orderBy("__id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        staged.withColumn(
+            "__lcum",
+            F.coalesce(F.sum("n_tok").over(wl), F.lit(0).cast("long")),
+        )
+        .join(offs, ["__stream", "__range"])
+        .withColumn(
+            "pack_id",
+            F.floor((F.col("__off") + F.col("__lcum")) / F.lit(budget))
+            .cast("long"),
+        )
     )
     return (
         packed.groupBy("__stream", "pack_id")

@@ -45,3 +45,57 @@ def test_hash_split_oracles_embed_the_multiplicative_constants():
         assert str(_MULT) in sql and str(_RING) in sql, (
             f"{name} oracle drifted from pipeline._MULT/_RING"
         )
+
+
+def test_sequence_pack_range_decomposition_exact(spark):
+    """The distributed two-pass scan (range partials + offsets + local
+    windows) must assign every doc the same pack as the naive global
+    prefix sum — forced across MANY ranges (range_size=8), including
+    streams whose ids are sparse/nonaligned."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from puregraphdb_spark.operators.pipeline import sequence_pack
+
+    rows = []
+    for lang, ids in (
+        ("aa", range(0, 100, 3)),      # stride-3 ids across 5 ranges
+        ("bb", list(range(7)) + list(range(50, 90))),  # gap
+    ):
+        rows += [(lang, i, "tok " * ((i * 7) % 13 + 1)) for i in ids]
+    docs = spark.createDataFrame(rows, ["lang", "doc_id", "text"])
+
+    got = sequence_pack(docs, budget=16, range_size=8)
+
+    # naive single-window reference
+    staged = docs.select(
+        "lang", "doc_id",
+        F.size(F.filter(F.split(F.lower("text"), " "),
+                        lambda t: t != "")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ref = (
+        staged.withColumn(
+            "pack_id",
+            F.floor(
+                F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / F.lit(16)
+            ).cast("long"),
+        )
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+    g = sorted(
+        (r["lang"], r["pack_id"], r["n_docs"], r["pack_tokens"],
+         r["first_doc"], r["last_doc"])
+        for r in got.collect()
+    )
+    want = sorted(tuple(r) for r in ref.collect())
+    assert g == want and len(g) > 5
