@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from puregraphdb_spark.operators import (
-    events, extras, graph, llm, pipeline, relational, similarity, text,
+    events, extras, graph, llm, pipeline, relational, similarity, skew,
+    text,
 )
 from puregraphdb_spark.sources.registry import load_table
 
@@ -349,14 +350,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_minhash_bands": pipeline.q93_minhash_bands,
         "q94_bounded_funnel": events.q94_bounded_funnel,
         "q95_degree_assortativity": graph.q95_degree_assortativity,
+        "q96_embedding_centroids": pipeline.q96_embedding_centroids,
+        "q97_skew_profile": skew.q97_skew_profile,
         "hypertable_rollup": hypertable_rollup,
         "sliding_window_counts": extras.sliding_window_counts,
-        # rows-only entries 48–50 of the recorded window (driver records
-        # the weaker rows-only check for these)
+        # rows-only entry 50 of the recorded window (driver records the
+        # weaker rows-only check for it)
         "graph_pagerank": graph_pagerank,
+        # ---- end of the 50-entry recorded window ----
         "graph_connected_components": graph_connected_components,
         "graph_label_propagation": graph_label_propagation,
-        # ---- end of the 50-entry recorded window ----
         "graph_betweenness": graph_betweenness,
         "graph_kcore": graph_kcore,
         "graph_scc": graph_scc,
@@ -1551,6 +1554,35 @@ def oracle_sql() -> dict[str, str]:
                    cast(round(cast(avg(dst_deg) as decimal(28,8)), 4)
                      as double) as avg_dst_deg
             from e join od using (src) join idg using (dst)
+        """,
+        "q96_embedding_centroids": """
+            select label, cast(i - 1 as bigint) as dim, count(*) as n,
+                   cast(round(cast(avg(v) as decimal(28,8)), 6)
+                     as double) as avg_comp
+            from (select label, unnest(embedding::DOUBLE[]) as v,
+                         generate_subscripts(embedding, 1) as i
+                  from embeddings)
+            group by label, dim order by label, dim
+        """,
+        "q97_skew_profile": """
+            with c as (select l_suppkey, count(*) as c from lineitem
+                       group by l_suppkey),
+            tot as (select count(*) as n_keys,
+                           cast(sum(c) as bigint) as n_rows,
+                           cast(max(c) as bigint) as max_per_key
+                    from c),
+            top as (select cast(sum(c) as bigint) as topsum from
+                    (select c from c order by c desc, l_suppkey
+                     limit 10))
+            select n_keys, n_rows, max_per_key,
+                   cast(round(cast(cast(max_per_key as double)
+                         * cast(n_keys as double)
+                         / cast(n_rows as double)
+                         as decimal(28,8)), 4) as double) as skew_ratio,
+                   cast(round(cast(cast(topsum as double)
+                         / cast(n_rows as double)
+                         as decimal(28,10)), 6) as double) as top10_share
+            from tot cross join top
         """,
         "q88_retention": """
             with f as (select user_id,

@@ -1070,3 +1070,32 @@ def q93_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spark, sf_dir, "documents", "band",
     )
+
+
+def q96_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids as (label, dim) component rows —
+    the class-prototype computation behind centroid classifiers,
+    cluster seeding, and embedding-drift monitoring. Emitting one row
+    per component (instead of re-assembling arrays) keeps the oracle
+    exact: each component mean is an independent scalar under the
+    decimal snap, with no array-ordering dependence.
+
+    Scale: posexplode is a pure map (rows × dim fan-out); ONE shuffle
+    on (label, dim) with map-side combine — the classic fully
+    map-decomposable vector mean. float → double widening is exact on
+    both engines.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    return final_sort(
+        ex.groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count("*").alias("n"),
+            decimal_round(
+                F.avg(F.col("v").cast("double")), 6, grid=8
+            ).alias("avg_comp"),
+        ),
+        spark, sf_dir, "embeddings", "label", "dim",
+    )

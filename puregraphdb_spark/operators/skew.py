@@ -61,3 +61,59 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     )
     out = lsalted.join(rreplicated, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def key_skew_profile(df: DataFrame, key: str, topk: int = 10) -> DataFrame:
+    """One-row skew diagnostic for a prospective shuffle key: key and
+    row counts, the max/avg per-key ratio, and the share of rows held
+    by the ``topk`` heaviest keys — the measurement that decides
+    between plain shuffle, AQE skew split, and explicit salting
+    (``salted_join``/``salted_aggregate`` above) BEFORE burning a
+    cluster run on a hot key.
+
+    Scale: one count aggregate on the key (map-side combine), a
+    top-k over the (|keys|-row) count relation, and two single-row
+    reductions crossed at the end — no full-data sort.
+    """
+    counts = df.groupBy(key).agg(F.count("*").alias("__c"))
+    tot = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("__c").alias("n_rows"),
+        F.max("__c").alias("max_per_key"),
+    )
+    top = (
+        counts.orderBy(F.desc("__c"), key).limit(topk)
+        .agg(F.sum("__c").alias("__topsum"))
+    )
+    return tot.crossJoin(top).select(
+        "n_keys", "n_rows", "max_per_key",
+        (
+            F.col("max_per_key").cast("double")
+            * F.col("n_keys").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("skew_ratio"),
+        (
+            F.col("__topsum").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias(f"top{topk}_share"),
+    )
+
+
+def q97_skew_profile(spark, sf_dir: str):
+    """Skew profile of lineitem's supplier key — the pre-flight
+    diagnostic for every l_suppkey shuffle in the suite (1 row:
+    key/row counts, max/avg ratio, top-10 share). Exact integer counts
+    crossed in two 1-row reductions; the two ratio doubles are single
+    IEEE divisions snapped on both engines (q51 discipline).
+    """
+    from puregraphdb_spark.functions.numeric import decimal_round
+    from puregraphdb_spark.sources.registry import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    raw = key_skew_profile(l, "l_suppkey", topk=10)
+    return raw.select(
+        "n_keys", "n_rows", "max_per_key",
+        decimal_round(F.col("skew_ratio"), 4, grid=8).alias("skew_ratio"),
+        decimal_round(F.col("top10_share"), 6, grid=10)
+        .alias("top10_share"),
+    )

@@ -666,6 +666,16 @@ SPARK_SQL: dict[str, str] = {
                  as n_candidate_pairs
         from sz group by band order by band
     """,
+    "q96_embedding_centroids": """
+        select label, cast(dim as bigint) as dim, count(*) as n,
+               cast(round(cast(avg(v) as decimal(28,8)), 6)
+                 as double) as avg_comp
+        from (select label,
+                     posexplode(cast(embedding as array<double>))
+                       as (dim, v)
+              from embeddings)
+        group by label, dim order by label, dim
+    """,
     "q80_doc_embedding_join": """
         select doc_id, lang, label, n_chars,
                cast(size(filter(split(lower(text), ' '), t -> t != ''))

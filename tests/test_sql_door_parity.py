@@ -55,6 +55,7 @@ DUCKDB_ONLY = {
     "q88_retention",         # date_diff('day', ...) 3-arg signature
     "q92_sequence_pack",     # list_filter/string_split
     "q93_minhash_bands",     # unnest/string_split
+    "q96_embedding_centroids",  # unnest/generate_subscripts
 }
 
 ORACLES = entrymod.oracle_sql()
