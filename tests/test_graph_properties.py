@@ -448,3 +448,66 @@ def test_betweenness_final_plan_bounded(spark):
     got = {r["id"]: r["betweenness"] for r in d.collect()}
     # interior vertex i of the path lies on (n−1−i) 0-rooted pairs
     assert got[1] == float(n - 2) and got[n - 1] == 0.0
+
+
+def test_betweenness_randomized_vs_reference(spark):
+    """Exact Brandes (all sources, scale 1) vs an independent pure-
+    Python Brandes implementation on random digraphs — the same
+    randomized-against-reference discipline as the SCC-vs-Tarjan
+    test. Catches sigma/dependency bookkeeping errors no hand-built
+    closed form would."""
+    import random
+    from collections import defaultdict, deque
+
+    def brandes_ref(n, edges):
+        adj = defaultdict(list)
+        for u, v in edges:
+            adj[u].append(v)
+        bc = dict.fromkeys(range(n), 0.0)
+        for s in range(n):
+            stack, preds = [], defaultdict(list)
+            sigma = dict.fromkeys(range(n), 0.0)
+            dist = dict.fromkeys(range(n), -1)
+            sigma[s], dist[s] = 1.0, 0
+            q = deque([s])
+            while q:
+                v = q.popleft()
+                stack.append(v)
+                for w in adj[v]:
+                    if dist[w] < 0:
+                        dist[w] = dist[v] + 1
+                        q.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] += sigma[v]
+                        preds[w].append(v)
+            delta = dict.fromkeys(range(n), 0.0)
+            while stack:
+                w = stack.pop()
+                for v in preds[w]:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+                if w != s:
+                    bc[w] += delta[w]
+        return bc
+
+    rnd = random.Random(17)
+    for trial in range(6):
+        n = rnd.randint(5, 10)
+        edges = set()
+        for _ in range(rnd.randint(n, 2 * n)):
+            u, v = rnd.sample(range(n), 2)
+            edges.add((u, v))
+        edges = sorted(edges)
+        want = brandes_ref(n, edges)
+        vdf = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+        edf = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r["id"]: r["betweenness"]
+            for r in Graph(vdf, edf)
+            .betweenness_centrality(list(range(n)))
+            .collect()
+        }
+        for i in range(n):
+            assert abs(got[i] - want[i]) < 1e-9, (
+                f"trial={trial} n={n} vertex={i}: "
+                f"got {got[i]} want {want[i]} edges={edges}"
+            )
