@@ -93,7 +93,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
-    _track_history(record)
+    try:
+        _track_history(record)
+    except Exception as exc:  # history is best-effort, never the bench
+        print(f"bench: history tracking failed ({exc})", file=sys.stderr)
     print(json.dumps(record))
 
 
@@ -109,7 +112,10 @@ def _track_history(record: dict) -> None:
     try:
         with open(path) as f:
             history = json.load(f)
-    except (OSError, ValueError):
+        if not isinstance(history, list):
+            raise ValueError("bench_history.json is not a list")
+    except (OSError, ValueError) as exc:
+        print(f"bench: starting fresh history ({exc})", file=sys.stderr)
         history = []
     prev = next(
         (h for h in reversed(history) if h.get("sf") == record["sf"]),
@@ -118,7 +124,7 @@ def _track_history(record: dict) -> None:
     if prev:
         regressions = []
         for name, t in sorted(record["queries"].items()):
-            p = prev["queries"].get(name)
+            p = prev.get("queries", {}).get(name)
             if p and t > p * 1.3 and t - p > 0.05:
                 regressions.append(f"{name}: {p:.3f}s -> {t:.3f}s")
         if regressions:

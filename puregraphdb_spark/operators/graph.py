@@ -136,11 +136,11 @@ class Graph:
 
         Built by ``max_hops − 1`` frontier joins with a dedup against
         the accumulated set each round, so the intermediate size is
-        bounded by the true closure, never the path count. A
-        ``min_hops`` above 1 subtracts the reach(min_hops−1) snapshot
-        — captured DURING the same frontier loop, never recomputed —
-        with one left-anti join, i.e. pairs at shortest-path distance
-        < min_hops are excluded. Lazy (no checkpoint) for the small
+        bounded by the true closure, never the path count. The
+        frontier at hop h is exactly the dist-h pair set, so the
+        result is simply the union of frontiers min_hops..max_hops —
+        no subtraction pass exists (see the in-loop comment).
+        Lazy (no checkpoint) for the small
         hop counts patterns use — the filter a caller writes over
         ``find()`` output pushes down through all the joins into the
         first edge scan.

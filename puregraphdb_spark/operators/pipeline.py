@@ -986,12 +986,23 @@ def sequence_pack(docs: DataFrame, budget: int = 256,
         Window.partitionBy("__stream", "__range").orderBy("__id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # null-SAFE join back to the offsets: window partitioning keeps a
+    # NULL stream (or NULL id → NULL range) as a real group, and a
+    # plain equi-join would silently drop those rows — the stream key
+    # is user data, so NULLs must pack like any other stream value
+    # (matches the single-window SQL semantics; regression-tested).
+    loc = staged.withColumn(
+        "__lcum",
+        F.coalesce(F.sum("n_tok").over(wl), F.lit(0).cast("long")),
+    )
     packed = (
-        staged.withColumn(
-            "__lcum",
-            F.coalesce(F.sum("n_tok").over(wl), F.lit(0).cast("long")),
+        loc.join(
+            offs.withColumnRenamed("__stream", "__ostream")
+            .withColumnRenamed("__range", "__orange"),
+            loc["__stream"].eqNullSafe(F.col("__ostream"))
+            & loc["__range"].eqNullSafe(F.col("__orange")),
         )
-        .join(offs, ["__stream", "__range"])
+        .drop("__ostream", "__orange")
         .withColumn(
             "pack_id",
             F.floor((F.col("__off") + F.col("__lcum")) / F.lit(budget))
@@ -1064,9 +1075,12 @@ def q93_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.col("s") > 1, F.col("s")).otherwise(0)
             ).cast("long").alias("n_collide_docs"),
-            F.floor(
-                F.sum(F.col("s") * (F.col("s") - 1)) / F.lit(2)
-            ).cast("long").alias("n_candidate_pairs"),
+            # integer `div`, NOT floor(double/2): past 2^53 total pairs
+            # (exactly the hot-bucket regime this query audits) the
+            # double division would round away from DuckDB's exact
+            # `// 2` and break the bit-for-bit contract (review r6)
+            F.expr("sum(s * (s - 1)) div 2")
+            .cast("long").alias("n_candidate_pairs"),
         ),
         spark, sf_dir, "documents", "band",
     )

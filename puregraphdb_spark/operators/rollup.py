@@ -172,21 +172,47 @@ def compact_closed_partitions(spark, table_path: str,
     no longer receive appends because the watermark has passed —
     caller supplies ``closed_before``, e.g. watermark-lagged today),
     its files can be rewritten into ``target_files`` without
-    coordination with the running query: Structured Streaming only
-    ever appends NEW files and never reads the sink, so compaction
-    races nothing as long as it touches only closed dates.
+    coordinating with the running query's WRITES: the sink only ever
+    appends new files to open partitions.
 
-    Rewrites each closed partition directory in place (write to a
-    sibling temp dir, then atomic-ish swap) and returns the list of
-    compacted partition paths. At 100 TB this runs as a scheduled
-    maintenance job per closed date — the read side then opens
-    ``target_files`` files per date instead of one per trigger.
+    READ-SIDE CONTRACT (load-bearing): the FileStreamSink keeps a
+    ``_spark_metadata`` commit log at the table root, and a plain
+    ``spark.read.parquet(table_root)`` resolves files through that
+    log — which compaction does not (cannot, private format) update,
+    so log-backed root reads would miss the compacted files and look
+    for deleted ones. ``read_finest`` therefore reads the PARTITION
+    DIRECTORIES (glob + basePath), bypassing the log — correct in
+    both compacted and uncompacted states. The log keeps its sink-side
+    role (batch-commit dedup across restarts) untouched. What glob
+    reads give up is the log's shielding of orphan files from a
+    trigger that crashed mid-write; compacting a closed partition
+    removes any such orphans for good (the rewrite reads through the
+    directory, same as the glob read path).
+
+    Crash-safe swap per partition: write ``<dir>.__compact`` → rename
+    live dir to ``<dir>.__old`` → promote tmp → remove ``__old``. A
+    previous crash is healed on the next run: a surviving ``__old``
+    with no live dir is restored; stale tmp dirs are discarded.
+    (Rename-based; for object stores without atomic rename, run the
+    same protocol through the committer your store provides.)
     """
     import os
     import shutil
 
     closed = str(closed_before)
     out: list[str] = []
+    for entry in sorted(os.listdir(table_path)):
+        # heal leftovers from a crashed previous run first
+        if entry.endswith(".__old"):
+            live = os.path.join(table_path, entry[: -len(".__old")])
+            if not os.path.exists(live):
+                os.rename(os.path.join(table_path, entry), live)
+            else:
+                shutil.rmtree(os.path.join(table_path, entry))
+            continue
+        if entry.endswith(".__compact"):
+            shutil.rmtree(os.path.join(table_path, entry))
+            continue
     for entry in sorted(os.listdir(table_path)):
         if not entry.startswith("bucket_date="):
             continue
@@ -198,17 +224,18 @@ def compact_closed_partitions(spark, table_path: str,
         if len(files) <= target_files:
             continue
         df = spark.read.parquet(part_dir)
-        tmp_dir = part_dir + "._compact"
+        tmp_dir = part_dir + ".__compact"
         (
             df.coalesce(target_files)
             .write.mode("overwrite").parquet(tmp_dir)
         )
-        shutil.rmtree(part_dir)
-        os.rename(tmp_dir, part_dir)
-        # drop the _SUCCESS marker etc. Spark wrote into the swapped dir
-        for f in os.listdir(part_dir):
+        for f in os.listdir(tmp_dir):  # drop _SUCCESS etc. pre-swap
             if f.startswith("_"):
-                os.remove(os.path.join(part_dir, f))
+                os.remove(os.path.join(tmp_dir, f))
+        old_dir = part_dir + ".__old"
+        os.rename(part_dir, old_dir)
+        os.rename(tmp_dir, part_dir)
+        shutil.rmtree(old_dir)
         out.append(part_dir)
     return out
 
@@ -217,10 +244,19 @@ def read_finest(spark, table_path: str, group_cols: list[str],
                 measures: Measures) -> DataFrame:
     """Load the persisted finest materialization back into the
     ``refresh_from_finest`` contract (drops the partition column,
-    restores column order). Feed a bucket-range filter over
-    ``bucket_date`` to prune partitions on incremental refreshes."""
-    return spark.read.parquet(table_path).select(
-        "bucket", *group_cols, *measures
+    restores column order).
+
+    Reads the partition directories via glob + ``basePath`` instead of
+    the table root: a root read would resolve through the streaming
+    sink's ``_spark_metadata`` log, which knows nothing about
+    compacted rewrites (``compact_closed_partitions`` docstring) — the
+    glob path lists real files and works identically before and after
+    compaction. Feed a bucket-range filter over ``bucket_date`` to
+    prune partitions on incremental refreshes."""
+    return (
+        spark.read.option("basePath", table_path)
+        .parquet(table_path + "/bucket_date=*")
+        .select("bucket", *group_cols, *measures)
     )
 
 

@@ -662,7 +662,7 @@ SPARK_SQL: dict[str, str] = {
         select band, count(*) as n_buckets,
                cast(sum(case when s > 1 then s else 0 end) as bigint)
                  as n_collide_docs,
-               cast(floor(sum(s * (s - 1)) / 2) as bigint)
+               cast(sum(s * (s - 1)) div 2 as bigint)
                  as n_candidate_pairs
         from sz group by band order by band
     """,

@@ -99,3 +99,26 @@ def test_sequence_pack_range_decomposition_exact(spark):
     )
     want = sorted(tuple(r) for r in ref.collect())
     assert g == want and len(g) > 5
+
+
+def test_sequence_pack_keeps_null_stream_keys(spark):
+    """A NULL stream key is a real group to the window formulation;
+    the range-offset join must be null-safe so those rows pack instead
+    of silently vanishing (review r6)."""
+    from puregraphdb_spark.operators.pipeline import sequence_pack
+
+    docs = spark.createDataFrame(
+        [("aa", 1, "a b c"), (None, 2, "d e f g"), ("aa", 3, "h i"),
+         (None, 4, "j k")],
+        ["lang", "doc_id", "text"],
+    )
+    got = sequence_pack(docs, budget=4, range_size=2)
+    rows = {
+        (r["lang"], r["pack_id"]): (r["n_docs"], r["pack_tokens"])
+        for r in got.collect()
+    }
+    # every doc accounted for, including the NULL stream
+    assert sum(n for n, _ in rows.values()) == 4
+    null_packs = {k: v for k, v in rows.items() if k[0] is None}
+    assert sum(n for n, _ in null_packs.values()) == 2
+    assert sum(t for _, t in null_packs.values()) == 6  # 4 + 2 tokens

@@ -242,3 +242,90 @@ def test_compaction_preserves_data_and_shrinks_files(spark, tmp_path):
     assert compact_closed_partitions(
         spark, table, closed_before="2026-01-02"
     ) == []
+
+
+def test_compaction_of_sink_written_table_stays_readable(spark, tmp_path):
+    """The PRODUCTION flow: a FileStreamSink-written table (with its
+    _spark_metadata commit log) is compacted, and read_finest must
+    still return the identical content — a plain root read would
+    resolve through the stale sink log and break (the reason
+    read_finest uses glob + basePath). Also exercises the crash-heal
+    path: a leftover '<dir>.__old' with no live dir is restored."""
+    import os
+    import shutil
+
+    from puregraphdb_spark.operators.rollup import (
+        compact_closed_partitions, incremental_rollup_stream,
+        persistent_rollup_sink, read_finest,
+    )
+    from puregraphdb_spark.streaming.windows import read_parquet_stream
+
+    ev = load_table(spark, SF_DIR, "events")
+    groups = ["event_type"]
+    measures = {"n": ("count", None), "sm": ("sum", "value")}
+
+    stream_dir = tmp_path / "arrivals"
+    stream_dir.mkdir()
+    # three time-ordered arrival files => multiple sink commits
+    scratch = tmp_path / "scratch"
+    qs = ev.select(
+        F.percentile_approx("ts", F.array(F.lit(0.33), F.lit(0.66)))
+    ).collect()[0][0]
+    cuts = [F.lit(q).cast("timestamp") for q in qs]
+    parts = [
+        ev.filter(F.col("ts") <= cuts[0]),
+        ev.filter((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])),
+        ev.filter(F.col("ts") > cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(str(scratch))
+        f = next(x for x in os.listdir(scratch) if x.endswith(".parquet"))
+        dest = str(stream_dir / f"b{i}.parquet")
+        shutil.copy(str(scratch / f), dest)
+        os.utime(dest, (1_000_000 + i, 1_000_000 + i))
+
+    table = str(tmp_path / "sink_table")
+    schema = spark.read.parquet(str(stream_dir)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    for c, d in stream.dtypes:
+        if d == "timestamp_ntz":
+            stream = stream.withColumn(c, F.col(c).cast("timestamp"))
+    q = persistent_rollup_sink(
+        incremental_rollup_stream(
+            stream, "ts", "1 hour", groups, measures, watermark="1 minute"
+        ),
+        table, str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    assert os.path.isdir(os.path.join(table, "_spark_metadata"))
+
+    before = sorted(
+        tuple(r)
+        for r in read_finest(spark, table, groups, list(measures)).collect()
+    )
+    assert len(before) > 0
+
+    # simulate a crash leftover: one partition renamed to __old only
+    pdirs = [d for d in os.listdir(table) if d.startswith("bucket_date=")]
+    victim = os.path.join(table, sorted(pdirs)[0])
+    os.rename(victim, victim + ".__old")
+
+    compacted = compact_closed_partitions(
+        spark, table, closed_before="9999-12-31"
+    )
+    assert os.path.isdir(victim)  # healed before compacting
+    for d in pdirs:
+        pd = os.path.join(table, d)
+        n = len([f for f in os.listdir(pd) if f.endswith(".parquet")])
+        assert n == 1, (d, n)
+    assert compacted  # at least one partition actually rewritten
+
+    after = sorted(
+        tuple(r)
+        for r in read_finest(spark, table, groups, list(measures)).collect()
+    )
+    assert after == before
