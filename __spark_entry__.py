@@ -352,12 +352,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_degree_assortativity": graph.q95_degree_assortativity,
         "q96_embedding_centroids": pipeline.q96_embedding_centroids,
         "q97_skew_profile": skew.q97_skew_profile,
+        "q98_funnel_windows": events.q98_funnel_windows,
         "hypertable_rollup": hypertable_rollup,
         "sliding_window_counts": extras.sliding_window_counts,
-        # rows-only entry 50 of the recorded window (driver records the
-        # weaker rows-only check for it)
+        # ---- end of the 50-entry recorded window (all 50 oracled) ----
         "graph_pagerank": graph_pagerank,
-        # ---- end of the 50-entry recorded window ----
         "graph_connected_components": graph_connected_components,
         "graph_label_propagation": graph_label_propagation,
         "graph_betweenness": graph_betweenness,
@@ -1583,6 +1582,35 @@ def oracle_sql() -> dict[str, str]:
                          / cast(n_rows as double)
                          as decimal(28,10)), 6) as double) as top10_share
             from tot cross join top
+        """,
+        "q98_funnel_windows": """
+            with v as (select user_id, min(ts) as t1 from events
+                       where event_type = 'view' group by user_id),
+            c as (select e.user_id, min(e.ts) as t2
+                  from events e join v on v.user_id = e.user_id
+                  where e.event_type = 'click' and e.ts > v.t1
+                  group by e.user_id),
+            p as (select e.user_id, min(e.ts) as t3
+                  from events e join c on c.user_id = e.user_id
+                  where e.event_type = 'purchase' and e.ts > c.t2
+                  group by e.user_id),
+            s as (select user_id, 0 as si, 'view' as stage, t1 as ts
+                  from v
+                  union all
+                  select user_id, 1, 'click', t2 from c
+                  union all
+                  select user_id, 2, 'purchase', t3 from p),
+            d as (select date_trunc('day', ts) as day, si, stage,
+                         count(*) as n_users
+                  from s group by 1, 2, 3)
+            select day, cast(si as bigint) as stage_index, stage,
+                   n_users,
+                   cast(round(cast(cast(n_users as double)
+                         / cast(lag(n_users) over (partition by day
+                                order by si) as double)
+                         as decimal(28,10)), 6) as double)
+                     as conv_vs_prev
+            from d order by day, si
         """,
         "q88_retention": """
             with f as (select user_id,

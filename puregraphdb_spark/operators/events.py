@@ -258,6 +258,53 @@ def q94_bounded_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_conversion_windows(stage_rows: DataFrame,
+                              ts_col: str = "ts") -> DataFrame:
+    """Windowed funnel conversion report over STAGE-COMPLETION rows
+    (the output contract shared by ``funnel`` and the streaming
+    ``funnel_stateful`` sink): per completion day × stage, the user
+    count and the conversion ratio against the previous stage
+    completed in the same day bucket (NULL for the first stage of a
+    bucket). Read-side derivation — run it over the persisted stage
+    table the streaming tracker appends to; that is what keeps it out
+    of the streaming query itself (aggregation over a stateful
+    operator's output is the unsupported-chain shape).
+
+    Scale: one (day, stage) count aggregate with map-side combine,
+    then a lag window over the tiny (days × stages) relation.
+    """
+    d = stage_rows.withColumn("day", F.date_trunc("day", ts_col))
+    counts = d.groupBy("day", "stage_index", "stage").agg(
+        F.count("*").alias("n_users")
+    )
+    w = Window.partitionBy("day").orderBy("stage_index")
+    from puregraphdb_spark.functions.numeric import decimal_round
+
+    return counts.withColumn(
+        "conv_vs_prev",
+        decimal_round(
+            F.col("n_users").cast("double")
+            / F.lag("n_users").over(w).cast("double"), 6, grid=10,
+        ),
+    )
+
+
+def q98_funnel_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily funnel conversion report: q87's strict-ordered stage
+    completions bucketed by completion DAY, with per-day stage counts
+    and next-stage conversion ratios — the time-resolved view product
+    analytics ships next to the total funnel. Exact integer counts;
+    the ratio is one IEEE division under the decimal snap; a day's
+    first observed stage has a NULL ratio on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    f = funnel(ev, ["view", "click", "purchase"])
+    return final_sort(
+        funnel_conversion_windows(f),
+        spark, sf_dir, "events", "day", "stage_index",
+    )
+
+
 def q88_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix: users grouped by first-activity
     week, the fraction still active N weeks later — the standard

@@ -165,3 +165,39 @@ def test_stateful_bounded_funnel_matches_batch(spark, tmp_path):
     unbounded = funnel(ev, stages).count()
     assert got == want and len(got) > 0
     assert len(got) < unbounded  # the window genuinely bites
+
+
+def test_conversion_report_over_streaming_tracker_output(spark, tmp_path):
+    """The windowed conversion report composes with the streaming
+    funnel: report(drained tracker output) ≡ report(batch funnel) —
+    the read-side derivation the tracker's sink feeds."""
+    from puregraphdb_spark.operators.events import (
+        funnel, funnel_conversion_windows,
+    )
+    from puregraphdb_spark.streaming.funnel import funnel_stateful
+
+    stages = ["view", "click", "purchase"]
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "events_conv")
+    ev.write.parquet(path)
+    stream = sw.read_parquet_stream(spark, path, ev.schema)
+    q = (
+        funnel_stateful(stream, stages)
+        .writeStream.format("memory")
+        .queryName("t_conv_stages")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r)
+        for r in funnel_conversion_windows(
+            spark.table("t_conv_stages")
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in funnel_conversion_windows(funnel(ev, stages)).collect()
+    )
+    assert got == want and len(got) > 0
