@@ -133,6 +133,9 @@ class Graph:
         (dedup'd — one row per pair, NOT one per path, which is what
         keeps this computable at scale; Cypher-style per-path
         enumeration explodes combinatorially on dense graphs).
+        Paths use AT LEAST ONE edge, so ``src = dst`` pairs appear
+        exactly when a cycle through the vertex fits the hop band —
+        there is no dist-0 "path" (randomized-reference-tested).
 
         Built by ``max_hops − 1`` frontier joins with a dedup against
         the accumulated set each round, so the intermediate size is

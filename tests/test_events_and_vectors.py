@@ -76,3 +76,59 @@ def test_vector_math_exact(spark):
     assert rows[1]["na"] == 3.0 and rows[1]["cos"] == pytest.approx(1.0)
     assert rows[2]["cos"] == pytest.approx(24.0 / 25.0)
     assert math.isclose(rows[2]["na"], 5.0)
+
+
+def test_funnel_randomized_vs_simulation(spark):
+    """Batch funnel (bounded and unbounded) vs an independent per-user
+    event-replay simulation on random event streams — covers ties,
+    out-of-order stage types, windows that exactly touch, and users
+    who never start."""
+    import random
+    from datetime import datetime, timedelta
+
+    from puregraphdb_spark.operators.events import funnel
+
+    stages = ["s0", "s1", "s2"]
+    rnd = random.Random(31)
+    base = datetime(2026, 1, 1)
+    rows = []
+    for user in range(25):
+        for _ in range(rnd.randint(0, 12)):
+            rows.append(
+                (
+                    user,
+                    rnd.choice(stages + ["noise"]),
+                    base + timedelta(minutes=rnd.randint(0, 500)),
+                )
+            )
+    if not rows:
+        rows = [(0, "s0", base)]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+
+    def simulate(within_minutes):
+        got = {}
+        by_user = {}
+        for u, et, ts in rows:
+            by_user.setdefault(u, []).append((ts, et))
+        for u, evs in by_user.items():
+            evs.sort()
+            n, last = 0, None
+            for ts, et in evs:
+                if n >= len(stages):
+                    break
+                ok = et == stages[n] and (n == 0 or ts > last)
+                if ok and within_minutes is not None and n > 0:
+                    ok = ts <= last + timedelta(minutes=within_minutes)
+                if ok:
+                    got[(u, n)] = ts
+                    last = ts
+                    n += 1
+        return got
+
+    for within, arg in ((None, None), (60, "60 minutes")):
+        want = simulate(within)
+        res = {
+            (r["user_id"], r["stage_index"]): r["ts"]
+            for r in funnel(ev, stages, within=arg).collect()
+        }
+        assert res == want, (within, sorted(res.items())[:5])

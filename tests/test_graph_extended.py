@@ -432,3 +432,59 @@ def test_materialized_graph_same_results(spark):
     assert sorted(map(tuple, mat.degrees().collect())) == sorted(
         map(tuple, plain.degrees().collect())
     )
+
+
+def test_reach_minhop_randomized_vs_bfs_reference(spark):
+    """reach(k, m) on random digraphs vs an independent BFS reference:
+    the pair set must be exactly {(u,v) : m <= dist(u,v) <= k},
+    where dist uses at-least-one-edge paths — so dist(u,u) is the
+    shortest CYCLE through u, not 0 (the DSL's `[*m..k]` contract) —
+    the randomized-reference discipline for the min-hop lowering."""
+    import random
+    from collections import deque
+
+    def bfs_dists(n, adj, s):
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        return dist
+
+    rnd = random.Random(23)
+    for trial in range(5):
+        n = rnd.randint(5, 9)
+        edges = set()
+        for _ in range(rnd.randint(n, 2 * n)):
+            u, v = rnd.sample(range(n), 2)
+            edges.add((u, v))
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, []).append(v)
+        vdf = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+        edf = spark.createDataFrame(sorted(edges), ["src", "dst"])
+        g = Graph(vdf, edf)
+        for m, k in ((1, 3), (2, 2), (2, 4), (3, 3)):
+            got = {
+                (r["src"], r["dst"]) for r in g.reach(k, m).collect()
+            }
+            want = set()
+            for s in range(n):
+                dist = bfs_dists(n, adj, s)
+                # at-least-one-edge distance: s→s is the shortest
+                # cycle through s (min over in-neighbors u of s)
+                cyc = [dist[u] + 1 for u, v in edges
+                       if v == s and u in dist]
+                for t, d in dist.items():
+                    if t == s:
+                        if not cyc:
+                            continue
+                        dd = min(cyc)
+                    else:
+                        dd = d
+                    if m <= dd <= k:
+                        want.add((s, t))
+            assert got == want, (trial, m, k, sorted(edges))
