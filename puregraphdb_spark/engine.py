@@ -133,6 +133,33 @@ class Engine:
         from puregraphdb_spark.operators.graph import Graph
         return Graph(vertices, edges)
 
+    def audit(self, df: DataFrame) -> dict:
+        """Plan-quality audit of a DataFrame — the interactive twin of
+        ``tools/plan_audit.py`` (which writes PLANS.md for the whole
+        declared surface): shuffle-exchange count, broadcast-join
+        count, whole-stage-codegen span count, and whether any
+        row-level (non-Arrow) Python evaluation appears — the
+        properties the 100-TB posture cares about, checkable on a
+        user's own query before they ship it. ``python_eval`` is
+        'row-udf' (the slow path — fix it), 'arrow' (a sanctioned
+        mapInPandas/pandas-UDF seam), or 'none'.
+        """
+        from puregraphdb_spark.plans.explain import (
+            broadcast_join_count, count_exchanges, physical_plan,
+        )
+        import re as _re
+
+        plan = physical_plan(df)
+        py = "BatchEvalPython" in plan
+        arrow = "ArrowEvalPython" in plan or "MapInPandas" in plan
+        return {
+            "shuffles": count_exchanges(df),
+            "broadcasts": broadcast_join_count(df),
+            "codegen_spans": len(set(_re.findall(r"\*\((\d+)\)", plan))),
+            "python_eval": "row-udf" if py else (
+                "arrow" if arrow else "none"),
+        }
+
     def sql_for(self, query_name: str) -> DataFrame:
         """Run a named §2 query through EP2 from its Spark-dialect SQL
         text (sql_library) — the SQL-door twin of the DataFrame-door

@@ -228,3 +228,23 @@ def test_cli_door_runs_sql_and_call(spark, capsys):
     assert lines[1] == "5"
     assert lines[2] == "r_regionkey"
     assert lines[3:6] == ["0", "1", "2"]
+
+
+def test_engine_audit_reports_plan_shape(spark):
+    from puregraphdb_spark.engine import Engine
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark, SF_DIR)
+    a = eng.audit(
+        eng.sql("select l_returnflag, count(*) n from lineitem group by 1")
+    )
+    assert a["shuffles"] >= 1 and a["python_eval"] == "none"
+    assert set(a) == {"shuffles", "broadcasts", "codegen_spans",
+                      "python_eval"}
+    # a row-level python UDF must be called out as the slow path
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    slow = F.udf(lambda x: x + 1, LongType())
+    b = eng.audit(eng.table("nation").select(slow("n_nationkey")))
+    assert b["python_eval"] == "row-udf"
