@@ -151,7 +151,14 @@ class Engine:
 
         plan = physical_plan(df)
         py = "BatchEvalPython" in plan
-        arrow = "ArrowEvalPython" in plan or "MapInPandas" in plan
+        # FlatMapGroupsInPandas prefix-matches the WithState variant —
+        # applyInPandas / applyInPandasWithState are Arrow seams too
+        # (ADVICE r6: they used to misreport as python_eval='none').
+        arrow = (
+            "ArrowEvalPython" in plan
+            or "MapInPandas" in plan
+            or "FlatMapGroupsInPandas" in plan
+        )
         return {
             "shuffles": count_exchanges(df),
             "broadcasts": broadcast_join_count(df),

@@ -85,17 +85,22 @@ def key_skew_profile(df: DataFrame, key: str, topk: int = 10) -> DataFrame:
         counts.orderBy(F.desc("__c"), key).limit(topk)
         .agg(F.sum("__c").alias("__topsum"))
     )
+    # Empty input: sums aggregate to NULL and the ratios would be
+    # 0/0 → NULL/NaN (ADVICE r6). Normalize to n_rows=0 with NULL
+    # ratios — "no data" reads as explicitly-unknown skew, not NaN.
+    n_rows = F.coalesce(F.col("n_rows"), F.lit(0).cast("long"))
+    safe_div = lambda num: F.when(  # noqa: E731
+        n_rows > 0, num / n_rows.cast("double")
+    )
     return tot.crossJoin(top).select(
-        "n_keys", "n_rows", "max_per_key",
-        (
+        "n_keys",
+        n_rows.alias("n_rows"),
+        "max_per_key",
+        safe_div(
             F.col("max_per_key").cast("double")
             * F.col("n_keys").cast("double")
-            / F.col("n_rows").cast("double")
         ).alias("skew_ratio"),
-        (
-            F.col("__topsum").cast("double")
-            / F.col("n_rows").cast("double")
-        ).alias(f"top{topk}_share"),
+        safe_div(F.col("__topsum").cast("double")).alias(f"top{topk}_share"),
     )
 
 

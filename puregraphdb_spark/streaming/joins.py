@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from puregraphdb_spark.functions.intervals import interval_expr
+
 
 def interval_join(left: DataFrame, right: DataFrame,
                   on: str = "user_id",
@@ -50,9 +52,9 @@ def interval_join(left: DataFrame, right: DataFrame,
     cond = (
         (F.col(f"l.{on}") == F.col(f"r.{on}"))
         & (F.col(f"r.{right_ts}")
-           >= F.col(f"l.{left_ts}") - F.expr(f"interval {before}"))
+           >= F.col(f"l.{left_ts}") - interval_expr(before))
         & (F.col(f"r.{right_ts}")
-           <= F.col(f"l.{left_ts}") + F.expr(f"interval {after}"))
+           <= F.col(f"l.{left_ts}") + interval_expr(after))
     )
     joined = lw.join(rw, cond)
     if left_cols is None:

@@ -248,3 +248,58 @@ def test_engine_audit_reports_plan_shape(spark):
     slow = F.udf(lambda x: x + 1, LongType())
     b = eng.audit(eng.table("nation").select(slow("n_nationkey")))
     assert b["python_eval"] == "row-udf"
+
+
+def test_engine_audit_flags_apply_in_pandas_as_arrow(spark):
+    """applyInPandas (FlatMapGroupsInPandas) is a sanctioned Arrow seam
+    and must report python_eval='arrow', not 'none' (ADVICE r6)."""
+    import pandas as pd
+
+    from puregraphdb_spark.engine import Engine
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark, SF_DIR)
+
+    def ident(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf
+
+    df = (
+        eng.table("nation")
+        .select("n_regionkey", "n_nationkey")
+        .groupBy("n_regionkey")
+        .applyInPandas(ident, "n_regionkey long, n_nationkey long")
+    )
+    assert eng.audit(df)["python_eval"] == "arrow"
+
+
+def test_key_skew_profile_empty_input_has_null_ratios(spark):
+    """Empty input: n_rows=0 with NULL ratios, never NaN (ADVICE r6)."""
+    from pyspark.sql import functions as F
+
+    from puregraphdb_spark.operators.skew import key_skew_profile
+
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    row = key_skew_profile(empty, "k").collect()[0]
+    assert row["n_keys"] == 0 and row["n_rows"] == 0
+    assert row["skew_ratio"] is None and row["top10_share"] is None
+
+
+def test_interval_validation_rejects_garbage(spark):
+    import pytest as _pytest
+
+    from puregraphdb_spark.functions.intervals import (
+        interval_expr, validate_interval,
+    )
+    from puregraphdb_spark.operators.events import funnel, stage_frame
+
+    assert validate_interval(" 7 DAYS ") == "7 day"
+    for bad in ("7", "days 7", "7 fortnights", "1 day) OR (1=1", ""):
+        with _pytest.raises(ValueError):
+            validate_interval(bad)
+    with _pytest.raises(ValueError):
+        funnel(spark.range(1).selectExpr(
+            "id user_id", "current_timestamp() ts", "'view' event_type"
+        ), ["view", "click"], within="nonsense interval")
+    with _pytest.raises(ValueError):
+        stage_frame(spark, ["ok", "bad'quote"])
+    assert interval_expr("2 hours") is not None
