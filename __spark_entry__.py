@@ -21,8 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from puregraphdb_spark.operators import (
-    events, extras, graph, llm, pipeline, relational, similarity, skew,
-    text,
+    community, events, extras, graph, llm, pipeline, relational,
+    similarity, skew, text,
 )
 from puregraphdb_spark.sources.registry import load_table
 
@@ -353,6 +353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_embedding_centroids": pipeline.q96_embedding_centroids,
         "q97_skew_profile": skew.q97_skew_profile,
         "q98_funnel_windows": events.q98_funnel_windows,
+        "q99_modularity": community.q99_modularity,
+        "graph_louvain": community.graph_louvain,
         "hypertable_rollup": hypertable_rollup,
         "sliding_window_counts": extras.sliding_window_counts,
         # ---- end of the 50-entry recorded window (all 50 oracled) ----
@@ -1611,6 +1613,43 @@ def oracle_sql() -> dict[str, str]:
                          as decimal(28,10)), 6) as double)
                      as conv_vs_prev
             from d order by day, si
+        """,
+        "q99_modularity": """
+            with pairs as (
+                select distinct o.o_custkey as src, l.l_suppkey as dst
+                from orders o join lineitem l
+                  on l.l_orderkey = o.o_orderkey),
+            simple as (
+                select least(src, dst) as u, greatest(src, dst) as v,
+                       cast(count(*) as double) as w
+                from pairs where src <> dst group by 1, 2),
+            ids as (select u as id from simple
+                    union select v from simple),
+            assign as (
+                select ids.id,
+                       coalesce(s.s_nationkey, c.c_nationkey)
+                         as community
+                from ids
+                left join supplier s on s.s_suppkey = ids.id
+                left join customer c on c.c_custkey = ids.id),
+            tagged as (
+                select sp.w, au.community as cu, av.community as cv
+                from simple sp
+                join assign au on sp.u = au.id
+                join assign av on sp.v = av.id),
+            per_comm as (
+                select c, sum(d) as d, sum(win) as win from (
+                    select cu as c, w as d,
+                           case when cu = cv then w else 0 end as win
+                    from tagged
+                    union all
+                    select cv as c, w as d, 0 as win from tagged
+                ) t group by c)
+            select sum(d) / 2 as m,
+                   cast(round(cast(2.0 * sum(win) / sum(d)
+                        - sum(d * d) / (sum(d) * sum(d))
+                        as decimal(28,10)), 6) as double) as q
+            from per_comm
         """,
         "q88_retention": """
             with f as (select user_id,

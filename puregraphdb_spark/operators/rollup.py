@@ -162,9 +162,122 @@ def persistent_rollup_sink(finest_stream: DataFrame, table_path: str,
     return w.start()
 
 
+_MANIFEST = "_manifest.json"
+_COMPACT_PREFIX = "compact-"
+
+
+def _read_manifest(part_dir: str) -> dict | None:
+    import json
+    import os
+
+    path = os.path.join(part_dir, _MANIFEST)
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _publish_manifest(part_dir: str, manifest: dict) -> None:
+    """Atomically publish the partition manifest: write a tmp file and
+    promote with one same-directory replace. On a real object store
+    this is a single small PUT (per-object atomicity is all the
+    protocol needs); the tmp file is never consulted by readers."""
+    import json
+    import os
+
+    tmp = os.path.join(part_dir, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(part_dir, _MANIFEST))
+
+
+def _manifest_files(part_dir: str) -> list[str]:
+    """The data files a reader must use for one partition directory.
+
+    Manifest present → exactly its file list (generation truth; stray
+    files from an in-flight or crashed compaction are excluded).
+    No manifest → every visible parquet EXCEPT unpublished
+    ``compact-*`` files (a first compaction that crashed pre-publish
+    leaves those; the sink never names files that way).
+    """
+    import os
+
+    man = _read_manifest(part_dir)
+    if man is not None:
+        return [os.path.join(part_dir, f) for f in man["files"]]
+    return [
+        os.path.join(part_dir, f)
+        for f in sorted(os.listdir(part_dir))
+        if f.endswith(".parquet") and not f.startswith(_COMPACT_PREFIX)
+    ]
+
+
+def _compact_partition_manifest(spark, part_dir: str,
+                                target_files: int) -> bool:
+    """Object-store-safe compaction of one closed partition (VERDICT
+    r6 item 4): no directory renames, no window where the partition is
+    unreadable or double-counted.
+
+    Protocol (manifest-is-truth, generation-numbered):
+      1. Heal: delete any ``compact-*`` file not listed in the current
+         manifest (strays from a crashed previous run).
+      2. Read the CURRENT file set (via ``_manifest_files``) — skip if
+         already ≤ target_files.
+      3. Write the compacted data as ``compact-<gen>-*.parquet``
+         INSIDE the live directory (readers ignore them: globbers by
+         the prefix rule, manifest readers because the manifest still
+         lists the old generation).
+      4. Publish the new manifest in ONE atomic replace/PUT — the
+         single commit point.
+      5. Delete every data file not in the new manifest.
+    A crash before 4 leaves the old state fully readable (next run
+    heals the strays); a crash after 4 leaves the new state fully
+    readable (next run finishes the deletes). At no instant can a
+    reader see zero or doubled rows — the property the rename swap
+    could not give on stores without atomic rename.
+    """
+    import os
+    import shutil
+    import uuid
+
+    man = _read_manifest(part_dir)
+    published = set(man["files"]) if man else set()
+    gen = (man["generation"] + 1) if man else 1
+    for f in list(os.listdir(part_dir)):
+        if not f.endswith(".parquet") or f in published:
+            continue
+        # strays: unpublished compact files from a crash before the
+        # publish, or (when a manifest exists) pre-compaction files a
+        # crash after the publish left undeleted — both superseded
+        if man is not None or f.startswith(_COMPACT_PREFIX):
+            os.remove(os.path.join(part_dir, f))
+    files = _manifest_files(part_dir)
+    if len(files) <= target_files:
+        return False
+    df = spark.read.parquet(*files)
+    tmp_out = part_dir + f".__mtmp-{uuid.uuid4().hex[:8]}"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp_out)
+    new_names = []
+    for i, f in enumerate(sorted(os.listdir(tmp_out))):
+        if not f.endswith(".parquet"):
+            continue
+        name = f"{_COMPACT_PREFIX}{gen:05d}-{i:04d}.parquet"
+        os.replace(os.path.join(tmp_out, f), os.path.join(part_dir, name))
+        new_names.append(name)
+    shutil.rmtree(tmp_out)
+    _publish_manifest(part_dir, {"generation": gen, "files": new_names})
+    keep = set(new_names) | {_MANIFEST}
+    for f in list(os.listdir(part_dir)):
+        if f.endswith(".parquet") and f not in keep:
+            os.remove(os.path.join(part_dir, f))
+    return True
+
+
 def compact_closed_partitions(spark, table_path: str,
                               closed_before,
-                              target_files: int = 1) -> list[str]:
+                              target_files: int = 1,
+                              committer: str = "rename") -> list[str]:
     """Small-file compaction for the durable finest materialization:
     every streaming trigger appends a file per partition, so a
     long-running rollup accumulates many tiny files per
@@ -189,18 +302,49 @@ def compact_closed_partitions(spark, table_path: str,
     removes any such orphans for good (the rewrite reads through the
     directory, same as the glob read path).
 
-    Crash-safe swap per partition: write ``<dir>.__compact`` → rename
-    live dir to ``<dir>.__old`` → promote tmp → remove ``__old``. A
-    previous crash is healed on the next run: a surviving ``__old``
-    with no live dir is restored; stale tmp dirs are discarded.
-    (Rename-based; for object stores without atomic rename, run the
-    same protocol through the committer your store provides.)
+    Two committers (ADVICE r6 / VERDICT r6 item 4):
+
+    - ``committer="rename"`` (default, HDFS/posix): crash-safe swap
+      per partition — write ``<dir>.__compact`` → rename live dir to
+      ``<dir>.__old`` → promote tmp → remove ``__old``. A previous
+      crash is healed on the next run (a surviving ``__old`` with no
+      live dir is restored; stale tmps discarded). SINGLE-READER
+      CAVEAT: between the two renames the partition directory does
+      not exist, so a CONCURRENT glob read silently misses that
+      partition — run rename-mode compaction offline, or use the
+      manifest committer, whose commit point is one atomic file PUT
+      and which keeps every instant fully readable.
+    - ``committer="manifest"`` (object stores / concurrent readers):
+      see ``_compact_partition_manifest`` — new files land inside the
+      live directory under names readers ignore until a
+      generation-numbered ``_manifest.json`` is atomically published;
+      ``read_finest`` resolves manifested partitions through it. This
+      is the same commit shape Delta/Iceberg use (log-is-truth);
+      swap in those formats at the sink when the full transaction
+      log is wanted.
     """
     import os
     import shutil
 
+    if committer not in ("rename", "manifest"):
+        raise ValueError(f"unknown committer {committer!r} "
+                         "(use 'rename' or 'manifest')")
     closed = str(closed_before)
     out: list[str] = []
+    if committer == "manifest":
+        for entry in sorted(os.listdir(table_path)):
+            if "__mtmp-" in entry:
+                # stray tmp output dir from a crashed manifest run
+                shutil.rmtree(os.path.join(table_path, entry))
+                continue
+            if not entry.startswith("bucket_date="):
+                continue
+            if entry.split("=", 1)[1] >= closed:
+                continue
+            part_dir = os.path.join(table_path, entry)
+            if _compact_partition_manifest(spark, part_dir, target_files):
+                out.append(part_dir)
+        return out
     for entry in sorted(os.listdir(table_path)):
         # heal leftovers from a crashed previous run first
         if entry.endswith(".__old"):
@@ -252,10 +396,34 @@ def read_finest(spark, table_path: str, group_cols: list[str],
     compacted rewrites (``compact_closed_partitions`` docstring) — the
     glob path lists real files and works identically before and after
     compaction. Feed a bucket-range filter over ``bucket_date`` to
-    prune partitions on incremental refreshes."""
+    prune partitions on incremental refreshes.
+
+    Manifest-aware: a partition that has been compacted with
+    ``committer="manifest"`` carries a ``_manifest.json`` whose file
+    list is the truth for that partition (in-flight ``compact-*``
+    files of the next generation are excluded); partitions without a
+    manifest resolve by directory listing minus unpublished
+    ``compact-*`` strays. Either way the explicit file list goes to
+    the reader with ``basePath``, so partition-column derivation and
+    pruning behave exactly like the glob read."""
+    import os
+
+    part_dirs = sorted(
+        os.path.join(table_path, e)
+        for e in os.listdir(table_path)
+        if e.startswith("bucket_date=")
+    )
+    files = [f for d in part_dirs for f in _manifest_files(d)]
+    if not files:
+        # empty table: preserve the schema-from-glob behavior
+        return (
+            spark.read.option("basePath", table_path)
+            .parquet(table_path + "/bucket_date=*")
+            .select("bucket", *group_cols, *measures)
+        )
     return (
         spark.read.option("basePath", table_path)
-        .parquet(table_path + "/bucket_date=*")
+        .parquet(*files)
         .select("bucket", *group_cols, *measures)
     )
 

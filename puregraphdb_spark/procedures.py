@@ -419,6 +419,27 @@ def _betweenness(spark, edges: str, sources: str,
         srcs, max_depth=int(max_depth), scale=float(scale))
 
 
+def _louvain(spark, edges: str, weight_col: str | None = None,
+             max_levels: int = 3, max_sweeps: int = 10) -> DataFrame:
+    """CALL louvain(edges => 'e') — Louvain community detection
+    (validated label-move sweeps + contraction) → (id, community)."""
+    from puregraphdb_spark.operators.community import louvain
+
+    return louvain(_view(spark, edges), weight_col=weight_col,
+                   max_levels=int(max_levels), max_sweeps=int(max_sweeps))
+
+
+def _modularity(spark, edges: str, assignment: str,
+                weight_col: str | None = None,
+                comm_col: str = "community") -> DataFrame:
+    """CALL modularity(edges => 'e', assignment => 'a') — one-row
+    Newman modularity of a partition view (id, community)."""
+    from puregraphdb_spark.operators.community import modularity
+
+    return modularity(_view(spark, edges), _view(spark, assignment),
+                      weight_col=weight_col, comm_col=comm_col)
+
+
 def _interval_join(spark, left: str, right: str, on: str = "user_id",
                    left_ts: str = "ts", right_ts: str = "ts",
                    before: str = "1 hour",
@@ -481,6 +502,8 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "funnel": _funnel,
     "reach": _reach,
     "betweenness": _betweenness,
+    "louvain": _louvain,
+    "modularity": _modularity,
     "sequence_pack": _sequence_pack,
     "interval_join": _interval_join,
     "harmonic_centrality": _harmonic,

@@ -329,3 +329,171 @@ def test_compaction_of_sink_written_table_stays_readable(spark, tmp_path):
         for r in read_finest(spark, table, groups, list(measures)).collect()
     )
     assert after == before
+
+
+def _fragged_table(spark, tmp_path, name="mfinest"):
+    import os
+
+    table = str(tmp_path / name)
+    base = spark.range(0, 100).selectExpr(
+        "id as bucket", "id % 3 as grp", "id * 10 as n"
+    ).withColumn(
+        "bucket_date",
+        F.when(F.col("bucket") < 50, "2026-01-01").otherwise("2026-01-02"),
+    )
+    for i in range(4):
+        base.filter(F.col("bucket") % 4 == i).write.mode(
+            "append"
+        ).partitionBy("bucket_date").parquet(table)
+    before = sorted(tuple(r) for r in spark.read.parquet(table).collect())
+    return table, before
+
+
+def _visible(spark, table):
+    return sorted(tuple(r) for r in spark.read.option(
+        "basePath", table).parquet(table + "/bucket_date=*").collect())
+
+
+def _part_files(table, date):
+    import os
+
+    d = os.path.join(table, f"bucket_date={date}")
+    return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+
+def test_manifest_committer_compacts_without_renames(spark, tmp_path):
+    """committer='manifest' (VERDICT r6 item 4): compaction commits by
+    one atomic manifest PUT — files collapse, content is identical via
+    read_finest's manifest-aware resolution, the open partition is
+    untouched, and a second run is a no-op."""
+    from puregraphdb_spark.operators.rollup import (
+        _manifest_files, compact_closed_partitions,
+    )
+
+    table, before = _fragged_table(spark, tmp_path)
+    done = compact_closed_partitions(
+        spark, table, closed_before="2026-01-02", committer="manifest")
+    assert len(done) == 1
+    closed = _part_files(table, "2026-01-01")
+    assert len(closed) == 1 and closed[0].startswith("compact-00001-")
+    assert len(_part_files(table, "2026-01-02")) >= 4
+    import os
+
+    files = [
+        os.path.basename(f)
+        for d in sorted(os.listdir(table)) if d.startswith("bucket_date=")
+        for f in _manifest_files(os.path.join(table, d))
+    ]
+    assert any(f.startswith("compact-") for f in files)
+    # content identical through the manifest-aware resolution AND a
+    # naive glob read (old files are deleted post-publish)
+    from puregraphdb_spark.operators.rollup import read_finest
+
+    got = sorted(
+        tuple(r) for r in read_finest(
+            spark, table, ["grp"], {"n": ("sum", "n")}).collect()
+    )
+    want = sorted((r[0], r[1], r[2]) for r in before)
+    assert got == want
+    assert _visible(spark, table) == before
+    assert compact_closed_partitions(
+        spark, table, closed_before="2026-01-02", committer="manifest") == []
+
+
+def test_manifest_committer_crash_before_publish_is_invisible(
+        spark, tmp_path):
+    """Kill the compactor AFTER the compacted files land but BEFORE the
+    manifest publish (the non-atomic-rename hazard window): readers
+    must see the OLD state exactly, and the next run must heal the
+    strays and finish."""
+    import os
+
+    import puregraphdb_spark.operators.rollup as R
+
+    table, before = _fragged_table(spark, tmp_path)
+
+    real_publish = R._publish_manifest
+
+    def crash_publish(part_dir, manifest):
+        raise RuntimeError("killed before manifest publish")
+
+    R._publish_manifest = crash_publish
+    try:
+        with pytest.raises(RuntimeError):
+            R.compact_closed_partitions(
+                spark, table, closed_before="2026-01-02",
+                committer="manifest")
+    finally:
+        R._publish_manifest = real_publish
+
+    d = os.path.join(table, "bucket_date=2026-01-01")
+    strays = [f for f in os.listdir(d) if f.startswith("compact-")]
+    assert strays  # the crash left unpublished compacted files behind
+    # reader sees the old state exactly (strays excluded by prefix)
+    got = sorted(
+        tuple(r) for r in R.read_finest(
+            spark, table, ["grp"], {"n": ("sum", "n")}).collect()
+    )
+    assert got == sorted((r[0], r[1], r[2]) for r in before)
+    # recovery run: heals strays, completes the compaction
+    done = R.compact_closed_partitions(
+        spark, table, closed_before="2026-01-02", committer="manifest")
+    assert len(done) == 1
+    assert len(_part_files(table, "2026-01-01")) == 1
+    got2 = sorted(
+        tuple(r) for r in R.read_finest(
+            spark, table, ["grp"], {"n": ("sum", "n")}).collect()
+    )
+    assert got2 == got
+
+
+def test_manifest_committer_crash_after_publish_heals_deletes(
+        spark, tmp_path):
+    """Kill the compactor AFTER the manifest publish but BEFORE the old
+    files are deleted: readers must already see the NEW state (manifest
+    is truth; a glob would double-count, which is exactly why
+    read_finest resolves through the manifest), and the next run must
+    finish the deletes without rewriting."""
+    import os
+
+    import puregraphdb_spark.operators.rollup as R
+
+    table, before = _fragged_table(spark, tmp_path)
+    want = sorted((r[0], r[1], r[2]) for r in before)
+
+    real_publish = R._publish_manifest
+
+    def publish_then_crash(part_dir, manifest):
+        real_publish(part_dir, manifest)
+        raise RuntimeError("killed after manifest publish")
+
+    R._publish_manifest = publish_then_crash
+    try:
+        with pytest.raises(RuntimeError):
+            R.compact_closed_partitions(
+                spark, table, closed_before="2026-01-02",
+                committer="manifest")
+    finally:
+        R._publish_manifest = real_publish
+
+    d = os.path.join(table, "bucket_date=2026-01-01")
+    old = [f for f in os.listdir(d)
+           if f.endswith(".parquet") and not f.startswith("compact-")]
+    assert old  # crash left the previous generation's files behind
+    got = sorted(
+        tuple(r) for r in R.read_finest(
+            spark, table, ["grp"], {"n": ("sum", "n")}).collect()
+    )
+    assert got == want  # new state, no double counting
+    # recovery: the heal step deletes the superseded old files even
+    # though the rewrite itself is a no-op (1 file <= target)
+    R.compact_closed_partitions(
+        spark, table, closed_before="2026-01-02", committer="manifest")
+    left = [f for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith("compact-")]
+    assert left == []
+    got2 = sorted(
+        tuple(r) for r in R.read_finest(
+            spark, table, ["grp"], {"n": ("sum", "n")}).collect()
+    )
+    assert got2 == want
