@@ -207,6 +207,36 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_betweenness_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-bounded sampled betweenness over the undirected order graph
+    (rows-only). Unlike graph_betweenness's hand-fixed 32 sources,
+    the sample size here is DERIVED from the accuracy target:
+    k = ceil(ln(2n/δ)/(2ε²)) sources give every vertex's normalized
+    betweenness to ±ε with probability ≥ 1−δ (Hoeffding + union
+    bound; the Riondato–Kornaropoulos-style contract over the
+    existing Brandes BFS machinery — VERDICT r6 item 5). With
+    ε=0.5, δ=0.5 that is k≈18 at sf0.01 and only k≈25 at sf1: the
+    source count grows LOGARITHMICALLY with the graph, which is what
+    makes dense-graph betweenness affordable. Property-tested against
+    exact Brandes (equivalence when k ≥ n; empirical ε-bound on a
+    forced subsample) in tests/test_graph_properties.py."""
+    g = _order_graph(spark, sf_dir)
+    und = graph.Graph(
+        g.vertices,
+        g.edges.unionByName(
+            g.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        ),
+    )
+    bc = und.betweenness_sampled(eps=0.5, delta=0.5)
+    return (
+        bc.filter(F.col("betweenness") > 0)
+        .select("id", F.round("betweenness", 6).alias("betweenness"))
+        .orderBy("id")
+    )
+
+
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-core of the order graph (rows-only: iterative peeling).
     Returns surviving vertices with their in-core degree; k=5 peels a
@@ -297,14 +327,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ rows-only
     iterative graph algorithms per the contract's non-SQL allowance).
 
-    ORDERING IS DELIBERATE (round 6): the driver's CORRECTNESS file
-    records only the FIRST 50 entries, and rounds 2–5 always led with
-    q01–q50 — so q51+ had never been driver-green (VERDICT r5 item 3).
-    This round leads with q51–q91 + the two named oracled entries +
-    seven rows-only algorithms (exactly 50, disjoint from r5's window),
-    then the r5-verified q01–q50, then the remaining rows-only entries.
+    ORDERING IS DELIBERATE (round 7, VERDICT r6 item 1): the driver's
+    CORRECTNESS file records only the FIRST 50 entries. Rounds 2-5
+    recorded q01-q50; round 6 rotated to q51-q98 + the named oracled
+    entries — so every ORACLED entry now has a driver-green record,
+    while the rows-only entries have never been recorded. This round
+    therefore leads with ALL 20 rows-only entries (the 18 existing +
+    louvain + sampled betweenness), then the brand-new oracled
+    q99_modularity, then a q01-q29 re-record to fill the 50-window;
+    the remaining oracled entries (driver-green r5 AND r6) follow.
     """
     return {
+        "graph_pagerank": graph_pagerank,
+        "graph_connected_components": graph_connected_components,
+        "graph_label_propagation": graph_label_propagation,
+        "graph_scc": graph_scc,
+        "graph_kcore": graph_kcore,
+        "graph_ppr": graph_ppr,
+        "graph_shortest_paths": graph_shortest_paths,
+        "graph_wpagerank": graph_wpagerank,
+        "graph_sssp_weighted": graph_sssp_weighted,
+        "graph_harmonic": graph_harmonic,
+        "graph_betweenness": graph_betweenness,
+        "graph_betweenness_approx": graph_betweenness_approx,
+        "graph_louvain": community.graph_louvain,
+        "text_profile": text_profile,
+        "text_quality_report": text_quality_report,
+        "dedup_minhash_near": dedup_minhash_near,
+        "dedup_embedding_near": dedup_embedding_near,
+        "knn_ann_lsh": knn_ann_lsh,
+        "knn_ann_ivf": knn_ann_ivf,
+        "approx_distinct_parts": extras.approx_distinct_parts,
+        "q99_modularity": community.q99_modularity,
+        "q01_filter_project": relational.q01_filter_project,
+        "q02_agg_pricing_summary": relational.q02_agg_pricing_summary,
+        "q03_distinct_count": relational.q03_distinct_count,
+        "q04_rollup": relational.q04_rollup,
+        "q05_join_topk_revenue": relational.q05_join_topk_revenue,
+        "q06_join_5way": relational.q06_join_5way,
+        "q07_anti_join": relational.q07_anti_join,
+        "q08_semi_join": relational.q08_semi_join,
+        "q09_left_outer": relational.q09_left_outer,
+        "q10_range_join": relational.q10_range_join,
+        "q11_window_rank": relational.q11_window_rank,
+        "q12_window_running": relational.q12_window_running,
+        "q13_window_lag_delta": relational.q13_window_lag_delta,
+        "q14_setops": relational.q14_setops,
+        "q15_union_except": relational.q15_union_except,
+        "q16_topk_parts": relational.q16_topk_parts,
+        "q17_percentile": relational.q17_percentile,
+        "q18_string_date_funcs": relational.q18_string_date_funcs,
+        "q19_case_math": relational.q19_case_math,
+        "q20_tumbling_window": events.q20_tumbling_window,
+        "q21_session_window": events.q21_session_window,
+        "q22_json_extract": events.q22_json_extract,
+        "q23_graph_degree": graph.q23_graph_degree,
+        "q24_graph_triangles": graph.q24_graph_triangles,
+        "q25_graph_2hop": graph.q25_graph_2hop,
+        "q26_dedup_keys": llm.q26_dedup_keys,
+        "q27_text_tokens": llm.q27_text_tokens,
+        "q28_text_stats": llm.q28_text_stats,
+        "q29_knn_cosine": llm.q29_knn_cosine,
+        # ---- end of the 50-entry recorded window ----
+        "q30_knn_label": llm.q30_knn_label,
+        "q31_asof_join": extras.q31_asof_join,
+        "q32_full_outer": extras.q32_full_outer,
+        "q33_cube": extras.q33_cube,
+        "q34_window_analytics": extras.q34_window_analytics,
+        "q35_string_date": extras.q35_string_date,
+        "q36_pivot": extras.q36_pivot,
+        "q37_regex": extras.q37_regex,
+        "q38_levenshtein": extras.q38_levenshtein,
+        "q39_array_agg": extras.q39_array_agg,
+        "q40_grouping_sets": extras.q40_grouping_sets,
+        "q41_correlated_avg": extras.q41_correlated_avg,
+        "q42_not_exists": extras.q42_not_exists,
+        "q43_scalar_subquery": extras.q43_scalar_subquery,
+        "q44_interval_join": extras.q44_interval_join,
+        "q45_conditional_distinct": extras.q45_conditional_distinct,
+        "q46_range_frame": extras.q46_range_frame,
+        "q47_unpivot": extras.q47_unpivot,
+        "q48_trailing_feature": extras.q48_trailing_feature,
+        "q49_array_ops": extras.q49_array_ops,
+        "q50_gap_fill": extras.q50_gap_fill,
         "q51_stat_agg": extras.q51_stat_agg,
         "q52_histogram": extras.q52_histogram,
         "q53_array_hof": extras.q53_array_hof,
@@ -340,11 +445,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_graph_strength": graph.q83_graph_strength,
         "q84_winnow_fingerprint": pipeline.q84_winnow_fingerprint,
         "q85_clustering_coeff": graph.q85_clustering_coeff,
-        "q89_skyline": pipeline.q89_skyline,
-        "q90_regression": pipeline.q90_regression,
         "q86_reach2": graph.q86_reach2,
         "q87_funnel": events.q87_funnel,
         "q88_retention": events.q88_retention,
+        "q89_skyline": pipeline.q89_skyline,
+        "q90_regression": pipeline.q90_regression,
         "q91_motif_weighted": graph.q91_motif_weighted,
         "q92_sequence_pack": pipeline.q92_sequence_pack,
         "q93_minhash_bands": pipeline.q93_minhash_bands,
@@ -353,81 +458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_embedding_centroids": pipeline.q96_embedding_centroids,
         "q97_skew_profile": skew.q97_skew_profile,
         "q98_funnel_windows": events.q98_funnel_windows,
-        "q99_modularity": community.q99_modularity,
-        "graph_louvain": community.graph_louvain,
         "hypertable_rollup": hypertable_rollup,
         "sliding_window_counts": extras.sliding_window_counts,
-        # ---- end of the 50-entry recorded window (all 50 oracled) ----
-        "graph_pagerank": graph_pagerank,
-        "graph_connected_components": graph_connected_components,
-        "graph_label_propagation": graph_label_propagation,
-        "graph_betweenness": graph_betweenness,
-        "graph_kcore": graph_kcore,
-        "graph_scc": graph_scc,
-        "graph_ppr": graph_ppr,
-        "graph_shortest_paths": graph_shortest_paths,
-        # r5-driver-verified core (q01–q50)
-        "q01_filter_project": relational.q01_filter_project,
-        "q02_agg_pricing_summary": relational.q02_agg_pricing_summary,
-        "q03_distinct_count": relational.q03_distinct_count,
-        "q04_rollup": relational.q04_rollup,
-        "q05_join_topk_revenue": relational.q05_join_topk_revenue,
-        "q06_join_5way": relational.q06_join_5way,
-        "q07_anti_join": relational.q07_anti_join,
-        "q08_semi_join": relational.q08_semi_join,
-        "q09_left_outer": relational.q09_left_outer,
-        "q10_range_join": relational.q10_range_join,
-        "q11_window_rank": relational.q11_window_rank,
-        "q12_window_running": relational.q12_window_running,
-        "q13_window_lag_delta": relational.q13_window_lag_delta,
-        "q14_setops": relational.q14_setops,
-        "q15_union_except": relational.q15_union_except,
-        "q16_topk_parts": relational.q16_topk_parts,
-        "q17_percentile": relational.q17_percentile,
-        "q18_string_date_funcs": relational.q18_string_date_funcs,
-        "q19_case_math": relational.q19_case_math,
-        "q20_tumbling_window": events.q20_tumbling_window,
-        "q21_session_window": events.q21_session_window,
-        "q22_json_extract": events.q22_json_extract,
-        "q23_graph_degree": graph.q23_graph_degree,
-        "q24_graph_triangles": graph.q24_graph_triangles,
-        "q25_graph_2hop": graph.q25_graph_2hop,
-        "q26_dedup_keys": llm.q26_dedup_keys,
-        "q27_text_tokens": llm.q27_text_tokens,
-        "q28_text_stats": llm.q28_text_stats,
-        "q29_knn_cosine": llm.q29_knn_cosine,
-        "q30_knn_label": llm.q30_knn_label,
-        "q31_asof_join": extras.q31_asof_join,
-        "q32_full_outer": extras.q32_full_outer,
-        "q33_cube": extras.q33_cube,
-        "q34_window_analytics": extras.q34_window_analytics,
-        "q35_string_date": extras.q35_string_date,
-        "q36_pivot": extras.q36_pivot,
-        "q37_regex": extras.q37_regex,
-        "q38_levenshtein": extras.q38_levenshtein,
-        "q39_array_agg": extras.q39_array_agg,
-        "q40_grouping_sets": extras.q40_grouping_sets,
-        "q41_correlated_avg": extras.q41_correlated_avg,
-        "q42_not_exists": extras.q42_not_exists,
-        "q43_scalar_subquery": extras.q43_scalar_subquery,
-        "q44_interval_join": extras.q44_interval_join,
-        "q45_conditional_distinct": extras.q45_conditional_distinct,
-        "q46_range_frame": extras.q46_range_frame,
-        "q47_unpivot": extras.q47_unpivot,
-        "q48_trailing_feature": extras.q48_trailing_feature,
-        "q49_array_ops": extras.q49_array_ops,
-        "q50_gap_fill": extras.q50_gap_fill,
-        # remaining rows-only entries
-        "graph_wpagerank": graph_wpagerank,
-        "graph_sssp_weighted": graph_sssp_weighted,
-        "graph_harmonic": graph_harmonic,
-        "text_profile": text_profile,
-        "text_quality_report": text_quality_report,
-        "dedup_minhash_near": dedup_minhash_near,
-        "knn_ann_lsh": knn_ann_lsh,
-        "approx_distinct_parts": extras.approx_distinct_parts,
-        "dedup_embedding_near": dedup_embedding_near,
-        "knn_ann_ivf": knn_ann_ivf,
     }
 
 

@@ -1100,6 +1100,65 @@ class Graph:
             )
         )
 
+    def betweenness_sampled(self, eps: float = 0.05, delta: float = 0.1,
+                            max_depth: int = 20,
+                            max_sources: int | None = None) -> DataFrame:
+        """ε-bounded sampled betweenness (VERDICT r6 item 5): the
+        Brandes–Pich source-sampling estimator with the sample size
+        DERIVED from an accuracy target instead of hand-picked.
+
+        Each sampled source s contributes a normalized dependency
+        ``δ_s(v)/(n−1) ∈ [0,1]`` to vertex v's normalized betweenness,
+        so by Hoeffding + a union bound over the n vertices,
+
+            k = ceil( ln(2n/δ) / (2ε²) )
+
+        uniform sources give ``|b̃(v) − b(v)| ≤ ε`` for EVERY vertex
+        with probability ≥ 1−δ, where b is betweenness normalized by
+        n(n−1). (Riondato–Kornaropoulos '14 sharpen the constant with
+        VC bounds over sampled shortest PATHS; the source-sampling
+        form reuses the existing two-phase BFS machinery unchanged and
+        keeps the same (ε, δ) contract — the k here is merely somewhat
+        larger.) When k ≥ n the estimator IS exact Brandes — the
+        property the equivalence test pins.
+
+        Work is O(k·|E|) with k independent of |V| up to the log
+        factor — the knob that keeps dense graphs affordable where
+        exact Brandes is O(|V|·|E|). ``max_sources`` caps k (accuracy
+        degrades past the cap; the cap is reported via the raised
+        error rather than silently). Returns (id, betweenness) on the
+        RAW scale (× n/k), like ``betweenness_centrality``; divide by
+        n(n−1) for the normalized values the ε bound speaks about.
+
+        The k source ids are collected — k longs of model-state
+        parameter traffic (same posture as the 32-id sample in the
+        fixed entry), never the data.
+        """
+        import math
+
+        if not (0 < eps <= 1) or not (0 < delta < 1):
+            raise ValueError("need 0 < eps <= 1 and 0 < delta < 1")
+        n = self.vertices.count()
+        if n < 2:
+            return self.vertices.select(
+                "id", F.lit(0.0).alias("betweenness"))
+        k = min(n, math.ceil(math.log(2.0 * n / delta) / (2.0 * eps * eps)))
+        if max_sources is not None and k > max_sources:
+            raise ValueError(
+                f"eps={eps}, delta={delta} need k={k} sources "
+                f"> max_sources={max_sources}; loosen eps/delta or "
+                "raise the cap"
+            )
+        srcs = [
+            r["id"]
+            for r in self.vertices.select("id")
+            .orderBy(F.xxhash64(F.col("id").cast("string")), "id")
+            .limit(k)
+            .collect()
+        ]
+        return self.betweenness_centrality(
+            srcs, max_depth=max_depth, scale=float(n) / float(k))
+
     def triangle_count(self) -> DataFrame:
         """Global triangle count via canonical-edge (u<v) wedge closing.
 

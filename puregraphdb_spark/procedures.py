@@ -419,6 +419,16 @@ def _betweenness(spark, edges: str, sources: str,
         srcs, max_depth=int(max_depth), scale=float(scale))
 
 
+def _betweenness_sampled(spark, edges: str, eps: float = 0.05,
+                         delta: float = 0.1, max_depth: int = 20,
+                         vertices: str | None = None) -> DataFrame:
+    """CALL betweenness_sampled(edges => 'e', eps => 0.1) — ε-bounded
+    Brandes sampling; k = ceil(ln(2n/δ)/(2ε²)) sources derived from
+    the accuracy target instead of hand-picked."""
+    return _graph(spark, edges, vertices).betweenness_sampled(
+        eps=float(eps), delta=float(delta), max_depth=int(max_depth))
+
+
 def _louvain(spark, edges: str, weight_col: str | None = None,
              max_levels: int = 3, max_sweeps: int = 10) -> DataFrame:
     """CALL louvain(edges => 'e') — Louvain community detection
@@ -502,6 +512,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "funnel": _funnel,
     "reach": _reach,
     "betweenness": _betweenness,
+    "betweenness_sampled": _betweenness_sampled,
     "louvain": _louvain,
     "modularity": _modularity,
     "sequence_pack": _sequence_pack,

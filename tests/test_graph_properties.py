@@ -511,3 +511,65 @@ def test_betweenness_randomized_vs_reference(spark):
                 f"trial={trial} n={n} vertex={i}: "
                 f"got {got[i]} want {want[i]} edges={edges}"
             )
+
+
+def test_betweenness_sampled_exact_when_k_covers_n(spark):
+    """Small n forces k >= n, where the epsilon-bounded estimator IS
+    exact Brandes (all sources, scale n/k = 1) — bit-for-bit."""
+    v = spark.createDataFrame([(i,) for i in range(6)], ["id"])
+    ed = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    e = spark.createDataFrame(ed, ["src", "dst"])
+    g = Graph(v, e)
+    exact = _bc(g, list(range(6)))
+    got = {
+        r["id"]: r["betweenness"]
+        for r in g.betweenness_sampled(eps=0.1, delta=0.1).collect()
+    }
+    assert got == exact
+
+
+def test_betweenness_sampled_error_within_eps(spark):
+    """Force a PROPER subsample (eps sized so k < n) on a random
+    digraph and check the claimed bound empirically: the normalized
+    error |b~(v) - b(v)| / (n(n-1)) stays within eps for every vertex
+    (deterministic here — the hash-ordered source sample is fixed)."""
+    import math
+    import random
+
+    rnd = random.Random(23)
+    n = 40
+    edges = set()
+    for _ in range(4 * n):
+        u, v = rnd.sample(range(n), 2)
+        edges.add((u, v))
+    edges = sorted(edges)
+    vdf = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    g = Graph(vdf, edf)
+    exact = _bc(g, list(range(n)))
+    eps, delta = 0.45, 0.5
+    k = math.ceil(math.log(2 * n / delta) / (2 * eps * eps))
+    assert k < n  # the test is only meaningful as a real subsample
+    approx = {
+        r["id"]: r["betweenness"]
+        for r in g.betweenness_sampled(eps=eps, delta=delta).collect()
+    }
+    denom = n * (n - 1)
+    worst = max(abs(approx[i] - exact[i]) / denom for i in range(n))
+    assert worst <= eps, f"normalized error {worst} exceeds eps {eps}"
+
+
+def test_betweenness_sampled_validates_and_caps(spark):
+    v = spark.createDataFrame([(i,) for i in range(30)], ["id"])
+    e = spark.createDataFrame([(i, i + 1) for i in range(29)],
+                              ["src", "dst"])
+    g = Graph(v, e)
+    with pytest.raises(ValueError):
+        g.betweenness_sampled(eps=0.0)
+    with pytest.raises(ValueError):
+        g.betweenness_sampled(eps=0.05, delta=0.1, max_sources=8)
+    # single vertex: all-zero frame, no failure
+    v1 = spark.createDataFrame([(1,)], ["id"])
+    e0 = spark.createDataFrame([], "src long, dst long")
+    assert Graph(v1, e0).betweenness_sampled().collect()[0][
+        "betweenness"] == 0.0
