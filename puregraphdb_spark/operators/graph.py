@@ -180,8 +180,21 @@ class Graph:
 
     # -- motif / pattern matching ------------------------------------------
 
+    def _edges_derivation_is_heavy(self) -> bool:
+        """True when the edge relation is DERIVED by shuffle-inducing
+        work (aggregate/join/window/dedup in its analyzed plan) — the
+        signal ``find()`` uses to decide common-subplan sharing. A
+        bare scan/filter/project is cheap to replay and loses more
+        from blocked pushdown than it gains from reuse."""
+        import re as _re
+
+        plan = self.edges._jdf.queryExecution().analyzed().toString()
+        return bool(_re.search(
+            r"\b(Aggregate|Join|Window|Deduplicate|Distinct)\b", plan))
+
     def find(self, pattern: str,
-             attach_vertex_attrs: bool = True) -> DataFrame:
+             attach_vertex_attrs: bool = True,
+             share_edges: bool | None = None) -> DataFrame:
         """Declarative motif matching: ``find("(a)-[e]->(b); (b)-[]->(c)")``
         returns one row per binding of the pattern in the graph.
 
@@ -250,6 +263,31 @@ class Graph:
         known closed over the vertex set (e.g. endpoint-derived
         vertices) — it removes one join per named vertex, but also the
         membership filtering that join performs.
+
+        ``share_edges`` — automatic common-subplan sharing (SURVEY
+        §7.7 item 2 / VERDICT r6 item 6). A multi-term pattern plans
+        one INSTANCE of the edge relation per term; when that relation
+        is derived by real work each instance replays the derivation.
+        ``None`` (auto) lazily checkpoints the edge relation ONCE and
+        feeds every plain/negated term from the materialization when
+        ≥ 2 such terms exist AND the derivation is heavy
+        (``_edges_derivation_is_heavy``: aggregate/join/window/dedup
+        in its plan). MEASURED both ways at sf0.1 over the weighted
+        co-occurrence derivation (two-term chain): shared 0.43 s vs
+        unshared 0.80 s steady-state, 1.61 s vs 2.51 s first-action;
+        predicates do NOT flip the verdict on plain terms — measure
+        predicate (w>1) 0.26 s shared vs 0.68 s pushdown, id
+        predicate (id%10=0) 0.34 s vs 0.75 s — because the per-term
+        pushdown prunes below the derivation less than one shared
+        materialization saves. The oracled q65 wedge drops 1.03 s →
+        0.39 s under the auto rule. In-term pushdown keeps its round-6
+        win where it lives: variable-length terms derive their reach
+        relations outside the sharing (q91 unchanged at ~1.3 s, its
+        vertex predicate still prunes the frontier scans). Raw-scan
+        edge relations never share — replaying a parquet scan is
+        cheaper than materializing it, and scan pushdown would be
+        lost. ``True``/``False`` override the heuristic. Numbers in
+        PLANS.md.
         """
         terms = [t.strip() for t in pattern.split(";") if t.strip()]
         if not terms:
@@ -290,6 +328,20 @@ class Graph:
 
         out_order: list[str] = []  # struct columns, first-appearance order
 
+        # common-subplan sharing decision (see docstring)
+        plain_terms = sum(
+            1 for _neg, _s, _e, _d, _minh, maxh, _p, _sp, _dp in parsed
+            if maxh is None
+        )
+        if share_edges is None:
+            share_edges = (
+                plain_terms >= 2 and self._edges_derivation_is_heavy()
+            )
+        edges_rel = (
+            self.edges.localCheckpoint(eager=False)
+            if share_edges else self.edges
+        )
+
         ecols = {c: F.col(c) for c in self.edges.columns}
         result: DataFrame | None = None
         anon = 0
@@ -328,7 +380,7 @@ class Graph:
             elif d not in out_order:
                 out_order.append(d)
 
-            edf = self.edges if maxh is None else self.reach(maxh, minh or 1)
+            edf = edges_rel if maxh is None else self.reach(maxh, minh or 1)
             if pred is not None:
                 edf = edf.filter(_pred_column(pred, ecols))
             for p in s_preds:
@@ -375,7 +427,7 @@ class Graph:
                         f"negated-term vertex '{n}' is not bound by any "
                         "positive term"
                     )
-            rel = self.edges if maxh is None else self.reach(maxh, minh or 1)
+            rel = edges_rel if maxh is None else self.reach(maxh, minh or 1)
             if pred is not None:
                 rel = rel.filter(_pred_column(pred, ecols))
             # the bindings already satisfy their id-predicates; applying
@@ -1523,6 +1575,10 @@ def q65_motif_wedge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prunes term 1's scan like the old output filter did, AND the
     # negated term's anti-probe relation, which the output filter
     # never reached (measured 1.53 s → 1.08 s at sf0.1).
+    # find()'s auto subplan sharing fires here (2 plain terms + anti,
+    # Deduplicate-derived edges): the co-occurrence dedup materializes
+    # once and feeds all three term instances — measured 1.03 s →
+    # 0.39 s at sf0.1 on top of the round-6 in-term-predicate win.
     m = g.find("(a:id%100=0)-[]->(b); (b)-[]->(c); !(a)-[]->(c)",
                attach_vertex_attrs=False)
     return m.agg(

@@ -488,3 +488,62 @@ def test_reach_minhop_randomized_vs_bfs_reference(spark):
                     if m <= dd <= k:
                         want.add((s, t))
             assert got == want, (trial, m, k, sorted(edges))
+
+
+# -- automatic common-subplan sharing in find() (VERDICT r6 item 6) ----------
+
+
+def _derived_graph(spark, tmp_path):
+    """Edges DERIVED by an aggregate (heavy), as a pipeline would —
+    parquet-backed so the only possible ExistingRDD in any plan is
+    find()'s sharing checkpoint."""
+    path = str(tmp_path / "raw_edges")
+    spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 3), (2, 3), (3, 4), (1, 3)],
+        ["src", "dst"],
+    ).write.mode("overwrite").parquet(path)
+    raw = spark.read.parquet(path)
+    e = raw.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    v = e.selectExpr("src as id").union(
+        e.selectExpr("dst as id")).distinct()
+    return Graph(v, e)
+
+
+def test_find_auto_shares_heavy_derivation(spark, tmp_path):
+    from puregraphdb_spark.plans.explain import physical_plan
+
+    g = _derived_graph(spark, tmp_path)
+    shared = g.find("(a)-[]->(b); (b)-[]->(c)", attach_vertex_attrs=False)
+    # the derivation is hidden behind one lazy materialization: the
+    # physical plan scans the checkpoint RDD instead of replaying the
+    # aggregate per term
+    assert "ExistingRDD" in physical_plan(shared)
+    unshared = g.find("(a)-[]->(b); (b)-[]->(c)",
+                      attach_vertex_attrs=False, share_edges=False)
+    assert "ExistingRDD" not in physical_plan(unshared)
+    # identical results either way
+    key = lambda r: (r["a"]["id"], r["b"]["id"], r["c"]["id"])  # noqa: E731
+    assert sorted(map(key, shared.collect())) == sorted(
+        map(key, unshared.collect()))
+
+
+def test_find_auto_skips_raw_scans_and_single_terms(spark, tmp_path):
+    from puregraphdb_spark.plans.explain import physical_plan
+
+    # raw parquet scan: replay is cheap, pushdown matters -> no share
+    path = str(tmp_path / "edges")
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], ["src", "dst"]).write.parquet(path)
+    e = spark.read.parquet(path)
+    v = e.selectExpr("src as id").union(e.selectExpr("dst as id")).distinct()
+    g = Graph(v, e)
+    df = g.find("(a)-[]->(b); (b)-[]->(c)", attach_vertex_attrs=False)
+    assert "ExistingRDD" not in physical_plan(df)
+    # single plain term over a heavy derivation: nothing to share
+    gd = _derived_graph(spark, tmp_path)
+    one = gd.find("(a)-[]->(b)", attach_vertex_attrs=False)
+    assert "ExistingRDD" not in physical_plan(one)
+    # explicit override still available for the raw scan
+    forced = g.find("(a)-[]->(b); (b)-[]->(c)",
+                    attach_vertex_attrs=False, share_edges=True)
+    assert "ExistingRDD" in physical_plan(forced)
