@@ -460,6 +460,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_funnel_windows": events.q98_funnel_windows,
         "hypertable_rollup": hypertable_rollup,
         "sliding_window_counts": extras.sliding_window_counts,
+        # round-7 additions past the recorded window (rotate forward
+        # next round): link prediction, attribution, boilerplate
+        # shingles, temporal graph growth
+        "q100_link_prediction": graph.q100_link_prediction,
+        "q101_attribution": events.q101_attribution,
+        "q102_boilerplate_shingles": llm.q102_boilerplate_shingles,
+        "q103_graph_growth": graph.q103_graph_growth,
     }
 
 
@@ -1645,6 +1652,85 @@ def oracle_sql() -> dict[str, str]:
                          as decimal(28,10)), 6) as double)
                      as conv_vs_prev
             from d order by day, si
+        """,
+        "q100_link_prediction": """
+            with pairs as (
+                select distinct o.o_custkey as c, l.l_suppkey as s
+                from orders o join lineitem l
+                  on l.l_orderkey = o.o_orderkey),
+            cn as (
+                select a.s as s1, b.s as s2, count(*) as cn
+                from pairs a join pairs b on a.c = b.c and a.s < b.s
+                group by 1, 2),
+            deg as (select s, count(*) as d from pairs group by s)
+            select s1, s2, cast(cn as bigint) as cn,
+                   cast(round(cast(cast(cn as double)
+                        / cast(d1.d + d2.d - cn as double)
+                        as decimal(28,10)), 6) as double) as jaccard
+            from cn
+            join deg d1 on d1.s = cn.s1
+            join deg d2 on d2.s = cn.s2
+            order by jaccard desc, s1, s2
+            limit 50
+        """,
+        "q101_attribution": """
+            with p as (select event_id as pid, user_id as u, ts as pts
+                       from events where event_type = 'purchase'),
+            c as (select user_id as u, ts as cts
+                  from events where event_type = 'click'),
+            j as (
+                select p.pid, p.pts, max(c.cts) as last_click
+                from p left join c
+                  on c.u = p.u and c.cts < p.pts
+                 and c.cts >= p.pts - interval 3 day
+                group by 1, 2)
+            select date_trunc('day', pts) as day,
+                   cast(count(*) as bigint) as n_purchases,
+                   cast(count(last_click) as bigint) as n_attributed,
+                   cast(round(cast(cast(count(last_click) as double)
+                        / cast(count(*) as double)
+                        as decimal(28,10)), 6) as double)
+                     as attribution_rate
+            from j group by 1 order by 1
+        """,
+        "q102_boilerplate_shingles": """
+            with t as (
+                select doc_id, lang, string_split(text, ' ') as toks
+                from documents),
+            f as (select * from t where len(toks) >= 4),
+            g as (
+                select doc_id, lang,
+                       array_to_string(list_slice(toks, i, i + 3), ' ')
+                         as sh
+                from f, unnest(generate_series(1, len(toks) - 3))
+                     as u(i)),
+            s as (select lang, sh, count(distinct doc_id) as nd
+                  from g group by 1, 2)
+            select lang,
+                   cast(count(*) as bigint) as n_shingles,
+                   cast(sum(case when nd > 1 then 1 else 0 end)
+                        as bigint) as n_shared,
+                   cast(round(cast(
+                        cast(sum(case when nd > 1 then 1 else 0 end)
+                             as double) / cast(count(*) as double)
+                        as decimal(28,10)), 6) as double)
+                     as shared_ratio
+            from s group by lang order by lang
+        """,
+        "q103_graph_growth": """
+            with fs as (
+                select o.o_custkey as c, l.l_suppkey as s,
+                       min(date_trunc('month', o.o_orderdate)) as month
+                from orders o join lineitem l
+                  on l.l_orderkey = o.o_orderkey
+                group by 1, 2),
+            m as (select month, cast(count(*) as bigint) as n_new
+                  from fs group by month)
+            select month, n_new,
+                   cast(sum(n_new) over (order by month rows between
+                        unbounded preceding and current row) as bigint)
+                     as cum_edges
+            from m order by month
         """,
         "q99_modularity": """
             with pairs as (

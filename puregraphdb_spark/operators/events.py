@@ -359,3 +359,42 @@ def q88_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spark, sf_dir, "events", "cohort", "week_n",
     )
+
+
+def q101_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the same
+    user's LATEST click in the 3 days before it (strictly earlier);
+    per purchase day: purchases, attributed purchases, and the
+    attribution rate — the marketing-analytics join every event
+    pipeline ships next to the funnel. Counts are exact integers; the
+    rate is one snapped division.
+
+    Scale: one user-keyed interval join (clicks per user in a 3-day
+    window bound the fanout — the streaming twin is
+    streaming/joins.interval_join with the same condition), a
+    per-purchase max-agg, then a tiny per-day aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("u"),
+        F.col("ts").alias("pts"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("cts"))
+    j = p.join(
+        c,
+        (p.u == c.u)
+        & (c.cts < p.pts)
+        & (c.cts >= p.pts - interval_expr("3 days")),
+        "left",
+    ).groupBy("pid", "pts").agg(F.max("cts").alias("last_click"))
+    return final_sort(
+        j.groupBy(F.date_trunc("day", "pts").alias("day")).agg(
+            F.count("*").alias("n_purchases"),
+            F.count("last_click").alias("n_attributed"),
+            decimal_round(
+                F.count("last_click").cast("double")
+                / F.count("*").cast("double"), 6, grid=10,
+            ).alias("attribution_rate"),
+        ),
+        spark, sf_dir, "events", "day",
+    )

@@ -1853,3 +1853,97 @@ def q86_reach2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_reach")),
         spark, sf_dir, "lineitem", "s",
     )
+
+
+def q100_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the supplier co-supply
+    graph: supplier pairs sharing customers scored by Jaccard
+    |N(a)∩N(b)| / |N(a)∪N(b)| over their customer neighborhoods — the
+    classic link-prediction baseline (recommend a missing supplier
+    relationship). Top-50 by score with a total-order tiebreak; the
+    counts are exact integers, the score one snapped division.
+
+    Scale: the per-customer supplier self-join is the standard
+    common-neighbor expansion, bounded by the max per-customer
+    supplier count (hub customers are the q97-style skew diagnostic's
+    job); degrees attach by two broadcastable joins; the top-k is
+    TakeOrderedAndProject — no full sort.
+    """
+    from puregraphdb_spark.functions.numeric import decimal_round
+    from puregraphdb_spark.sources.registry import broadcast_if_small
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey")
+    pairs = (
+        l.join(broadcast_if_small(o, spark, sf_dir, "orders"),
+               o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("c"),
+                F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = pairs.select("c", F.col("s").alias("s1"))
+    b = pairs.select("c", F.col("s").alias("s2"))
+    cn = (
+        a.join(b, "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("cn"))
+    )
+    deg = pairs.groupBy("s").agg(F.count("*").alias("d"))
+    scored = (
+        cn.join(deg.select(F.col("s").alias("s1"), F.col("d").alias("d1")),
+                "s1")
+        .join(deg.select(F.col("s").alias("s2"), F.col("d").alias("d2")),
+              "s2")
+        .select(
+            "s1", "s2", F.col("cn").cast("long").alias("cn"),
+            decimal_round(
+                F.col("cn").cast("double")
+                / (F.col("d1") + F.col("d2") - F.col("cn")).cast("double"),
+                6, grid=10,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard"), "s1", "s2").limit(50)
+
+
+def q103_graph_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal graph growth: per month, the number of NEW distinct
+    customer→supplier edges (first order that realizes the pair) and
+    the cumulative edge count — the time-resolved view of how the
+    order graph densifies, the first chart every temporal-graph
+    analysis draws. Exact integer counts; months are date_trunc
+    epochs identical across engines.
+
+    Scale: one (pair → min month) aggregate over the joined stream,
+    one per-month count, then a window over the tiny month relation.
+    """
+    from pyspark.sql import Window as W
+
+    from puregraphdb_spark.sources.registry import (
+        broadcast_if_small, final_sort,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey")
+    first_seen = (
+        l.join(broadcast_if_small(o, spark, sf_dir, "orders"),
+               o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.min(F.date_trunc("month", "o_orderdate")).alias("month"))
+    )
+    monthly = first_seen.groupBy("month").agg(
+        F.count("*").cast("long").alias("n_new"))
+    w = W.orderBy("month").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return final_sort(
+        monthly.select(
+            "month", "n_new",
+            F.sum("n_new").over(w).cast("long").alias("cum_edges"),
+        ),
+        spark, sf_dir, "orders", "month",
+    )

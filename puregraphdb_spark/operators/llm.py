@@ -315,3 +315,47 @@ def q66_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spark, sf_dir, "documents", "corpus_id",
     )
+
+
+def q102_boilerplate_shingles(spark, sf_dir: str):
+    """Cross-document boilerplate detector: per language, how many
+    distinct 4-token shingles exist and how many appear in MORE THAN
+    ONE document — the corpus-level repetition measure that sizes a
+    boilerplate-removal pass (q63 scores pairwise similarity; q81
+    screens INTRA-doc repetition; this is the cross-doc share). Exact
+    integer counts; the shared ratio is one snapped division.
+
+    Scale: shingling is a map-side explode (sequence + slice in
+    codegen); ONE shuffle on (lang, shingle) with distinct-doc
+    aggregation; the per-lang rollup is tiny.
+    """
+    from puregraphdb_spark.functions.numeric import decimal_round
+    from puregraphdb_spark.sources.registry import final_sort, load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("toks"))
+    d = d.filter(F.size("toks") >= 4)
+    sh = d.select(
+        "doc_id", "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 3),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, 4)),
+            )
+        ).alias("sh"),
+    )
+    per_sh = sh.groupBy("lang", "sh").agg(
+        F.countDistinct("doc_id").alias("nd"))
+    return final_sort(
+        per_sh.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long").alias("n_shared"),
+            decimal_round(
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                .cast("double") / F.count("*").cast("double"),
+                6, grid=10,
+            ).alias("shared_ratio"),
+        ),
+        spark, sf_dir, "documents", "lang",
+    )
