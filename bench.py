@@ -85,7 +85,16 @@ def main() -> None:
         sf_val = sf
     # headline total = the BASELINE.md-comparable core 30 (q01–q30);
     # extended queries (q31+) are timed and reported but not summed.
-    core = {k: v for k, v in timings.items() if k[:3] <= "q30"}
+    # Anchored regex, not a string compare: "q100_..."[:3] <= "q30"
+    # is True, so the old prefix test silently pulled the 3-digit
+    # round-7 queries into the core total (measured: +2.0 s of
+    # phantom "regression" the per-query diff couldn't see).
+    import re as _re
+
+    core = {
+        k: v for k, v in timings.items()
+        if _re.match(r"^q(0[1-9]|[12][0-9]|30)_", k)
+    }
     record = {
         "metric": "survey30_total",
         "value": round(sum(core.values()), 4),
