@@ -332,9 +332,19 @@ def louvain(edges: DataFrame, weight_col: str | None = None,
         empty = ids.select("id", F.col("id").alias("community"))
         return (empty, []) if return_history else empty
 
+    import uuid
+
     spark = edges.sparkSession
-    tmp_root = work_dir or tempfile.mkdtemp(prefix="louvain-")
-    own_tmp = work_dir is None
+    # own uuid subdir even under a caller work_dir: two concurrent
+    # louvain runs sharing a work_dir must not overwrite each other's
+    # level files
+    run_id = uuid.uuid4().hex[:12]
+    if work_dir is None:
+        tmp_root = tempfile.mkdtemp(prefix="louvain-")
+        own_tmp = True
+    else:
+        tmp_root = f"{work_dir.rstrip('/')}/louvain-{run_id}"
+        own_tmp = True  # the subdir is ours either way
 
     def _roundtrip(df: DataFrame, name: str) -> DataFrame:
         path = f"{tmp_root}/{name}"
@@ -344,60 +354,65 @@ def louvain(edges: DataFrame, weight_col: str | None = None,
     global_assign: DataFrame | None = None
     history: list[float] = []
     q_global = None
-    for _level in range(max_levels):
-        deg = _level_degrees(sym, selfw).localCheckpoint(eager=True)
-        state = ids.select(
-            "id", F.col("id").alias("community")
-        ).localCheckpoint(eager=True)
-        q = _level_modularity(sym, selfw, state, m)
-        if not history:
-            history.append(q)
-        fails = 0
-        sweep = 0
-        moved_any = False
-        while fails < 2 and sweep < max_sweeps:
-            cand = _move_sweep(sym, deg, state, m, sweep % 2)
-            cand = cand.localCheckpoint(eager=True)
-            q_new = _level_modularity(sym, selfw, cand, m)
-            if q_new > q + _EPS:
-                state = cand
-                q = q_new
+    try:
+        for _level in range(max_levels):
+            deg = _level_degrees(sym, selfw).localCheckpoint(eager=True)
+            state = ids.select(
+                "id", F.col("id").alias("community")
+            ).localCheckpoint(eager=True)
+            q = _level_modularity(sym, selfw, state, m)
+            if not history:
                 history.append(q)
-                fails = 0
-                moved_any = True
+            fails = 0
+            sweep = 0
+            moved_any = False
+            while fails < 2 and sweep < max_sweeps:
+                cand = _move_sweep(sym, deg, state, m, sweep % 2)
+                cand = cand.localCheckpoint(eager=True)
+                q_new = _level_modularity(sym, selfw, cand, m)
+                if q_new > q + _EPS:
+                    state = cand
+                    q = q_new
+                    history.append(q)
+                    fails = 0
+                    moved_any = True
+                else:
+                    fails += 1
+                sweep += 1
+            # compose this level's mapping into the global assignment
+            if global_assign is None:
+                global_assign = state
             else:
-                fails += 1
-            sweep += 1
-        # compose this level's mapping into the global assignment
-        if global_assign is None:
-            global_assign = state
-        else:
-            lvl = state.select(F.col("id").alias("community"),
-                               F.col("community").alias("new_c"))
-            global_assign = (
-                global_assign.join(lvl, "community")
-                .select("id", F.col("new_c").alias("community"))
-                .localCheckpoint(eager=True)
-            )
-        if not moved_any or (q_global is not None and q <= q_global + _EPS):
-            break
-        q_global = q
-        sym_raw, selfw_raw = _contract(sym, selfw, state)
-        sym = _roundtrip(sym_raw, f"sym-{_level + 1}")
-        selfw = _roundtrip(selfw_raw, f"selfw-{_level + 1}")
-        ids = sym.select(F.col("src").alias("id")).distinct().unionByName(
-            selfw.select("id")).distinct()
+                lvl = state.select(F.col("id").alias("community"),
+                                   F.col("community").alias("new_c"))
+                global_assign = (
+                    global_assign.join(lvl, "community")
+                    .select("id", F.col("new_c").alias("community"))
+                    .localCheckpoint(eager=True)
+                )
+            if not moved_any or (q_global is not None and q <= q_global + _EPS):
+                break
+            q_global = q
+            sym_raw, selfw_raw = _contract(sym, selfw, state)
+            sym = _roundtrip(sym_raw, f"sym-{_level + 1}")
+            selfw = _roundtrip(selfw_raw, f"selfw-{_level + 1}")
+            ids = sym.select(F.col("src").alias("id")).distinct().unionByName(
+                selfw.select("id")).distinct()
 
-    # stable labels: community := min member id
-    labels = global_assign.groupBy("community").agg(
-        F.min("id").alias("label"))
-    out = (
-        global_assign.join(labels, "community")
-        .select("id", F.col("label").alias("community"))
-        .localCheckpoint(eager=True)
-    )
-    if own_tmp:
-        shutil.rmtree(tmp_root, ignore_errors=True)
+        # stable labels: community := min member id
+        labels = global_assign.groupBy("community").agg(
+            F.min("id").alias("label"))
+        out = (
+            global_assign.join(labels, "community")
+            .select("id", F.col("label").alias("community"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        # remove the level round-trip files on success AND on
+        # failure — on success `out` is already eagerly
+        # checkpointed, so nothing reads them again
+        if own_tmp:
+            shutil.rmtree(tmp_root, ignore_errors=True)
     return (out, history) if return_history else out
 
 
