@@ -56,6 +56,7 @@ DUCKDB_ONLY = {
     "q92_sequence_pack",     # list_filter/string_split
     "q93_minhash_bands",     # unnest/string_split
     "q96_embedding_centroids",  # unnest/generate_subscripts
+    "q102_boilerplate_shingles",  # string_split/list_slice/unnest
 }
 
 ORACLES = entrymod.oracle_sql()
@@ -118,3 +119,45 @@ def test_call_door_rejects_unknown_and_malformed(engine):
         engine.sql("CALL pagerank(bogus_param => 3)")
     with pytest.raises(ValueError, match="cannot parse"):
         engine.sql("CALL pagerank(edges => unquoted string)")
+
+
+def test_call_door_louvain_and_modularity(engine, spark):
+    """EP2 CALL ≡ Python API for the round-7 community procedures."""
+    from pyspark.sql import functions as F
+
+    from puregraphdb_spark.operators.community import louvain, modularity
+
+    rows = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a < b]
+    rows += [(a, b) for a in (4, 5, 6) for b in (4, 5, 6) if a < b]
+    rows += [(3, 4)]
+    e = spark.createDataFrame(rows, ["src", "dst"])
+    e.createOrReplaceTempView("cm_edges")
+    got = engine.sql(
+        "CALL louvain(edges => 'cm_edges', max_sweeps => 6)").toPandas()
+    want = louvain(e, max_sweeps=6).toPandas()
+    assert_frames_match(want, got)
+
+    a = spark.createDataFrame(
+        [(i, 1 if i <= 3 else 4) for i in range(1, 7)],
+        ["id", "community"])
+    a.createOrReplaceTempView("cm_assign")
+    got_q = engine.sql(
+        "CALL modularity(edges => 'cm_edges', assignment => 'cm_assign')"
+    ).collect()[0]
+    want_q = modularity(e, a).collect()[0]
+    assert got_q["q"] == want_q["q"] and got_q["m"] == want_q["m"]
+
+
+def test_call_door_betweenness_sampled(engine, spark):
+    from puregraphdb_spark.operators.graph import Graph
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], ["src", "dst"])
+    v = spark.createDataFrame([(i,) for i in range(6)], ["id"])
+    e.createOrReplaceTempView("bs_edges")
+    v.createOrReplaceTempView("bs_verts")
+    got = engine.sql(
+        "CALL betweenness_sampled(edges => 'bs_edges', "
+        "vertices => 'bs_verts', eps => 0.1, delta => 0.1)").toPandas()
+    want = Graph(v, e).betweenness_sampled(eps=0.1, delta=0.1).toPandas()
+    assert_frames_match(want, got)
