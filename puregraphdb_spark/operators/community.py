@@ -72,9 +72,11 @@ def modularity(edges: DataFrame, assignment: DataFrame,
 
     ``edges``: (src, dst[, weight]) — direction and duplicates are
     normalized away (canonical u<v, weights summed, self-loops dropped).
-    ``assignment``: (id, community). Vertices missing from the
-    assignment raise via an inner join dropping their edges — pass a
-    complete assignment. Returns (m, q) with q on the exact decimal
+    ``assignment``: (id, community) and it must be COMPLETE: an edge
+    whose endpoint is missing from the assignment is silently dropped
+    by the inner join (m shrinks and Q skews — there is no cheap way
+    to raise without an extra action). Returns (m, q) with q on the
+    exact decimal
     grid (both-engine stable: the community count is small, so the
     squared-share sum is snapped like every derived ratio — q51
     discipline).
@@ -338,13 +340,10 @@ def louvain(edges: DataFrame, weight_col: str | None = None,
     # own uuid subdir even under a caller work_dir: two concurrent
     # louvain runs sharing a work_dir must not overwrite each other's
     # level files
-    run_id = uuid.uuid4().hex[:12]
     if work_dir is None:
         tmp_root = tempfile.mkdtemp(prefix="louvain-")
-        own_tmp = True
     else:
-        tmp_root = f"{work_dir.rstrip('/')}/louvain-{run_id}"
-        own_tmp = True  # the subdir is ours either way
+        tmp_root = f"{work_dir.rstrip('/')}/louvain-{uuid.uuid4().hex[:12]}"
 
     def _roundtrip(df: DataFrame, name: str) -> DataFrame:
         path = f"{tmp_root}/{name}"
@@ -393,6 +392,11 @@ def louvain(edges: DataFrame, weight_col: str | None = None,
             if not moved_any or (q_global is not None and q <= q_global + _EPS):
                 break
             q_global = q
+            if _level == max_levels - 1:
+                # last level: contracting would be a full distributed
+                # write/read of the community graph that nothing reads
+                # (round-7 review finding #5)
+                break
             sym_raw, selfw_raw = _contract(sym, selfw, state)
             sym = _roundtrip(sym_raw, f"sym-{_level + 1}")
             selfw = _roundtrip(selfw_raw, f"selfw-{_level + 1}")
@@ -408,11 +412,11 @@ def louvain(edges: DataFrame, weight_col: str | None = None,
             .localCheckpoint(eager=True)
         )
     finally:
-        # remove the level round-trip files on success AND on
-        # failure — on success `out` is already eagerly
-        # checkpointed, so nothing reads them again
-        if own_tmp:
-            shutil.rmtree(tmp_root, ignore_errors=True)
+        # remove the level round-trip files (ours even under a caller
+        # work_dir — the uuid subdir) on success AND on failure; on
+        # success `out` is already eagerly checkpointed, so nothing
+        # reads them again
+        shutil.rmtree(tmp_root, ignore_errors=True)
     return (out, history) if return_history else out
 
 

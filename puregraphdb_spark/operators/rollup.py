@@ -166,6 +166,16 @@ _MANIFEST = "_manifest.json"
 _COMPACT_PREFIX = "compact-"
 
 
+def _is_partition_dir(name: str) -> bool:
+    """True only for LIVE partition directories. The compaction
+    committers create sibling dirs whose names EXTEND the partition
+    name (``bucket_date=X.__old`` / ``.__compact`` / ``.__mtmp-*``) —
+    a bare ``startswith("bucket_date=")`` matches those too, and a
+    reader that globs them sees doubled or half-written rows during a
+    crash window (round-7 review finding #1)."""
+    return name.startswith("bucket_date=") and ".__" not in name
+
+
 def _read_manifest(part_dir: str) -> dict | None:
     import json
     import os
@@ -195,47 +205,63 @@ def _publish_manifest(part_dir: str, manifest: dict) -> None:
 def _manifest_files(part_dir: str) -> list[str]:
     """The data files a reader must use for one partition directory.
 
-    Manifest present → exactly its file list (generation truth; stray
-    files from an in-flight or crashed compaction are excluded).
-    No manifest → every visible parquet EXCEPT unpublished
-    ``compact-*`` files (a first compaction that crashed pre-publish
-    leaves those; the sink never names files that way).
+    Manifest present → the manifest's ``files`` PLUS any plain
+    (non-``compact-``) parquet not in its ``retired`` list — those are
+    LATE APPENDS that landed after the publish (a too-early
+    ``closed_before``); excluding them would silently hide their rows,
+    and deleting them (as the first protocol revision did) would
+    destroy them. ``retired`` files — the previous generation's
+    inputs, kept on disk for one compaction cycle as the concurrent-
+    reader grace window — are excluded, as are unpublished
+    ``compact-*`` strays from an in-flight or crashed rewrite.
+    No manifest → every visible parquet except ``compact-*`` strays
+    (the sink never names files that way).
     """
     import os
 
     man = _read_manifest(part_dir)
-    if man is not None:
-        return [os.path.join(part_dir, f) for f in man["files"]]
-    return [
-        os.path.join(part_dir, f)
-        for f in sorted(os.listdir(part_dir))
-        if f.endswith(".parquet") and not f.startswith(_COMPACT_PREFIX)
-    ]
+    published = man["files"] if man else []
+    retired = set(man.get("retired", [])) if man else set()
+    seen = set(published)
+    out = [os.path.join(part_dir, f) for f in published]
+    for f in sorted(os.listdir(part_dir)):
+        if (f.endswith(".parquet") and not f.startswith(_COMPACT_PREFIX)
+                and f not in retired and f not in seen):
+            out.append(os.path.join(part_dir, f))
+    return out
 
 
 def _compact_partition_manifest(spark, part_dir: str,
                                 target_files: int) -> bool:
     """Object-store-safe compaction of one closed partition (VERDICT
-    r6 item 4): no directory renames, no window where the partition is
-    unreadable or double-counted.
+    r6 item 4): no directory renames, no instant where a manifest-
+    aware reader sees zero, doubled, or vanishing rows.
 
-    Protocol (manifest-is-truth, generation-numbered):
-      1. Heal: delete any ``compact-*`` file not listed in the current
-         manifest (strays from a crashed previous run).
-      2. Read the CURRENT file set (via ``_manifest_files``) — skip if
-         already ≤ target_files.
+    Protocol (manifest-is-truth, generation-numbered, deferred
+    deletes):
+      1. Heal: delete the previous publish's ``retired`` files (their
+         one-cycle reader grace window has passed) and any
+         ``compact-*`` file not listed in the manifest (strays from a
+         crash before a publish).
+      2. Resolve the live inputs via ``_manifest_files`` — the
+         published set plus late-appended plain files. Skip when
+         already ≤ target_files and nothing unmerged.
       3. Write the compacted data as ``compact-<gen>-*.parquet``
          INSIDE the live directory (readers ignore them: globbers by
          the prefix rule, manifest readers because the manifest still
          lists the old generation).
       4. Publish the new manifest in ONE atomic replace/PUT — the
-         single commit point.
-      5. Delete every data file not in the new manifest.
-    A crash before 4 leaves the old state fully readable (next run
-    heals the strays); a crash after 4 leaves the new state fully
-    readable (next run finishes the deletes). At no instant can a
-    reader see zero or doubled rows — the property the rename swap
-    could not give on stores without atomic rename.
+         single commit point — with ``retired`` = the inputs the new
+         files supersede. NOTHING is deleted at publish time: a
+         reader that resolved the previous manifest moments earlier
+         keeps scanning files that still exist (the retention the
+         first revision lacked); they are removed by step 1 of the
+         NEXT run.
+    Crash before 4 → old state fully readable, strays healed next
+    run. Crash after 4 → new state fully readable (deletes were never
+    pending). Late appends after 4 → visible to readers immediately,
+    merged by the next run. Single-compactor-per-partition assumed
+    (same as the rename committer).
     """
     import os
     import shutil
@@ -243,34 +269,32 @@ def _compact_partition_manifest(spark, part_dir: str,
 
     man = _read_manifest(part_dir)
     published = set(man["files"]) if man else set()
+    retired = set(man.get("retired", [])) if man else set()
     gen = (man["generation"] + 1) if man else 1
     for f in list(os.listdir(part_dir)):
         if not f.endswith(".parquet") or f in published:
             continue
-        # strays: unpublished compact files from a crash before the
-        # publish, or (when a manifest exists) pre-compaction files a
-        # crash after the publish left undeleted — both superseded
-        if man is not None or f.startswith(_COMPACT_PREFIX):
+        if f in retired or (f.startswith(_COMPACT_PREFIX)):
             os.remove(os.path.join(part_dir, f))
     files = _manifest_files(part_dir)
-    if len(files) <= target_files:
+    unmerged = [f for f in files if os.path.basename(f) not in published]
+    if len(files) <= target_files and (man is None or not unmerged):
         return False
     df = spark.read.parquet(*files)
     tmp_out = part_dir + f".__mtmp-{uuid.uuid4().hex[:8]}"
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp_out)
     new_names = []
-    for i, f in enumerate(sorted(os.listdir(tmp_out))):
-        if not f.endswith(".parquet"):
-            continue
+    parts = sorted(f for f in os.listdir(tmp_out) if f.endswith(".parquet"))
+    for i, f in enumerate(parts):
         name = f"{_COMPACT_PREFIX}{gen:05d}-{i:04d}.parquet"
         os.replace(os.path.join(tmp_out, f), os.path.join(part_dir, name))
         new_names.append(name)
     shutil.rmtree(tmp_out)
-    _publish_manifest(part_dir, {"generation": gen, "files": new_names})
-    keep = set(new_names) | {_MANIFEST}
-    for f in list(os.listdir(part_dir)):
-        if f.endswith(".parquet") and f not in keep:
-            os.remove(os.path.join(part_dir, f))
+    _publish_manifest(part_dir, {
+        "generation": gen,
+        "files": new_names,
+        "retired": sorted(os.path.basename(f) for f in files),
+    })
     return True
 
 
@@ -337,7 +361,7 @@ def compact_closed_partitions(spark, table_path: str,
                 # stray tmp output dir from a crashed manifest run
                 shutil.rmtree(os.path.join(table_path, entry))
                 continue
-            if not entry.startswith("bucket_date="):
+            if not _is_partition_dir(entry):
                 continue
             if entry.split("=", 1)[1] >= closed:
                 continue
@@ -358,7 +382,7 @@ def compact_closed_partitions(spark, table_path: str,
             shutil.rmtree(os.path.join(table_path, entry))
             continue
     for entry in sorted(os.listdir(table_path)):
-        if not entry.startswith("bucket_date="):
+        if not _is_partition_dir(entry):
             continue
         date_val = entry.split("=", 1)[1]
         if date_val >= closed:
@@ -411,7 +435,7 @@ def read_finest(spark, table_path: str, group_cols: list[str],
     part_dirs = sorted(
         os.path.join(table_path, e)
         for e in os.listdir(table_path)
-        if e.startswith("bucket_date=")
+        if _is_partition_dir(e)
     )
     files = [f for d in part_dirs for f in _manifest_files(d)]
     if not files:

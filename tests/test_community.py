@@ -61,11 +61,15 @@ def test_modularity_normalizes_direction_and_duplicates(spark):
         [(i, 1 if i <= 3 else 4) for i in range(1, 7)],
         "id long, community long")
     q_clean = modularity(clean, a).collect()[0]["q"]
-    # duplicate 3-4 edge doubles that pair's weight -> different q, so
-    # compare against the weight-summed expectation instead of clean
-    row = modularity(messy, a).collect()[0]
-    assert row["m"] == 8.0  # 7 distinct pairs + duplicated bridge weight
     assert q_clean == pytest.approx(0.357143, abs=1e-6)
+    # duplicate 3-4 edge doubles that pair's weight: m = 8 and, by
+    # hand, W_in = 3+3 = 6, d_A = 2+2+4 = 8 = d_B, so
+    # Q = 2*6/16 - (64+64)/256 = 0.75 - 0.5 = 0.25 exactly — pins the
+    # direction/duplicate/self-loop normalization of Q itself, not
+    # just of m (round-7 review finding #7)
+    row = modularity(messy, a).collect()[0]
+    assert row["m"] == 8.0
+    assert row["q"] == pytest.approx(0.25, abs=1e-9)
 
 
 def test_louvain_two_triangles(spark):

@@ -363,41 +363,86 @@ def _part_files(table, date):
 
 def test_manifest_committer_compacts_without_renames(spark, tmp_path):
     """committer='manifest' (VERDICT r6 item 4): compaction commits by
-    one atomic manifest PUT — files collapse, content is identical via
-    read_finest's manifest-aware resolution, the open partition is
-    untouched, and a second run is a no-op."""
+    one atomic manifest PUT. After the commit the superseded inputs
+    stay on disk for ONE compaction cycle (the concurrent-reader grace
+    window) but are excluded by the manifest's retired list; the next
+    run heals them away. read_finest is correct at every point."""
+    import os
+
     from puregraphdb_spark.operators.rollup import (
-        _manifest_files, compact_closed_partitions,
+        _manifest_files, compact_closed_partitions, read_finest,
     )
 
     table, before = _fragged_table(spark, tmp_path)
+    want = sorted((r[0], r[1], r[2]) for r in before)
+
+    def manifest_read():
+        return sorted(
+            tuple(r) for r in read_finest(
+                spark, table, ["grp"], {"n": ("sum", "n")}).collect()
+        )
+
     done = compact_closed_partitions(
         spark, table, closed_before="2026-01-02", committer="manifest")
     assert len(done) == 1
-    closed = _part_files(table, "2026-01-01")
-    assert len(closed) == 1 and closed[0].startswith("compact-00001-")
-    assert len(_part_files(table, "2026-01-02")) >= 4
-    import os
-
-    files = [
-        os.path.basename(f)
-        for d in sorted(os.listdir(table)) if d.startswith("bucket_date=")
-        for f in _manifest_files(os.path.join(table, d))
-    ]
-    assert any(f.startswith("compact-") for f in files)
-    # content identical through the manifest-aware resolution AND a
-    # naive glob read (old files are deleted post-publish)
-    from puregraphdb_spark.operators.rollup import read_finest
-
-    got = sorted(
-        tuple(r) for r in read_finest(
-            spark, table, ["grp"], {"n": ("sum", "n")}).collect()
-    )
-    want = sorted((r[0], r[1], r[2]) for r in before)
-    assert got == want
-    assert _visible(spark, table) == before
+    d = os.path.join(table, "bucket_date=2026-01-01")
+    files = [os.path.basename(f) for f in _manifest_files(d)]
+    assert files == ["compact-00001-0000.parquet"]
+    # retired inputs still on disk (reader grace window), excluded by
+    # the manifest — read_finest must NOT double-count them
+    assert len(_part_files(table, "2026-01-01")) > 1
+    assert manifest_read() == want
+    assert len(_part_files(table, "2026-01-02")) >= 4  # open untouched
+    # second run: nothing to rewrite -> [], and the heal step removes
+    # the retired files; a NAIVE glob is clean from here on
     assert compact_closed_partitions(
         spark, table, closed_before="2026-01-02", committer="manifest") == []
+    assert _part_files(table, "2026-01-01") == [
+        "compact-00001-0000.parquet"]
+    assert manifest_read() == want
+    assert _visible(spark, table) == before
+
+
+def test_manifest_committer_late_append_survives(spark, tmp_path):
+    """A file appended AFTER a publish (too-early closed_before) must
+    stay visible to readers immediately and be MERGED by the next
+    compaction — never deleted (round-7 review finding #2: the first
+    protocol revision destroyed such files in the heal step)."""
+    import os
+
+    from puregraphdb_spark.operators.rollup import (
+        compact_closed_partitions, read_finest,
+    )
+
+    table, before = _fragged_table(spark, tmp_path)
+    compact_closed_partitions(
+        spark, table, closed_before="2026-01-02", committer="manifest")
+    # late append into the already-compacted partition
+    late = spark.createDataFrame(
+        [(999, 9, 9990)], "bucket long, grp long, n long"
+    ).withColumn("bucket_date", F.lit("2026-01-01"))
+    late.coalesce(1).write.mode("append").partitionBy(
+        "bucket_date").parquet(table)
+    want = sorted(
+        [(r[0], r[1], r[2]) for r in before] + [(999, 9, 9990)])
+
+    def manifest_read():
+        return sorted(
+            tuple(r) for r in read_finest(
+                spark, table, ["grp"], {"n": ("sum", "n")}).collect()
+        )
+
+    assert manifest_read() == want  # visible before any further run
+    done = compact_closed_partitions(
+        spark, table, closed_before="2026-01-02", committer="manifest")
+    assert len(done) == 1  # gen 2 merges the late file
+    assert manifest_read() == want
+    # one more run heals the gen-1 leftovers; single compacted file
+    compact_closed_partitions(
+        spark, table, closed_before="2026-01-02", committer="manifest")
+    assert _part_files(table, "2026-01-01") == [
+        "compact-00002-0000.parquet"]
+    assert manifest_read() == want
 
 
 def test_manifest_committer_crash_before_publish_is_invisible(
@@ -439,12 +484,15 @@ def test_manifest_committer_crash_before_publish_is_invisible(
     done = R.compact_closed_partitions(
         spark, table, closed_before="2026-01-02", committer="manifest")
     assert len(done) == 1
-    assert len(_part_files(table, "2026-01-01")) == 1
     got2 = sorted(
         tuple(r) for r in R.read_finest(
             spark, table, ["grp"], {"n": ("sum", "n")}).collect()
     )
     assert got2 == got
+    # one more run heals the retired originals away
+    R.compact_closed_partitions(
+        spark, table, closed_before="2026-01-02", committer="manifest")
+    assert len(_part_files(table, "2026-01-01")) == 1
 
 
 def test_manifest_committer_crash_after_publish_heals_deletes(
@@ -479,14 +527,14 @@ def test_manifest_committer_crash_after_publish_heals_deletes(
     d = os.path.join(table, "bucket_date=2026-01-01")
     old = [f for f in os.listdir(d)
            if f.endswith(".parquet") and not f.startswith("compact-")]
-    assert old  # crash left the previous generation's files behind
+    assert old  # previous generation retired on disk (grace window)
     got = sorted(
         tuple(r) for r in R.read_finest(
             spark, table, ["grp"], {"n": ("sum", "n")}).collect()
     )
     assert got == want  # new state, no double counting
-    # recovery: the heal step deletes the superseded old files even
-    # though the rewrite itself is a no-op (1 file <= target)
+    # next run's heal deletes the retired generation even though the
+    # rewrite itself is a no-op (1 file <= target, nothing unmerged)
     R.compact_closed_partitions(
         spark, table, closed_before="2026-01-02", committer="manifest")
     left = [f for f in os.listdir(d)
