@@ -467,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_attribution": events.q101_attribution,
         "q102_boilerplate_shingles": llm.q102_boilerplate_shingles,
         "q103_graph_growth": graph.q103_graph_growth,
+        "graph_louvain_weighted": community.graph_louvain_weighted,
     }
 
 

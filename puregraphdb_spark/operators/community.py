@@ -481,3 +481,29 @@ def graph_louvain(spark, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_members"))
         .orderBy("community")
     )
+
+
+def graph_louvain_weighted(spark, sf_dir: str) -> DataFrame:
+    """Weighted Louvain over the order graph with edge weight = order
+    multiplicity (the same weighting `graph_wpagerank` iterates on) —
+    heavy repeat-business customer↔supplier ties pull harder than
+    one-off orders. Rows-only like `graph_louvain`; the weighted
+    machinery itself is pinned by the uniform-weight ≡ unweighted
+    equivalence test and the weighted resolution property test."""
+    from puregraphdb_spark.operators.graph import order_graph_edges
+    from puregraphdb_spark.sources.registry import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey")
+    weighted = (
+        order_graph_edges(o, l)
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    assign = louvain(weighted, weight_col="w", max_levels=2, max_sweeps=6)
+    return (
+        assign.groupBy("community")
+        .agg(F.count("*").alias("n_members"))
+        .orderBy("community")
+    )

@@ -145,3 +145,18 @@ def test_louvain_edgeless_and_single_edge(spark):
     e1 = _edges(spark, [(1, 2)])
     rows = {r["id"]: r["community"] for r in louvain(e1).collect()}
     assert rows == {1: 1, 2: 1}
+
+
+def test_louvain_uniform_weights_equal_unweighted(spark):
+    """weight_col of all-1.0 must reproduce the unweighted run
+    bit-for-bit (the graph_wpagerank discipline applied to louvain —
+    pins that the weighted path shares every code path, not a fork)."""
+    pairs = (_clique([1, 2, 3]) + _clique([4, 5, 6]) + [(3, 4)]
+             + _clique([7, 8, 9]) + [(6, 7)])
+    uw, uh = louvain(_edges(spark, pairs), return_history=True)
+    w = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], "src long, dst long, w double")
+    ww, wh = louvain(w, weight_col="w", return_history=True)
+    assert uh == wh
+    assert sorted(map(tuple, uw.collect())) == sorted(
+        map(tuple, ww.collect()))
