@@ -468,6 +468,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_boilerplate_shingles": llm.q102_boilerplate_shingles,
         "q103_graph_growth": graph.q103_graph_growth,
         "graph_louvain_weighted": community.graph_louvain_weighted,
+        # round-7 session-2 additions (also past the recorded window):
+        # behavioral-sequence + marketing-analytics + mining coverage
+        "q104_markov_transitions": events.q104_markov_transitions,
+        "q105_rfm_segments": extras.q105_rfm_segments,
+        "q106_cooccur_lift": extras.q106_cooccur_lift,
+        "q107_session_paths": events.q107_session_paths,
+        "q108_reorder_intervals": extras.q108_reorder_intervals,
     }
 
 
@@ -1937,5 +1944,117 @@ def oracle_sql() -> dict[str, str]:
             )
             group by win, event_type
             order by win, event_type
+        """,
+        "q104_markov_transitions": """
+            with seq as (
+              select lag(event_type) over (partition by user_id
+                       order by ts, event_id) as src,
+                     event_type as dst
+              from events),
+            c as (select src, dst, cast(count(*) as bigint) as n
+                  from seq where src is not null group by src, dst)
+            select src, dst, n,
+                   cast(round(cast(cast(n as double)
+                        / cast(sum(n) over (partition by src) as double)
+                        as decimal(28,10)), 6) as double) as p
+            from c order by src, dst
+        """,
+        "q105_rfm_segments": """
+            with cust as (
+              select o_custkey, max(o_orderdate) as last_order,
+                     cast(count(*) as bigint) as freq,
+                     sum(cast(o_totalprice as decimal(28,2))) as monetary
+              from orders group by o_custkey),
+            scored as (
+              select cast(ntile(4) over (order by last_order desc, o_custkey)
+                       as bigint) as r_score,
+                     cast(ntile(4) over (order by freq desc, o_custkey)
+                       as bigint) as f_score,
+                     cast(ntile(4) over (order by monetary desc, o_custkey)
+                       as bigint) as m_score,
+                     monetary
+              from cust)
+            select r_score, f_score, m_score,
+                   cast(count(*) as bigint) as n_cust,
+                   cast(round(cast(cast(sum(monetary) as double)
+                        / cast(count(*) as double)
+                        as decimal(28,10)), 2) as double) as avg_monetary
+            from scored group by r_score, f_score, m_score
+            order by r_score, f_score, m_score
+        """,
+        "q106_cooccur_lift": """
+            with items as (
+              select distinct l_orderkey, l_partkey from lineitem),
+            n1 as (select l_partkey as pk, cast(count(*) as bigint) as n_one
+                   from items group by l_partkey),
+            tot as (select cast(count(distinct l_orderkey) as bigint)
+                      as n_orders from lineitem),
+            pairs as (
+              select ia.l_partkey as a, ib.l_partkey as b,
+                     cast(count(*) as bigint) as n_ab
+              from items ia join items ib
+                on ia.l_orderkey = ib.l_orderkey
+               and ia.l_partkey < ib.l_partkey
+              group by 1, 2
+              having count(*) >= 3)
+            select a, b, n_ab,
+                   cast(round(cast(cast(n_ab * t.n_orders as double)
+                        / cast(na.n_one * nb.n_one as double)
+                        as decimal(28,10)), 6) as double) as lift
+            from pairs join n1 na on na.pk = pairs.a
+                 join n1 nb on nb.pk = pairs.b
+                 cross join tot t
+            order by lift desc, a, b limit 30
+        """,
+        "q107_session_paths": """
+            with marked as (
+              select user_id, ts, event_id, event_type,
+                 case when lag(ts) over (partition by user_id
+                        order by ts, event_id) is null
+                      or ts - lag(ts) over (partition by user_id
+                        order by ts, event_id) > interval '30 minutes'
+                      then 1 else 0 end as new_s
+              from events),
+            sess as (
+              select user_id, event_id, ts, event_type,
+                     cast(sum(new_s) over (partition by user_id
+                          order by ts, event_id rows between unbounded
+                          preceding and current row) as bigint) as sid
+              from marked),
+            ranked as (
+              select user_id, sid, event_type,
+                     row_number() over (partition by user_id, sid
+                       order by ts, event_id) as rn,
+                     cast(count(*) over (partition by user_id, sid)
+                       as bigint) as n_ev
+              from sess),
+            paths as (
+              select user_id, sid,
+                     max(case when rn = 1 then event_type end) || '>' ||
+                     max(case when rn = 2 then event_type end) || '>' ||
+                     max(case when rn = 3 then event_type end) as path
+              from ranked where rn <= 3 and n_ev >= 3
+              group by user_id, sid)
+            select path, cast(count(*) as bigint) as n_sessions
+            from paths group by path
+            order by n_sessions desc, path limit 20
+        """,
+        "q108_reorder_intervals": """
+            with gaps as (
+              select o_custkey,
+                     cast(date_diff('day',
+                       cast(lag(o_orderdate) over (partition by o_custkey
+                            order by o_orderdate, o_orderkey) as date),
+                       cast(o_orderdate as date)) as bigint) as gap_days
+              from orders),
+            g as (select * from gaps where gap_days is not null)
+            select n_name, cast(count(*) as bigint) as n_gaps,
+                   cast(round(cast(cast(sum(gap_days) as double)
+                        / cast(count(*) as double)
+                        as decimal(28,10)), 4) as double) as avg_gap_days,
+                   max(gap_days) as max_gap_days
+            from g join customer on c_custkey = o_custkey
+                  join nation on n_nationkey = c_nationkey
+            group by n_name order by n_name
         """,
     }

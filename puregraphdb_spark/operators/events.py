@@ -398,3 +398,100 @@ def q101_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spark, sf_dir, "events", "day",
     )
+
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """Per-user event-type transition matrix: count and row-normalized
+    probability of each (src -> dst) consecutive-event pair.
+
+    The behavioral-sequence summary every event pipeline ships next to
+    funnels: which action follows which, globally, with P(dst | src).
+
+    Scale: the lag window partitions on user_id — the load-time
+    partitioning of `events` already clusters on user_id, so the window
+    needs NO exchange. The pair aggregation partial-aggregates map-side
+    down to |types|^2 rows (25 here), and the per-src normalization
+    window runs over that tiny aggregate. One shuffle total, on a
+    25-row stream.
+
+    Counts are exact integers; each probability is ONE division of
+    exact integers snapped on the decimal grid (SURVEY §7.4).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("src", F.lag("event_type").over(w))
+        .filter(F.col("src").isNotNull())
+    )
+    counts = (
+        pairs.groupBy("src", F.col("event_type").alias("dst"))
+        .agg(F.count("*").alias("n"))
+    )
+    wsrc = Window.partitionBy("src")
+    return counts.select(
+        "src", "dst", "n",
+        decimal_round(
+            F.col("n").cast("double")
+            / F.sum("n").over(wsrc).cast("double"), 6, grid=10,
+        ).alias("p"),
+    )
+
+
+def q104_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = markov_transitions(load_table(spark, sf_dir, "events"))
+    return final_sort(res, spark, sf_dir, "events", "src", "dst")
+
+
+def session_paths(events: DataFrame, gap: str = "30 minutes",
+                  depth: int = 3, k: int = 20) -> DataFrame:
+    """Top-k opening paths: the first ``depth`` event types of each
+    session (>= depth events), concatenated 'a>b>c', counted across
+    sessions.
+
+    Uses the same gaps-and-islands sessionization as ``sessionize``
+    (epoch-microsecond gap compare), with an event_id tiebreak so the
+    path order is total even under timestamp ties.
+
+    Scale: every window here partitions on user_id or (user_id, sid) —
+    hash-clustering on user_id satisfies both, so all four window
+    passes share the ONE exchange the events load already did. The
+    path count partial-aggregates map-side (paths are |types|^depth at
+    most); top-k plans as TakeOrderedAndProject.
+    """
+    gap_us = _gap_seconds(gap) * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > F.lit(gap_us)),
+        1,
+    ).otherwise(0)
+    sess = (
+        events.select("user_id", "ts", "event_id", "event_type",
+                      new_s.alias("new_s"))
+        .withColumn("sid", F.sum("new_s").over(wcum).cast("long"))
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    ranked = (
+        sess.withColumn("rn", F.row_number().over(ws))
+        .withColumn("n_ev", F.count("*").over(Window.partitionBy("user_id", "sid")))
+        .filter((F.col("rn") <= depth) & (F.col("n_ev") >= depth))
+    )
+    # first-`depth` types pivoted positionally (max(when(rn=i)) — an
+    # aggregation, not a collect_list, so no ordering ambiguity)
+    slots = [F.max(F.when(F.col("rn") == i, F.col("event_type"))).alias(f"s{i}")
+             for i in range(1, depth + 1)]
+    paths = (
+        ranked.groupBy("user_id", "sid").agg(*slots)
+        .select(F.concat_ws(">", *[f"s{i}" for i in range(1, depth + 1)])
+                .alias("path"))
+    )
+    return (
+        paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path").limit(k)
+    )
+
+
+def q107_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_paths(load_table(spark, sf_dir, "events"))

@@ -875,3 +875,153 @@ def q62_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q105_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile scores for Recency (latest order),
+    Frequency (order count) and Monetary (total spend) per customer,
+    then customer count + average spend per (r, f, m) segment.
+
+    Cross-engine exactness: monetary sums in decimal(28,2) (exact, so
+    the ntile ORDER BY sees identical keys on both engines), every
+    ntile ORDER BY carries the o_custkey tiebreak (total order ->
+    identical bucket assignment), and the per-segment average is ONE
+    snapped division of a decimal sum by an integer count.
+
+    Scale: the customer aggregate is dimension-sized (one row per
+    customer with orders), so the three unpartitioned ntile windows run
+    over a dim table, not the fact stream — that is the documented
+    posture (global quantile scoring of a dimension). For fact-sized
+    inputs use percent_rank banding (q55) or approx percentiles
+    (operators/percentile.py) instead of exact global ntile.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("monetary"),
+    )
+    r = F.ntile(4).over(Window.orderBy(F.desc("last_order"), F.col("o_custkey")))
+    f = F.ntile(4).over(Window.orderBy(F.desc("freq"), F.col("o_custkey")))
+    m = F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.col("o_custkey")))
+    scored = cust.select(
+        r.cast("long").alias("r_score"), f.cast("long").alias("f_score"),
+        m.cast("long").alias("m_score"), "monetary",
+    )
+    seg = scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_cust"),
+        decimal_round(
+            F.sum("monetary").cast("double") / F.count("*").cast("double"),
+            2, grid=10,
+        ).alias("avg_monetary"),
+    )
+    return final_sort(seg, spark, sf_dir, "orders",
+                      "r_score", "f_score", "m_score")
+
+
+def cooccur_lift(lineitem: DataFrame, n_orders_df: DataFrame,
+                 min_support: int = 3, k: int = 30,
+                 hint=lambda df: df) -> DataFrame:
+    """Market-basket association mining: top-k part pairs by lift.
+
+    lift(a,b) = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b) over order
+    baskets — the support/lift mining layer on top of the same
+    co-occurrence structure the graph queries project (SURVEY §2.3),
+    which those queries never expose as association scores.
+
+    Scale: the (orderkey, partkey) dedup and the self-join are both
+    keyed on l_orderkey — co-located with lineitem's load partitioning
+    (zero extra shuffle); the pair aggregation is the one wide shuffle;
+    per-part order counts are part-keyspace-sized, so they are joined
+    back through ``hint`` — the oracled wrapper passes the MEASURED
+    size gate (broadcast under it, shuffle join past it; a bare
+    F.broadcast would force-broadcast a scale-growing aggregate at
+    100 TB). The 1-row total is always broadcast. Top-k plans as
+    TakeOrderedAndProject.
+
+    Exactness: all counts are exact integers; lift is ONE division of
+    exact long products (≤ 2^53, value-preserving in double) snapped on
+    the decimal grid; (lift desc, a, b) is a total order.
+    """
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_a = items.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count("*").alias("n_one"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    na = hint(n_a.select(F.col("pk").alias("a"), F.col("n_one").alias("n_a")))
+    nb = hint(n_a.select(F.col("pk").alias("b"), F.col("n_one").alias("n_b")))
+    res = (
+        pairs
+        .join(na, "a")
+        .join(nb, "b")
+        .crossJoin(F.broadcast(n_orders_df))
+        .select(
+            "a", "b", "n_ab",
+            decimal_round(
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6, grid=10,
+            ).alias("lift"),
+        )
+    )
+    return res.orderBy(F.desc("lift"), "a", "b").limit(k)
+
+
+def q106_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    n_orders = l.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders"))
+    return cooccur_lift(
+        l, n_orders,
+        hint=lambda df: broadcast_if_small(df, spark, sf_dir, "part"))
+
+
+def q108_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap statistics per nation: day gaps between a
+    customer's consecutive orders (lag window), aggregated to count /
+    average / max per customer nation.
+
+    Scale: the lag window partitions on o_custkey — orders' load
+    partitioning already clusters on it, so the window needs no
+    exchange; customer joins through the MEASURED size gate (it grows
+    with the data — broadcast under the gate, shuffle join past it),
+    nation is a bounded dim (25 rows, safe hint); the final aggregate
+    is nation-sized. Day diffs are exact ints
+    (date-truncated on both engines); the average is ONE snapped
+    division.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("prev", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff(F.to_date("o_orderdate"), F.to_date("prev"))
+            .cast("long").alias("gap_days"),
+        )
+    )
+    res = (
+        gaps.join(broadcast_if_small(c, spark, sf_dir, "customer"),
+                  gaps.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            decimal_round(
+                F.sum("gap_days").cast("double") / F.count("*").cast("double"),
+                4, grid=10,
+            ).alias("avg_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+    )
+    return final_sort(res, spark, sf_dir, "orders", "n_name")

@@ -689,4 +689,43 @@ SPARK_SQL: dict[str, str] = {
         from documents d join embeddings e on d.doc_id = e.vec_id
         order by doc_id
     """,
+    "q108_reorder_intervals": """
+        with gaps as (
+          select o_custkey,
+                 cast(datediff(cast(o_orderdate as date),
+                   cast(lag(o_orderdate) over (partition by o_custkey
+                        order by o_orderdate, o_orderkey) as date))
+                   as bigint) as gap_days
+          from orders),
+        g as (select * from gaps where gap_days is not null)
+        select n_name, cast(count(*) as bigint) as n_gaps,
+               cast(round(cast(cast(sum(gap_days) as double)
+                    / cast(count(*) as double)
+                    as decimal(28,10)), 4) as double) as avg_gap_days,
+               max(gap_days) as max_gap_days
+        from g join customer on c_custkey = o_custkey
+              join nation on n_nationkey = c_nationkey
+        group by n_name order by n_name
+    """,
+    "q102_boilerplate_shingles": """
+        with t as (
+            select doc_id, lang, split(text, ' ') as toks
+            from documents),
+        f as (select * from t where size(toks) >= 4),
+        g as (
+            select doc_id, lang, explode(transform(
+                     sequence(1, size(toks) - 3),
+                     i -> concat_ws(' ', slice(toks, i, 4)))) as sh
+            from f),
+        s as (select lang, sh, count(distinct doc_id) as nd
+              from g group by lang, sh)
+        select lang,
+               cast(count(*) as bigint) as n_shingles,
+               cast(sum(case when nd > 1 then 1 else 0 end)
+                    as bigint) as n_shared,
+               cast(round(cast(cast(sum(case when nd > 1 then 1 else 0 end)
+                    as double) / cast(count(*) as double)
+                    as decimal(28,10)), 6) as double) as shared_ratio
+        from s group by lang order by lang
+    """,
 }

@@ -57,6 +57,7 @@ DUCKDB_ONLY = {
     "q93_minhash_bands",     # unnest/string_split
     "q96_embedding_centroids",  # unnest/generate_subscripts
     "q102_boilerplate_shingles",  # string_split/list_slice/unnest
+    "q108_reorder_intervals",  # date_diff('day', ...) 3-arg signature
 }
 
 ORACLES = entrymod.oracle_sql()
