@@ -166,6 +166,31 @@ def graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF approximate neighborhood function of the SYMMETRIZED
+    order graph (Boldi–Rosa–Vigna, WWW'11): one row per hop t with the
+    estimated number of vertex pairs within distance t and its
+    fraction of the final (closure) value — the 0.9-effective diameter
+    is the smallest t with frac_of_final >= 0.9. Rows-only: HLL
+    sketches are engine-specific by design (same allowance as
+    approx_distinct_parts); property-tested against exact BFS closures
+    on path/star/clique-chain graphs (tests/test_graph_extended.py)."""
+    g = _order_graph(spark, sf_dir)
+    sym = graph.Graph(
+        g.vertices,
+        g.edges.unionByName(
+            g.edges.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst"))
+        ).distinct(),
+    )
+    nf = sym.anf(m=64, max_iter=16)
+    final = nf[-1][1]
+    return spark.createDataFrame(
+        [(t, n, round(n / final, 6)) for t, n in nf],
+        "t int, est_pairs double, frac_of_final double",
+    )
+
+
 def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brandes-sampled betweenness centrality over the undirected order
     graph (rows-only: two-phase iterative BFS + dependency
@@ -475,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_cooccur_lift": extras.q106_cooccur_lift,
         "q107_session_paths": events.q107_session_paths,
         "q108_reorder_intervals": extras.q108_reorder_intervals,
+        "graph_anf": graph_anf,
     }
 
 

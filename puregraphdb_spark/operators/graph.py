@@ -987,6 +987,115 @@ class Graph:
             state = state.localCheckpoint(eager=True)
         return state
 
+    def anf(self, m: int = 64, max_iter: int = 16,
+            rel_tol: float = 0.01) -> list[tuple[int, float]]:
+        """HyperANF (Boldi, Rosa & Vigna, WWW'11 [PUBLIC]): approximate
+        neighborhood function N(t) = estimated number of (u, v) pairs
+        with dist(u, v) <= t, one HyperLogLog counter per vertex.
+
+        Each vertex keeps ``m`` HLL registers AS COLUMNS (tinyint
+        r0..r{m-1}) rather than an array: the per-hop counter union is
+        then plain ``max()`` aggregation — full map-side partial
+        aggregation in Tungsten, no array explode (x``m`` row blowup)
+        and no collect_list (unbounded per-key buffers on high-degree
+        vertices). Registers hold rho values <= 59, so tinyint.
+
+        Per superstep: ONE shuffle (neighbor registers unioned with own,
+        max-merged per vertex); the per-hop cardinality readout is one
+        aggregate action whose result is a SINGLE driver-side scalar
+        (convergence signature, same sanctioned class as pagerank's
+        1-row delta). Register width is m bytes/vertex — at 10^9
+        vertices and m=64 that is 64 GB of state spread across the
+        cluster, the published HyperANF design point.
+
+        Stops when N(t) grows by less than ``rel_tol`` relative — N is
+        non-decreasing by construction (registers only ever go up).
+        Returns the driver-side [(t, N(t))] list — iteration-summary
+        model state, k scalars, not a data collect. ``graph_anf`` and
+        ``CALL anf`` wrap it as a DataFrame.
+
+        Estimator: standard HLL bias-corrected harmonic mean with the
+        linear-counting small-range correction (the estimate of a
+        single counter is exact-ish for |ball| << m, which keeps the
+        per-vertex estimates honest on small test graphs).
+        """
+        if m not in (16, 32, 64, 128, 256):
+            raise ValueError(f"m must be one of 16/32/64/128/256, got {m}")
+        p = m.bit_length() - 1
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+            m, 0.7213 / (1 + 1.079 / m))
+        regs = [f"r{j}" for j in range(m)]
+
+        # rho of the singleton {id}: bucket = low p bits of xxhash64,
+        # rho = 1 + count-trailing-zeros of the remaining bits. (w & -w)
+        # isolates the lowest set bit — an exact power of two, so its
+        # log2 is exact in double. P(rho >= k) = 2^-(k-1): geometric,
+        # which is all HLL needs.
+        h = F.xxhash64(F.col("id"))
+        j = h.bitwiseAND(F.lit(m - 1)).cast("int")
+        w = F.shiftrightunsigned(h, p)
+        rho = (
+            F.when(w == 0, F.lit(64 - p))
+            .otherwise(F.log2(w.bitwiseAND(-w)).cast("int") + 1)
+            .cast("tinyint")
+        )
+        init = self.vertices.select(
+            "id", *[
+                F.when(j == jj, rho).otherwise(F.lit(0).cast("tinyint"))
+                .alias(r) for jj, r in enumerate(regs)
+            ],
+        )
+
+        # per-vertex cardinality estimate from the m register columns
+        z = None
+        for r in regs:
+            term = F.pow(F.lit(2.0), -F.col(r).cast("double"))
+            z = term if z is None else z + term
+        v_zero = None
+        for r in regs:
+            iszero = F.when(F.col(r) == 0, 1).otherwise(0)
+            v_zero = iszero if v_zero is None else v_zero + iszero
+        e_raw = F.lit(alpha * m * m) / z
+        est = F.when(
+            (e_raw <= 2.5 * m) & (v_zero > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero),
+        ).otherwise(e_raw)
+
+        edges = self.edges.select("src", "dst").persist()
+        state = init.persist()
+        nf = [(0, float(state.agg(F.sum(est)).collect()[0][0]))]
+        pending: list[DataFrame] = []
+        try:
+            for t in range(1, max_iter + 1):
+                msgs = (
+                    edges.join(state, edges.src == state.id)
+                    .select(F.col("dst").alias("id"), *regs)
+                )
+                new_state = (
+                    state.unionByName(msgs)
+                    .groupBy("id")
+                    .agg(*[F.max(r).alias(r) for r in regs])
+                )
+                if t % 4 == 0 or _plan_chars(new_state) > 150_000:
+                    new_state = new_state.localCheckpoint(eager=True)
+                    for s in pending:
+                        s.unpersist()
+                    pending.clear()
+                else:
+                    new_state = new_state.persist()
+                n_t = float(new_state.agg(F.sum(est)).collect()[0][0])
+                nf.append((t, n_t))
+                pending.append(state)
+                state = new_state
+                if n_t <= nf[-2][1] * (1 + rel_tol):
+                    break
+        finally:
+            edges.unpersist()
+            for s in pending:
+                s.unpersist()
+            state.unpersist()
+        return nf
+
     def personalized_pagerank(self, source: int, reset_prob: float = 0.15,
                               max_iter: int = 10) -> DataFrame:
         """PageRank with teleport mass concentrated on ``source``

@@ -439,6 +439,20 @@ def _louvain(spark, edges: str, weight_col: str | None = None,
                    max_levels=int(max_levels), max_sweeps=int(max_sweeps))
 
 
+def _anf(spark, edges: str, m: int = 64, max_iter: int = 16,
+         rel_tol: float = 0.01, vertices: str | None = None) -> DataFrame:
+    """CALL anf(edges => 'e') — HyperANF approximate neighborhood
+    function -> one row per hop t: (t, est_pairs, frac_of_final).
+    The q-effective diameter is the smallest t with
+    frac_of_final >= q."""
+    nf = _graph(spark, edges, vertices).anf(
+        m=m, max_iter=max_iter, rel_tol=rel_tol)
+    final = nf[-1][1]
+    return spark.createDataFrame(
+        [(t, n, round(n / final, 6)) for t, n in nf],
+        "t int, est_pairs double, frac_of_final double")
+
+
 def _modularity(spark, edges: str, assignment: str,
                 weight_col: str | None = None,
                 comm_col: str = "community") -> DataFrame:
@@ -515,6 +529,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "betweenness_sampled": _betweenness_sampled,
     "louvain": _louvain,
     "modularity": _modularity,
+    "anf": _anf,
     "sequence_pack": _sequence_pack,
     "interval_join": _interval_join,
     "harmonic_centrality": _harmonic,

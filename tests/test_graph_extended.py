@@ -547,3 +547,76 @@ def test_find_auto_skips_raw_scans_and_single_terms(spark, tmp_path):
     forced = g.find("(a)-[]->(b); (b)-[]->(c)",
                     attach_vertex_attrs=False, share_edges=True)
     assert "ExistingRDD" in physical_plan(forced)
+
+
+# -- HyperANF approximate neighborhood function ------------------------------
+
+
+def _sym_graph(spark, edges):
+    ids = sorted({x for e in edges for x in e})
+    v = spark.createDataFrame([(i,) for i in ids], ["id"])
+    sym = list({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    e = spark.createDataFrame(sym, ["src", "dst"])
+    return Graph(v, e), ids, sym
+
+
+def _exact_nf(ids, sym_edges, max_t):
+    """Exact N(t) = #(u,v) pairs with dist <= t, by per-source BFS."""
+    adj = {}
+    for a, b in sym_edges:
+        adj.setdefault(a, set()).add(b)
+    nf = []
+    for t in range(max_t + 1):
+        total = 0
+        for s in ids:
+            seen, frontier = {s}, {s}
+            for _ in range(t):
+                frontier = {n for f in frontier
+                            for n in adj.get(f, ())} - seen
+                seen |= frontier
+            total += len(seen)
+        nf.append(total)
+    return nf
+
+
+@pytest.mark.parametrize("edges,max_t", [
+    # path P6: diameter 5
+    ([(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], 5),
+    # star S8: diameter 2
+    ([(0, i) for i in range(1, 9)], 2),
+    # two cliques bridged: K4 - 4-5 - K4
+    ([(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+      (5, 6), (5, 7), (5, 8), (6, 7), (6, 8), (7, 8)], 3),
+])
+def test_anf_tracks_exact_neighborhood_function(spark, edges, max_t):
+    g, ids, sym = _sym_graph(spark, edges)
+    exact = _exact_nf(ids, sym, max_t)
+    nf = dict(g.anf(m=64, max_iter=max_t + 2, rel_tol=0.0))
+    # estimates exist for every hop to closure, are monotone, and track
+    # the exact value within HLL small-range accuracy (linear counting;
+    # 30% covers worst-case tiny-set bucket collisions at m=64)
+    prev = -1.0
+    for t in range(max_t + 1):
+        est = nf[t]
+        assert est >= prev - 1e-9
+        prev = est
+        assert abs(est - exact[t]) / exact[t] < 0.30, (t, est, exact[t])
+
+
+def test_anf_converges_at_closure_and_caps_iterations(spark):
+    g, ids, sym = _sym_graph(spark, [(1, 2), (2, 3)])
+    nf = g.anf(m=64, max_iter=10, rel_tol=0.01)
+    # P3 closes at t=2; the loop must stop well before max_iter
+    assert nf[-1][0] <= 4
+    assert nf[-1][1] == pytest.approx(nf[-2][1], rel=0.011)
+
+
+def test_anf_rejects_bad_register_count(spark):
+    g, _, _ = _sym_graph(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="m must be"):
+        g.anf(m=48)
+
+
+def test_anf_deterministic_across_runs(spark):
+    g, _, _ = _sym_graph(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+    assert g.anf(m=64, max_iter=6) == g.anf(m=64, max_iter=6)

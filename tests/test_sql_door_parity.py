@@ -162,3 +162,22 @@ def test_call_door_betweenness_sampled(engine, spark):
         "vertices => 'bs_verts', eps => 0.1, delta => 0.1)").toPandas()
     want = Graph(v, e).betweenness_sampled(eps=0.1, delta=0.1).toPandas()
     assert_frames_match(want, got)
+
+
+def test_call_door_anf(engine, spark):
+    from puregraphdb_spark.operators.graph import Graph
+
+    # symmetrized P4 — known closure at t=3
+    pairs = [(1, 2), (2, 3), (3, 4)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    e = spark.createDataFrame(sym, ["src", "dst"])
+    e.createOrReplaceTempView("anf_edges")
+    got = engine.sql(
+        "CALL anf(edges => 'anf_edges', rel_tol => 0.0, max_iter => 5)"
+    ).toPandas()
+    v = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], ["id"])
+    want_nf = Graph(v, e).anf(m=64, max_iter=5, rel_tol=0.0)
+    assert list(got["t"]) == [t for t, _ in want_nf]
+    assert list(got["est_pairs"]) == pytest.approx(
+        [n for _, n in want_nf])
+    assert got["frac_of_final"].iloc[-1] == 1.0
