@@ -523,6 +523,158 @@ def read_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
     return vectors, [list(r["cvec"]) for r in cents]
 
 
+def append_to_ivf_index(new_vectors: DataFrame, path: str,
+                        id_col: str = "vec_id",
+                        emb_col: str = "embedding") -> int:
+    """Append vectors to a persisted IVF index: assign each to its
+    nearest EXISTING centroid and append into that cluster's partition
+    directory. Cheap (pure map + partitioned append, no shuffle, no
+    clustering) — the write-side half of index maintenance. Appends
+    make centroids drift from their member means; ``refresh_ivf_index``
+    is the read-repair. Returns the number of vectors appended.
+    """
+    import os
+
+    spark = new_vectors.sparkSession
+    vectors, cents = read_ivf_index(spark, path)
+    # match the stored embedding dtype exactly — a float/double mix in
+    # one partition directory breaks schema merge on read
+    stored_type = vectors.schema[emb_col].dataType
+    assigned = ivf_assign(
+        new_vectors.select(F.col(id_col),
+                           F.col(emb_col).cast(stored_type).alias(emb_col)),
+        cents, emb_col)
+    n = assigned.count()
+    assigned.write.mode("append").partitionBy("cluster").parquet(
+        os.path.join(path, "vectors"))
+    return n
+
+
+def ivf_drift_report(spark, path: str,
+                     emb_col: str = "embedding") -> list[dict]:
+    """Per-cluster drift of a persisted IVF index: how far each stored
+    centroid sits from its CURRENT member mean (1 − cosine). One
+    distributed pass (posexplode + per-(cluster, dim) avg — map-side
+    combine, one shuffle); the report itself is k rows of model state
+    (k×dim parameter traffic, kmeans_centroids' contract), returned as
+    driver-side dicts with the recomputed means attached so a refresh
+    can reuse them without a second corpus scan.
+    """
+    vectors, cents = read_ivf_index(spark, path)
+    dim = len(cents[0])
+    stats = (
+        vectors.select("cluster", F.posexplode(emb_col).alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.avg("val").alias("m"), F.count("*").alias("n"))
+        .collect()
+    )
+    by_cluster: dict[int, dict[int, float]] = {}
+    counts: dict[int, int] = {}
+    for r in stats:
+        by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        counts[r["cluster"]] = r["n"]
+    report = []
+    for ci, cent in enumerate(cents):
+        dims = by_cluster.get(ci)
+        if not dims:
+            report.append({"cluster": ci, "n_vecs": 0, "drift": 0.0,
+                           "mean": list(cent)})
+            continue
+        mean = [dims.get(p, 0.0) for p in range(dim)]
+        num = sum(a * b for a, b in zip(cent, mean))
+        na = math.sqrt(sum(a * a for a in cent))
+        nb = math.sqrt(sum(b * b for b in mean))
+        cos = num / (na * nb) if na > 0 and nb > 0 else 1.0
+        report.append({"cluster": ci, "n_vecs": counts[ci],
+                       "drift": 1.0 - cos, "mean": mean})
+    return report
+
+
+def refresh_ivf_index(spark, path: str, drift_threshold: float = 0.02,
+                      id_col: str = "vec_id",
+                      emb_col: str = "embedding") -> dict:
+    """Incremental re-clustering of a persisted IVF index: update only
+    the centroids whose member mean drifted past ``drift_threshold``
+    (1 − cosine) and re-assign ONLY the members of those clusters
+    against the updated centroid set. Stable clusters keep their files
+    untouched — at 1B vectors a refresh after localized appends
+    rewrites a handful of partition directories, not the index.
+
+    Write path: the union of (unchanged members of destination
+    clusters + re-assigned vectors) is written with DYNAMIC partition
+    overwrite, so exactly the affected ``cluster=N`` directories are
+    replaced; a drifted cluster left empty is deleted through the
+    Hadoop FS API (works on file:/ and object stores). The swap is
+    per-partition-atomic on rename-based filesystems; on S3-class
+    stores layer the generation-manifest committer
+    (operators/rollup.py) underneath — same seam as rollup compaction.
+
+    Returns {"refreshed": [cluster ids], "n_reassigned": int,
+    "n_moved": int, "max_drift": float}.
+    """
+    import os
+
+    report = ivf_drift_report(spark, path, emb_col)
+    max_drift = max((r["drift"] for r in report), default=0.0)
+    drifted = [r["cluster"] for r in report
+               if r["n_vecs"] > 0 and r["drift"] > drift_threshold]
+    if not drifted:
+        return {"refreshed": [], "n_reassigned": 0, "n_moved": 0,
+                "max_drift": max_drift}
+
+    vectors, cents = read_ivf_index(spark, path)
+    new_cents = [r["mean"] if r["cluster"] in set(drifted)
+                 else list(cents[r["cluster"]]) for r in report]
+    members = vectors.filter(F.col("cluster").isin(drifted)).select(
+        F.col(id_col), F.col(emb_col))
+    moved = ivf_assign(members, new_cents, emb_col).persist()
+    dests = [r["cluster"]
+             for r in moved.select("cluster").distinct().collect()]
+    n_reassigned = moved.count()
+    n_moved = moved.filter(~F.col("cluster").isin(drifted)).count()
+    affected = sorted(set(drifted) | set(dests))
+    stay = vectors.filter(
+        F.col("cluster").isin([c for c in affected if c not in set(drifted)])
+    ).select(F.col(id_col), F.col(emb_col), F.col("cluster").cast("int"))
+    new_content = stay.unionByName(
+        moved.select(F.col(id_col), F.col(emb_col),
+                     F.col("cluster").cast("int")))
+
+    vec_dir = os.path.join(path, "vectors")
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        new_content.write.mode("overwrite").partitionBy("cluster").parquet(
+            vec_dir)
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+        moved.unpersist()
+    # a drifted cluster that lost every member writes no partition →
+    # its old directory would linger; drop it explicitly
+    emptied = sorted(set(drifted) - set(dests))
+    if emptied:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for ci in emptied:
+            p = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(vec_dir, f"cluster={ci}"))
+            fs = p.getFileSystem(conf)
+            if fs.exists(p):
+                fs.delete(p, True)
+
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(new_cents)],
+        "cluster int, cvec array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids"))
+    return {"refreshed": drifted, "n_reassigned": n_reassigned,
+            "n_moved": n_moved, "max_drift": max_drift}
+
+
 # ---------------------------------------------------------------------------
 # random-hyperplane LSH for embeddings (cosine ANN)
 # ---------------------------------------------------------------------------

@@ -239,6 +239,32 @@ def _ann_topk(spark, queries: str, corpus: str = "embeddings",
     )
 
 
+def _ivf_drift(spark, path: str, emb_col: str = "embedding") -> DataFrame:
+    """CALL ivf_drift(path => '/idx') — per-cluster centroid drift of a
+    persisted IVF index -> (cluster, n_vecs, drift)."""
+    from puregraphdb_spark.operators.similarity import ivf_drift_report
+
+    rows = ivf_drift_report(spark, path, emb_col=emb_col)
+    return spark.createDataFrame(
+        [(r["cluster"], r["n_vecs"], r["drift"]) for r in rows],
+        "cluster int, n_vecs long, drift double")
+
+
+def _ivf_refresh(spark, path: str, drift_threshold: float = 0.02,
+                 id_col: str = "vec_id",
+                 emb_col: str = "embedding") -> DataFrame:
+    """CALL ivf_refresh(path => '/idx') — incremental re-clustering of
+    the drifted IVF clusters -> one summary row."""
+    from puregraphdb_spark.operators.similarity import refresh_ivf_index
+
+    out = refresh_ivf_index(spark, path, drift_threshold=float(drift_threshold),
+                            id_col=id_col, emb_col=emb_col)
+    return spark.createDataFrame(
+        [(",".join(str(c) for c in out["refreshed"]), out["n_reassigned"],
+          out["n_moved"], out["max_drift"])],
+        "refreshed string, n_reassigned long, n_moved long, max_drift double")
+
+
 def _as_of_join(spark, left: str, right: str, on: str,
                 left_ts: str, right_ts: str, right_cols: str,
                 prefix: str = "asof_") -> DataFrame:
@@ -519,6 +545,8 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "audio_features": _audio_features,
     "embedding_near_dup": _embedding_near_dup,
     "ann_topk": _ann_topk,
+    "ivf_drift": _ivf_drift,
+    "ivf_refresh": _ivf_refresh,
     "text_profile": _text_profile,
     "quality_report": _quality_report,
     "contamination_report": _contamination_report,
