@@ -191,6 +191,27 @@ def graph_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded uniform random walks over the symmetrized order graph
+    (DeepWalk/node2vec p=q=1 corpus — the graph-embedding training-data
+    generator). Rows-only: the walk corpus is seeded-hash-driven and
+    engine-specific by design; determinism, edge-validity, sink-stop
+    and cap semantics are property-tested
+    (tests/test_graph_extended.py)."""
+    g = _order_graph(spark, sf_dir)
+    sym = graph.Graph(
+        g.vertices,
+        g.edges.unionByName(
+            g.edges.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst"))
+        ).distinct(),
+    )
+    return (
+        sym.random_walks(walk_length=6, walks_per_node=2)
+        .orderBy("start_id", "walk_no")
+    )
+
+
 def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brandes-sampled betweenness centrality over the undirected order
     graph (rows-only: two-phase iterative BFS + dependency
@@ -357,10 +378,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded q01-q50; round 6 rotated to q51-q98 + the named oracled
     entries — so every ORACLED entry now has a driver-green record,
     while the rows-only entries have never been recorded. This round
-    therefore leads with ALL 20 rows-only entries (the 18 existing +
-    louvain + sampled betweenness), then the brand-new oracled
-    q99_modularity, then a q01-q29 re-record to fill the 50-window;
-    the remaining oracled entries (driver-green r5 AND r6) follow.
+    therefore leads with ALL 23 rows-only entries (the 18 existing +
+    louvain + sampled betweenness + weighted louvain + HyperANF +
+    random walks), then the brand-new oracled q99_modularity, then a
+    q01-q26 re-record to fill the 50-window; the remaining oracled
+    entries (driver-green r5 AND r6) follow.
     """
     return {
         "graph_pagerank": graph_pagerank,
@@ -376,6 +398,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_betweenness": graph_betweenness,
         "graph_betweenness_approx": graph_betweenness_approx,
         "graph_louvain": community.graph_louvain,
+        "graph_louvain_weighted": community.graph_louvain_weighted,
+        "graph_anf": graph_anf,
+        "graph_random_walks": graph_random_walks,
         "text_profile": text_profile,
         "text_quality_report": text_quality_report,
         "dedup_minhash_near": dedup_minhash_near,
@@ -492,15 +517,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_attribution": events.q101_attribution,
         "q102_boilerplate_shingles": llm.q102_boilerplate_shingles,
         "q103_graph_growth": graph.q103_graph_growth,
-        "graph_louvain_weighted": community.graph_louvain_weighted,
         # round-7 session-2 additions (also past the recorded window):
         # behavioral-sequence + marketing-analytics + mining coverage
+        # (the session-2/3 rows-only members — weighted louvain,
+        # HyperANF, random walks — lead the dict with the rest of the
+        # rows-only block so CORRECTNESS_r07 records them)
         "q104_markov_transitions": events.q104_markov_transitions,
         "q105_rfm_segments": extras.q105_rfm_segments,
         "q106_cooccur_lift": extras.q106_cooccur_lift,
         "q107_session_paths": events.q107_session_paths,
         "q108_reorder_intervals": extras.q108_reorder_intervals,
-        "graph_anf": graph_anf,
+        # round-7 session-3 additions: revenue cohorting, robust
+        # outliers, graph shape summary, weighted corpus sampling
+        "q109_cohort_ltv": extras.q109_cohort_ltv,
+        "q110_mad_outliers": pipeline.q110_mad_outliers,
+        "q111_degree_histogram": graph.q111_degree_histogram,
+        "q112_weighted_sample": pipeline.q112_weighted_sample,
     }
 
 
@@ -2082,5 +2114,92 @@ def oracle_sql() -> dict[str, str]:
             from g join customer on c_custkey = o_custkey
                   join nation on n_nationkey = c_nationkey
             group by n_name order by n_name
+        """,
+        "q109_cohort_ltv": """
+            with first as (
+              select o_custkey,
+                     date_trunc('month', min(o_orderdate)) as cohort
+              from orders group by o_custkey),
+            sz as (select cohort, cast(count(*) as bigint) as n_cohort
+                   from first group by cohort),
+            j as (select f.cohort,
+                         cast((year(o.o_orderdate) - year(f.cohort)) * 12
+                              + (month(o.o_orderdate) - month(f.cohort))
+                           as bigint) as month_offset,
+                         o.o_custkey,
+                         cast(o.o_totalprice as decimal(28,2)) as p
+                  from orders o join first f on f.o_custkey = o.o_custkey),
+            agg as (select cohort, month_offset,
+                           cast(count(distinct o_custkey) as bigint)
+                             as n_active,
+                           sum(p) as rev
+                    from j group by cohort, month_offset),
+            cum as (select a.cohort, a.month_offset, a.n_active,
+                           cast(a.rev as double) as revenue,
+                           cast(sum(a.rev) over (
+                                partition by a.cohort order by a.month_offset
+                                rows between unbounded preceding
+                                         and current row) * 100 as bigint)
+                             as cum_cents,
+                           cast(s.n_cohort as bigint) as n_cohort
+                    from agg a join sz s on s.cohort = a.cohort)
+            select cohort, month_offset, n_active, revenue,
+                   cast((2 * cum_cents + n_cohort) // (2 * n_cohort)
+                     as double) / 100.0 as ltv_per_cust
+            from cum order by cohort, month_offset
+        """,
+        "q110_mad_outliers": """
+            with b as (
+              select l_returnflag, l_extendedprice as x,
+                     l_orderkey, l_linenumber,
+                     row_number() over (partition by l_returnflag
+                       order by l_extendedprice, l_orderkey, l_linenumber)
+                       as rn,
+                     count(*) over (partition by l_returnflag) as n
+              from lineitem),
+            med as (select l_returnflag, x as med, n as n_rows from b
+                    where rn = cast(floor((n + 1) / 2.0) as bigint)),
+            d as (select b.l_returnflag, abs(b.x - m.med) as dev,
+                         b.l_orderkey, b.l_linenumber, m.med, m.n_rows
+                  from b join med m using (l_returnflag)),
+            d2 as (select *, row_number() over (partition by l_returnflag
+                     order by dev, l_orderkey, l_linenumber) as rn2
+                   from d),
+            mad as (select l_returnflag, dev as mad from d2
+                    where rn2 = cast(floor((n_rows + 1) / 2.0) as bigint))
+            select d.l_returnflag, cast(max(d.n_rows) as bigint) as n,
+                   max(d.med) as med, max(a.mad) as mad,
+                   cast(count(case when d.dev > 3 * a.mad then 1 end)
+                     as bigint) as n_out
+            from d join mad a using (l_returnflag)
+            group by d.l_returnflag order by d.l_returnflag
+        """,
+        "q111_degree_histogram": """
+            with e as (
+              select distinct o_custkey as src, l_suppkey as dst
+              from orders join lineitem on o_orderkey = l_orderkey),
+            deg as (select src, cast(count(*) as bigint) as degree
+                    from e group by src),
+            tot as (select cast(count(*) as double) as n_tot from deg)
+            select d.degree, cast(count(*) as bigint) as n_cust,
+                   cast(round(cast(cast(count(*) as double) / max(t.n_tot)
+                        as decimal(28,10)), 6) as double) as share
+            from deg d cross join tot t
+            group by d.degree order by d.degree
+        """,
+        "q112_weighted_sample": """
+            with s as (
+              select lang, doc_id, n_chars,
+                     ln(cast((doc_id * 2654435761) % 4294967296 % 1048576
+                             + 1 as double) / 1048576.0)
+                     / cast(case when n_chars < 1 then 1 else n_chars end
+                            as double) as k
+              from documents),
+            r as (select lang, doc_id, n_chars,
+                         row_number() over (partition by lang
+                           order by k desc, doc_id) as rk
+                  from s)
+            select lang, cast(rk as bigint) as rk, doc_id, n_chars
+            from r where rk <= 10 order by lang, rk
         """,
     }

@@ -1025,3 +1025,72 @@ def q108_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return final_sort(res, spark, sf_dir, "orders", "n_name")
+
+
+def cohort_ltv(orders: DataFrame) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    month, then per (cohort_month, months-since-cohort) the active
+    customer count, period revenue, and cumulative revenue per cohort
+    customer — the retention-revenue curve every subscription /
+    marketplace analysis starts from (the revenue-weighted sibling of
+    q88's activity retention).
+
+    Cross-engine exactness: the month offset is pure integer calendar
+    arithmetic ((Δyear)·12 + Δmonth on date_trunc'd months — identical
+    in both engines, no months_between float), revenue sums are exact
+    decimal(28,2), and the per-customer LTV rounds in EXACT INTEGER
+    space: with U = cumulative cents (exact long) and n = cohort size,
+    round-half-up(U/n) = (2U + n) div (2n) — no double→decimal cast
+    anywhere near a half boundary (small cohorts make exact .xx5
+    quotients COMMON here, and the grid-snap pattern measurably
+    flipped 4 rows at sf0.01 before this form). The final
+    cents→dollars division is an exact-integer double divided by
+    100.0, correctly rounded identically in both engines. Bound: the
+    intermediate 2U+n stays a valid long below ~4.6e16 in cumulative
+    cohort revenue cents — far past 100-TB fact scale for a per-cohort
+    cumulative; past it, lift the same formula into decimal `div`.
+
+    Scale: the first-order min-agg and the cohort join both key on
+    o_custkey — orders' load partitioning already clusters on it, so
+    neither needs an exchange; the (cohort, offset) aggregate
+    partial-aggregates map-side down to months² rows, and the LTV
+    window runs over that tiny relation. ONE real shuffle total.
+    """
+    first = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    sizes = first.groupBy("cohort").agg(F.count("*").alias("n_cohort"))
+    om = F.date_trunc("month", F.col("o_orderdate"))
+    joined = orders.join(first, "o_custkey").select(
+        "cohort", "o_custkey",
+        ((F.year(om) - F.year("cohort")) * 12
+         + (F.month(om) - F.month("cohort"))).cast("long").alias("month_offset"),
+        F.col("o_totalprice").cast("decimal(28,2)").alias("p"),
+    )
+    agg = joined.groupBy("cohort", "month_offset").agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.sum("p").alias("rev"),
+    )
+    wcum = (
+        Window.partitionBy("cohort").orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        agg.join(sizes, "cohort")
+        .select(
+            "cohort", "month_offset", "n_active",
+            F.col("rev").cast("double").alias("revenue"),
+            (F.sum("rev").over(wcum) * 100).cast("long").alias("cum_cents"),
+            F.col("n_cohort").cast("long").alias("n_cohort"),
+        )
+    )
+    return cum.select(
+        "cohort", "month_offset", "n_active", "revenue",
+        (F.expr("(2 * cum_cents + n_cohort) div (2 * n_cohort)")
+         .cast("double") / F.lit(100.0)).alias("ltv_per_cust"),
+    )
+
+
+def q109_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = cohort_ltv(load_table(spark, sf_dir, "orders"))
+    return final_sort(res, spark, sf_dir, "orders", "cohort", "month_offset")

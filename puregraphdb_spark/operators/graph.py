@@ -26,7 +26,7 @@ from __future__ import annotations
 import re
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from puregraphdb_spark.sources.registry import load_table
@@ -1320,6 +1320,82 @@ class Graph:
         return self.betweenness_centrality(
             srcs, max_depth=max_depth, scale=float(n) / float(k))
 
+    def random_walks(self, walk_length: int = 8, walks_per_node: int = 1,
+                     seed: int = 42, max_degree: int = 10_000) -> DataFrame:
+        """Deterministic seeded uniform random walks — the
+        DeepWalk / node2vec (p=q=1) corpus generator: the
+        training-data primitive for graph embeddings, where each walk
+        becomes a "sentence" over vertex "tokens".
+
+        Every walk starts at every vertex (``walks_per_node`` copies)
+        and takes up to ``walk_length`` steps; at each step the next
+        hop is chosen UNIFORMLY from the current vertex's out-
+        neighbors by a seeded hash of (seed, walk copy, step, current
+        vertex) — fully deterministic (same seed → bit-identical
+        corpus, the reproducibility contract a training pipeline
+        needs), yet distributionally uniform per step. Walks stop
+        early at sink vertices (no out-edges).
+
+        Returns (start_id, walk_no, path array<id>, walk_len).
+
+        Scale: ONE adjacency-build shuffle (neighbor lists sorted for
+        deterministic indexing, hubs capped at ``max_degree``
+        hash-selected neighbors so per-vertex state is bounded —
+        ~8·max_degree bytes), then ONE keyed join per step against the
+        adjacency relation (walk_length shuffles total — the
+        irreducible dataflow of distributed walking; AQE handles
+        hub-key skew in the frontier). Walk state is
+        |V|·walks_per_node rows with ≤ walk_length+1 longs each; the
+        plan chain is localCheckpoint-bounded like pregel (measured
+        lineage rules in louvain's docstring).
+
+        Citation-free Spark-first design; the walk semantics mirror
+        DeepWalk (Perozzi et al., KDD'14 [PUBLIC]) with unit p=q.
+        """
+        if walk_length < 1 or walks_per_node < 1:
+            raise ValueError("walk_length and walks_per_node must be >= 1")
+        wdeg = Window.partitionBy("src").orderBy(
+            F.xxhash64(F.lit(seed), "dst"), "dst")
+        adj = (
+            self.edges.select("src", "dst").distinct()
+            .withColumn("_rk", F.row_number().over(wdeg))
+            .filter(F.col("_rk") <= max_degree)
+            .groupBy("src")
+            .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        )
+        state = self.vertices.select(
+            F.col("id").alias("start_id"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+            ).alias("walk_no"),
+            F.array(F.col("id")).alias("path"),
+            F.col("id").alias("cur"),
+        ).withColumn("walk_no", F.col("walk_no").cast("long"))
+        for step in range(walk_length):
+            idx = F.pmod(
+                F.xxhash64(F.lit(seed), F.col("walk_no"), F.lit(step),
+                           F.col("cur")),
+                F.size("nbrs"),
+            )
+            nxt = F.element_at("nbrs", (idx + 1).cast("int"))
+            state = (
+                state.join(adj, state.cur == adj.src, "left")
+                .select(
+                    "start_id", "walk_no",
+                    F.when(F.col("nbrs").isNotNull(),
+                           F.concat("path", F.array(nxt)))
+                    .otherwise(F.col("path")).alias("path"),
+                    F.when(F.col("nbrs").isNotNull(), nxt)
+                    .otherwise(F.lit(None).cast("long")).alias("cur"),
+                )
+            )
+            if _plan_chars(state) > 60_000:
+                state = state.localCheckpoint(eager=True)
+        return state.select(
+            "start_id", "walk_no", "path",
+            F.size("path").cast("long").alias("walk_len"),
+        )
+
     def triangle_count(self) -> DataFrame:
         """Global triangle count via canonical-edge (u<v) wedge closing.
 
@@ -2055,4 +2131,48 @@ def q103_graph_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_new").over(w).cast("long").alias("cum_edges"),
         ),
         spark, sf_dir, "orders", "month",
+    )
+
+
+def q111_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer→supplier order graph:
+    per out-degree value, how many customers have it, plus each
+    bar's share of all connected customers — the shape summary
+    (power-law vs uniform) that decides whether a graph workload
+    needs skew handling (q97's per-key twin at the distribution
+    level).
+
+    Exactness: counts are exact integers; the share is ONE snapped
+    division of exact integers.
+
+    Scale: the (custkey, suppkey) dedup is the only wide shuffle
+    (same gated broadcast edge build as q23); the degree agg rides
+    that partitioning, the histogram partial-aggregates to |distinct
+    degrees| rows map-side, and the 1-row total crosses back via a
+    broadcast nested loop over the tiny histogram relation.
+    """
+    from puregraphdb_spark.functions.numeric import decimal_round
+    from puregraphdb_spark.sources.registry import (
+        broadcast_if_small, final_sort,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        l.join(broadcast_if_small(o, spark, sf_dir, "orders"),
+               o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    hist = deg.groupBy("degree").agg(F.count("*").alias("n_cust"))
+    tot = deg.agg(F.count("*").cast("double").alias("n_tot"))
+    return final_sort(
+        hist.crossJoin(F.broadcast(tot)).select(
+            "degree", "n_cust",
+            decimal_round(
+                F.col("n_cust").cast("double") / F.col("n_tot"), 6, grid=10,
+            ).alias("share"),
+        ),
+        spark, sf_dir, "orders", "degree",
     )

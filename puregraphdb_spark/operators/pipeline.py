@@ -1113,3 +1113,111 @@ def q96_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spark, sf_dir, "embeddings", "label", "dim",
     )
+
+
+def mad_outliers(lineitem: DataFrame) -> DataFrame:
+    """Robust per-group outlier screen: exact discrete median + median
+    absolute deviation (MAD) of l_extendedprice per returnflag, and
+    the count of rows beyond 3×MAD — the classic heavy-tail-safe
+    alternative to q78's z-score (a single extreme value moves a mean
+    and stddev arbitrarily; it moves a median not at all).
+
+    Exactness (SURVEY §7.4): NO interpolated percentile — the two
+    engines' quantile_cont/percentile interpolation expressions differ
+    in IEEE evaluation order, so both sides instead select the
+    ceil(n/2)-th ORDER STATISTIC under a total order (value, orderkey,
+    linenumber): pure row selection, bit-identical. Deviations are
+    IEEE subtractions of identical doubles (exactly rounded, identical
+    both engines), and 3×MAD is one identical double product.
+
+    Scale: the exact grouped median sorts each group in ONE partition —
+    the documented low-cardinality-group posture (3 returnflag groups;
+    same contract as q105's global ntile). For fact-sized or
+    high-cardinality groups use operators/percentile.py's
+    size-invariant bracketed percentiles or approx_percentile; this
+    operator is the exact-semantics member of that family. The median
+    relations broadcast (one row per group).
+    """
+    base = lineitem.select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+    w1 = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber")
+    wn = Window.partitionBy("l_returnflag")
+    b = (
+        base.withColumn("rn", F.row_number().over(w1))
+        .withColumn("n", F.count("*").over(wn))
+    )
+    mid = F.floor((F.col("n") + 1) / F.lit(2.0)).cast("long")
+    med = b.filter(F.col("rn") == mid).select(
+        "l_returnflag", F.col("l_extendedprice").alias("med"),
+        F.col("n").alias("n_rows"),
+    )
+    d = (
+        base.join(F.broadcast(med), "l_returnflag")
+        .withColumn("dev", F.abs(F.col("l_extendedprice") - F.col("med")))
+    )
+    w2 = Window.partitionBy("l_returnflag").orderBy(
+        "dev", "l_orderkey", "l_linenumber")
+    mad = (
+        d.withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") == F.floor((F.col("n_rows") + 1) / F.lit(2.0))
+                .cast("long"))
+        .select("l_returnflag", F.col("dev").alias("mad"))
+    )
+    return (
+        d.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("n_rows").alias("n"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.count(F.when(F.col("dev") > F.col("mad") * F.lit(3.0),
+                           F.lit(1))).alias("n_out"),
+        )
+    )
+
+
+def q110_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = mad_outliers(load_table(spark, sf_dir, "lineitem"))
+    return final_sort(res, spark, sf_dir, "lineitem", "l_returnflag")
+
+
+def weighted_sample(docs: DataFrame, k: int = 10,
+                    weight_col: str = "n_chars") -> DataFrame:
+    """Deterministic weighted sampling without replacement (per lang):
+    the Efraimidis–Spirakis A-ES scheme — each doc draws u ∈ (0,1]
+    from the portable multiplicative hash of its id and is ranked by
+    key = ln(u)/w (equivalent order to u^(1/w)); the top-k per group
+    IS a weighted sample without replacement. The curation primitive
+    for quality-weighted corpus mixing where q73's stratified sampler
+    is the uniform member.
+
+    Exactness: the ln(u)/w KEY IS NEVER EMITTED — only its order is
+    consumed. Math.log (JVM) and libm ln (DuckDB) both guarantee ≤1
+    ulp error, and adjacent key gaps for hash-spread u's are many
+    orders of magnitude above 1 ulp, so the induced permutations are
+    identical; exact key ties (identical (u, w) pairs) resolve through
+    the doc_id tiebreak the same way in both engines. This is the
+    documented exception shape to §7.4's no-libm rule: libm values may
+    ORDER, never be emitted.
+
+    Scale: one map-side key computation (no UDF), ONE shuffle for the
+    per-lang top-k window, which plans with partial ranking; weights
+    clamp to ≥1 so zero-length docs neither divide by zero nor win
+    every draw.
+    """
+    w_eff = F.greatest(F.col(weight_col), F.lit(1)).cast("double")
+    u = (_hash_bucket(F.col("doc_id"), 1048576) + 1).cast("double") \
+        / F.lit(1048576.0)
+    key = F.log(u) / w_eff
+    wnd = Window.partitionBy("lang").orderBy(F.desc(key), "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(wnd).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("lang", "rk", "doc_id", F.col(weight_col))
+    )
+
+
+def q112_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = weighted_sample(load_table(spark, sf_dir, "documents"))
+    return final_sort(res, spark, sf_dir, "documents", "lang", "rk")

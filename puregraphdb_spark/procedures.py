@@ -479,6 +479,18 @@ def _anf(spark, edges: str, m: int = 64, max_iter: int = 16,
         "t int, est_pairs double, frac_of_final double")
 
 
+def _random_walks(spark, edges: str, walk_length: int = 8,
+                  walks_per_node: int = 1, seed: int = 42,
+                  max_degree: int = 10_000,
+                  vertices: str | None = None) -> DataFrame:
+    """CALL random_walks(edges => 'e') — deterministic seeded uniform
+    random walks (DeepWalk/node2vec p=q=1 corpus) ->
+    (start_id, walk_no, path, walk_len)."""
+    return _graph(spark, edges, vertices).random_walks(
+        walk_length=int(walk_length), walks_per_node=int(walks_per_node),
+        seed=int(seed), max_degree=int(max_degree))
+
+
 def _modularity(spark, edges: str, assignment: str,
                 weight_col: str | None = None,
                 comm_col: str = "community") -> DataFrame:
@@ -558,6 +570,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "louvain": _louvain,
     "modularity": _modularity,
     "anf": _anf,
+    "random_walks": _random_walks,
     "sequence_pack": _sequence_pack,
     "interval_join": _interval_join,
     "harmonic_centrality": _harmonic,

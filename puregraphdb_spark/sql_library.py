@@ -728,4 +728,36 @@ SPARK_SQL: dict[str, str] = {
                     as decimal(28,10)), 6) as double) as shared_ratio
         from s group by lang order by lang
     """,
+    "q109_cohort_ltv": """
+        with first as (
+          select o_custkey,
+                 date_trunc('month', min(o_orderdate)) as cohort
+          from orders group by o_custkey),
+        sz as (select cohort, cast(count(*) as bigint) as n_cohort
+               from first group by cohort),
+        j as (select f.cohort,
+                     cast((year(o.o_orderdate) - year(f.cohort)) * 12
+                          + (month(o.o_orderdate) - month(f.cohort))
+                       as bigint) as month_offset,
+                     o.o_custkey,
+                     cast(o.o_totalprice as decimal(28,2)) as p
+              from orders o join first f on f.o_custkey = o.o_custkey),
+        agg as (select cohort, month_offset,
+                       cast(count(distinct o_custkey) as bigint) as n_active,
+                       sum(p) as rev
+                from j group by cohort, month_offset),
+        cum as (select a.cohort, a.month_offset, a.n_active,
+                       cast(a.rev as double) as revenue,
+                       cast(sum(a.rev) over (
+                            partition by a.cohort order by a.month_offset
+                            rows between unbounded preceding
+                                     and current row) * 100 as bigint)
+                         as cum_cents,
+                       cast(s.n_cohort as bigint) as n_cohort
+                from agg a join sz s on s.cohort = a.cohort)
+        select cohort, month_offset, n_active, revenue,
+               cast((2 * cum_cents + n_cohort) div (2 * n_cohort)
+                 as double) / 100.0 as ltv_per_cust
+        from cum order by cohort, month_offset
+    """,
 }

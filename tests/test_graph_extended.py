@@ -620,3 +620,83 @@ def test_anf_rejects_bad_register_count(spark):
 def test_anf_deterministic_across_runs(spark):
     g, _, _ = _sym_graph(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
     assert g.anf(m=64, max_iter=6) == g.anf(m=64, max_iter=6)
+
+
+# -- random walks (DeepWalk-style corpus generation) -------------------------
+
+
+@pytest.fixture(scope="module")
+def walk_graph(spark):
+    """Cycle 0→1→2→3→0 with a dead-end spur 1→9 (9 is a sink)."""
+    v = spark.createDataFrame([(i,) for i in (0, 1, 2, 3, 9)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (1, 9)], ["src", "dst"])
+    return Graph(v, e)
+
+
+def test_random_walks_follow_edges(walk_graph):
+    walks = walk_graph.random_walks(walk_length=5, walks_per_node=3,
+                                    seed=7).collect()
+    edges = {(0, 1), (1, 2), (2, 3), (3, 0), (1, 9)}
+    assert len(walks) == 5 * 3
+    for r in walks:
+        p = r["path"]
+        assert p[0] == r["start_id"]
+        assert r["walk_len"] == len(p)
+        for a, b in zip(p, p[1:]):
+            assert (a, b) in edges, f"non-edge hop {a}->{b} in {p}"
+
+
+def test_random_walks_stop_at_sinks(walk_graph):
+    walks = walk_graph.random_walks(walk_length=5, walks_per_node=2,
+                                    seed=7).collect()
+    for r in walks:
+        p = r["path"]
+        if len(p) < 6:  # ended early → must have hit the sink
+            assert p[-1] == 9
+        if r["start_id"] == 9:  # sink start: no step possible
+            assert p == [9]
+
+
+def test_random_walks_deterministic_and_seed_sensitive(walk_graph):
+    def corpus(seed):
+        return sorted(
+            (r["start_id"], r["walk_no"], tuple(r["path"]))
+            for r in walk_graph.random_walks(
+                walk_length=6, walks_per_node=2, seed=seed).collect()
+        )
+
+    assert corpus(7) == corpus(7)  # bit-identical rerun
+    assert corpus(7) != corpus(8)  # different seed → different corpus
+
+
+def test_random_walks_visit_all_neighbors_of_a_hub(spark):
+    """Star 0→{1..6}: across many 1-step walks from 0, every neighbor
+    must appear — the uniform-choice hash must not collapse."""
+    v = spark.createDataFrame([(i,) for i in range(7)], ["id"])
+    e = spark.createDataFrame([(0, i) for i in range(1, 7)], ["src", "dst"])
+    g = Graph(v, e)
+    walks = g.random_walks(walk_length=1, walks_per_node=40, seed=3)
+    seen = {
+        r["path"][1] for r in walks.collect() if r["start_id"] == 0
+    }
+    assert seen == set(range(1, 7))
+
+
+def test_random_walks_max_degree_cap_still_valid(spark):
+    v = spark.createDataFrame([(i,) for i in range(9)], ["id"])
+    e = spark.createDataFrame([(0, i) for i in range(1, 9)], ["src", "dst"])
+    g = Graph(v, e)
+    walks = g.random_walks(walk_length=1, walks_per_node=30, seed=1,
+                           max_degree=3).collect()
+    nexts = {r["path"][1] for r in walks if r["start_id"] == 0}
+    # capped: at most 3 distinct neighbors ever chosen, all real edges
+    assert 1 <= len(nexts) <= 3
+    assert nexts <= set(range(1, 9))
+
+
+def test_random_walks_rejects_bad_params(walk_graph):
+    with pytest.raises(ValueError):
+        walk_graph.random_walks(walk_length=0)
+    with pytest.raises(ValueError):
+        walk_graph.random_walks(walks_per_node=0)

@@ -58,6 +58,7 @@ DUCKDB_ONLY = {
     "q96_embedding_centroids",  # unnest/generate_subscripts
     "q102_boilerplate_shingles",  # string_split/list_slice/unnest
     "q108_reorder_intervals",  # date_diff('day', ...) 3-arg signature
+    "q109_cohort_ltv",       # // integer-division operator
 }
 
 ORACLES = entrymod.oracle_sql()
@@ -181,3 +182,21 @@ def test_call_door_anf(engine, spark):
     assert list(got["est_pairs"]) == pytest.approx(
         [n for _, n in want_nf])
     assert got["frac_of_final"].iloc[-1] == 1.0
+
+
+def test_call_door_random_walks(engine, spark):
+    from puregraphdb_spark.operators.graph import Graph
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], ["src", "dst"])
+    v = spark.createDataFrame([(i,) for i in range(3)], ["id"])
+    e.createOrReplaceTempView("rw_edges")
+    v.createOrReplaceTempView("rw_verts")
+    got = engine.sql(
+        "CALL random_walks(edges => 'rw_edges', vertices => 'rw_verts', "
+        "walk_length => 4, walks_per_node => 2, seed => 5)").toPandas()
+    want = Graph(v, e).random_walks(
+        walk_length=4, walks_per_node=2, seed=5).toPandas()
+    key = lambda df: sorted(
+        (r.start_id, r.walk_no, tuple(r.path)) for r in df.itertuples())
+    assert key(got) == key(want)
