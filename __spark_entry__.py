@@ -533,6 +533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_mad_outliers": pipeline.q110_mad_outliers,
         "q111_degree_histogram": graph.q111_degree_histogram,
         "q112_weighted_sample": pipeline.q112_weighted_sample,
+        "q113_snapshot_diff": extras.q113_snapshot_diff,
+        "q114_fuzzy_name_pairs": pipeline.q114_fuzzy_name_pairs,
     }
 
 
@@ -2201,5 +2203,52 @@ def oracle_sql() -> dict[str, str]:
                   from s)
             select lang, cast(rk as bigint) as rk, doc_id, n_chars
             from r where rk <= 10 order by lang, rk
+        """,
+        "q113_snapshot_diff": """
+            with v1 as (
+              select o_custkey, cast(count(*) as bigint) as n_old,
+                     sum(cast(o_totalprice as decimal(28,2))) as t_old
+              from orders
+              where o_orderdate >= timestamp '1997-01-01'
+                and o_orderdate < timestamp '1998-01-01'
+              group by o_custkey),
+            v2 as (
+              select o_custkey, cast(count(*) as bigint) as n_new,
+                     sum(cast(o_totalprice as decimal(28,2))) as t_new
+              from orders
+              where o_orderdate >= timestamp '1998-01-01'
+                and o_orderdate < timestamp '1999-01-01'
+              group by o_custkey),
+            d as (select coalesce(v1.o_custkey, v2.o_custkey) as o_custkey,
+                         case when v1.o_custkey is null then 'added'
+                              when v2.o_custkey is null then 'removed'
+                              when v1.n_old <> v2.n_new
+                                   or v1.t_old <> v2.t_new then 'changed'
+                              else 'unchanged' end as change,
+                         v1.n_old as n_old, v2.n_new as n_new,
+                         cast(v1.t_old as double) as tot_old,
+                         cast(v2.t_new as double) as tot_new
+                  from v1 full outer join v2
+                       on v1.o_custkey = v2.o_custkey)
+            select * from d where change <> 'unchanged'
+            order by change, o_custkey
+        """,
+        "q114_fuzzy_name_pairs": """
+            with p as (select p_partkey, p_name, p_brand, p_size
+                       from part),
+            pr as (select a.p_brand,
+                          levenshtein(a.p_name, b.p_name) as d
+                   from p a join p b
+                     on a.p_brand = b.p_brand and a.p_size = b.p_size
+                        and a.p_partkey < b.p_partkey
+                   where abs(length(a.p_name) - length(b.p_name)) <= 4),
+            m as (select p_brand, d from pr where d <= 4)
+            select p_brand, cast(count(*) as bigint) as n_pairs,
+                   cast(count(case when d = 0 then 1 end) as bigint)
+                     as n_exact,
+                   cast(round(cast(cast(sum(d) as double)
+                        / cast(count(*) as double)
+                        as decimal(28,10)), 4) as double) as avg_dist
+            from m group by p_brand order by p_brand
         """,
     }

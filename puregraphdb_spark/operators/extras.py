@@ -1094,3 +1094,89 @@ def cohort_ltv(orders: DataFrame) -> DataFrame:
 def q109_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = cohort_ltv(load_table(spark, sf_dir, "orders"))
     return final_sort(res, spark, sf_dir, "orders", "cohort", "month_offset")
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  key_cols: list[str],
+                  compare_cols: list[str]) -> DataFrame:
+    """SCD2-style change-data capture between two keyed snapshots:
+    per key, classify 'added' (new only), 'removed' (old only),
+    'changed' (any compare column differs, null-safely) or
+    'unchanged', carrying both versions' compare columns as
+    old_*/new_*. The incremental-build primitive every warehouse
+    pipeline runs between loads.
+
+    Scale: ONE co-partitioned full-outer shuffle join on the key
+    (both sides hash on key_cols); the column compare is a codegen
+    boolean over the joined row — no second pass, no collect. At
+    100 TB this is the standard keyed-merge shape; pre-bucketed
+    layouts (sources/registry.write_partitioned bucket_by) make it
+    shuffle-free.
+    """
+    if not key_cols or not compare_cols:
+        raise ValueError("need at least one key column and one compare column")
+    o = old.select(
+        *key_cols, *[F.col(c).alias(f"old_{c}") for c in compare_cols]
+    ).withColumn("_in_old", F.lit(1))
+    n = new.select(
+        *key_cols, *[F.col(c).alias(f"new_{c}") for c in compare_cols]
+    ).withColumn("_in_new", F.lit(1))
+    j = o.join(n, key_cols, "full_outer")
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        differs = d if differs is None else (differs | d)
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *key_cols, change.alias("change"),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )
+
+
+def q113_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two yearly per-customer order profiles (1997 vs
+    1998): which customers appeared, disappeared, or changed volume —
+    `snapshot_diff` bound to the fixture the way a warehouse diffs
+    consecutive loads.
+
+    Exactness: counts are exact integers, totals exact decimal(28,2)
+    compared IN DECIMAL (the null-safe compare sees exact values; the
+    double cast happens only at emission); 'unchanged' rows are
+    filtered so every emitted row is a real change record.
+
+    Scale: both snapshot aggregates ride orders' o_custkey load
+    clustering, so the full-outer join is co-partitioned — the
+    aggregate+join pipeline is ONE exchange end-to-end.
+    """
+    o = load_table(spark, sf_dir, "orders")
+
+    def profile(year: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+            )
+            .groupBy("o_custkey")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+                .alias("total"),
+            )
+        )
+
+    d = snapshot_diff(profile(1997), profile(1998),
+                      ["o_custkey"], ["n_orders", "total"])
+    res = d.filter(F.col("change") != "unchanged").select(
+        "o_custkey", "change",
+        F.col("old_n_orders").alias("n_old"),
+        F.col("new_n_orders").alias("n_new"),
+        F.col("old_total").cast("double").alias("tot_old"),
+        F.col("new_total").cast("double").alias("tot_new"),
+    )
+    return final_sort(res, spark, sf_dir, "orders", "change", "o_custkey")

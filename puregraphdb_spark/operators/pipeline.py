@@ -1221,3 +1221,38 @@ def weighted_sample(docs: DataFrame, k: int = 10,
 def q112_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = weighted_sample(load_table(spark, sf_dir, "documents"))
     return final_sort(res, spark, sf_dir, "documents", "lang", "rk")
+
+
+def q114_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand fuzzy-name summary over the blocked fuzzy-match join
+    (similarity.blocked_fuzzy_pairs on (brand, size) blocks, edit
+    distance <= 4): candidate near-duplicate part names — exact-dup
+    count, near-match count, and mean distance — the
+    entity-normalization report a catalog-cleaning pipeline emits.
+
+    Exactness: distances are exact integers in both engines (q38
+    already oracles levenshtein's definition parity); the mean is ONE
+    snapped division. The Spark side verifies with the THRESHOLDED
+    3-arg levenshtein (early-exit DP), the oracle with the plain
+    2-arg form + the same <= 4 filter — identical accepted set by
+    construction, so the oracle cross-checks the thresholded
+    implementation too.
+
+    Scale: blocks are (brand, size) — bounded fan-out; one shuffle
+    in, map-side-combined brand aggregate out.
+    """
+    from puregraphdb_spark.operators.similarity import blocked_fuzzy_pairs
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size")
+    pairs = blocked_fuzzy_pairs(
+        p, "p_partkey", "p_name", ["p_brand", "p_size"], max_distance=4)
+    res = pairs.groupBy("p_brand").agg(
+        F.count("*").alias("n_pairs"),
+        F.count(F.when(F.col("distance") == 0, F.lit(1))).alias("n_exact"),
+        decimal_round(
+            F.sum("distance").cast("double") / F.count("*").cast("double"),
+            4, grid=10,
+        ).alias("avg_dist"),
+    )
+    return final_sort(res, spark, sf_dir, "part", "p_brand")

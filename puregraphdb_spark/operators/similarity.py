@@ -771,3 +771,46 @@ def ann_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )
+
+
+def blocked_fuzzy_pairs(df: DataFrame, id_col: str, text_col: str,
+                        block_cols: list[str],
+                        max_distance: int = 2) -> DataFrame:
+    """Blocked fuzzy-match self-join: candidate pairs share ALL
+    ``block_cols`` values (the blocking key), survive a length
+    pre-filter, and verify with edit distance <= ``max_distance`` —
+    the entity-normalization / name-dedup member of the dedup family
+    (MinHash covers long documents; this covers SHORT strings where
+    shingling degenerates).
+
+    Returns (a_id, b_id, *block_cols, distance), a_id < b_id.
+
+    Scale: the O(n²)-per-block expansion is bounded by the blocking
+    key's fan-out (pick block_cols so blocks stay ~10²-10³ rows; the
+    q97 skew profile on the block key is the pre-flight check — same
+    guardrail thinking as near_dup_pairs' max_bucket_size). The
+    length pre-filter |len(a)-len(b)| <= d is a codegen-cheap
+    necessary condition that prunes before the edit-distance loop,
+    and the THRESHOLDED levenshtein (3-arg form) lets the JVM
+    early-exit its DP at distance > d — both standard blocked-match
+    optimizations. ONE shuffle on the blocking key.
+    """
+    if not block_cols:
+        raise ValueError("need at least one blocking column")
+    a = df.select(F.col(id_col).alias("a_id"),
+                  F.col(text_col).alias("a_txt"), *block_cols)
+    b = df.select(F.col(id_col).alias("b_id"),
+                  F.col(text_col).alias("b_txt"), *block_cols)
+    return (
+        a.join(b, block_cols)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            F.abs(F.length("a_txt") - F.length("b_txt")) <= max_distance
+        )
+        .withColumn(
+            "distance",
+            F.levenshtein("a_txt", "b_txt", max_distance).cast("long"),
+        )
+        .filter(F.col("distance") >= 0)
+        .select("a_id", "b_id", *block_cols, "distance")
+    )

@@ -23,7 +23,8 @@ from pyspark.sql.types import StructType
 
 
 def read_parquet_stream(spark: SparkSession, path: str,
-                        schema: StructType) -> DataFrame:
+                        schema: StructType,
+                        max_files_per_trigger: int | None = None) -> DataFrame:
     """File-arrival stream over a parquet directory (schema required by
     Structured Streaming; take it from a batch read of the same data).
 
@@ -31,7 +32,10 @@ def read_parquet_stream(spark: SparkSession, path: str,
     ``sources.registry.load_table``: event-time operators (watermarks,
     windows) reject NTZ, and the engine pins the session to UTC so the
     cast is value-preserving wall-clock."""
-    df = spark.readStream.schema(schema).parquet(path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
     for c, d in df.dtypes:
         if d == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))

@@ -303,3 +303,26 @@ def test_interval_validation_rejects_garbage(spark):
     with _pytest.raises(ValueError):
         stage_frame(spark, ["ok", "bad'quote"])
     assert interval_expr("2 hours") is not None
+
+
+def test_snapshot_diff_classifies_null_safely(spark):
+    from puregraphdb_spark.operators.extras import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10, "x"), (2, 20, None), (3, 30, "z"), (4, 40, "w")],
+        ["k", "v", "t"])
+    new = spark.createDataFrame(
+        [(2, 20, None),        # identical incl. null compare → unchanged
+         (3, 31, "z"),         # value change → changed
+         (4, 40, None),        # non-null → null → changed (null-safe)
+         (5, 50, "new")],      # added
+        ["k", "v", "t"])
+    got = {r["k"]: r["change"]
+           for r in snapshot_diff(old, new, ["k"], ["v", "t"]).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed",
+                   4: "changed", 5: "added"}
+
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new, [], ["v"])
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new, ["k"], [])

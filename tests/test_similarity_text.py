@@ -382,3 +382,31 @@ def test_ivf_persisted_index_round_trip(spark, tmp_path):
         [(r["src"], r["rn"], r["vec_id"], round(r["cos_sim"], 10))
          for r in live.collect()]
     )
+
+
+def test_blocked_fuzzy_pairs_blocking_and_threshold(spark):
+    import puregraphdb_spark.operators.similarity as sim
+
+    rows = [
+        (1, "red widget", "A"), (2, "red widgets", "A"),  # dist 1
+        (3, "red widget", "B"),   # same name, DIFFERENT block → excluded
+        (4, "blue bolt", "A"),    # far from everything in A
+        (5, "red widget", "A"),   # exact dup of 1 in A
+    ]
+    df = spark.createDataFrame(rows, ["id", "name", "blk"])
+    got = {
+        (r["a_id"], r["b_id"]): r["distance"]
+        for r in sim.blocked_fuzzy_pairs(
+            df, "id", "name", ["blk"], max_distance=2).collect()
+    }
+    assert got == {(1, 2): 1, (1, 5): 0, (2, 5): 1}
+
+    # thresholded 3-arg levenshtein accepts exactly the <= d set the
+    # plain distance would
+    full = sim.blocked_fuzzy_pairs(
+        df, "id", "name", ["blk"], max_distance=100).collect()
+    want = {(r["a_id"], r["b_id"]) for r in full if r["distance"] <= 2}
+    assert set(got) == want
+
+    with pytest.raises(ValueError):
+        sim.blocked_fuzzy_pairs(df, "id", "name", [], max_distance=2)
