@@ -212,6 +212,25 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the part co-occurrence graph (every surviving edge in
+    >= 2 within-subgraph triangles) — the cohesive-subgraph refinement
+    of k-core over the same graph q24 counts triangles on. Rows-only:
+    iterated peeling to fixpoint; property-tested on cliques, bridged
+    cliques, and a cascade case (tests/test_graph_extended.py). The
+    bipartite ORDER graph has no triangles by construction, so the
+    co-occurrence graph is the meaningful target."""
+    l = load_table(spark, sf_dir, "lineitem")
+    e = graph.part_cooccurrence_edges(l).select(
+        F.col("u").alias("src"), F.col("v").alias("dst"))
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return graph.Graph(v, e).ktruss(4).orderBy("u", "v")
+
+
 def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brandes-sampled betweenness centrality over the undirected order
     graph (rows-only: two-phase iterative BFS + dependency
@@ -401,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_louvain_weighted": community.graph_louvain_weighted,
         "graph_anf": graph_anf,
         "graph_random_walks": graph_random_walks,
+        "graph_ktruss": graph_ktruss,
         "text_profile": text_profile,
         "text_quality_report": text_quality_report,
         "dedup_minhash_near": dedup_minhash_near,

@@ -1396,6 +1396,86 @@ class Graph:
             F.size("path").cast("long").alias("walk_len"),
         )
 
+    def ktruss(self, k: int = 3, max_iter: int = 50) -> DataFrame:
+        """k-truss decomposition member: the maximal subgraph in which
+        every edge participates in at least k−2 triangles — the
+        standard cohesive-subgraph refinement of k-core (a k-truss is
+        always inside a (k−1)-core but prunes loosely-attached edges
+        a core keeps). Undirected semantics on canonical (u<v) edges.
+
+        Returns the surviving canonical edges (u, v, support) where
+        support is the final within-subgraph triangle count per edge.
+
+        Algorithm: iterated support-prune to fixpoint — compute each
+        edge's triangle support inside the CURRENT edge set (oriented
+        a<b<c wedge join + left-semi closing probe, the same
+        scale-safe lowering as count_triangles: orientation bounds
+        wedge fan-out by the smaller-degree endpoint), drop edges with
+        support < k−2, repeat until no edge is dropped. Peeling is
+        monotone, so the fixpoint is the unique k-truss.
+
+        Scale: per iteration TWO shuffle joins (wedge build + closing
+        probe) and one support aggregate with map-side combine; the
+        edge set only shrinks, so iterations get cheaper; each
+        iteration's surviving set is localCheckpoint-bounded (the set
+        is referenced three times by the next iteration's joins, so
+        unbounded lineage would grow 3^i). Convergence is a per-
+        iteration 1-row count — the sanctioned driver-side scalar.
+        """
+        if k < 2:
+            raise ValueError("k-truss needs k >= 2")
+        e = (
+            self.edges.select(
+                F.least("src", "dst").alias("u"),
+                F.greatest("src", "dst").alias("v"))
+            .filter(F.col("u") < F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        n = e.count()
+        need = k - 2
+        for _ in range(max_iter):
+            if n == 0:
+                break
+            ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+            bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+            ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+            tri = (
+                ab.join(bc, "b")
+                .join(ac, ["a", "c"], "left_semi")
+                .select("a", "b", "c")
+            )
+            support = (
+                tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+                .unionByName(
+                    tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+                .unionByName(
+                    tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+                .groupBy("u", "v")
+                .agg(F.count("*").alias("support"))
+            )
+            kept = (
+                e.join(support, ["u", "v"], "left")
+                .select(
+                    "u", "v",
+                    F.coalesce("support", F.lit(0)).cast("long")
+                    .alias("support"),
+                )
+                .filter(F.col("support") >= need)
+                .localCheckpoint(eager=True)
+            )
+            n_new = kept.count()
+            e = kept.select("u", "v")
+            if n_new == n:
+                return kept
+            n = n_new
+        # n == 0, or max_iter hit with the set still shrinking: return
+        # the current set with its within-set support
+        if n == 0:
+            return e.select(
+                "u", "v", F.lit(0).cast("long").alias("support")).limit(0)
+        return kept
+
     def triangle_count(self) -> DataFrame:
         """Global triangle count via canonical-edge (u<v) wedge closing.
 

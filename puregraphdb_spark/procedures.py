@@ -479,6 +479,15 @@ def _anf(spark, edges: str, m: int = 64, max_iter: int = 16,
         "t int, est_pairs double, frac_of_final double")
 
 
+def _ktruss(spark, edges: str, k: int = 3, max_iter: int = 50,
+            vertices: str | None = None) -> DataFrame:
+    """CALL ktruss(edges => 'e', k => 4) — maximal subgraph whose every
+    edge sits in >= k-2 within-subgraph triangles ->
+    (u, v, support) canonical surviving edges."""
+    return _graph(spark, edges, vertices).ktruss(
+        k=int(k), max_iter=int(max_iter))
+
+
 def _random_walks(spark, edges: str, walk_length: int = 8,
                   walks_per_node: int = 1, seed: int = 42,
                   max_degree: int = 10_000,
@@ -571,6 +580,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "modularity": _modularity,
     "anf": _anf,
     "random_walks": _random_walks,
+    "ktruss": _ktruss,
     "sequence_pack": _sequence_pack,
     "interval_join": _interval_join,
     "harmonic_centrality": _harmonic,

@@ -700,3 +700,53 @@ def test_random_walks_rejects_bad_params(walk_graph):
         walk_graph.random_walks(walk_length=0)
     with pytest.raises(ValueError):
         walk_graph.random_walks(walks_per_node=0)
+
+
+# -- k-truss ------------------------------------------------------------------
+
+
+def _ktruss_edges(g, k):
+    return sorted((r["u"], r["v"]) for r in g.ktruss(k).collect())
+
+
+def test_ktruss_k4_keeps_clique(spark):
+    v = spark.createDataFrame([(i,) for i in range(1, 5)], ["id"])
+    e = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)],
+        ["src", "dst"])
+    g = Graph(v, e)
+    out = g.ktruss(4).collect()
+    assert sorted((r["u"], r["v"]) for r in out) == sorted(
+        (a, b) for a in range(1, 5) for b in range(a + 1, 5))
+    assert all(r["support"] == 2 for r in out)  # K4: every edge in 2 tris
+    assert _ktruss_edges(g, 5) == []
+
+
+def test_ktruss_drops_bridge_between_cliques(spark):
+    k4a = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    k4b = [(a, b) for a in (5, 6, 7, 8) for b in (5, 6, 7, 8) if a < b]
+    e = spark.createDataFrame(k4a + k4b + [(4, 5)], ["src", "dst"])
+    v = spark.createDataFrame([(i,) for i in range(1, 9)], ["id"])
+    got = _ktruss_edges(Graph(v, e), 3)
+    assert got == sorted(k4a + k4b)  # bridge (4,5) has support 0
+
+
+def test_ktruss_peeling_cascades(spark):
+    """K5 minus edge (4,5): 5-truss must cascade to EMPTY — dropping
+    the degree-poor edges lowers the {1,2,3} supports below threshold
+    on the NEXT iteration, which a single-pass filter would miss."""
+    e = spark.createDataFrame(
+        [(a, b) for a in range(1, 6) for b in range(a + 1, 6)
+         if (a, b) != (4, 5)], ["src", "dst"])
+    v = spark.createDataFrame([(i,) for i in range(1, 6)], ["id"])
+    g = Graph(v, e)
+    assert len(_ktruss_edges(g, 4)) == 9   # whole K5−e survives k=4
+    assert _ktruss_edges(g, 5) == []       # k=5 cascades to empty
+
+
+def test_ktruss_k2_is_identity_and_rejects_k1(spark, chain):
+    got = _ktruss_edges(chain, 2)
+    assert got == sorted([(1, 2), (2, 3), (3, 4), (2, 5)])
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chain.ktruss(1)

@@ -200,3 +200,17 @@ def test_call_door_random_walks(engine, spark):
     key = lambda df: sorted(
         (r.start_id, r.walk_no, tuple(r.path)) for r in df.itertuples())
     assert key(got) == key(want)
+
+
+def test_call_door_ktruss(engine, spark):
+    from puregraphdb_spark.operators.graph import Graph
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e = spark.createDataFrame(k4 + [(4, 9)], ["src", "dst"])
+    v = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 9)], ["id"])
+    e.createOrReplaceTempView("kt_edges")
+    got = engine.sql("CALL ktruss(edges => 'kt_edges', k => 4)").toPandas()
+    want = Graph(v, e).ktruss(4).toPandas()
+    key = lambda df: sorted(map(tuple, df[["u", "v", "support"]].values))
+    assert key(got) == key(want)
+    assert key(got) == sorted((a, b, 2) for a, b in k4)
