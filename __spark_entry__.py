@@ -555,6 +555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_weighted_sample": pipeline.q112_weighted_sample,
         "q113_snapshot_diff": extras.q113_snapshot_diff,
         "q114_fuzzy_name_pairs": pipeline.q114_fuzzy_name_pairs,
+        "q115_rolling_actives": events.q115_rolling_actives,
+        "q116_ab_split_conversion": events.q116_ab_split_conversion,
     }
 
 
@@ -2270,5 +2272,42 @@ def oracle_sql() -> dict[str, str]:
                         / cast(count(*) as double)
                         as decimal(28,10)), 4) as double) as avg_dist
             from m group by p_brand order by p_brand
+        """,
+        "q115_rolling_actives": """
+            with du as (
+              select distinct date_trunc('day', ts) as day, user_id
+              from events),
+            days as (select distinct day from du)
+            select d.day,
+                   cast(count(distinct a.user_id) as bigint) as n_active_7d,
+                   cast(count(distinct case when a.day = d.day
+                        then a.user_id end) as bigint) as n_active_1d
+            from du a join days d
+              on a.day >= d.day - interval 6 day and a.day <= d.day
+            group by d.day order by d.day
+        """,
+        "q116_ab_split_conversion": """
+            with pu as (
+              select user_id,
+                     max(case when event_type = 'view' then 1 else 0 end)
+                       as viewed,
+                     max(case when event_type = 'purchase' then 1 else 0 end)
+                       as purchased
+              from events group by user_id),
+            v as (select case when (user_id * 2654435761) % 4294967296
+                                   % 100 < 50
+                               then 'A' else 'B' end as variant,
+                         viewed, purchased
+                  from pu)
+            select variant, cast(count(*) as bigint) as n_users,
+                   cast(sum(viewed) as bigint) as n_viewers,
+                   cast(sum(purchased) as bigint) as n_purchasers,
+                   cast(round(cast(cast(sum(case when viewed = 1
+                             then purchased else 0 end) as double)
+                        / cast(case when sum(viewed) < 1 then 1
+                               else sum(viewed) end as double)
+                        as decimal(28,10)), 6) as double)
+                     as view_to_purchase
+            from v group by variant order by variant
         """,
     }

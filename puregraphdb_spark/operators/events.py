@@ -495,3 +495,108 @@ def session_paths(events: DataFrame, gap: str = "30 minutes",
 
 def q107_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_paths(load_table(spark, sf_dir, "events"))
+
+
+def rolling_actives(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Rolling distinct actives: per activity day, the distinct users
+    active that day AND over the trailing ``window_days`` — the
+    DAU/WAU pair every event pipeline reports (distinct counts do NOT
+    sum across days, so no prefix trick applies; this is the honest
+    exact formulation).
+
+    Exactness: days are date-truncated in both engines under the
+    pinned-UTC session; counts are exact distinct integers.
+
+    Scale: the (day, user) dedup is the one fact-wide shuffle; the
+    trailing-window expansion is a MAP-SIDE ``sequence`` explode (each
+    deduped row contributes to exactly its <= window_days forward
+    day-buckets) — never a nested-loop range join against the day
+    relation, whose condition count grows with rows × days; the day
+    relation only LEFT-SEMI gates the exploded targets (bounded, one
+    row per calendar day, broadcasts) so days with no activity of
+    their own are not reported. For approximate-tolerant deployments
+    swap the final countDistinct for HLL sketch union
+    (approx_distinct_parts' machinery) and the fan-out disappears.
+    """
+    du = (
+        events.select(
+            F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    contrib = du.select(
+        F.col("day").alias("a_day"), "user_id",
+        F.explode(F.expr(
+            f"sequence(day, day + interval {window_days - 1} day, "
+            "interval 1 day)")).alias("day"),
+    )
+    return (
+        contrib.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(
+            F.countDistinct("user_id").alias("n_active_7d"),
+            F.countDistinct(
+                F.when(F.col("a_day") == F.col("day"), F.col("user_id"))
+            ).alias("n_active_1d"),
+        )
+    )
+
+
+def q115_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = rolling_actives(load_table(spark, sf_dir, "events"))
+    return final_sort(res, spark, sf_dir, "events", "day")
+
+
+def ab_split_conversion(events: DataFrame, buckets: int = 100,
+                        treat_below: int = 50) -> DataFrame:
+    """Deterministic A/B experiment readout: users split into variants
+    by the portable multiplicative hash (q69's train/val/test split
+    machinery re-used for experimentation — same hash, same
+    cross-engine identity), then per variant the distinct users,
+    viewers, purchasers, and the viewer→purchaser conversion rate.
+
+    Exactness: the variant assignment is exact integer arithmetic
+    (identical in both engines); the conversion is ONE snapped
+    division of exact distinct counts.
+
+    Scale: one user-keyed distinct aggregate (rides events' load
+    clustering) + a 2-row variant rollup. The assignment never needs a
+    lookup table — any node can recompute it from the id, which is
+    the property that makes hash-based experimentation work at
+    100 TB (no broadcast of an assignment map).
+    """
+    from puregraphdb_spark.operators.pipeline import _hash_bucket
+
+    variant = F.when(
+        _hash_bucket(F.col("user_id"), buckets) < treat_below, F.lit("A")
+    ).otherwise(F.lit("B"))
+    per_user = (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .alias("viewed"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .alias("purchased"),
+        )
+        .select(variant.alias("variant"), "viewed", "purchased")
+    )
+    return (
+        per_user.groupBy("variant")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("viewed").cast("long").alias("n_viewers"),
+            F.sum("purchased").cast("long").alias("n_purchasers"),
+            decimal_round(
+                F.sum(F.when(F.col("viewed") == 1, F.col("purchased"))
+                      .otherwise(F.lit(0))).cast("double")
+                / F.greatest(F.sum("viewed"), F.lit(1)).cast("double"),
+                6, grid=10,
+            ).alias("view_to_purchase"),
+        )
+    )
+
+
+def q116_ab_split_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = ab_split_conversion(load_table(spark, sf_dir, "events"))
+    return final_sort(res, spark, sf_dir, "events", "variant")

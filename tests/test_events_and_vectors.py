@@ -132,3 +132,40 @@ def test_funnel_randomized_vs_simulation(spark):
             for r in funnel(ev, stages, within=arg).collect()
         }
         assert res == want, (within, sorted(res.items())[:5])
+
+
+def test_rolling_actives_hand_computed(spark):
+    from puregraphdb_spark.operators.events import rolling_actives
+
+    # u1 active day 1 and day 3; u2 active day 1 only; day 2 has no
+    # activity so it must NOT appear as a report day.
+    df = spark.createDataFrame(
+        [("u1", dt.datetime(2024, 1, 1)), ("u2", dt.datetime(2024, 1, 1)),
+         ("u1", dt.datetime(2024, 1, 3, 12))],
+        ["user_id", "ts"],
+    )
+    out = {r["day"].day: (r["n_active_7d"], r["n_active_1d"])
+           for r in rolling_actives(df, window_days=7).collect()}
+    assert out == {1: (2, 2), 3: (2, 1)}
+
+
+def test_rolling_actives_window_1_equals_daily(spark):
+    from puregraphdb_spark.operators.events import rolling_actives
+
+    ev = load_table(spark, SF_DIR, "events")
+    rows = rolling_actives(ev, window_days=1).collect()
+    assert rows and all(r["n_active_7d"] == r["n_active_1d"] for r in rows)
+
+
+def test_ab_split_is_deterministic_and_partitions_users(spark):
+    from puregraphdb_spark.operators.events import ab_split_conversion
+
+    ev = load_table(spark, SF_DIR, "events")
+    a = {r["variant"]: r for r in ab_split_conversion(ev).collect()}
+    b = {r["variant"]: r for r in ab_split_conversion(ev).collect()}
+    assert set(a) == {"A", "B"}
+    total = sum(r["n_users"] for r in a.values())
+    assert total == ev.select("user_id").distinct().count()
+    for v in a:
+        assert a[v]["n_users"] == b[v]["n_users"]
+        assert a[v]["n_purchasers"] <= a[v]["n_users"]
