@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from puregraphdb_spark.operators import (
-    community, events, extras, graph, llm, pipeline, relational,
+    community, events, extras, graph, llm, pipeline, profile, relational,
     similarity, skew, text,
 )
 from puregraphdb_spark.sources.registry import load_table
@@ -557,6 +557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_fuzzy_name_pairs": pipeline.q114_fuzzy_name_pairs,
         "q115_rolling_actives": events.q115_rolling_actives,
         "q116_ab_split_conversion": events.q116_ab_split_conversion,
+        "q117_table_profile": profile.q117_table_profile,
+        "q118_fk_integrity": profile.q118_fk_integrity,
     }
 
 
@@ -2309,5 +2311,127 @@ def oracle_sql() -> dict[str, str]:
                         as decimal(28,10)), 6) as double)
                      as view_to_purchase
             from v group by variant order by variant
+        """,
+        "q117_table_profile": """
+            with s as (
+              select cast(count(*) as bigint) as n_rows,
+              cast(sum(case when o_orderkey is null then 1 else 0 end) as bigint) as nn_o_orderkey,
+              cast(count(distinct o_orderkey) as bigint) as nd_o_orderkey,
+              cast(sum(case when o_custkey is null then 1 else 0 end) as bigint) as nn_o_custkey,
+              cast(count(distinct o_custkey) as bigint) as nd_o_custkey,
+              cast(sum(case when o_orderstatus is null then 1 else 0 end) as bigint) as nn_o_orderstatus,
+              cast(count(distinct o_orderstatus) as bigint) as nd_o_orderstatus,
+              cast(sum(case when o_totalprice is null then 1 else 0 end) as bigint) as nn_o_totalprice,
+              cast(count(distinct o_totalprice) as bigint) as nd_o_totalprice,
+              cast(sum(case when o_orderdate is null then 1 else 0 end) as bigint) as nn_o_orderdate,
+              cast(count(distinct o_orderdate) as bigint) as nd_o_orderdate,
+              cast(sum(case when o_orderpriority is null then 1 else 0 end) as bigint) as nn_o_orderpriority,
+              cast(count(distinct o_orderpriority) as bigint) as nd_o_orderpriority
+              from orders)
+            select 'o_orderkey' as col_name, n_rows, nn_o_orderkey as n_nulls, nd_o_orderkey as n_distinct from s
+            union all select 'o_custkey' as col_name, n_rows, nn_o_custkey as n_nulls, nd_o_custkey as n_distinct from s
+            union all select 'o_orderstatus' as col_name, n_rows, nn_o_orderstatus as n_nulls, nd_o_orderstatus as n_distinct from s
+            union all select 'o_totalprice' as col_name, n_rows, nn_o_totalprice as n_nulls, nd_o_totalprice as n_distinct from s
+            union all select 'o_orderdate' as col_name, n_rows, nn_o_orderdate as n_nulls, nd_o_orderdate as n_distinct from s
+            union all select 'o_orderpriority' as col_name, n_rows, nn_o_orderpriority as n_nulls, nd_o_orderpriority as n_distinct from s
+            order by col_name
+        """,
+        "q118_fk_integrity": """
+            select 'lineitem.l_orderkey->orders.o_orderkey' as rel,
+              cast((select count(*) from lineitem) as bigint) as n_child,
+              cast((select count(*) from lineitem where l_orderkey is null)
+                   as bigint) as n_null_fk,
+              cast((select count(distinct l_orderkey) from lineitem)
+                   as bigint) as n_child_keys,
+              cast((select count(*) from
+                      (select distinct l_orderkey as k from lineitem
+                       where l_orderkey is not null) cs
+                    where not exists (select 1 from orders
+                                      where o_orderkey = cs.k))
+                   as bigint) as n_orphan_keys,
+              cast((select count(distinct o_orderkey) from orders)
+                   as bigint) as n_parents,
+              cast((select count(*) from
+                      (select distinct o_orderkey as k from orders) ps
+                    where not exists (select 1 from lineitem
+                                      where l_orderkey = ps.k))
+                   as bigint) as n_unref_parents
+            union all select 'lineitem.l_partkey->part.p_partkey' as rel,
+              cast((select count(*) from lineitem) as bigint) as n_child,
+              cast((select count(*) from lineitem where l_partkey is null)
+                   as bigint) as n_null_fk,
+              cast((select count(distinct l_partkey) from lineitem)
+                   as bigint) as n_child_keys,
+              cast((select count(*) from
+                      (select distinct l_partkey as k from lineitem
+                       where l_partkey is not null) cs
+                    where not exists (select 1 from part
+                                      where p_partkey = cs.k))
+                   as bigint) as n_orphan_keys,
+              cast((select count(distinct p_partkey) from part)
+                   as bigint) as n_parents,
+              cast((select count(*) from
+                      (select distinct p_partkey as k from part) ps
+                    where not exists (select 1 from lineitem
+                                      where l_partkey = ps.k))
+                   as bigint) as n_unref_parents
+            union all select 'lineitem.l_suppkey->supplier.s_suppkey' as rel,
+              cast((select count(*) from lineitem) as bigint) as n_child,
+              cast((select count(*) from lineitem where l_suppkey is null)
+                   as bigint) as n_null_fk,
+              cast((select count(distinct l_suppkey) from lineitem)
+                   as bigint) as n_child_keys,
+              cast((select count(*) from
+                      (select distinct l_suppkey as k from lineitem
+                       where l_suppkey is not null) cs
+                    where not exists (select 1 from supplier
+                                      where s_suppkey = cs.k))
+                   as bigint) as n_orphan_keys,
+              cast((select count(distinct s_suppkey) from supplier)
+                   as bigint) as n_parents,
+              cast((select count(*) from
+                      (select distinct s_suppkey as k from supplier) ps
+                    where not exists (select 1 from lineitem
+                                      where l_suppkey = ps.k))
+                   as bigint) as n_unref_parents
+            union all select 'orders.o_custkey->customer.c_custkey' as rel,
+              cast((select count(*) from orders) as bigint) as n_child,
+              cast((select count(*) from orders where o_custkey is null)
+                   as bigint) as n_null_fk,
+              cast((select count(distinct o_custkey) from orders)
+                   as bigint) as n_child_keys,
+              cast((select count(*) from
+                      (select distinct o_custkey as k from orders
+                       where o_custkey is not null) cs
+                    where not exists (select 1 from customer
+                                      where c_custkey = cs.k))
+                   as bigint) as n_orphan_keys,
+              cast((select count(distinct c_custkey) from customer)
+                   as bigint) as n_parents,
+              cast((select count(*) from
+                      (select distinct c_custkey as k from customer) ps
+                    where not exists (select 1 from orders
+                                      where o_custkey = ps.k))
+                   as bigint) as n_unref_parents
+            union all select 'customer.c_nationkey->nation.n_nationkey' as rel,
+              cast((select count(*) from customer) as bigint) as n_child,
+              cast((select count(*) from customer where c_nationkey is null)
+                   as bigint) as n_null_fk,
+              cast((select count(distinct c_nationkey) from customer)
+                   as bigint) as n_child_keys,
+              cast((select count(*) from
+                      (select distinct c_nationkey as k from customer
+                       where c_nationkey is not null) cs
+                    where not exists (select 1 from nation
+                                      where n_nationkey = cs.k))
+                   as bigint) as n_orphan_keys,
+              cast((select count(distinct n_nationkey) from nation)
+                   as bigint) as n_parents,
+              cast((select count(*) from
+                      (select distinct n_nationkey as k from nation) ps
+                    where not exists (select 1 from customer
+                                      where c_nationkey = ps.k))
+                   as bigint) as n_unref_parents
+            order by rel
         """,
     }

@@ -1,0 +1,150 @@
+"""Data-profiling operators: per-column table profiles and foreign-key
+integrity audits — the `SUMMARIZE` / data-quality surface a warehouse
+engine exposes before any pipeline trusts a new load.
+
+Both operators are exact (integer counts only, no formatted min/max
+strings — cross-engine value formatting of decimals/timestamps is the
+one thing that can NEVER hash-match, so the profile sticks to the
+stats both engines compute identically).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from puregraphdb_spark.sources.registry import final_sort, load_table
+
+
+def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column profile: row count, null count, exact distinct count.
+
+    One aggregate pass computes every column's stats together; the
+    single result row is then exploded into one output row per column
+    (the stats live in an array of structs, so the reshape is a
+    map-side explode of ONE row — no unpivot shuffle, no per-column
+    scan).
+
+    Scale: n columns of exact ``countDistinct`` in one aggregate plan
+    as a single Expand (n× row multiplication) + one shuffle — the
+    standard exact lowering. At 100 TB swap ``countDistinct`` for
+    ``approx_count_distinct`` (HLL): the Expand disappears and the
+    whole profile is one map-side-combined pass; exact is kept here
+    because it is what a cross-engine oracle can verify.
+    """
+    cols = columns if columns is not None else df.columns
+    if not cols:
+        raise ValueError("table_profile needs at least one column")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long").alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+    one = df.agg(*aggs)
+    per_col = F.array(*[
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"__nn_{c}").alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+        )
+        for c in cols
+    ])
+    return (
+        one.select(F.col("n_rows").cast("long").alias("n_rows"),
+                   F.explode(per_col).alias("s"))
+        .select("s.col_name", "n_rows", "s.n_nulls", "s.n_distinct")
+    )
+
+
+def fk_integrity(child: DataFrame, child_key: str,
+                 parent: DataFrame, parent_key: str,
+                 rel: str) -> DataFrame:
+    """One-row referential-integrity audit for ``child.child_key →
+    parent.parent_key``: child rows, null FKs, distinct child keys,
+    orphaned child keys (no matching parent), parent keys, and
+    unreferenced parents (childless).
+
+    Orphans SHOULD be zero on a consistent warehouse — the audit's
+    value is proving it, and the unreferenced-parent count (parts never
+    ordered, customers who never bought) is the non-trivial number that
+    makes the check discriminating.
+
+    Scale: the child side collapses to its distinct key set first (one
+    map-side-combined shuffle on the key — the only fact-wide
+    exchange), then ONE full-outer key join against the distinct
+    parent keys yields every set-level stat (child keys, orphans,
+    parents, unreferenced) in a single aggregate — not four separate
+    anti-join/count plans that each re-derive the key sets. The two
+    1-row aggregates combine via a broadcast cross join (scalar
+    composition, not a data join).
+    """
+    ck = F.col(child_key)
+    child_stats = child.agg(
+        F.count(F.lit(1)).cast("long").alias("n_child"),
+        F.sum(F.when(ck.isNull(), 1).otherwise(0))
+        .cast("long").alias("n_null_fk"),
+    )
+    ckeys = (
+        child.select(ck.alias("k")).filter(F.col("k").isNotNull())
+        .distinct().withColumn("c", F.lit(1))
+    )
+    pkeys = (
+        parent.select(F.col(parent_key).alias("k"))
+        .distinct().withColumn("p", F.lit(1))
+    )
+    set_stats = (
+        ckeys.join(pkeys, "k", "full_outer")
+        .agg(
+            F.sum(F.coalesce(F.col("c"), F.lit(0)))
+            .cast("long").alias("n_child_keys"),
+            F.sum(F.when(F.col("p").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_orphan_keys"),
+            F.sum(F.coalesce(F.col("p"), F.lit(0)))
+            .cast("long").alias("n_parents"),
+            F.sum(F.when(F.col("c").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_unref_parents"),
+        )
+    )
+    out = child_stats.crossJoin(F.broadcast(set_stats))
+    return out.select(
+        F.lit(rel).alias("rel"), "n_child", "n_null_fk",
+        "n_child_keys", "n_orphan_keys", "n_parents", "n_unref_parents",
+    )
+
+
+def q117_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-column profile of `orders` — the first query anyone runs
+    against a table they did not write."""
+    res = table_profile(load_table(spark, sf_dir, "orders"))
+    return final_sort(res, spark, sf_dir, "orders", "col_name")
+
+
+#: The fixture schema's FK graph (child, child_key, parent, parent_key).
+_FIXTURE_FKS = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+)
+
+
+def q118_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the fixture's five FK edges.
+    The unreferenced-parent counts (never-ordered parts, customers with
+    no orders) are the discriminating values; orphan counts prove the
+    zero the loader promises.
+    """
+    audits = [
+        fk_integrity(
+            load_table(spark, sf_dir, c), ck,
+            load_table(spark, sf_dir, p), pk,
+            rel=f"{c}.{ck}->{p}.{pk}",
+        )
+        for c, ck, p, pk in _FIXTURE_FKS
+    ]
+    res = reduce(DataFrame.unionByName, audits)
+    return final_sort(res, spark, sf_dir, "lineitem", "rel")
