@@ -166,6 +166,21 @@ def graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the customer->supplier order graph
+    (rows-only: L2-normalized power iteration, not SQL). In this
+    bipartite direction customers are pure hubs and suppliers pure
+    authorities; property tests pin the closed forms
+    (tests/test_graph_properties.py)."""
+    g = _order_graph(spark, sf_dir)
+    return (
+        g.hits(max_iter=8)
+        .select("id", F.round("hub", 6).alias("hub"),
+                F.round("authority", 6).alias("authority"))
+        .orderBy("id")
+    )
+
+
 def graph_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperANF approximate neighborhood function of the SYMMETRIZED
     order graph (Boldi–Rosa–Vigna, WWW'11): one row per hop t with the
@@ -418,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_betweenness_approx": graph_betweenness_approx,
         "graph_louvain": community.graph_louvain,
         "graph_louvain_weighted": community.graph_louvain_weighted,
+        "graph_hits": graph_hits,
         "graph_anf": graph_anf,
         "graph_random_walks": graph_random_walks,
         "graph_ktruss": graph_ktruss,
@@ -559,6 +575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_ab_split_conversion": events.q116_ab_split_conversion,
         "q117_table_profile": profile.q117_table_profile,
         "q118_fk_integrity": profile.q118_fk_integrity,
+        "q119_decile_gains": extras.q119_decile_gains,
+        "q120_scd2_intervals": events.q120_scd2_intervals,
     }
 
 
@@ -2433,5 +2451,64 @@ def oracle_sql() -> dict[str, str]:
                                       where c_nationkey = ps.k))
                    as bigint) as n_unref_parents
             order by rel
+        """,
+        "q119_decile_gains": """
+            with cust as (
+              select o_custkey,
+                     sum(cast(o_totalprice as decimal(28,2))) as spend_d
+              from orders group by o_custkey),
+            dec as (
+              select o_custkey, spend_d,
+                     ntile(10) over (order by spend_d desc, o_custkey)
+                       as decile
+              from cust),
+            per as (
+              select cast(decile as bigint) as decile,
+                     cast(count(*) as bigint) as n_customers,
+                     sum(spend_d) as dec_rev_d
+              from dec group by decile),
+            t as (select sum(dec_rev_d) as total_d from per),
+            c as (
+              select per.*,
+                     sum(dec_rev_d) over (order by decile
+                       rows between unbounded preceding and current row)
+                       as cum_rev_d
+              from per)
+            select decile, n_customers,
+                   cast(round(dec_rev_d, 2) as double) as decile_rev,
+                   cast(round(cast(cast(dec_rev_d as double)
+                        / cast(total_d as double) as decimal(28,10)), 6)
+                        as double) as rev_share,
+                   cast(round(cast(cast(cum_rev_d as double)
+                        / cast(total_d as double) as decimal(28,10)), 6)
+                        as double) as cum_share
+            from c, t order by decile
+        """,
+        "q120_scd2_intervals": """
+            with e as (
+              select user_id, event_type, ts, event_id
+              from events where user_id % 50 = 0),
+            r as (
+              select *, case when lag(event_type) over w is null
+                              or lag(event_type) over w <> event_type
+                         then 1 else 0 end as chg
+              from e
+              window w as (partition by user_id order by ts, event_id)),
+            runs as (
+              select *, sum(chg) over (partition by user_id
+                          order by ts, event_id
+                          rows between unbounded preceding and current row)
+                        as run
+              from r),
+            per as (
+              select user_id, run, min(event_type) as event_type,
+                     min(ts) as valid_from,
+                     cast(count(*) as bigint) as n_events
+              from runs group by user_id, run)
+            select user_id, event_type, valid_from,
+                   lead(valid_from) over (partition by user_id
+                                          order by run) as valid_to,
+                   n_events
+            from per order by user_id, valid_from
         """,
     }

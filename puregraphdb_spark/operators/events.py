@@ -600,3 +600,53 @@ def ab_split_conversion(events: DataFrame, buckets: int = 100,
 def q116_ab_split_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = ab_split_conversion(load_table(spark, sf_dir, "events"))
     return final_sort(res, spark, sf_dir, "events", "variant")
+
+
+def scd2_intervals(events: DataFrame, state_col: str = "event_type",
+                   ts_col: str = "ts", id_col: str = "user_id",
+                   tiebreak: str = "event_id") -> DataFrame:
+    """Slowly-changing-dimension (SCD2) history build: collapse an
+    event stream into per-key validity intervals — one row per
+    consecutive run of the same state, ``[valid_from, valid_to)``,
+    with ``valid_to`` NULL for the key's current state. The warehouse
+    operator that turns change events into a dimension history table.
+
+    Gaps-and-islands: a change flag (lag over the (ts, tiebreak) total
+    order) running-summed into a run id, then one aggregate per run;
+    ``valid_to`` is the NEXT run's start (lead), so intervals tile the
+    timeline exactly with no overlap by construction.
+
+    Scale: all three windows and the aggregate share the SAME key
+    partitioning (rides the events load clustering — no extra
+    exchange); state per run is constant so min() is exact; timestamps
+    compare at exact microseconds on both engines.
+    """
+    w = Window.partitionBy(id_col).orderBy(ts_col, tiebreak)
+    prev = F.lag(state_col).over(w)
+    runs = (
+        events.withColumn(
+            "__chg",
+            F.when(prev.isNull() | (prev != F.col(state_col)), 1).otherwise(0))
+        .withColumn("__run", F.sum("__chg").over(w))
+    )
+    per = runs.groupBy(id_col, "__run").agg(
+        F.min(state_col).alias(state_col),
+        F.min(ts_col).alias("valid_from"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    w2 = Window.partitionBy(id_col).orderBy("__run")
+    return (
+        per.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .select(id_col, state_col, "valid_from", "valid_to", "n_events")
+    )
+
+
+def q120_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history for a 1-in-50 user sample of the event stream:
+    each user's event-type runs as validity intervals."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 50 == 0
+    ).select("user_id", "event_type", "ts", "event_id")
+    res = scd2_intervals(ev)
+    return final_sort(res, spark, sf_dir, "events",
+                      "user_id", "valid_from")

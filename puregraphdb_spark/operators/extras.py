@@ -1180,3 +1180,50 @@ def q113_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_total").cast("double").alias("tot_new"),
     )
     return final_sort(res, spark, sf_dir, "orders", "change", "o_custkey")
+
+
+def q119_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains table (model-evaluation / campaign-targeting
+    report): customers scored by total spend, cut into spend deciles,
+    each decile's revenue share and cumulative share — the lift chart
+    behind "the top decile drives X% of revenue".
+
+    Exactness: spend sums are exact decimal(28,2); the ntile ORDER BY
+    (spend desc, custkey) is a total order over exact decimal keys, so
+    bucket assignment is identical cross-engine; both shares are
+    snapped single divisions of exact decimals.
+
+    Scale: the per-customer aggregate rides orders' o_custkey load
+    clustering (ONE real shuffle); the global ntile runs over the
+    dimension-sized customer aggregate (q105's documented posture —
+    fact-sized inputs use q55 percent_rank banding / approx
+    percentiles instead); the decile rollup is 10 rows, so its
+    cumulative window and the 1-row total broadcast are negligible.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("spend_d"))
+    w = Window.orderBy(F.desc("spend_d"), "o_custkey")
+    dec = cust.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    per = dec.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("spend_d").alias("dec_rev_d"))
+    total = per.agg(F.sum("dec_rev_d").alias("total_d"))
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    res = (
+        per.withColumn("cum_rev_d", F.sum("dec_rev_d").over(wc))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile", "n_customers",
+            F.round(F.col("dec_rev_d"), 2).cast("double").alias("decile_rev"),
+            decimal_round(
+                F.col("dec_rev_d").cast("double")
+                / F.col("total_d").cast("double"), 6, grid=10,
+            ).alias("rev_share"),
+            decimal_round(
+                F.col("cum_rev_d").cast("double")
+                / F.col("total_d").cast("double"), 6, grid=10,
+            ).alias("cum_share"),
+        )
+    )
+    return final_sort(res, spark, sf_dir, "orders", "decile")

@@ -717,6 +717,71 @@ class Graph:
         edges.unpersist()
         return result
 
+    def hits(self, max_iter: int = 10) -> DataFrame:
+        """HITS (Kleinberg hubs & authorities) → (id, hub, authority).
+
+        Per iteration: authority = Σ over in-edges of neighbor hub,
+        hub = Σ over out-edges of the NEW neighbor authority, each
+        L2-normalized (the classic power-iteration on AᵀA / AAᵀ, so
+        scores converge to the principal singular vectors).
+
+        Scale: two join+sum shuffles per iteration over the edge
+        relation — the exact pagerank superstep shape, directed both
+        ways; each normalizer is a 1-row aggregate broadcast back
+        (parameter traffic, not a data collect). Zero-norm sides
+        (graphs with no edges in one direction) normalize to 0 rather
+        than dividing by zero.
+        """
+        edges = self.edges.select("src", "dst").persist()
+
+        def _l2_normalized(scores: DataFrame, col: str) -> DataFrame:
+            norm = scores.agg(
+                F.sqrt(F.sum(F.col(col) * F.col(col))).alias("__norm"))
+            return (
+                scores.crossJoin(F.broadcast(norm))
+                .select(
+                    "id",
+                    F.when(F.col("__norm") > 0,
+                           F.col(col) / F.col("__norm"))
+                    .otherwise(F.lit(0.0)).alias(col),
+                )
+            )
+
+        def initial(v: DataFrame) -> DataFrame:
+            return v.select(
+                "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority"))
+
+        def step(g: Graph, state: DataFrame, i: int) -> DataFrame:
+            auth_raw = (
+                edges.join(state, edges.src == state.id)
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("hub").alias("authority"))
+            )
+            auth = _l2_normalized(
+                g.vertices.select("id")
+                .join(auth_raw, "id", "left")
+                .select("id", F.coalesce("authority", F.lit(0.0))
+                        .alias("authority")),
+                "authority",
+            )
+            hub_raw = (
+                edges.join(auth, edges.dst == auth.id)
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum("authority").alias("hub"))
+            )
+            hub = _l2_normalized(
+                g.vertices.select("id")
+                .join(hub_raw, "id", "left")
+                .select("id", F.coalesce("hub", F.lit(0.0)).alias("hub")),
+                "hub",
+            )
+            return hub.join(auth, "id").select("id", "hub", "authority")
+
+        result = self.pregel(initial, step, lambda o, n: False,
+                             max_iter=max_iter)
+        edges.unpersist()
+        return result
+
     def label_propagation(self, max_iter: int = 5) -> DataFrame:
         """Community detection: adopt the most frequent neighbor label
         (ties → smaller label). Returns (id, label)."""

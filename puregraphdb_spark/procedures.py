@@ -99,6 +99,11 @@ def _pagerank(spark, edges: str, vertices: str | None = None,
         weight_col=weight_col)
 
 
+def _hits(spark, edges: str, vertices: str | None = None,
+          max_iter: int = 10) -> DataFrame:
+    return _graph(spark, edges, vertices).hits(max_iter=int(max_iter))
+
+
 def _connected_components(spark, edges: str, vertices: str | None = None,
                           max_iter: int = 50) -> DataFrame:
     return _graph(spark, edges, vertices).connected_components(
@@ -551,6 +556,7 @@ def _harmonic(spark, edges: str, landmarks: str,
 
 PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "pagerank": _pagerank,
+    "hits": _hits,
     "connected_components": _connected_components,
     "strongly_connected_components": _scc,
     "k_core": _k_core,

@@ -169,3 +169,50 @@ def test_ab_split_is_deterministic_and_partitions_users(spark):
     for v in a:
         assert a[v]["n_users"] == b[v]["n_users"]
         assert a[v]["n_purchasers"] <= a[v]["n_users"]
+
+
+def test_scd2_intervals_hand_case(spark):
+    from puregraphdb_spark.operators.events import scd2_intervals
+
+    rows = [
+        ("u1", "a", 0, 1), ("u1", "a", 10, 2), ("u1", "b", 20, 3),
+        ("u1", "a", 30, 4), ("u2", "x", 5, 5),
+    ]
+    df = spark.createDataFrame(
+        [(u, s, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t), e)
+         for u, s, t, e in rows],
+        ["user_id", "event_type", "ts", "event_id"],
+    )
+    out = sorted(
+        ((r["user_id"], r["event_type"], r["valid_from"].second,
+          None if r["valid_to"] is None else r["valid_to"].second,
+          r["n_events"])
+         for r in scd2_intervals(df).collect()),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert out == [
+        ("u1", "a", 0, 20, 2),   # run of two a's, closed by b
+        ("u1", "b", 20, 30, 1),
+        ("u1", "a", 30, None, 1),  # re-entry is a NEW interval
+        ("u2", "x", 5, None, 1),
+    ]
+
+
+def test_scd2_intervals_tile_without_overlap(spark):
+    from puregraphdb_spark.operators.events import scd2_intervals
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts", "event_id")
+    iv = scd2_intervals(ev)
+    # intervals tile: per user, every valid_to equals the next
+    # valid_from, exactly one open interval, counts sum to the stream
+    from pyspark.sql import Window as W
+    nxt = F.lead("valid_from").over(
+        W.partitionBy("user_id").orderBy("valid_from"))
+    bad = iv.withColumn("__n", nxt).filter(
+        (F.col("valid_to").isNotNull() | F.col("__n").isNotNull())
+        & (F.col("valid_to") != F.col("__n"))).count()
+    assert bad == 0
+    assert iv.filter(F.col("valid_to").isNull()).count() == \
+        iv.select("user_id").distinct().count()
+    assert iv.agg(F.sum("n_events")).collect()[0][0] == ev.count()

@@ -573,3 +573,58 @@ def test_betweenness_sampled_validates_and_caps(spark):
     e0 = spark.createDataFrame([], "src long, dst long")
     assert Graph(v1, e0).betweenness_sampled().collect()[0][
         "betweenness"] == 0.0
+
+
+# -- HITS ---------------------------------------------------------------------
+
+
+def _graph(spark, edges):
+    ids = sorted({x for e in edges for x in e})
+    v = spark.createDataFrame([(i,) for i in ids], ["id"])
+    return Graph(v, spark.createDataFrame(edges, ["src", "dst"]))
+
+
+def test_hits_star_closed_form(spark):
+    # leaves 1..4 all point at 0: center is the unique authority
+    # (score 1), each leaf an equal hub (1/2 = 1/sqrt(4)).
+    g = _graph(spark, [(i, 0) for i in range(1, 5)])
+    got = {r["id"]: (r["hub"], r["authority"])
+           for r in g.hits(max_iter=3).collect()}
+    assert got[0][0] == pytest.approx(0.0)
+    assert got[0][1] == pytest.approx(1.0)
+    for leaf in range(1, 5):
+        assert got[leaf][0] == pytest.approx(0.5)
+        assert got[leaf][1] == pytest.approx(0.0)
+
+
+def test_hits_bipartite_uniform(spark):
+    # complete bipartite {0,1} -> {10,11,12}: hubs equal, authorities
+    # equal, each vector unit-norm.
+    g = _graph(spark, [(u, v) for u in (0, 1) for v in (10, 11, 12)])
+    rows = g.hits(max_iter=5).collect()
+    hubs = sorted(r["hub"] for r in rows if r["id"] < 10)
+    auths = sorted(r["authority"] for r in rows if r["id"] >= 10)
+    assert hubs == pytest.approx([2 ** -0.5] * 2)
+    assert auths == pytest.approx([3 ** -0.5] * 3)
+    assert sum(h * h for h in hubs) == pytest.approx(1.0)
+
+
+def test_hits_authority_follows_in_links(spark):
+    # 3 hubs point at 20; one hub also points at 21 -> 20 must carry
+    # the strictly larger authority; the richer hub is the bigger hub.
+    g = _graph(spark, [(1, 20), (2, 20), (3, 20), (3, 21)])
+    got = {r["id"]: r for r in g.hits(max_iter=10).collect()}
+    assert got[20]["authority"] > got[21]["authority"] > 0
+    assert got[3]["hub"] > got[1]["hub"] > 0
+
+
+def test_hits_deterministic_and_edgeless_safe(spark):
+    g = _graph(spark, [(1, 2), (2, 3)])
+    a = sorted(map(tuple, g.hits(max_iter=4).collect()))
+    b = sorted(map(tuple, g.hits(max_iter=4).collect()))
+    assert a == b
+    # a vertex set with no edges: norms are zero -> all scores 0
+    v = spark.createDataFrame([(1,), (2,)], ["id"])
+    e = spark.createDataFrame([], "src long, dst long")
+    rows = Graph(v, e).hits(max_iter=2).collect()
+    assert all(r["hub"] == 0.0 and r["authority"] == 0.0 for r in rows)

@@ -214,3 +214,23 @@ def test_call_door_ktruss(engine, spark):
     key = lambda df: sorted(map(tuple, df[["u", "v", "support"]].values))
     assert key(got) == key(want)
     assert key(got) == sorted((a, b, 2) for a, b in k4)
+
+
+def test_call_door_hits(engine, spark):
+    """EP2 CALL ≡ Python API for the HITS procedure."""
+    from pyspark.sql import functions as F
+
+    from puregraphdb_spark.operators.graph import Graph
+
+    e = spark.createDataFrame(
+        [(1, 20), (2, 20), (3, 20), (3, 21)], ["src", "dst"])
+    e.createOrReplaceTempView("hits_edges")
+    got = engine.sql(
+        "CALL hits(edges => 'hits_edges', max_iter => 6)").toPandas()
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    want = Graph(v, e).hits(max_iter=6).toPandas()
+    assert_frames_match(want, got)
