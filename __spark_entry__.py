@@ -234,8 +234,18 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterated peeling to fixpoint; property-tested on cliques, bridged
     cliques, and a cascade case (tests/test_graph_extended.py). The
     bipartite ORDER graph has no triangles by construction, so the
-    co-occurrence graph is the meaningful target."""
-    l = load_table(spark, sf_dir, "lineitem")
+    co-occurrence graph is the meaningful target.
+
+    Vertex sample (q85's posture): parts on the id % 4 grid, applied
+    BEFORE the pair expansion so the quadratic per-order fan-out and
+    the edge set shrink ~16x together. The full graph's peeling is
+    compute-bound by design — at sf1 the unsampled co-occurrence
+    graph is ~9M edges at mean degree ~90 (~400M wedges per peeling
+    round, with cascading rounds); the sampled subgraph keeps the
+    entry interactive at every sf while `Graph.ktruss` itself stays
+    exact for callers who budget the full run."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 4 == 0)
     e = graph.part_cooccurrence_edges(l).select(
         F.col("u").alias("src"), F.col("v").alias("dst"))
     v = (
