@@ -587,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_fk_integrity": profile.q118_fk_integrity,
         "q119_decile_gains": extras.q119_decile_gains,
         "q120_scd2_intervals": events.q120_scd2_intervals,
+        "q121_autocorr": extras.q121_autocorr,
     }
 
 
@@ -2520,5 +2521,41 @@ def oracle_sql() -> dict[str, str]:
                                           order by run) as valid_to,
                    n_events
             from per order by user_id, valid_from
+        """,
+        "q121_autocorr": """
+            with daily as (
+              select date_trunc('day', o_orderdate) as day,
+                     sum(cast(o_totalprice as decimal(18,2))) as rev
+              from orders group by day),
+            leads as (
+              select rev,
+                     lead(rev, 1) over w as l1, lead(rev, 2) over w as l2,
+                     lead(rev, 3) over w as l3, lead(rev, 4) over w as l4,
+                     lead(rev, 5) over w as l5, lead(rev, 6) over w as l6,
+                     lead(rev, 7) over w as l7
+              from daily window w as (order by day)),
+            pairs as (
+              select 1 as lag, rev as x, l1 as y from leads
+              union all select 2, rev, l2 from leads
+              union all select 3, rev, l3 from leads
+              union all select 4, rev, l4 from leads
+              union all select 5, rev, l5 from leads
+              union all select 6, rev, l6 from leads
+              union all select 7, rev, l7 from leads),
+            mom as (
+              select lag, cast(count(*) as bigint) as n_pairs,
+                     cast(sum(x) as double) as sx,
+                     cast(sum(y) as double) as sy,
+                     cast(sum(x * y) as double) as sxy,
+                     cast(sum(x * x) as double) as sxx,
+                     cast(sum(y * y) as double) as syy
+              from pairs where y is not null group by lag)
+            select cast(lag as bigint) as lag, n_pairs,
+                   cast(round(cast(
+                     (cast(n_pairs as double) * sxy - sx * sy)
+                     / (sqrt(cast(n_pairs as double) * sxx - sx * sx)
+                        * sqrt(cast(n_pairs as double) * syy - sy * sy))
+                     as decimal(28,10)), 6) as double) as acf
+            from mom order by lag
         """,
     }

@@ -1227,3 +1227,59 @@ def q119_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return final_sort(res, spark, sf_dir, "orders", "decile")
+
+
+def q121_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series diagnostics: autocorrelation (Pearson ACF) of the
+    daily order-revenue series at lags 1–7 — the seasonality probe run
+    before fitting any forecast.
+
+    Cross-engine exactness: the daily series is an exact decimal(18,2)
+    sum; every moment (Σx, Σy, Σxy, Σx², Σy²) is converted to double
+    ONCE, and the Pearson formula is then evaluated in doubles with the
+    IDENTICAL expression tree on both engines — each step an IEEE op on
+    identical inputs, so the result is bit-identical before the
+    cosmetic snap. (Summing the moments in decimal first avoids the
+    summation-order problem entirely; mixing decimal×bigint inside the
+    formula instead would hit the engines' different precision-clamping
+    rules, which is why the formula runs in doubles.)
+
+    Scale: one fact-wide day aggregate (the only real shuffle); the
+    series itself is calendar-sized (~2.4k rows), so the ORDERED lead
+    window and the 7-lag explode run on a dimension-scale relation —
+    the documented global-window posture (q105). The lags unpivot via
+    one map-side stack; per-lag moments partial-aggregate to 7 rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .alias("rev"))
+    )
+    w = Window.orderBy("day")
+    lead_cols = [F.lead("rev", k).over(w).alias(f"__l{k}")
+                 for k in range(1, 8)]
+    pairs = daily.select("rev", *lead_cols).select(
+        F.expr("stack(7, " + ", ".join(
+            f"{k}, rev, __l{k}" for k in range(1, 8)
+        ) + ") as (lag, x, y)")
+    ).filter(F.col("y").isNotNull())
+    mom = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    acf = (
+        (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+           * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy")))
+    )
+    res = mom.select(
+        F.col("lag").cast("long").alias("lag"), "n_pairs",
+        decimal_round(acf, 6, grid=10).alias("acf"),
+    )
+    return final_sort(res, spark, sf_dir, "orders", "lag")
