@@ -420,13 +420,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ORDERING IS DELIBERATE (round 7, VERDICT r6 item 1): the driver's
     CORRECTNESS file records only the FIRST 50 entries. Rounds 2-5
     recorded q01-q50; round 6 rotated to q51-q98 + the named oracled
-    entries — so every ORACLED entry now has a driver-green record,
-    while the rows-only entries have never been recorded. This round
-    therefore leads with ALL 23 rows-only entries (the 18 existing +
-    louvain + sampled betweenness + weighted louvain + HyperANF +
-    random walks), then the brand-new oracled q99_modularity, then a
-    q01-q26 re-record to fill the 50-window; the remaining oracled
-    entries (driver-green r5 AND r6) follow.
+    entries — so every entry that existed at round-6 close has a
+    driver-green record EXCEPT the rows-only block. This round
+    therefore leads with ALL 25 rows-only entries, then the oracled
+    round-7 additions q99-q123 (never driver-recorded; verified so
+    far only by the local check_oracle gate) to fill the 50-window;
+    q124-q126 just miss the cut and lead the round-8 rotation; the
+    q01-q98 re-records (driver-green r2-r6) follow.
     """
     return {
         "graph_pagerank": graph_pagerank,
@@ -455,6 +455,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ann_ivf": knn_ann_ivf,
         "approx_distinct_parts": extras.approx_distinct_parts,
         "q99_modularity": community.q99_modularity,
+        # round-7 sessions 1-5 oracled additions, NONE ever driver-
+        # recorded — they fill the rest of the 50-window ahead of the
+        # q01+ re-records (q01-q98 all have driver-green rows from
+        # rounds 2-6; these have only builder/judge check_oracle runs)
+        "q100_link_prediction": graph.q100_link_prediction,
+        "q101_attribution": events.q101_attribution,
+        "q102_boilerplate_shingles": llm.q102_boilerplate_shingles,
+        "q103_graph_growth": graph.q103_graph_growth,
+        "q104_markov_transitions": events.q104_markov_transitions,
+        "q105_rfm_segments": extras.q105_rfm_segments,
+        "q106_cooccur_lift": extras.q106_cooccur_lift,
+        "q107_session_paths": events.q107_session_paths,
+        "q108_reorder_intervals": extras.q108_reorder_intervals,
+        "q109_cohort_ltv": extras.q109_cohort_ltv,
+        "q110_mad_outliers": pipeline.q110_mad_outliers,
+        "q111_degree_histogram": graph.q111_degree_histogram,
+        "q112_weighted_sample": pipeline.q112_weighted_sample,
+        "q113_snapshot_diff": extras.q113_snapshot_diff,
+        "q114_fuzzy_name_pairs": pipeline.q114_fuzzy_name_pairs,
+        "q115_rolling_actives": events.q115_rolling_actives,
+        "q116_ab_split_conversion": events.q116_ab_split_conversion,
+        "q117_table_profile": profile.q117_table_profile,
+        "q118_fk_integrity": profile.q118_fk_integrity,
+        "q119_decile_gains": extras.q119_decile_gains,
+        "q120_scd2_intervals": events.q120_scd2_intervals,
+        "q121_autocorr": extras.q121_autocorr,
+        "q122_weighted_median": extras.q122_weighted_median,
+        "q123_interval_union": events.q123_interval_union,
+        # ---- end of the 50-entry recorded window (25 rows-only +
+        # q99-q123; q124-q126 below just miss the cut and lead the
+        # round-8 rotation) ----
+        "q124_time_to_convert": events.q124_time_to_convert,
+        "q125_sorted_neighborhood": pipeline.q125_sorted_neighborhood,
+        "q126_token_diversity": pipeline.q126_token_diversity,
         "q01_filter_project": relational.q01_filter_project,
         "q02_agg_pricing_summary": relational.q02_agg_pricing_summary,
         "q03_distinct_count": relational.q03_distinct_count,
@@ -484,7 +518,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_text_tokens": llm.q27_text_tokens,
         "q28_text_stats": llm.q28_text_stats,
         "q29_knn_cosine": llm.q29_knn_cosine,
-        # ---- end of the 50-entry recorded window ----
         "q30_knn_label": llm.q30_knn_label,
         "q31_asof_join": extras.q31_asof_join,
         "q32_full_outer": extras.q32_full_outer,
@@ -556,38 +589,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_funnel_windows": events.q98_funnel_windows,
         "hypertable_rollup": hypertable_rollup,
         "sliding_window_counts": extras.sliding_window_counts,
-        # round-7 additions past the recorded window (rotate forward
-        # next round): link prediction, attribution, boilerplate
-        # shingles, temporal graph growth
-        "q100_link_prediction": graph.q100_link_prediction,
-        "q101_attribution": events.q101_attribution,
-        "q102_boilerplate_shingles": llm.q102_boilerplate_shingles,
-        "q103_graph_growth": graph.q103_graph_growth,
-        # round-7 session-2 additions (also past the recorded window):
-        # behavioral-sequence + marketing-analytics + mining coverage
-        # (the session-2/3 rows-only members — weighted louvain,
-        # HyperANF, random walks — lead the dict with the rest of the
-        # rows-only block so CORRECTNESS_r07 records them)
-        "q104_markov_transitions": events.q104_markov_transitions,
-        "q105_rfm_segments": extras.q105_rfm_segments,
-        "q106_cooccur_lift": extras.q106_cooccur_lift,
-        "q107_session_paths": events.q107_session_paths,
-        "q108_reorder_intervals": extras.q108_reorder_intervals,
-        # round-7 session-3 additions: revenue cohorting, robust
-        # outliers, graph shape summary, weighted corpus sampling
-        "q109_cohort_ltv": extras.q109_cohort_ltv,
-        "q110_mad_outliers": pipeline.q110_mad_outliers,
-        "q111_degree_histogram": graph.q111_degree_histogram,
-        "q112_weighted_sample": pipeline.q112_weighted_sample,
-        "q113_snapshot_diff": extras.q113_snapshot_diff,
-        "q114_fuzzy_name_pairs": pipeline.q114_fuzzy_name_pairs,
-        "q115_rolling_actives": events.q115_rolling_actives,
-        "q116_ab_split_conversion": events.q116_ab_split_conversion,
-        "q117_table_profile": profile.q117_table_profile,
-        "q118_fk_integrity": profile.q118_fk_integrity,
-        "q119_decile_gains": extras.q119_decile_gains,
-        "q120_scd2_intervals": events.q120_scd2_intervals,
-        "q121_autocorr": extras.q121_autocorr,
     }
 
 
@@ -2557,5 +2558,118 @@ def oracle_sql() -> dict[str, str]:
                         * sqrt(cast(n_pairs as double) * syy - sy * sy))
                      as decimal(28,10)), 6) as double) as acf
             from mom order by lag
+        """,
+        "q122_weighted_median": """
+            with scored as (
+              select l_returnflag, l_extendedprice,
+                     sum(cast(l_quantity as decimal(18,2))) over (
+                       partition by l_returnflag order by l_extendedprice
+                       range between unbounded preceding and current row
+                     ) as cum,
+                     sum(cast(l_quantity as decimal(18,2))) over (
+                       partition by l_returnflag) as tot
+              from lineitem),
+            med as (
+              select l_returnflag,
+                     min(l_extendedprice) as w_median,
+                     cast(min(tot) as double) as total_weight
+              from scored where 2 * cum >= tot group by l_returnflag),
+            cnt as (
+              select l_returnflag, cast(count(*) as bigint) as n_rows
+              from lineitem group by l_returnflag)
+            select m.l_returnflag, c.n_rows, m.w_median, m.total_weight
+            from med m join cnt c using (l_returnflag)
+            order by m.l_returnflag
+        """,
+        "q123_interval_union": """
+            with e as (
+              select user_id, event_id, epoch_us(ts) as s,
+                     epoch_us(ts) + 300000000 as en
+              from events),
+            flagged as (
+              select user_id, event_id, s, en,
+                     case when max(en) over w1 is null
+                            or s > max(en) over w1
+                          then 1 else 0 end as nf
+              from e
+              window w1 as (partition by user_id order by s, event_id
+                            rows between unbounded preceding
+                            and 1 preceding)),
+            isl as (
+              select user_id, s, en,
+                     sum(nf) over (partition by user_id
+                                   order by s, event_id
+                                   rows between unbounded preceding
+                                   and current row) as island
+              from flagged),
+            agg as (
+              select user_id, island, min(s) as i_s, max(en) as i_e
+              from isl group by user_id, island)
+            select user_id,
+                   cast(count(*) as bigint) as n_islands,
+                   cast(sum(i_e - i_s) as bigint) as covered_us
+            from agg group by user_id order by user_id
+        """,
+        "q124_time_to_convert": """
+            with e as (
+              select user_id, event_type, epoch_us(ts) as t
+              from events
+              where event_type in ('signup', 'purchase')),
+            a as (
+              select user_id, event_type, t,
+                     min(case when event_type = 'signup' then t end)
+                       over (partition by user_id) as f
+              from e),
+            g as (
+              select user_id, min(t) as t_to, min(f) as t_f
+              from a
+              where event_type = 'purchase' and f is not null and t >= f
+              group by user_id)
+            select cast(floor((t_to - t_f) / 3600000000.0) as bigint)
+                     as hours_bucket,
+                   cast(count(*) as bigint) as n_users
+            from g group by hours_bucket order by hours_bucket
+        """,
+        "q125_sorted_neighborhood": """
+            with ranked as (
+              select p_partkey as id, p_name as k,
+                     row_number() over (order by p_name, p_partkey)
+                       as rn
+              from part),
+            pairs as (
+              select a.id as id1, b.id as id2,
+                     a.k as key1, b.k as key2
+              from ranked a join ranked b
+                on b.rn > a.rn and b.rn <= a.rn + 3)
+            select id1, id2, key1, key2,
+                   cast(levenshtein(key1, key2) as bigint) as dist
+            from pairs where levenshtein(key1, key2) <= 8
+            order by id1, id2
+        """,
+        "q126_token_diversity": """
+            with tok as (
+              select source as grp,
+                     unnest(string_split(lower(text), ' ')) as tok
+              from documents),
+            pt as (
+              select grp, tok, cast(count(*) as bigint) as ct
+              from tok where tok <> '' group by grp, tok),
+            ag as (
+              select grp,
+                     cast(sum(ct) as bigint) as n_tokens,
+                     cast(count(*) as bigint) as n_types,
+                     sum(cast(ct as hugeint) * ct) as sq
+              from pt group by grp)
+            select grp as source, n_tokens, n_types,
+                   cast(round(cast(
+                     cast(n_types as double) / cast(n_tokens as double)
+                     as decimal(28,10)), 6) as double)
+                     as type_token_ratio,
+                   cast(round(cast(
+                     1.0 - cast(sq as double)
+                       / (cast(n_tokens as double)
+                          * cast(n_tokens as double))
+                     as decimal(28,10)), 6) as double) as simpson_index
+            from ag order by source
         """,
     }

@@ -650,3 +650,120 @@ def q120_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = scd2_intervals(ev)
     return final_sort(res, spark, sf_dir, "events",
                       "user_id", "valid_from")
+
+
+def interval_union(events: DataFrame, duration_s: int = 300,
+                   id_col: str = "user_id",
+                   ts_col: str = "ts",
+                   tiebreak: str = "event_id") -> DataFrame:
+    """Per-key union length of overlapping activity intervals: each
+    event opens a ``[ts, ts + duration_s)`` window; overlapping windows
+    merge, and the operator returns per key the number of merged
+    activity islands and the total covered time — the "true time spent"
+    metric that naive ``count·duration`` overstates wherever events
+    overlap.
+
+    Gaps-and-islands on exact epoch microseconds: a window start opens
+    a NEW island iff it begins strictly after the running max end of
+    all earlier windows (lag-frame max over the (ts, tiebreak) TOTAL
+    order — the explicit tiebreak keeps the flag pass and the island-
+    numbering pass on the identical row order, without which equal
+    timestamps could split coverage differently per engine); the flag
+    running-sums into an island id, one aggregate per island gives
+    ``[min start, max end)``, and per-key sums are pure bigint (no FP
+    anywhere, so both engines agree bit-for-bit).
+
+    Scale: both windows and both aggregates share the SAME key
+    partitioning — one exchange on ``id_col`` total, then map-side
+    partial aggregation for the final per-key rollup. State per window
+    row is O(1); nothing global, nothing collected.
+    """
+    dur_us = duration_s * 1_000_000
+    start = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(id_col).orderBy(ts_col, tiebreak)
+    prev_max_end = F.max(start + F.lit(dur_us)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = events.select(
+        id_col, F.col(tiebreak).alias("__tb"),
+        start.alias("__s"), (start + F.lit(dur_us)).alias("__e"),
+        F.when(
+            prev_max_end.isNull() | (start > prev_max_end), 1
+        ).otherwise(0).alias("__new"),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(
+            Window.partitionBy(id_col).orderBy("__s", "__tb")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    islands = flagged.groupBy(id_col, "__island").agg(
+        F.min("__s").alias("__is"), F.max("__e").alias("__ie")
+    )
+    return islands.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_islands"),
+        F.sum(F.col("__ie") - F.col("__is")).cast("long")
+        .alias("covered_us"),
+    )
+
+
+def q123_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True per-user active time: 5-minute activity windows around each
+    event, merged where they overlap (see ``interval_union``)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    res = interval_union(ev, duration_s=300)
+    return final_sort(res, spark, sf_dir, "events", "user_id")
+
+
+def conversion_latency(events: DataFrame, from_type: str = "signup",
+                       to_type: str = "purchase",
+                       id_col: str = "user_id") -> DataFrame:
+    """Time-to-convert distribution: per key, the latency from the
+    FIRST ``from_type`` event to the first ``to_type`` event at or
+    after it, bucketed into whole hours — the activation-funnel
+    histogram product teams read before picking a nudge window.
+
+    Exactness: first-touch timestamps are min() aggregates at exact
+    microseconds; the bucket is integer floor-division of the
+    microsecond delta — no FP anywhere.
+
+    Scale: the anchor (first ``from_type``) is an unordered-frame
+    window min sharing the key exchange with the follow-up aggregate —
+    ONE shuffle on ``id_col`` total, then a bucket rollup on the tiny
+    histogram relation. Same single-exchange shape as q88 retention.
+    """
+    hour_us = 3_600 * 1_000_000
+    anchor = F.min(
+        F.when(F.col("event_type") == from_type, F.col("__t"))
+    ).over(Window.partitionBy(id_col))
+    anchored = (
+        events.filter(F.col("event_type").isin(from_type, to_type))
+        .select(id_col, "event_type",
+                F.unix_micros(F.col("ts")).alias("__t"))
+        .withColumn("__from", anchor)
+        .filter((F.col("event_type") == to_type)
+                & F.col("__from").isNotNull()
+                & (F.col("__t") >= F.col("__from")))
+        .groupBy(id_col)
+        .agg(F.min("__t").alias("__to"), F.min("__from").alias("__f"))
+    )
+    return (
+        anchored.select(
+            F.floor((F.col("__to") - F.col("__f")) / F.lit(hour_us))
+            .cast("long").alias("hours_bucket")
+        )
+        .groupBy("hours_bucket")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+def q124_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase time-to-convert histogram in whole-hour buckets
+    (see ``conversion_latency``)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    res = conversion_latency(ev)
+    return final_sort(res, spark, sf_dir, "events", "hours_bucket")

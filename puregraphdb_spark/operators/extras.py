@@ -1283,3 +1283,61 @@ def q121_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         decimal_round(acf, 6, grid=10).alias("acf"),
     )
     return final_sort(res, spark, sf_dir, "orders", "lag")
+
+
+def weighted_median(df: DataFrame, value_col: str, weight_col: str,
+                    *group_cols: str) -> DataFrame:
+    """Per-group weighted median (upper/"whichever value first
+    accumulates half the total weight" variant): the smallest value v
+    such that the summed weight of rows with value ≤ v reaches half
+    the group's total weight — robust central tendency where every row
+    carries a size (quantity, duration, spend).
+
+    Exactness: weights sum in decimal (order-immune), the half-total
+    test is ``2·cum ≥ total`` in decimal (no division, no FP), and the
+    cumulative sum uses a RANGE frame — ties all land in the same
+    cumulative value, so the crossing value is independent of tie
+    order on both engines.
+
+    Scale: ONE exchange on the group key shared by both windows and
+    the final aggregate; state per row is O(1). For an UNGROUPED
+    median over fact-scale data use the percentile machinery
+    (operators/percentile.py) — a single-partition global window does
+    not scale, the documented q105 posture.
+    """
+    wd = F.col("__w")
+    cum = F.sum(wd).over(
+        Window.partitionBy(*group_cols).orderBy(value_col)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = F.sum(wd).over(Window.partitionBy(*group_cols))
+    scored = (
+        df.select(*group_cols, value_col,
+                  F.col(weight_col).cast("decimal(18,2)").alias("__w"))
+        .withColumn("__cum", cum)
+        .withColumn("__tot", tot)
+    )
+    return (
+        scored.filter(F.lit(2) * F.col("__cum") >= F.col("__tot"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min(value_col).alias("w_median"),
+            F.min(F.col("__tot")).cast("double").alias("total_weight"),
+        )
+    )
+
+
+def q122_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag (see
+    ``weighted_median``), with the group row count alongside."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = weighted_median(
+        li, "l_extendedprice", "l_quantity", "l_returnflag"
+    )
+    counts = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    res = med.join(counts, "l_returnflag").select(
+        "l_returnflag", "n_rows", "w_median", "total_weight"
+    )
+    return final_sort(res, spark, sf_dir, "lineitem", "l_returnflag")

@@ -1256,3 +1256,133 @@ def q114_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_dist"),
     )
     return final_sort(res, spark, sf_dir, "part", "p_brand")
+
+
+def sorted_neighborhood_pairs(df: DataFrame, key_col: str,
+                              id_col: str, window: int = 3,
+                              max_dist: int = 8) -> DataFrame:
+    """Sorted-neighborhood dedup blocking: rank records by a sort key,
+    pair each record with its next ``window`` neighbors in that order,
+    and keep pairs whose keys are within ``max_dist`` edits — the
+    linear-candidate alternative to quadratic all-pairs blocking
+    (classic record-linkage method: sort once, slide a fixed window).
+
+    Candidate volume is exactly ``window`` pairs per record regardless
+    of corpus size — no hot-block blowup (contrast q114's length-band
+    blocking where a popular block is quadratic in its size).
+
+    Exactness: the rank is a total order (key, id tiebreak); the edit
+    distance is integer levenshtein — identical on both engines.
+
+    Scale: the global rank is the q105 global-window posture, fine for
+    dimension-scale inputs; at fact scale swap the row_number for a
+    range-partitioned ``zipWithIndex``-style two-pass rank (the q92
+    prefix-scan machinery) — the neighbor self-join on rank is
+    shuffle-colocated either way and carries only (rank, key, id).
+    """
+    ranked = df.select(
+        F.col(id_col).alias("__id"), F.col(key_col).alias("__key"),
+        F.row_number().over(
+            Window.orderBy(key_col, id_col)
+        ).alias("__rn"),
+    )
+    right = ranked.select(
+        F.col("__id").alias("__id2"), F.col("__key").alias("__key2"),
+        F.col("__rn").alias("__rn2"),
+    )
+    # equi-join on (rank + offset), NOT a non-equi range condition: a
+    # rank-band predicate would plan as a nested-loop join (quadratic
+    # compares); exploding the fixed offsets keeps it a hash join —
+    # exactly `window` probe rows per record.
+    offsets = F.array(*[F.lit(j) for j in range(1, window + 1)])
+    pairs = (
+        ranked.withColumn("__j", F.explode(offsets))
+        .withColumn("__rn2", F.col("__rn") + F.col("__j"))
+        .join(right, "__rn2")
+    )
+    return (
+        pairs.withColumn(
+            "dist", F.levenshtein("__key", "__key2").cast("long")
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("__id").alias("id1"), F.col("__id2").alias("id2"),
+            F.col("__key").alias("key1"), F.col("__key2").alias("key2"),
+            "dist",
+        )
+    )
+
+
+def q125_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-duplicate candidates over part names
+    (window 3, edit distance ≤ 8) — see ``sorted_neighborhood_pairs``;
+    emits the surviving pairs with their edit distance."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    res = sorted_neighborhood_pairs(
+        p, key_col="p_name", id_col="p_partkey", window=3, max_dist=8
+    )
+    return final_sort(res, spark, sf_dir, "part", "id1", "id2")
+
+
+def token_diversity(docs: DataFrame,
+                    group_col: str = "source") -> DataFrame:
+    """Per-group lexical-diversity report: token count, type count,
+    type-token ratio, and the Simpson diversity index
+    ``1 − Σ cᵢ² / C²`` (the probability two random token draws
+    differ) — the transcendental-free stand-in for Shannon entropy in
+    corpus-quality dashboards (same ordering on every realistic
+    distribution, but exactly computable: Σcᵢ² and C are pure bigint,
+    so the index is ONE snapped IEEE division of exact integers —
+    no ln() whose libm rounding differs between engines).
+
+    Scale: tokenize is a flatMap; the (group, token) count is one
+    shuffle with map-side combine (Zipf head collapses early); the
+    per-group rollup of counts² is a second tiny exchange on the
+    vocabulary-sized relation.
+    """
+    tok = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(_nonempty_tokens()).alias("tok"),
+    )
+    per_tok = tok.groupBy("grp", "tok").agg(
+        F.count("*").cast("long").alias("ct")
+    )
+    return (
+        per_tok.groupBy("grp")
+        .agg(
+            F.sum("ct").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            # ct² sums in decimal(38,0): exact to 1e38 (a bigint square
+            # overflows past ct ≈ 3e9 — reachable for a Zipf head token
+            # at 100 TB); the oracle mirrors with hugeint
+            F.sum(F.col("ct").cast("decimal(19,0)")
+                  * F.col("ct").cast("decimal(19,0)")).alias("__sq"),
+        )
+        .select(
+            F.col("grp").alias(group_col), "n_tokens", "n_types",
+            decimal_round(
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double"), 6, grid=10,
+            ).alias("type_token_ratio"),
+            decimal_round(
+                # squares/products evaluate in DOUBLE (each cast exact
+                # below 2^53, product correctly rounded identically) —
+                # bigint·bigint would overflow-error in DuckDB at scale
+                F.lit(1.0)
+                - F.col("__sq").cast("double")
+                / (F.col("n_tokens").cast("double")
+                   * F.col("n_tokens").cast("double")),
+                6, grid=10,
+            ).alias("simpson_index"),
+        )
+    )
+
+
+def q126_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity (type-token ratio + Simpson index) per
+    document source — see ``token_diversity``."""
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    return final_sort(
+        token_diversity(d, "source"), spark, sf_dir, "documents",
+        "source",
+    )

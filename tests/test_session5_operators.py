@@ -1,0 +1,115 @@
+"""Hand-computed ground truths for the round-7 session-5 operators:
+interval union (true active time), conversion latency, weighted
+median, sorted-neighborhood blocking, token diversity. The oracle
+tests cover fixture-scale cross-engine equivalence; these pin the
+SEMANTICS on inputs small enough to verify by hand.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from puregraphdb_spark.operators.events import (
+    conversion_latency,
+    interval_union,
+)
+from puregraphdb_spark.operators.extras import weighted_median
+from puregraphdb_spark.operators.pipeline import (
+    sorted_neighborhood_pairs,
+    token_diversity,
+)
+
+BASE = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _events(spark, rows):
+    # rows: (user_id, event_id, seconds_offset, event_type)
+    return spark.createDataFrame(
+        [(u, e, BASE + timedelta(seconds=s), t) for u, e, s, t in rows],
+        ["user_id", "event_id", "ts", "event_type"],
+    )
+
+
+def test_interval_union_merges_overlaps(spark):
+    ev = _events(spark, [
+        # user 1: [0,60) + [30,90) merge; [600,660) is its own island
+        (1, 1, 0, "x"), (1, 2, 30, "x"), (1, 3, 600, "x"),
+        # user 2: a single event
+        (2, 4, 0, "x"),
+    ])
+    got = {r.user_id: (r.n_islands, r.covered_us)
+           for r in interval_union(ev, duration_s=60).collect()}
+    assert got == {1: (2, 150_000_000), 2: (1, 60_000_000)}
+
+
+def test_interval_union_touching_windows_merge(spark):
+    # second window starts EXACTLY at the first's end: s > prev_end is
+    # false, so touching intervals merge (closed-open tiling)
+    ev = _events(spark, [(1, 1, 0, "x"), (1, 2, 60, "x")])
+    row = interval_union(ev, duration_s=60).collect()[0]
+    assert (row.n_islands, row.covered_us) == (1, 120_000_000)
+
+
+def test_conversion_latency_anchors_at_first_from(spark):
+    ev = _events(spark, [
+        # user 1: signup at 0, purchase 90 min later -> bucket 1
+        (1, 1, 0, "signup"), (1, 2, 5400, "purchase"),
+        # user 2: purchase BEFORE signup is ignored; the one 30 min
+        # after the signup counts -> bucket 0
+        (2, 3, 0, "purchase"), (2, 4, 600, "signup"),
+        (2, 5, 2400, "purchase"),
+        # user 3: signup only / user 4: purchase only -> excluded
+        (3, 6, 0, "signup"), (4, 7, 0, "purchase"),
+    ])
+    got = {r.hours_bucket: r.n_users
+           for r in conversion_latency(ev).collect()}
+    assert got == {0: 1, 1: 1}
+
+
+def test_weighted_median_upper_variant(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 2.0),
+         ("b", 1.0, 3.0), ("b", 10.0, 1.0)],
+        ["grp", "val", "w"],
+    )
+    got = {r.grp: (r.w_median, r.total_weight)
+           for r in weighted_median(df, "val", "w", "grp").collect()}
+    # group a: cum at 2.0 is 2, 2*2 >= 4 -> 2.0
+    # group b: cum at 1.0 is 3, 2*3 >= 4 -> the heavy low value wins
+    assert got == {"a": (2.0, 4.0), "b": (1.0, 4.0)}
+
+
+def test_weighted_median_range_frame_absorbs_ties(spark):
+    # both 5.0 rows share the RANGE-frame cumulative (2), so the
+    # median is 5.0 regardless of tie order
+    df = spark.createDataFrame(
+        [("a", 5.0, 1.0), ("a", 5.0, 1.0), ("a", 7.0, 1.0)],
+        ["grp", "val", "w"],
+    )
+    assert weighted_median(df, "val", "w", "grp").collect()[0].w_median == 5.0
+
+
+def test_sorted_neighborhood_window_and_verify(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aab"), (3, "zzz"), (4, "aac")],
+        ["id", "name"],
+    )
+    pairs = sorted_neighborhood_pairs(
+        df, key_col="name", id_col="id", window=2, max_dist=1
+    ).collect()
+    got = {(r.id1, r.id2): r.dist for r in pairs}
+    # sorted order: aaa(1) aab(2) aac(4) zzz(3); window 2 pairs each
+    # record with the next two; zzz fails the distance verify
+    assert got == {(1, 2): 1, (1, 4): 1, (2, 4): 1}
+
+
+def test_token_diversity_hand_computed(spark):
+    df = spark.createDataFrame(
+        [("X", "a b a"), ("X", "b"), ("Y", "c c c")],
+        ["source", "text"],
+    )
+    got = {r.source: (r.n_tokens, r.n_types, r.type_token_ratio,
+                      r.simpson_index)
+           for r in token_diversity(df).collect()}
+    # X: a:2 b:2 -> simpson 1 - 8/16; Y: c:3 -> 1 - 9/9
+    assert got == {"X": (4, 2, 0.5, 0.5), "Y": (3, 1, 0.333333, 0.0)}
