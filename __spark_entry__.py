@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from puregraphdb_spark.operators import (
     community, events, extras, graph, llm, pipeline, profile, relational,
-    similarity, skew, text,
+    similarity, sketch, skew, text,
 )
 from puregraphdb_spark.sources.registry import load_table
 
@@ -349,6 +349,16 @@ def text_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.corpus_quality_report(docs)
 
 
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heavy-hitter tokens with Misra-Gries count bounds
+    (rows-only: the estimates depend on the partition layout by
+    design — the bound guarantees, exactness in the no-decrement
+    regime, and presence of every true heavy hitter are pinned in
+    tests/test_sketch.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sketch.heavy_hitter_tokens(docs, k=20, capacity=64)
+
+
 def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs over documents
     (rows-only; the synthetic corpus has no true near-dups, so the
@@ -489,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_time_to_convert": events.q124_time_to_convert,
         "q125_sorted_neighborhood": pipeline.q125_sorted_neighborhood,
         "q126_token_diversity": pipeline.q126_token_diversity,
+        "heavy_hitter_tokens": heavy_hitter_tokens,
         "q01_filter_project": relational.q01_filter_project,
         "q02_agg_pricing_summary": relational.q02_agg_pricing_summary,
         "q03_distinct_count": relational.q03_distinct_count,

@@ -554,6 +554,62 @@ def _harmonic(spark, edges: str, landmarks: str,
     return harmonic_centrality(Graph(v, e), lm, max_iter=int(max_iter))
 
 
+def _heavy_hitters(spark, table: str, col: str, k: int = 20,
+                   capacity: int = 64) -> DataFrame:
+    from puregraphdb_spark.operators.sketch import heavy_hitters
+
+    return heavy_hitters(_view(spark, table), col,
+                         k=int(k), capacity=int(capacity))
+
+
+def _weighted_median(spark, table: str, value_col: str,
+                     weight_col: str, group_cols: str) -> DataFrame:
+    from puregraphdb_spark.operators.extras import weighted_median
+
+    return weighted_median(
+        _view(spark, table), value_col, weight_col,
+        *[c.strip() for c in group_cols.split(",") if c.strip()],
+    )
+
+
+def _interval_union(spark, events: str = "events",
+                    duration_s: int = 300, id_col: str = "user_id",
+                    ts_col: str = "ts",
+                    tiebreak: str = "event_id") -> DataFrame:
+    from puregraphdb_spark.operators.events import interval_union
+
+    return interval_union(_view(spark, events), int(duration_s),
+                          id_col=id_col, ts_col=ts_col,
+                          tiebreak=tiebreak)
+
+
+def _conversion_latency(spark, events: str = "events",
+                        from_type: str = "signup",
+                        to_type: str = "purchase",
+                        id_col: str = "user_id") -> DataFrame:
+    from puregraphdb_spark.operators.events import conversion_latency
+
+    return conversion_latency(_view(spark, events), from_type=from_type,
+                              to_type=to_type, id_col=id_col)
+
+
+def _sorted_neighborhood(spark, table: str, key_col: str, id_col: str,
+                         window: int = 3, max_dist: int = 8) -> DataFrame:
+    from puregraphdb_spark.operators.pipeline import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _view(spark, table), key_col=key_col, id_col=id_col,
+        window=int(window), max_dist=int(max_dist),
+    )
+
+
+def _token_diversity(spark, docs: str = "documents",
+                     group_col: str = "source") -> DataFrame:
+    from puregraphdb_spark.operators.pipeline import token_diversity
+
+    return token_diversity(_view(spark, docs), group_col=group_col)
+
+
 PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "pagerank": _pagerank,
     "hits": _hits,
@@ -600,6 +656,13 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "time_rollup": _time_rollup,
     "sessionize": _sessionize,
     "percentile_cont": _percentile_cont,
+    # round-7 session-5 operators
+    "heavy_hitters": _heavy_hitters,
+    "weighted_median": _weighted_median,
+    "interval_union": _interval_union,
+    "conversion_latency": _conversion_latency,
+    "sorted_neighborhood": _sorted_neighborhood,
+    "token_diversity": _token_diversity,
 }
 
 

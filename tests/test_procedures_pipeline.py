@@ -150,3 +150,81 @@ def test_call_reach_and_harmonic(spark):
         "landmarks => '4')")
     got = {x["id"]: round(x["harmonic"], 6) for x in h.collect()}
     assert got == {1: round(1 / 3, 6), 2: 0.5, 3: 1.0}
+
+
+def test_call_weighted_median_matches_q122(spark):
+    import __spark_entry__ as em
+
+    eng = _engine(spark)
+    via_call = eng.sql(
+        "CALL weighted_median(table => 'lineitem', "
+        "value_col => 'l_extendedprice', weight_col => 'l_quantity', "
+        "group_cols => 'l_returnflag')"
+    ).toPandas()
+    direct = em.queries()["q122_weighted_median"](spark, SF_DIR).toPandas()
+    got = dict(zip(via_call["l_returnflag"], via_call["w_median"]))
+    want = dict(zip(direct["l_returnflag"], direct["w_median"]))
+    assert got == want
+
+
+def test_call_interval_union_matches_q123(spark):
+    import __spark_entry__ as em
+
+    eng = _engine(spark)
+    via_call = eng.sql(
+        "CALL interval_union(events => 'events', duration_s => 300)"
+    ).toPandas().sort_values("user_id").reset_index(drop=True)
+    direct = em.queries()["q123_interval_union"](spark, SF_DIR).toPandas()
+    assert_frames_match(via_call, direct)
+
+
+def test_call_conversion_latency_matches_q124(spark):
+    import __spark_entry__ as em
+
+    eng = _engine(spark)
+    via_call = eng.sql(
+        "CALL conversion_latency(events => 'events')"
+    ).toPandas().sort_values("hours_bucket").reset_index(drop=True)
+    direct = em.queries()["q124_time_to_convert"](spark, SF_DIR).toPandas()
+    assert_frames_match(via_call, direct)
+
+
+def test_call_sorted_neighborhood_matches_q125(spark):
+    import __spark_entry__ as em
+
+    eng = _engine(spark)
+    via_call = eng.sql(
+        "CALL sorted_neighborhood(table => 'part', key_col => 'p_name', "
+        "id_col => 'p_partkey', window => 3, max_dist => 8)"
+    ).toPandas().sort_values(["id1", "id2"]).reset_index(drop=True)
+    direct = em.queries()["q125_sorted_neighborhood"](spark, SF_DIR).toPandas()
+    assert_frames_match(via_call, direct)
+
+
+def test_call_token_diversity_matches_q126(spark):
+    import __spark_entry__ as em
+
+    eng = _engine(spark)
+    via_call = eng.sql(
+        "CALL token_diversity(docs => 'documents')"
+    ).toPandas().sort_values("source").reset_index(drop=True)
+    direct = em.queries()["q126_token_diversity"](spark, SF_DIR).toPandas()
+    assert_frames_match(via_call, direct)
+
+
+def test_call_heavy_hitters_matches_entry(spark):
+    import __spark_entry__ as em
+
+    eng = _engine(spark)
+    # documents isn't pre-tokenized, so CALL over a token view
+    from puregraphdb_spark.operators.pipeline import _nonempty_tokens
+
+    load_table(spark, SF_DIR, "documents").select(
+        F.explode(_nonempty_tokens()).alias("tok")
+    ).createOrReplaceTempView("doc_tokens")
+    via_call = eng.sql(
+        "CALL heavy_hitters(table => 'doc_tokens', col => 'tok', "
+        "k => 20, capacity => 64)"
+    ).toPandas()
+    direct = em.queries()["heavy_hitter_tokens"](spark, SF_DIR).toPandas()
+    assert list(via_call["value"]) == list(direct["value"])
