@@ -500,6 +500,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_sorted_neighborhood": pipeline.q125_sorted_neighborhood,
         "q126_token_diversity": pipeline.q126_token_diversity,
         "heavy_hitter_tokens": heavy_hitter_tokens,
+        "q127_asof_forward": extras.q127_asof_forward,
+        "q128_gini_concentration": extras.q128_gini_concentration,
+        "q129_hhi_segments": extras.q129_hhi_segments,
+        "q130_bounce_rate": events.q130_bounce_rate,
         "q01_filter_project": relational.q01_filter_project,
         "q02_agg_pricing_summary": relational.q02_agg_pricing_summary,
         "q03_distinct_count": relational.q03_distinct_count,
@@ -2682,5 +2686,113 @@ def oracle_sql() -> dict[str, str]:
                           * cast(n_tokens as double))
                      as decimal(28,10)), 6) as double) as simpson_index
             from ag order by source
+        """,
+        "q127_asof_forward": """
+            with c as (
+              select event_id, user_id, ts from events
+              where event_type = 'click'),
+            p as (
+              select user_id, ts, min(value) as value from events
+              where event_type = 'purchase' group by user_id, ts),
+            u as (
+              select user_id, ts, 1 as side,
+                     event_id, cast(null as timestamp) as pts,
+                     cast(null as double) as pval
+              from c
+              union all
+              select user_id, ts, 2 as side,
+                     cast(null as bigint), ts, value
+              from p),
+            f as (
+              select user_id, ts, side, event_id,
+                     first_value(pts ignore nulls) over w as n_ts,
+                     first_value(pval ignore nulls) over w as n_val
+              from u
+              window w as (partition by user_id order by ts, side
+                           rows between current row
+                           and unbounded following))
+            select event_id, user_id, ts, n_ts as next_ts,
+                   n_val as next_val
+            from f where side = 1 and n_ts is not null
+            order by event_id
+        """,
+        "q128_gini_concentration": """
+            with spend as (
+              select o_custkey,
+                     sum(cast(o_totalprice as decimal(18,2))) as sp
+              from orders group by o_custkey),
+            ranked as (
+              select sp, row_number() over (order by sp, o_custkey)
+                       as rk
+              from spend),
+            tot as (
+              select cast(count(*) as bigint) as n, sum(sp) as s0
+              from spend),
+            stats as (
+              select min(n) as n_keys, min(s0) as s0m,
+                     sum(rk * sp) as s1,
+                     sum(case when rk > n - (n // 10) then sp end)
+                       as topd
+              from ranked cross join tot)
+            select n_keys,
+                   cast(round(cast(
+                     cast(2 * s1 - (n_keys + 1) * s0m as double)
+                       / (cast(n_keys as double) * cast(s0m as double))
+                     as decimal(28,10)), 6) as double) as gini,
+                   cast(round(cast(
+                     cast(topd as double) / cast(s0m as double)
+                     as decimal(28,10)), 6) as double)
+                     as top_decile_share
+            from stats
+        """,
+        "q129_hhi_segments": """
+            with per_key as (
+              select c.c_mktsegment, o.o_custkey,
+                     sum(cast(o.o_totalprice as decimal(18,2))) as x
+              from orders o join customer c on o.o_custkey = c.c_custkey
+              group by c.c_mktsegment, o.o_custkey),
+            agg as (
+              select c_mktsegment,
+                     cast(count(*) as bigint) as n_keys,
+                     sum(x * x) as sq, sum(x) as s
+              from per_key group by c_mktsegment)
+            select c_mktsegment, n_keys,
+                   cast(round(cast(
+                     cast(sq as double)
+                       / (cast(s as double) * cast(s as double))
+                     as decimal(28,10)), 6) as double) as hhi
+            from agg order by c_mktsegment
+        """,
+        "q130_bounce_rate": """
+            with marked as (
+              select user_id, ts,
+                 case when ts - lag(ts) over (partition by user_id
+                        order by ts) > interval '30 minutes'
+                      or lag(ts) over (partition by user_id
+                        order by ts) is null
+                      then 1 else 0 end as new_s
+              from events),
+            sess as (
+              select user_id, ts,
+                     cast(sum(new_s) over (partition by user_id
+                       order by ts rows between unbounded preceding
+                       and current row) as bigint) as sid
+              from marked),
+            per_sess as (
+              select user_id, sid, min(ts) as start_ts,
+                     cast(count(*) as bigint) as n
+              from sess group by user_id, sid),
+            daily as (
+              select date_trunc('day', start_ts) as day,
+                     cast(count(*) as bigint) as n_sessions,
+                     cast(sum(case when n = 1 then 1 else 0 end)
+                       as bigint) as n_bounces
+              from per_sess group by day)
+            select day, n_sessions, n_bounces,
+                   cast(round(cast(
+                     cast(n_bounces as double)
+                       / cast(n_sessions as double)
+                     as decimal(28,10)), 6) as double) as bounce_rate
+            from daily order by day
         """,
     }

@@ -19,14 +19,24 @@ from pyspark.sql import functions as F
 
 def as_of_join(left: DataFrame, right: DataFrame, on: str,
                left_ts: str, right_ts: str,
-               right_cols: list[str], prefix: str = "asof_") -> DataFrame:
+               right_cols: list[str], prefix: str = "asof_",
+               direction: str = "backward") -> DataFrame:
     """For every left row, attach ``right_cols`` from the latest right
-    row with ``right[right_ts] <= left[left_ts]`` matching ``on``.
+    row with ``right[right_ts] <= left[left_ts]`` matching ``on``
+    (``direction="backward"``, the default), or from the EARLIEST
+    right row with ``right[right_ts] >= left[left_ts]``
+    (``direction="forward"`` — "what happened next": next purchase
+    after a click, next quote after an order).
 
-    Left rows with no prior right row carry nulls (left-outer
-    semantics; filter afterwards for inner). Right-side ties on
-    (key, ts) resolve to the row last in (ts, side) order — pre-dedup
-    the right side if that matters.
+    Both directions are the same one-shuffle union-window plan; forward
+    flips the frame ([current, unbounded following] + first instead of
+    last) and sorts the right side AFTER left at equal timestamps so
+    "at-or-after" includes same-instant right rows.
+
+    Left rows with no prior (resp. following) right row carry nulls
+    (left-outer semantics; filter afterwards for inner). Right-side
+    ties on (key, ts) resolve to the row last (resp. first) in
+    (ts, side) order — pre-dedup the right side if that matters.
 
     All ``right_cols`` are carried through the window as ONE struct, so
     every attached column comes from the SAME latest right row — and a
@@ -34,10 +44,18 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
     pandas merge_asof), instead of being backfilled from an older row
     as per-column ``last(ignorenulls)`` would do.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"as_of_join direction must be 'backward' or 'forward', "
+            f"got {direction!r}"
+        )
+    backward = direction == "backward"
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        # backward: right sorts BEFORE left at equal ts (<=, last());
+        # forward: right sorts AFTER left at equal ts (>=, first())
+        F.lit(0 if backward else 2).alias("__side"),
         # the struct itself is never null for a right row (even when
         # every field is null) — it doubles as the non-null marker for
         # last(ignorenulls) below.
@@ -51,16 +69,18 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
         F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
-    w = (
-        Window.partitionBy(on)
-        .orderBy("__ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    base = Window.partitionBy(on).orderBy("__ts", "__side")
+    if backward:
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = F.last("__r", ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = F.first("__r", ignorenulls=True).over(w)
     filled = r.unionByName(l).select(
         "__side",
         *[F.col(f"__l_{c}").alias(c) for c in left.columns if c != on],
         F.col(on),
-        F.last("__r", ignorenulls=True).over(w).alias("__r"),
+        pick.alias("__r"),
     )
     return (
         filled.filter(F.col("__side") == 1)

@@ -767,3 +767,59 @@ def q124_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = conversion_latency(ev)
     return final_sort(res, spark, sf_dir, "events", "hours_bucket")
+
+
+def bounce_rate(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-day session bounce report: sessions starting that day,
+    single-event ("bounce") sessions, and the bounce rate — the
+    engagement KPI sessionization exists to feed.
+
+    Same gaps-and-islands core as ``sessionize`` (exact-microsecond
+    gap compare, lag flag → running-sum session id) but keeps the
+    session START timestamp, which the q21 aggregate drops. All
+    counts are integers; the rate is ONE snapped division.
+
+    Scale: both windows and the session aggregate ride one user_id
+    exchange; the per-day rollup is calendar-sized.
+    """
+    gap_us = _gap_seconds(gap) * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > F.lit(gap_us)),
+        1,
+    ).otherwise(0)
+    sessions = (
+        events.select("user_id", "ts", new_s.alias("__new"))
+        .select("user_id", "ts",
+                F.sum("__new").over(wcum).cast("long").alias("__sid"))
+        .groupBy("user_id", "__sid")
+        .agg(
+            F.min("ts").alias("__start"),
+            F.count("*").cast("long").alias("__n"),
+        )
+    )
+    return (
+        sessions.groupBy(F.date_trunc("day", "__start").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("__n") == 1, 1).otherwise(0)).cast("long")
+            .alias("n_bounces"),
+        )
+        .select(
+            "day", "n_sessions", "n_bounces",
+            decimal_round(
+                F.col("n_bounces").cast("double")
+                / F.col("n_sessions").cast("double"), 6, grid=10,
+            ).alias("bounce_rate"),
+        )
+    )
+
+
+def q130_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily session bounce rate at the 30-minute session gap (see
+    ``bounce_rate``)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return final_sort(bounce_rate(ev), spark, sf_dir, "events", "day")

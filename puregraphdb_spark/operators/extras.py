@@ -1350,3 +1350,135 @@ def q122_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "n_rows", "w_median", "total_weight"
     )
     return final_sort(res, spark, sf_dir, "lineitem", "l_returnflag")
+
+
+def q127_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join ("what happened next"): for each click
+    event, the user's NEXT purchase at-or-after it — q31's mirror
+    image through the same one-shuffle union-window plan
+    (``as_of_join(direction='forward')``). The purchase side is
+    pre-deduped per (user, ts) with min(value) — the operator's
+    documented tie discipline — so the attached row is unique and the
+    raw double passes through both engines untouched (no arithmetic,
+    no snap needed).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("value").alias("value"))
+    )
+    joined = as_of_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["ts", "value"], prefix="next_", direction="forward",
+    )
+    return final_sort(
+        joined.filter(F.col("next_ts").isNotNull()).select(
+            "event_id", "user_id", "ts", "next_ts",
+            F.col("next_value").alias("next_val"),
+        ),
+        spark, sf_dir, "events", "event_id",
+    )
+
+
+def gini_concentration(orders: DataFrame, key_col: str = "o_custkey",
+                       amount_col: str = "o_totalprice") -> DataFrame:
+    """Revenue-concentration report: Gini coefficient of per-key spend
+    plus the top-decile revenue share (the "top 10% drive X%" Pareto
+    number) — the inequality diagnostics run before tiering customers.
+
+    Exactness: spend is an exact decimal sum; with keys ranked by
+    (spend, key) the Gini numerator 2·Σ(rank·spendᵢ) − (n+1)·Σspend is
+    PURE decimal/bigint arithmetic, so gini and the decile share are
+    each ONE snapped IEEE division of exact quantities — no FP
+    accumulation anywhere.
+
+    Scale: one fact aggregate to per-key spend; the rank is a global
+    window over the KEY-scale relation (the q105 dimension posture —
+    at fact-scale keys swap in the q92 two-pass rank); the 1-row
+    totals broadcast back (parameter traffic, the pagerank allowance).
+    """
+    spend = orders.groupBy(key_col).agg(
+        F.sum(F.col(amount_col).cast("decimal(18,2)")).alias("__sp")
+    )
+    ranked = spend.select(
+        "__sp",
+        F.row_number().over(Window.orderBy("__sp", key_col)).alias("__rk"),
+    )
+    totals = spend.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("__sp").alias("__s0"),
+    )
+    n = F.col("__n")
+    stats = ranked.crossJoin(F.broadcast(totals)).agg(
+        F.min("__n").alias("n_keys"),
+        F.min("__s0").alias("__s0_min"),
+        F.sum(F.col("__rk") * F.col("__sp")).alias("__s1"),
+        F.sum(
+            F.when(F.col("__rk") > n - F.floor(n / 10), F.col("__sp"))
+        ).alias("__top"),
+    )
+    s0 = F.col("__s0_min").cast("double")
+    gini = (
+        (F.lit(2) * F.col("__s1")
+         - (F.col("n_keys") + F.lit(1)) * F.col("__s0_min")).cast("double")
+        / (F.col("n_keys").cast("double") * s0)
+    )
+    return stats.select(
+        "n_keys",
+        decimal_round(gini, 6, grid=10).alias("gini"),
+        decimal_round(F.col("__top").cast("double") / s0, 6, grid=10)
+        .alias("top_decile_share"),
+    )
+
+
+def q128_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-spend inequality: Gini + top-decile share (see
+    ``gini_concentration``)."""
+    return gini_concentration(load_table(spark, sf_dir, "orders"))
+
+
+def hhi_concentration(df: DataFrame, group_col: str, key_col: str,
+                      amount_col) -> DataFrame:
+    """Per-group Herfindahl-Hirschman index: Σ shareᵢ² of per-key
+    amounts — the market-concentration scan (1/n for perfectly even,
+    1.0 for a monopoly key). Same transcendental-free discipline as
+    the Simpson index (q126): Σxᵢ² and (Σxᵢ)² stay exact decimal, so
+    the index is ONE snapped IEEE division.
+
+    Scale: one (group, key) aggregate with map-side combine, then a
+    group rollup of squares — two small exchanges, nothing global.
+    """
+    per_key = df.groupBy(group_col, key_col).agg(
+        F.sum(amount_col.cast("decimal(18,2)")).alias("__x")
+    )
+    agg = per_key.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sq"),
+        F.sum("__x").alias("__s"),
+    )
+    return agg.select(
+        group_col, "n_keys",
+        decimal_round(
+            F.col("__sq").cast("double")
+            / (F.col("__s").cast("double") * F.col("__s").cast("double")),
+            6, grid=10,
+        ).alias("hhi"),
+    )
+
+
+def q129_hhi_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per market segment: HHI over customer
+    revenue shares within each segment (see ``hhi_concentration``)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    res = hhi_concentration(
+        joined, "c_mktsegment", "o_custkey", F.col("o_totalprice")
+    )
+    return final_sort(res, spark, sf_dir, "orders", "c_mktsegment")

@@ -272,13 +272,15 @@ def _ivf_refresh(spark, path: str, drift_threshold: float = 0.02,
 
 def _as_of_join(spark, left: str, right: str, on: str,
                 left_ts: str, right_ts: str, right_cols: str,
-                prefix: str = "asof_") -> DataFrame:
+                prefix: str = "asof_",
+                direction: str = "backward") -> DataFrame:
     from puregraphdb_spark.operators.asof import as_of_join
 
     cols = [c.strip() for c in right_cols.split(",") if c.strip()]
     return as_of_join(
         _view(spark, left), _view(spark, right), on=on,
         left_ts=left_ts, right_ts=right_ts, right_cols=cols, prefix=prefix,
+        direction=direction,
     )
 
 
@@ -610,6 +612,31 @@ def _token_diversity(spark, docs: str = "documents",
     return token_diversity(_view(spark, docs), group_col=group_col)
 
 
+def _gini(spark, table: str = "orders", key_col: str = "o_custkey",
+          amount_col: str = "o_totalprice") -> DataFrame:
+    from puregraphdb_spark.operators.extras import gini_concentration
+
+    return gini_concentration(_view(spark, table), key_col=key_col,
+                              amount_col=amount_col)
+
+
+def _hhi(spark, table: str, group_col: str, key_col: str,
+         amount_col: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from puregraphdb_spark.operators.extras import hhi_concentration
+
+    return hhi_concentration(_view(spark, table), group_col, key_col,
+                             F.col(amount_col))
+
+
+def _bounce_rate(spark, events: str = "events",
+                 gap: str = "30 minutes") -> DataFrame:
+    from puregraphdb_spark.operators.events import bounce_rate
+
+    return bounce_rate(_view(spark, events), gap=gap)
+
+
 PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "pagerank": _pagerank,
     "hits": _hits,
@@ -663,6 +690,9 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "conversion_latency": _conversion_latency,
     "sorted_neighborhood": _sorted_neighborhood,
     "token_diversity": _token_diversity,
+    "gini": _gini,
+    "hhi": _hhi,
+    "bounce_rate": _bounce_rate,
 }
 
 

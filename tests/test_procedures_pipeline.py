@@ -228,3 +228,27 @@ def test_call_heavy_hitters_matches_entry(spark):
     ).toPandas()
     direct = em.queries()["heavy_hitter_tokens"](spark, SF_DIR).toPandas()
     assert list(via_call["value"]) == list(direct["value"])
+
+
+def test_call_gini_hhi_bounce_and_forward_asof(spark):
+    import __spark_entry__ as em
+
+    eng = _engine(spark)
+    g = eng.sql("CALL gini(table => 'orders')").toPandas()
+    dg = em.queries()["q128_gini_concentration"](spark, SF_DIR).toPandas()
+    assert_frames_match(g, dg)
+
+    h = eng.sql(
+        "CALL bounce_rate(events => 'events')"
+    ).toPandas().sort_values("day").reset_index(drop=True)
+    dh = em.queries()["q130_bounce_rate"](spark, SF_DIR).toPandas()
+    assert_frames_match(h, dh)
+
+    # forward direction reaches through the existing as_of_join door
+    fwd = eng.sql(
+        "CALL as_of_join(left => 'events', right => 'events', "
+        "on => 'user_id', left_ts => 'ts', right_ts => 'ts', "
+        "right_cols => 'event_id', prefix => 'n_', "
+        "direction => 'forward')"
+    )
+    assert fwd.count() > 0

@@ -113,3 +113,91 @@ def test_token_diversity_hand_computed(spark):
            for r in token_diversity(df).collect()}
     # X: a:2 b:2 -> simpson 1 - 8/16; Y: c:3 -> 1 - 9/9
     assert got == {"X": (4, 2, 0.5, 0.5), "Y": (3, 1, 0.333333, 0.0)}
+
+
+def test_asof_forward_picks_next_at_or_after(spark):
+    from puregraphdb_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, BASE + timedelta(seconds=10)),
+         (1, BASE + timedelta(seconds=25)),
+         (2, BASE)],
+        ["k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, BASE + timedelta(seconds=5), "a"),
+         (1, BASE + timedelta(seconds=10), "b"),
+         (1, BASE + timedelta(seconds=20), "c")],
+        ["k", "ts", "v"],
+    )
+    fwd = as_of_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                     right_cols=["v"], prefix="n_", direction="forward")
+    got = {(r.k, r.ts.second): r.n_v for r in fwd.collect()}
+    # t=10 matches the same-instant right row; t=25 has nothing after;
+    # key 2 has no right rows at all
+    assert got == {(1, 10): "b", (1, 25): None, (2, 0): None}
+    bwd = as_of_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                     right_cols=["v"], prefix="p_")
+    got_b = {(r.k, r.ts.second): r.p_v for r in bwd.collect()}
+    assert got_b == {(1, 10): "b", (1, 25): "c", (2, 0): None}
+
+
+def test_asof_rejects_bad_direction(spark):
+    import pytest
+    from puregraphdb_spark.operators.asof import as_of_join
+
+    df = spark.createDataFrame([(1, BASE)], ["k", "ts"])
+    with pytest.raises(ValueError, match="direction"):
+        as_of_join(df, df, on="k", left_ts="ts", right_ts="ts",
+                   right_cols=["ts"], direction="sideways")
+
+
+def test_gini_hand_computed(spark):
+    from puregraphdb_spark.operators.extras import gini_concentration
+
+    # nine keys spend 1, one key spends 11: gini = 0.45, the top
+    # decile (rank 10 of 10) holds 11/20 = 0.55
+    rows = [(i, 1.0) for i in range(9)] + [(9, 11.0)]
+    df = spark.createDataFrame(rows, ["o_custkey", "o_totalprice"])
+    r = gini_concentration(df).collect()[0]
+    assert (r.n_keys, r.gini, r.top_decile_share) == (10, 0.45, 0.55)
+
+
+def test_gini_zero_for_equal_spend(spark):
+    from puregraphdb_spark.operators.extras import gini_concentration
+
+    df = spark.createDataFrame(
+        [(i, 7.0) for i in range(10)], ["o_custkey", "o_totalprice"]
+    )
+    r = gini_concentration(df).collect()[0]
+    assert (r.gini, r.top_decile_share) == (0.0, 0.1)
+
+
+def test_hhi_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from puregraphdb_spark.operators.extras import hhi_concentration
+
+    df = spark.createDataFrame(
+        [("X", 1, 2.0), ("X", 2, 2.0), ("Y", 3, 4.0)],
+        ["seg", "key", "amt"],
+    )
+    got = {r.seg: (r.n_keys, r.hhi)
+           for r in hhi_concentration(df, "seg", "key", F.col("amt")).collect()}
+    assert got == {"X": (2, 0.5), "Y": (1, 1.0)}
+
+
+def test_bounce_rate_hand_computed(spark):
+    from puregraphdb_spark.operators.events import bounce_rate
+
+    ev = _events(spark, [
+        # user 1: two events 5 min apart -> one 2-event session
+        (1, 1, 0, "x"), (1, 2, 300, "x"),
+        # user 2: one event -> bounce, same day
+        (2, 3, 0, "x"),
+        # user 3: one event next day -> bounce on day 2
+        (3, 4, 86400, "x"),
+    ])
+    got = {r.day.day: (r.n_sessions, r.n_bounces, r.bounce_rate)
+           for r in bounce_rate(ev).collect()}
+    assert got == {1: (2, 1, 0.5), 2: (1, 1, 1.0)}
