@@ -41,6 +41,39 @@ from pyspark.sql import functions as F
 SUMMARY_SCHEMA = "value string, est long, err long"
 
 
+def mg_ingest(counters: dict[str, int], values: pd.Series,
+              capacity: int) -> int:
+    """Fold one Arrow batch into a Misra-Gries summary IN PLACE;
+    returns the decrement mass this batch added (the error-bound
+    increment). Shared by the batch partition summarizer and the
+    streaming stateful twin so both sketches are the same algorithm.
+
+    Batch-local exact counts first: collapsing the batch before the
+    counter loop makes the hot loop run per DISTINCT value per batch,
+    not per row.
+    """
+    err = 0
+    for value, cnt in values.value_counts().items():
+        cnt = int(cnt)
+        if value in counters:
+            counters[value] += cnt
+        elif len(counters) < capacity:
+            counters[value] = cnt
+        else:
+            # decrement-by-min round: subtract as much as possible in
+            # one step (space-saving-style batched MG)
+            m = min(counters.values())
+            dec = min(m, cnt)
+            for v in [v for v, c in counters.items() if c <= dec]:
+                del counters[v]
+            for v in counters:
+                counters[v] -= dec
+            if cnt > dec:
+                counters[value] = cnt - dec
+            err += dec
+    return err
+
+
 def _misra_gries_partition(batches: Iterator[pd.DataFrame],
                            capacity: int) -> Iterator[pd.DataFrame]:
     """One MG summary per input partition (streamed over Arrow
@@ -50,25 +83,7 @@ def _misra_gries_partition(batches: Iterator[pd.DataFrame],
     counters: dict[str, int] = {}
     err = 0
     for pdf in batches:
-        # batch-local exact counts first: collapsing the batch before
-        # the counter loop makes the hot loop run per DISTINCT value
-        # per batch, not per row
-        for value, cnt in pdf["value"].value_counts().items():
-            cnt = int(cnt)
-            if value in counters:
-                counters[value] += cnt
-            elif len(counters) < capacity:
-                counters[value] = cnt
-            else:
-                # decrement-by-min round: subtract as much as possible
-                # in one step (space-saving-style batched MG)
-                m = min(counters.values())
-                dec = min(m, cnt)
-                counters = {v: c - dec for v, c in counters.items()
-                            if c > dec}
-                if cnt > dec:
-                    counters[value] = cnt - dec
-                err += dec
+        err += mg_ingest(counters, pdf["value"], capacity)
     out = pd.DataFrame(
         {"value": list(counters.keys()) + [None],
          "est": [int(c) for c in counters.values()] + [0],
