@@ -35,6 +35,15 @@ _DEFAULT_CONF = {
     # Dim tables (region/nation/supplier/customer/part) are far below
     # this → broadcast hash joins, no shuffle of the fact side.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Runtime bloom-filter pushdown (InjectRuntimeFilter): a selective
+    # dim-side predicate on a SHUFFLE join builds a bloom filter that
+    # prunes the fact side before the exchange — exactly the 100-TB
+    # fact⋈filtered-dim shape where the dim outgrew broadcast. Off by
+    # default in Spark; safe to enable always because the rule
+    # self-gates on size (application side ≥ 10 GiB scan, creation
+    # side ≤ 10 MiB), so it is a no-op at fixture scale — pinned both
+    # ways in tests/test_scale_gates.py.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Arrow for any toPandas()/pandas_udf boundary (tests, extensions).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Codegen class cache: the default 100 entries thrash on a 60+-query

@@ -118,3 +118,39 @@ def test_q24_adjacency_gate_flips_at_32mib(spark, sized):
     over = physical_plan(q24(spark, SF_DIR))
     assert not re.search(r"BroadcastHashJoin \[v#", over)
     assert re.search(r"SortMergeJoin \[v#", over)
+
+
+def test_runtime_bloom_filter_self_gates_on_size(spark):
+    """The engine enables InjectRuntimeFilter globally; Spark's own
+    size gates decide per query. Below the 10 GiB application-side
+    scan threshold (all fixture scales) the rule must DECLINE; with
+    the thresholds simulating the 100-TB fact⋈filtered-dim shape
+    (application gate 0, broadcast off so the join shuffles) the
+    bloom filter must appear AND the result must be unchanged."""
+    assert spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    li = registry.load_table(spark, SF_DIR, "lineitem")
+    p = registry.load_table(spark, SF_DIR, "part").filter(
+        F.col("p_brand") == "Brand#13")
+    j = li.join(p, li.l_partkey == p.p_partkey).groupBy("p_brand").agg(
+        F.count("*").alias("n"))
+
+    def opt_plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    assert "bloom" not in opt_plan(j).lower()  # fixture scale: no-op
+    baseline = j.collect()
+
+    app_thr = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    saved_thr = spark.conf.get(app_thr)
+    saved_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(app_thr, "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j2 = li.join(p, li.l_partkey == p.p_partkey).groupBy(
+            "p_brand").agg(F.count("*").alias("n"))
+        assert "bloom_filter" in opt_plan(j2).lower()
+        assert j2.collect() == baseline
+    finally:
+        spark.conf.set(app_thr, saved_thr)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bc)
