@@ -349,6 +349,14 @@ def text_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.corpus_quality_report(docs)
 
 
+def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core decomposition of the order graph: every vertex's core
+    NUMBER (rows-only: iterative level peeling; k_core-consistency and
+    closed-form property tests in tests/test_graph_extended.py)."""
+    g = _order_graph(spark, sf_dir)
+    return g.coreness().orderBy("id")
+
+
 def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 heavy-hitter tokens with Misra-Gries count bounds
     (rows-only: the estimates depend on the partition layout by
@@ -500,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_sorted_neighborhood": pipeline.q125_sorted_neighborhood,
         "q126_token_diversity": pipeline.q126_token_diversity,
         "heavy_hitter_tokens": heavy_hitter_tokens,
+        "graph_coreness": graph_coreness,
         "q127_asof_forward": extras.q127_asof_forward,
         "q128_gini_concentration": extras.q128_gini_concentration,
         "q129_hhi_segments": extras.q129_hhi_segments,

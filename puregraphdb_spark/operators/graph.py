@@ -946,6 +946,87 @@ class Graph:
         return und.groupBy(F.col("src").alias("id")).agg(
             F.count("*").cast("long").alias("degree"))
 
+    def coreness(self, max_k: int = 100, max_iter: int = 50) -> DataFrame:
+        """Full core decomposition: every vertex's core NUMBER (the
+        largest k for which it survives k-core peeling) → (id,
+        coreness). The whole degeneracy profile in one call, where
+        ``k_core(k)`` answers only one membership question — the
+        analyst's "how cohesive is each vertex's neighborhood"
+        ranking, and the standard preprocessing for densest-subgraph
+        and community seeding.
+
+        Level-peeling formulation: for k = 1, 2, … peel the current
+        graph to its k-core (the same degree-aggregate + semi-join
+        rounds as ``k_core``, over an edge set that only SHRINKS); the
+        vertices lost between the (k−1)-core and the k-core have
+        coreness k−1. Terminates when the k-core is empty — at most
+        ``degeneracy`` levels, which for real sparse graphs is small
+        (≪ max degree; a graph with m edges has degeneracy ≤ √(2m)).
+
+        Scale: every round is one degree aggregation + two semi joins
+        on the shrinking symmetrized edge set (lineage cut per round —
+        the documented pregel checkpoint discipline); the only driver
+        reads are 1-row emptiness signatures (the pagerank convergence
+        allowance). Isolated vertices report coreness 0.
+
+        Consistency with ``k_core`` is property-pinned:
+        {v : coreness(v) ≥ k} == k_core(k) vertex set for every k
+        (tests/test_graph_extended.py).
+        """
+        und = (
+            self.edges.select("src", "dst")
+            .unionByName(self.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # vertices never seen in an edge → coreness 0 (emitted last)
+        levels: list[DataFrame] = []
+        prev_core = und.select(F.col("src").alias("id")).distinct()
+        k = 1
+        while k <= max_k:
+            # peel the current graph to its k-core
+            for _ in range(max_iter):
+                deg = und.groupBy(F.col("src").alias("id")).agg(
+                    F.count("*").cast("long").alias("degree"))
+                keep = deg.filter(F.col("degree") >= k).select("id")
+                if deg.filter(F.col("degree") < k).limit(1).count() == 0:
+                    break
+                und = (
+                    und.join(keep.select(F.col("id").alias("src")),
+                             "src", "left_semi")
+                    .join(keep.select(F.col("id").alias("dst")),
+                          "dst", "left_semi")
+                    .localCheckpoint(eager=True)
+                )
+            survivors = und.select(F.col("src").alias("id")).distinct() \
+                .localCheckpoint(eager=True)
+            lost = prev_core.join(survivors, "id", "left_anti").select(
+                "id", F.lit(k - 1).cast("long").alias("coreness"))
+            levels.append(lost.localCheckpoint(eager=True))
+            if survivors.limit(1).count() == 0:
+                prev_core = survivors
+                break
+            prev_core = survivors
+            k += 1
+        out = levels[0] if levels else self.vertices.select(
+            "id", F.lit(0).cast("long").alias("coreness")).limit(0)
+        for lv in levels[1:]:
+            out = out.unionByName(lv)
+        # max_k truncation: a still-non-empty core reports its floor
+        # (coreness ≥ the deepest peeled level)
+        leftover = prev_core.join(out.select("id"), "id", "left_anti") \
+            .select("id", F.lit(k - 1).cast("long").alias("coreness"))
+        # vertices with no (non-loop) edges → coreness 0
+        zero = (
+            self.vertices.select("id")
+            .join(out.select("id"), "id", "left_anti")
+            .join(prev_core.select("id"), "id", "left_anti")
+            .select("id", F.lit(0).cast("long").alias("coreness"))
+        )
+        return out.unionByName(leftover).unionByName(zero)
+
     # -- structural operators (GraphX surface) -------------------------------
 
     def reverse(self) -> "Graph":

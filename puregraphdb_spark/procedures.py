@@ -130,6 +130,10 @@ def _scc(spark, edges: str, vertices: str | None = None,
         max_iter=int(max_iter), max_outer=int(max_outer))
 
 
+def _coreness(spark, edges: str, vertices: str | None = None) -> DataFrame:
+    return _graph(spark, edges, vertices).coreness()
+
+
 def _k_core(spark, edges: str, k: int, vertices: str | None = None,
             max_iter: int = 30) -> DataFrame:
     return _graph(spark, edges, vertices).k_core(int(k), max_iter=int(max_iter))
@@ -643,6 +647,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "connected_components": _connected_components,
     "strongly_connected_components": _scc,
     "k_core": _k_core,
+    "coreness": _coreness,
     "label_propagation": _label_propagation,
     "triangle_count": _triangle_count,
     "degrees": _degrees,

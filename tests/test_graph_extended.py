@@ -750,3 +750,54 @@ def test_ktruss_k2_is_identity_and_rejects_k1(spark, chain):
     import pytest as _pt
     with _pt.raises(ValueError):
         chain.ktruss(1)
+
+
+def _g(spark, edges, n_vertices=None):
+    ids = {x for e in edges for x in e}
+    if n_vertices:
+        ids |= set(range(1, n_vertices + 1))
+    v = spark.createDataFrame([(i,) for i in sorted(ids)], ["id"])
+    e = spark.createDataFrame(list(edges), ["src", "dst"])
+    return Graph(v, e)
+
+
+def _coreness(g):
+    return {r["id"]: r["coreness"] for r in g.coreness().collect()}
+
+
+def test_coreness_clique(spark):
+    # K5: every vertex has core number 4
+    edges = [(i, j) for i in range(1, 6) for j in range(1, 6) if i < j]
+    assert _coreness(_g(spark, edges)) == {i: 4 for i in range(1, 6)}
+
+
+def test_coreness_path_star_cycle(spark):
+    # path: all 1; star: all 1; cycle: all 2
+    assert _coreness(_g(spark, [(1, 2), (2, 3), (3, 4)])) == {
+        1: 1, 2: 1, 3: 1, 4: 1}
+    assert _coreness(_g(spark, [(1, i) for i in range(2, 7)])) == {
+        i: 1 for i in range(1, 7)}
+    assert _coreness(_g(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])) == {
+        1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_coreness_bridged_clique_and_isolated(spark):
+    # K4 bridged to a path tail; vertex 9 isolated (declared, no edges)
+    k4 = [(i, j) for i in range(1, 5) for j in range(1, 5) if i < j]
+    edges = k4 + [(4, 5), (5, 6)]
+    got = _coreness(_g(spark, edges, n_vertices=9))
+    assert got[1] == got[2] == got[3] == got[4] == 3
+    assert got[5] == got[6] == 1
+    assert got[7] == got[8] == got[9] == 0
+
+
+def test_coreness_consistent_with_k_core(spark):
+    # {v : coreness >= k} == k_core(k) vertex set, for every k present
+    edges = ([(i, j) for i in range(1, 6) for j in range(1, 6) if i < j]
+             + [(5, 6), (6, 7), (7, 5), (7, 8), (8, 9)])
+    g = _g(spark, edges)
+    core = _coreness(g)
+    for k in (1, 2, 3, 4):
+        via_coreness = {v for v, c in core.items() if c >= k}
+        via_kcore = {r["id"] for r in g.k_core(k).collect()}
+        assert via_coreness == via_kcore, k
