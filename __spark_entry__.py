@@ -513,6 +513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_gini_concentration": extras.q128_gini_concentration,
         "q129_hhi_segments": extras.q129_hhi_segments,
         "q130_bounce_rate": events.q130_bounce_rate,
+        "q131_dup_cluster_histogram": pipeline.q131_dup_cluster_histogram,
+        "approx_quantiles_prices": extras.approx_quantiles_prices,
         "q01_filter_project": relational.q01_filter_project,
         "q02_agg_pricing_summary": relational.q02_agg_pricing_summary,
         "q03_distinct_count": relational.q03_distinct_count,
@@ -2803,5 +2805,20 @@ def oracle_sql() -> dict[str, str]:
                        / cast(n_sessions as double)
                      as decimal(28,10)), 6) as double) as bounce_rate
             from daily order by day
+        """,
+        "q131_dup_cluster_histogram": """
+            with h as (
+              select md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+                       as content_hash
+              from documents),
+            clusters as (
+              select content_hash, cast(count(*) as bigint) as size
+              from h group by content_hash)
+            select size, cast(count(*) as bigint) as n_clusters,
+                   cast(size * count(*) as bigint) as n_docs,
+                   cast(greatest(size - 1, 0) * count(*) as bigint)
+                     as n_removable
+            from clusters group by size order by size
         """,
     }

@@ -1482,3 +1482,37 @@ def q129_hhi_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined, "c_mktsegment", "o_custkey", F.col("o_totalprice")
     )
     return final_sort(res, spark, sf_dir, "orders", "c_mktsegment")
+
+
+def approx_quantiles_profile(df: DataFrame, value_col: str,
+                             group_col: str,
+                             ps: tuple = (0.25, 0.5, 0.75, 0.95),
+                             accuracy: int = 1000) -> DataFrame:
+    """Per-group approximate quantiles via Spark's mergeable
+    percentile_approx sketch (Greenwald-Khanna family) — the quantile
+    path that SCALES: one map-side sketch per partition merged in the
+    partial aggregate, rank error ≤ n/accuracy guaranteed, no sort,
+    no window, no per-group serialization (contrast the exact q105
+    global-ntile posture and operators/percentile.py's exact
+    refinement, both of which pay ordering costs).
+
+    Rows-only by design: DuckDB's approx_quantile is a t-digest —
+    different sketch, different (legitimate) answers. The rank-error
+    contract is pinned against EXACT ranks in
+    tests/test_session5_operators.py instead.
+    """
+    aggs = [F.count("*").cast("long").alias("n")] + [
+        F.percentile_approx(value_col, p, accuracy)
+        .alias(f"p{int(p * 100):02d}")
+        for p in ps
+    ]
+    return df.groupBy(group_col).agg(*aggs)
+
+
+def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate price quantiles per return flag (rows-only sketch
+    entry — see ``approx_quantiles_profile``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return approx_quantiles_profile(
+        li, "l_extendedprice", "l_returnflag"
+    ).orderBy("l_returnflag")

@@ -1386,3 +1386,48 @@ def q126_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_diversity(d, "source"), spark, sf_dir, "documents",
         "source",
     )
+
+
+def dup_cluster_histogram(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Duplicate-cluster size histogram: how much of the corpus sits
+    in exact-dup clusters of each size — the dedup IMPACT report read
+    before running the pipeline (size-1 row = unique docs; the tail
+    rows = the mass dedup will remove). Rides q77's canonical
+    normalization + md5, so the histogram is bit-identical across
+    engines.
+
+    Scale: ONE shuffle on the (uniform) content hash, then a rollup
+    on the histogram-sized relation; the per-cluster aggregate
+    partial-combines map-side.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text_col), "[^a-z0-9 ]", ""),
+            " +", " ",
+        )
+    )
+    clusters = (
+        docs.select(F.md5(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").cast("long").alias("size"))
+    )
+    return (
+        clusters.groupBy("size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(
+            "size", "n_clusters",
+            (F.col("size") * F.col("n_clusters")).cast("long")
+            .alias("n_docs"),
+            (F.greatest(F.col("size") - 1, F.lit(0))
+             * F.col("n_clusters")).cast("long").alias("n_removable"),
+        )
+    )
+
+
+def q131_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup cluster size histogram over the documents corpus
+    (see ``dup_cluster_histogram``)."""
+    d = load_table(spark, sf_dir, "documents")
+    return final_sort(dup_cluster_histogram(d), spark, sf_dir,
+                      "documents", "size")

@@ -641,6 +641,27 @@ def _bounce_rate(spark, events: str = "events",
     return bounce_rate(_view(spark, events), gap=gap)
 
 
+def _dup_cluster_histogram(spark, docs: str = "documents",
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    from puregraphdb_spark.operators.pipeline import dup_cluster_histogram
+
+    return dup_cluster_histogram(_view(spark, docs), id_col=id_col,
+                                 text_col=text_col)
+
+
+def _approx_quantiles(spark, table: str, value_col: str,
+                      group_col: str, ps: str = "0.25,0.5,0.75,0.95",
+                      accuracy: int = 1000) -> DataFrame:
+    from puregraphdb_spark.operators.extras import approx_quantiles_profile
+
+    p_list = tuple(float(p) for p in str(ps).split(",") if str(p).strip())
+    return approx_quantiles_profile(
+        _view(spark, table), value_col, group_col, ps=p_list,
+        accuracy=int(accuracy),
+    )
+
+
 PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "pagerank": _pagerank,
     "hits": _hits,
@@ -698,6 +719,8 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "gini": _gini,
     "hhi": _hhi,
     "bounce_rate": _bounce_rate,
+    "dup_cluster_histogram": _dup_cluster_histogram,
+    "approx_quantiles": _approx_quantiles,
 }
 
 

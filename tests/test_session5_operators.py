@@ -201,3 +201,44 @@ def test_bounce_rate_hand_computed(spark):
     got = {r.day.day: (r.n_sessions, r.n_bounces, r.bounce_rate)
            for r in bounce_rate(ev).collect()}
     assert got == {1: (2, 1, 0.5), 2: (1, 1, 1.0)}
+
+
+def test_approx_quantiles_rank_error_bound(spark):
+    """percentile_approx's contract: each reported quantile's EXACT
+    rank is within n/accuracy of the target rank."""
+    from puregraphdb_spark.operators.extras import approx_quantiles_profile
+    from puregraphdb_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    acc = 200
+    prof = approx_quantiles_profile(
+        li, "l_extendedprice", "l_returnflag",
+        ps=(0.25, 0.5, 0.75, 0.95), accuracy=acc,
+    ).collect()
+    vals = {r.l_returnflag: r for r in prof}
+    for flag, r in vals.items():
+        grp = li.filter(F.col("l_returnflag") == flag)
+        n = r.n
+        for p, col in ((0.25, "p25"), (0.5, "p50"),
+                       (0.75, "p75"), (0.95, "p95")):
+            v = r[col]
+            rank = grp.filter(F.col("l_extendedprice") <= v).count()
+            assert abs(rank - p * n) <= n / acc + 1, (
+                flag, p, rank, p * n, n / acc)
+
+
+def test_dup_cluster_histogram_mass_conservation(spark):
+    from puregraphdb_spark.operators.pipeline import dup_cluster_histogram
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "A  b!"), (3, "a b"), (4, "c"), (5, "d")],
+        ["doc_id", "text"],
+    )
+    got = {r.size: (r.n_clusters, r.n_docs, r.n_removable)
+           for r in dup_cluster_histogram(df).collect()}
+    # docs 1,2,3 normalize identically -> one cluster of 3; two singles
+    assert got == {1: (2, 2, 0), 3: (1, 3, 2)}
+    assert sum(v[1] for v in got.values()) == 5  # mass conserved
