@@ -514,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_hhi_segments": extras.q129_hhi_segments,
         "q130_bounce_rate": events.q130_bounce_rate,
         "q131_dup_cluster_histogram": pipeline.q131_dup_cluster_histogram,
+        "q132_funnel_latency": events.q132_funnel_latency,
         "approx_quantiles_prices": extras.approx_quantiles_prices,
         "q01_filter_project": relational.q01_filter_project,
         "q02_agg_pricing_summary": relational.q02_agg_pricing_summary,
@@ -2820,5 +2821,33 @@ def oracle_sql() -> dict[str, str]:
                    cast(greatest(size - 1, 0) * count(*) as bigint)
                      as n_removable
             from clusters group by size order by size
+        """,
+        "q132_funnel_latency": """
+            with v as (select user_id, min(ts) as t1 from events
+                       where event_type = 'view' group by user_id),
+            c as (select e.user_id, min(e.ts) as t2
+                  from events e join v on v.user_id = e.user_id
+                  where e.event_type = 'click' and e.ts > v.t1
+                  group by e.user_id),
+            p as (select e.user_id, min(e.ts) as t3
+                  from events e join c on c.user_id = e.user_id
+                  where e.event_type = 'purchase' and e.ts > c.t2
+                  group by e.user_id),
+            trans as (
+              select 'view>click' as transition,
+                     cast(epoch_us(c.t2) - epoch_us(v.t1) as double)
+                       / 1e6 as latency_s
+              from c join v using (user_id)
+              union all
+              select 'click>purchase',
+                     cast(epoch_us(p.t3) - epoch_us(c.t2) as double)
+                       / 1e6
+              from p join c using (user_id))
+            select transition, cast(count(*) as bigint) as n_users,
+                   cast(round(cast(quantile_cont(latency_s, 0.5)
+                     as decimal(28,6)), 4) as double) as median_s,
+                   cast(round(cast(quantile_cont(latency_s, 0.9)
+                     as decimal(28,6)), 4) as double) as p90_s
+            from trans group by transition order by transition
         """,
     }

@@ -823,3 +823,64 @@ def q130_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bounce_rate``)."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     return final_sort(bounce_rate(ev), spark, sf_dir, "events", "day")
+
+
+def funnel_latency(events: DataFrame, stages: list[str],
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type") -> DataFrame:
+    """Per-transition funnel latency distribution: for each
+    consecutive stage pair (i → i+1), how long converting users took —
+    n_users, median and p90 seconds. The "where does the funnel
+    stall" report product teams read next to the q87 stage counts.
+
+    Composes two existing cores: ``funnel`` (first-completion stage
+    table, one min-agg + co-keyed join per stage) and the exact
+    percentile machinery (operators/percentile.py — sketch-bracketed,
+    size-invariant). Latencies are exact integer microseconds scaled
+    to seconds by one IEEE division; the percentile interpolation is
+    the cross-engine-pinned arithmetic q17 uses, snapped at 4dp.
+
+    Scale: the stage table is user-keyed throughout (no new exchange
+    shape); the transition self-join is co-partitioned on
+    (user, stage); percentiles shuffle sketches, not values.
+    """
+    from puregraphdb_spark.operators.percentile import exact_percentile_cont
+
+    fun = funnel(events, stages, user_col=user_col, ts_col=ts_col,
+                 type_col=type_col)
+    nxt = fun.select(
+        user_col,
+        (F.col("stage_index") - 1).alias("stage_index"),
+        F.col("stage").alias("__next_stage"),
+        F.col("ts").alias("__next_ts"),
+    )
+    trans = (
+        fun.join(nxt, [user_col, "stage_index"])
+        .select(
+            F.concat(F.col("stage"), F.lit(">"), F.col("__next_stage"))
+            .alias("transition"),
+            ((F.unix_micros("__next_ts") - F.unix_micros("ts"))
+             .cast("double") / F.lit(1e6)).alias("latency_s"),
+        )
+    )
+    counts = trans.groupBy("transition").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    pct = exact_percentile_cont(
+        trans, "transition", "latency_s", ps=[0.5, 0.9]
+    )
+    return counts.join(pct, "transition").select(
+        "transition", "n_users",
+        decimal_round(F.col("p_0"), 4, grid=6).alias("median_s"),
+        decimal_round(F.col("p_1"), 4, grid=6).alias("p90_s"),
+    )
+
+
+def q132_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase transition latencies (see
+    ``funnel_latency``)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    res = funnel_latency(ev, ["view", "click", "purchase"])
+    return final_sort(res, spark, sf_dir, "events", "transition")

@@ -641,6 +641,16 @@ def _bounce_rate(spark, events: str = "events",
     return bounce_rate(_view(spark, events), gap=gap)
 
 
+def _funnel_latency(spark, events: str = "events",
+                    stages: str = "view,click,purchase") -> DataFrame:
+    from puregraphdb_spark.operators.events import funnel_latency
+
+    return funnel_latency(
+        _view(spark, events),
+        [s.strip() for s in stages.split(",") if s.strip()],
+    )
+
+
 def _dup_cluster_histogram(spark, docs: str = "documents",
                            id_col: str = "doc_id",
                            text_col: str = "text") -> DataFrame:
@@ -721,6 +731,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "bounce_rate": _bounce_rate,
     "dup_cluster_histogram": _dup_cluster_histogram,
     "approx_quantiles": _approx_quantiles,
+    "funnel_latency": _funnel_latency,
 }
 
 
