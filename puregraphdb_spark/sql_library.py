@@ -760,4 +760,176 @@ SPARK_SQL: dict[str, str] = {
                  as double) / 100.0 as ltv_per_cust
         from cum order by cohort, month_offset
     """,
+    "q123_interval_union": """
+        with e as (
+          select user_id, event_id, unix_micros(ts) as s,
+                 unix_micros(ts) + 300000000 as en
+          from events),
+        flagged as (
+          select user_id, event_id, s, en,
+                 case when max(en) over w1 is null
+                        or s > max(en) over w1
+                      then 1 else 0 end as nf
+          from e
+          window w1 as (partition by user_id order by s, event_id
+                        rows between unbounded preceding
+                        and 1 preceding)),
+        isl as (
+          select user_id, s, en,
+                 sum(nf) over (partition by user_id
+                               order by s, event_id
+                               rows between unbounded preceding
+                               and current row) as island
+          from flagged),
+        agg as (
+          select user_id, island, min(s) as i_s, max(en) as i_e
+          from isl group by user_id, island)
+        select user_id,
+               cast(count(*) as bigint) as n_islands,
+               cast(sum(i_e - i_s) as bigint) as covered_us
+        from agg group by user_id order by user_id
+    """,
+    "q124_time_to_convert": """
+        with e as (
+          select user_id, event_type, unix_micros(ts) as t
+          from events
+          where event_type in ('signup', 'purchase')),
+        a as (
+          select user_id, event_type, t,
+                 min(case when event_type = 'signup' then t end)
+                   over (partition by user_id) as f
+          from e),
+        g as (
+          select user_id, min(t) as t_to, min(f) as t_f
+          from a
+          where event_type = 'purchase' and f is not null and t >= f
+          group by user_id)
+        select cast(floor((t_to - t_f) / 3600000000.0) as bigint)
+                 as hours_bucket,
+               cast(count(*) as bigint) as n_users
+        from g group by hours_bucket order by hours_bucket
+    """,
+    "q126_token_diversity": """
+        with tok as (
+          select source as grp,
+                 explode(split(lower(text), ' ')) as tok
+          from documents),
+        pt as (
+          select grp, tok, cast(count(*) as bigint) as ct
+          from tok where tok <> '' group by grp, tok),
+        ag as (
+          select grp,
+                 cast(sum(ct) as bigint) as n_tokens,
+                 cast(count(*) as bigint) as n_types,
+                 sum(cast(ct as decimal(19,0))
+                     * cast(ct as decimal(19,0))) as sq
+          from pt group by grp)
+        select grp as source, n_tokens, n_types,
+               cast(round(cast(
+                 cast(n_types as double) / cast(n_tokens as double)
+                 as decimal(28,10)), 6) as double) as type_token_ratio,
+               cast(round(cast(
+                 1.0d - cast(sq as double)
+                   / (cast(n_tokens as double)
+                      * cast(n_tokens as double))
+                 as decimal(28,10)), 6) as double) as simpson_index
+        from ag order by source
+    """,
+    "q127_asof_forward": """
+        with c as (
+          select event_id, user_id, ts from events
+          where event_type = 'click'),
+        p as (
+          select user_id, ts, min(value) as value from events
+          where event_type = 'purchase' group by user_id, ts),
+        u as (
+          select user_id, ts, 1 as side,
+                 event_id, cast(null as timestamp) as pts,
+                 cast(null as double) as pval
+          from c
+          union all
+          select user_id, ts, 2 as side,
+                 cast(null as bigint), ts, value
+          from p),
+        f as (
+          select user_id, ts, side, event_id,
+                 first_value(pts, true) over w as n_ts,
+                 first_value(pval, true) over w as n_val
+          from u
+          window w as (partition by user_id order by ts, side
+                       rows between current row
+                       and unbounded following))
+        select event_id, user_id, ts, n_ts as next_ts,
+               n_val as next_val
+        from f where side = 1 and n_ts is not null
+        order by event_id
+    """,
+    "q128_gini_concentration": """
+        with spend as (
+          select o_custkey,
+                 sum(cast(o_totalprice as decimal(18,2))) as sp
+          from orders group by o_custkey),
+        ranked as (
+          select sp, row_number() over (order by sp, o_custkey) as rk
+          from spend),
+        tot as (
+          select cast(count(*) as bigint) as n, sum(sp) as s0
+          from spend),
+        stats as (
+          select min(n) as n_keys, min(s0) as s0m,
+                 sum(rk * sp) as s1,
+                 sum(case when rk > n - (n div 10) then sp end) as topd
+          from ranked cross join tot)
+        select n_keys,
+               cast(round(cast(
+                 cast(2 * s1 - (n_keys + 1) * s0m as double)
+                   / (cast(n_keys as double) * cast(s0m as double))
+                 as decimal(28,10)), 6) as double) as gini,
+               cast(round(cast(
+                 cast(topd as double) / cast(s0m as double)
+                 as decimal(28,10)), 6) as double) as top_decile_share
+        from stats
+    """,
+    "q131_dup_cluster_histogram": """
+        with h as (
+          select md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ''), ' +', ' '))) as content_hash
+          from documents),
+        clusters as (
+          select content_hash, cast(count(*) as bigint) as size
+          from h group by content_hash)
+        select size, cast(count(*) as bigint) as n_clusters,
+               cast(size * count(*) as bigint) as n_docs,
+               cast(greatest(size - 1, 0) * count(*) as bigint)
+                 as n_removable
+        from clusters group by size order by size
+    """,
+    "q132_funnel_latency": """
+        with v as (select user_id, min(ts) as t1 from events
+                   where event_type = 'view' group by user_id),
+        c as (select e.user_id, min(e.ts) as t2
+              from events e join v on v.user_id = e.user_id
+              where e.event_type = 'click' and e.ts > v.t1
+              group by e.user_id),
+        p as (select e.user_id, min(e.ts) as t3
+              from events e join c on c.user_id = e.user_id
+              where e.event_type = 'purchase' and e.ts > c.t2
+              group by e.user_id),
+        trans as (
+          select 'view>click' as transition,
+                 cast(unix_micros(c.t2) - unix_micros(v.t1) as double)
+                   / 1e6 as latency_s
+          from c join v using (user_id)
+          union all
+          select 'click>purchase',
+                 cast(unix_micros(p.t3) - unix_micros(c.t2) as double)
+                   / 1e6
+          from p join c using (user_id))
+        select transition, cast(count(*) as bigint) as n_users,
+               cast(round(cast(percentile(latency_s, 0.5)
+                 as decimal(28,6)), 4) as double) as median_s,
+               cast(round(cast(percentile(latency_s, 0.9)
+                 as decimal(28,6)), 4) as double) as p90_s
+        from trans group by transition order by transition
+    """,
 }

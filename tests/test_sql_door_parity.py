@@ -59,6 +59,13 @@ DUCKDB_ONLY = {
     "q102_boilerplate_shingles",  # string_split/list_slice/unnest
     "q108_reorder_intervals",  # date_diff('day', ...) 3-arg signature
     "q109_cohort_ltv",       # // integer-division operator
+    "q123_interval_union",   # epoch_us
+    "q124_time_to_convert",  # epoch_us
+    "q126_token_diversity",  # unnest/string_split + hugeint
+    "q127_asof_forward",     # first_value(.. ignore nulls) dialect
+    "q128_gini_concentration",  # // integer-division operator
+    "q131_dup_cluster_histogram",  # regexp_replace 'g' flag argument
+    "q132_funnel_latency",   # epoch_us + quantile_cont
 }
 
 ORACLES = entrymod.oracle_sql()
