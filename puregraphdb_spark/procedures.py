@@ -130,8 +130,14 @@ def _scc(spark, edges: str, vertices: str | None = None,
         max_iter=int(max_iter), max_outer=int(max_outer))
 
 
-def _coreness(spark, edges: str, vertices: str | None = None) -> DataFrame:
-    return _graph(spark, edges, vertices).coreness()
+def _coreness(spark, edges: str, vertices: str | None = None,
+              method: str = "hindex") -> DataFrame:
+    g = _graph(spark, edges, vertices)
+    if method == "hindex":
+        return g.coreness_hindex()
+    if method == "levels":
+        return g.coreness()
+    raise ValueError("coreness method must be 'hindex' or 'levels'")
 
 
 def _k_core(spark, edges: str, k: int, vertices: str | None = None,

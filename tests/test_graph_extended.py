@@ -801,3 +801,27 @@ def test_coreness_consistent_with_k_core(spark):
         via_coreness = {v for v, c in core.items() if c >= k}
         via_kcore = {r["id"] for r in g.k_core(k).collect()}
         assert via_coreness == via_kcore, k
+
+
+def test_coreness_hindex_equals_level_peeling(spark):
+    shapes = [
+        [(i, j) for i in range(1, 6) for j in range(1, 6) if i < j],  # K5
+        [(1, 2), (2, 3), (3, 4)],                                     # path
+        [(1, 2), (2, 3), (3, 4), (4, 1)],                             # cycle
+        ([(i, j) for i in range(1, 5) for j in range(1, 5) if i < j]
+         + [(4, 5), (5, 6)]),                                         # K4+tail
+    ]
+    for edges in shapes:
+        g = _g(spark, edges)
+        assert {r["id"]: r["coreness"]
+                for r in g.coreness_hindex().collect()} == _coreness(g), edges
+
+
+def test_coreness_hindex_matches_on_fixture_graph(spark):
+    import __spark_entry__ as em
+    from tests.conftest import SF_DIR
+
+    g = em._order_graph(spark, SF_DIR)
+    lv = {r["id"]: r["coreness"] for r in g.coreness().collect()}
+    hi = {r["id"]: r["coreness"] for r in g.coreness_hindex().collect()}
+    assert lv == hi
