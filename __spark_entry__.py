@@ -517,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_bounce_rate": events.q130_bounce_rate,
         "q131_dup_cluster_histogram": pipeline.q131_dup_cluster_histogram,
         "q132_funnel_latency": events.q132_funnel_latency,
+        "q133_chi_square": extras.q133_chi_square,
         "approx_quantiles_prices": extras.approx_quantiles_prices,
         "q01_filter_project": relational.q01_filter_project,
         "q02_agg_pricing_summary": relational.q02_agg_pricing_summary,
@@ -2851,5 +2852,43 @@ def oracle_sql() -> dict[str, str]:
                    cast(round(cast(quantile_cont(latency_s, 0.9)
                      as decimal(28,6)), 4) as double) as p90_s
             from trans group by transition order by transition
+        """,
+        "q133_chi_square": """
+            with cells as (
+              select c.c_mktsegment as rseg, o.o_orderpriority as cpri,
+                     cast(count(*) as bigint) as o
+              from orders o join customer c on o.o_custkey = c.c_custkey
+              group by rseg, cpri),
+            scored as (
+              select o,
+                     sum(o) over (partition by rseg) as r,
+                     sum(o) over (partition by cpri) as c,
+                     sum(o) over () as n,
+                     count(distinct rseg) over () as nr,
+                     count(distinct cpri) over () as nc
+              from cells),
+            terms as (
+              select o, r, c, n, nr, nc,
+                     cast((cast(o as double)
+                           - cast(r as double) * cast(c as double)
+                             / cast(n as double))
+                          * (cast(o as double)
+                             - cast(r as double) * cast(c as double)
+                               / cast(n as double))
+                          / (cast(r as double) * cast(c as double)
+                             / cast(n as double))
+                       as decimal(28,12)) as term
+              from scored)
+            select cast(min(n) as bigint) as n,
+                   cast((min(nr) - 1) * (min(nc) - 1) as bigint) as dof,
+                   cast(round(cast(cast(sum(term) as double)
+                     as decimal(28,10)), 6) as double) as chi2,
+                   cast(round(cast(
+                     sqrt(cast(sum(term) as double)
+                          / (cast(min(n) as double)
+                             * cast(least(min(nr) - 1, min(nc) - 1)
+                                    as double)))
+                     as decimal(28,10)), 6) as double) as cramers_v
+            from terms
         """,
     }

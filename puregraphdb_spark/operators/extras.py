@@ -1516,3 +1516,75 @@ def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_quantiles_profile(
         li, "l_extendedprice", "l_returnflag"
     ).orderBy("l_returnflag")
+
+
+def chi_square_contingency(df: DataFrame, row_col: str,
+                           col_col: str) -> DataFrame:
+    """Chi-square test of independence over a contingency table of two
+    categorical columns: n, degrees of freedom, the X² statistic and
+    Cramér's V — the "are these two dimensions related" screen run
+    before any segmentation claim.
+
+    Exactness: observed counts and marginals are exact bigints, so
+    every expected value e = r·c/n and every term (o−e)²/e is IEEE
+    arithmetic on identical inputs (bit-identical per cell on both
+    engines); per-cell terms snap to a decimal(28,12) grid and SUM IN
+    DECIMAL (order-immune — the q121 discipline for sums of identical
+    doubles), then X² and V are snapped once. No transcendentals
+    (sqrt is IEEE-exact).
+
+    Scale: one shuffle to the contingency cells (map-side combine
+    collapses the fact table), then three window sums + the rollup on
+    the CELL relation (|categories|² rows — tiny by definition; a
+    high-cardinality "category" is a modeling error this operator
+    should not hide).
+    """
+    cells = df.groupBy(row_col, col_col).agg(
+        F.count("*").cast("long").alias("__o")
+    )
+    wr = Window.partitionBy(row_col)
+    wc = Window.partitionBy(col_col)
+    wg = Window.partitionBy()
+    scored = cells.select(
+        row_col, col_col, "__o",
+        F.sum("__o").over(wr).alias("__r"),
+        F.sum("__o").over(wc).alias("__c"),
+        F.sum("__o").over(wg).alias("__n"),
+        F.count("*").over(wg).alias("__cells"),
+        F.size(F.collect_set(row_col).over(wg)).alias("__nr"),
+        F.size(F.collect_set(col_col).over(wg)).alias("__nc"),
+    )
+    e = (F.col("__r").cast("double") * F.col("__c").cast("double")
+         / F.col("__n").cast("double"))
+    term = ((F.col("__o").cast("double") - e) * (F.col("__o").cast("double") - e)
+            / e).cast("decimal(28,12)")
+    agg = scored.groupBy().agg(
+        F.min("__n").cast("long").alias("n"),
+        ((F.min("__nr") - 1) * (F.min("__nc") - 1)).cast("long")
+        .alias("dof"),
+        F.sum(term).alias("__chi2"),
+        F.least(F.min("__nr") - 1, F.min("__nc") - 1).cast("long")
+        .alias("__mindim"),
+    )
+    chi2 = F.col("__chi2").cast("double")
+    v = F.sqrt(chi2 / (F.col("n").cast("double")
+                       * F.col("__mindim").cast("double")))
+    return agg.select(
+        "n", "dof",
+        decimal_round(chi2, 6, grid=10).alias("chi2"),
+        decimal_round(v, 6, grid=10).alias("cramers_v"),
+    )
+
+
+def q133_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independence of market segment × order priority (see
+    ``chi_square_contingency``)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return chi_square_contingency(joined, "c_mktsegment",
+                                  "o_orderpriority")

@@ -647,6 +647,13 @@ def _bounce_rate(spark, events: str = "events",
     return bounce_rate(_view(spark, events), gap=gap)
 
 
+def _chi_square(spark, table: str, row_col: str,
+                col_col: str) -> DataFrame:
+    from puregraphdb_spark.operators.extras import chi_square_contingency
+
+    return chi_square_contingency(_view(spark, table), row_col, col_col)
+
+
 def _funnel_latency(spark, events: str = "events",
                     stages: str = "view,click,purchase") -> DataFrame:
     from puregraphdb_spark.operators.events import funnel_latency
@@ -738,6 +745,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "dup_cluster_histogram": _dup_cluster_histogram,
     "approx_quantiles": _approx_quantiles,
     "funnel_latency": _funnel_latency,
+    "chi_square": _chi_square,
 }
 
 

@@ -81,3 +81,45 @@ def test_morton_code_rejects_bad_args(spark):
         morton_code([], bits=16)
     with pytest.raises(ValueError):
         morton_code([F.lit(1)] * 4, bits=16)  # 64 bits > signed long
+
+
+def test_zorder_actually_skips_files_for_either_column(spark, tmp_path):
+    """The pruning property stated as the engine consumes it: for a
+    selective range filter on EITHER clustered column, count the
+    files whose parquet footer (min, max) excludes the range — the
+    exact file-skipping decision a stats-based reader makes. Z-order
+    must skip files for both columns; the x-sorted slab layout skips
+    only for x."""
+    import pyarrow.parquet as pq
+
+    df = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("long").alias("y"),
+    )
+    zpath, spath = str(tmp_path / "z2"), str(tmp_path / "s2")
+    write_zordered(df, zpath, ["x", "y"], n_files=16)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x") \
+        .write.parquet(spath)
+
+    def skipped(path, col, lo, hi):
+        total, skip = 0, 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            mn = min(md.row_group(i).column(idx).statistics.min
+                     for i in range(md.num_row_groups))
+            mx = max(md.row_group(i).column(idx).statistics.max
+                     for i in range(md.num_row_groups))
+            total += 1
+            if mx < lo or mn > hi:
+                skip += 1
+        return skip, total
+
+    # a 1/8th range on each dimension
+    for col in ("x", "y"):
+        zs, zt = skipped(zpath, col, 0, 31)
+        assert zs >= zt // 2, (col, zs, zt)  # z-order: most files skip
+    ss_x, st = skipped(spath, "x", 0, 31)
+    ss_y, _ = skipped(spath, "y", 0, 31)
+    assert ss_x >= st // 2      # slabs skip on the sort column...
+    assert ss_y == 0            # ...and NEVER on the other one

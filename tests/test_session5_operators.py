@@ -242,3 +242,28 @@ def test_dup_cluster_histogram_mass_conservation(spark):
     # docs 1,2,3 normalize identically -> one cluster of 3; two singles
     assert got == {1: (2, 2, 0), 3: (1, 3, 2)}
     assert sum(v[1] for v in got.values()) == 5  # mass conserved
+
+
+def test_chi_square_hand_computed(spark):
+    from puregraphdb_spark.operators.extras import chi_square_contingency
+
+    # 2x2 table: rows A/B x cols L/R with counts [[10, 20], [20, 10]]
+    # chi2 = sum (o-e)^2/e with all e = 15 -> 4 * 25/15 = 20/3
+    rows = ([("A", "L")] * 10 + [("A", "R")] * 20
+            + [("B", "L")] * 20 + [("B", "R")] * 10)
+    df = spark.createDataFrame(rows, ["r", "c"])
+    out = chi_square_contingency(df, "r", "c").collect()[0]
+    assert out.n == 60 and out.dof == 1
+    assert out.chi2 == round(20 / 3, 6)
+    # V = sqrt(chi2/(n*1)) = sqrt(1/9) = 1/3
+    assert out.cramers_v == round((20 / 3 / 60) ** 0.5, 6)
+
+
+def test_chi_square_independent_table_is_zero(spark):
+    from puregraphdb_spark.operators.extras import chi_square_contingency
+
+    rows = ([("A", "L")] * 6 + [("A", "R")] * 12
+            + [("B", "L")] * 3 + [("B", "R")] * 6)
+    df = spark.createDataFrame(rows, ["r", "c"])
+    out = chi_square_contingency(df, "r", "c").collect()[0]
+    assert out.chi2 == 0.0 and out.cramers_v == 0.0

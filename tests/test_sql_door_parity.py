@@ -66,6 +66,7 @@ DUCKDB_ONLY = {
     "q128_gini_concentration",  # // integer-division operator
     "q131_dup_cluster_histogram",  # regexp_replace 'g' flag argument
     "q132_funnel_latency",   # epoch_us + quantile_cont
+    "q133_chi_square",       # count(distinct ..) over () window
 }
 
 ORACLES = entrymod.oracle_sql()
