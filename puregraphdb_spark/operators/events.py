@@ -678,6 +678,10 @@ def interval_union(events: DataFrame, duration_s: int = 300,
     partial aggregation for the final per-key rollup. State per window
     row is O(1); nothing global, nothing collected.
     """
+    if duration_s < 1:
+        raise ValueError(
+            f"interval_union duration_s must be >= 1, got {duration_s}"
+        )
     dur_us = duration_s * 1_000_000
     start = F.unix_micros(F.col(ts_col))
     w = Window.partitionBy(id_col).orderBy(ts_col, tiebreak)

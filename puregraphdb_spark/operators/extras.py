@@ -1400,6 +1400,11 @@ def gini_concentration(orders: DataFrame, key_col: str = "o_custkey",
     window over the KEY-scale relation (the q105 dimension posture —
     at fact-scale keys swap in the q92 two-pass rank); the 1-row
     totals broadcast back (parameter traffic, the pagerank allowance).
+
+    Edge cases (consistent on both engines by construction): with
+    n < 10 keys the top decile is empty → ``top_decile_share`` is
+    NULL (no rank exceeds n − n//10); an empty input returns one
+    all-NULL row (global aggregate over zero rows).
     """
     spend = orders.groupBy(key_col).agg(
         F.sum(F.col(amount_col).cast("decimal(18,2)")).alias("__sp")
@@ -1567,8 +1572,13 @@ def chi_square_contingency(df: DataFrame, row_col: str,
         .alias("__mindim"),
     )
     chi2 = F.col("__chi2").cast("double")
-    v = F.sqrt(chi2 / (F.col("n").cast("double")
-                       * F.col("__mindim").cast("double")))
+    # single-category input (mindim 0): V is undefined — report 0.0
+    # instead of a NaN/divide-by-zero (the q97 empty-input discipline)
+    v = F.when(
+        F.col("__mindim") > 0,
+        F.sqrt(chi2 / (F.col("n").cast("double")
+                       * F.col("__mindim").cast("double"))),
+    ).otherwise(F.lit(0.0))
     return agg.select(
         "n", "dof",
         decimal_round(chi2, 6, grid=10).alias("chi2"),

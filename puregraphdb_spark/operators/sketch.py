@@ -100,6 +100,8 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 20,
     guaranteed present. See module docstring for why this shape (pure
     map + tiny merge) is the one that survives fact-scale key spaces.
     """
+    if k < 1 or capacity < 1:
+        raise ValueError("heavy_hitters needs k >= 1 and capacity >= 1")
     summaries = (
         df.select(F.col(col).cast("string").alias("value"))
         .filter(F.col("value").isNotNull())

@@ -267,3 +267,22 @@ def test_chi_square_independent_table_is_zero(spark):
     df = spark.createDataFrame(rows, ["r", "c"])
     out = chi_square_contingency(df, "r", "c").collect()[0]
     assert out.chi2 == 0.0 and out.cramers_v == 0.0
+
+
+def test_degenerate_input_guards(spark):
+    import pytest
+
+    from puregraphdb_spark.operators.events import interval_union
+    from puregraphdb_spark.operators.extras import chi_square_contingency
+    from puregraphdb_spark.operators.sketch import heavy_hitters
+
+    ev = _events(spark, [(1, 1, 0, "x")])
+    with pytest.raises(ValueError, match="duration_s"):
+        interval_union(ev, duration_s=0)
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters(ev, "event_type", k=0)
+    # single-category table: V reports 0.0 instead of NaN/div-by-zero
+    df = spark.createDataFrame([("A", "L"), ("A", "L"), ("A", "R")],
+                               ["r", "c"])
+    out = chi_square_contingency(df, "r", "c").collect()[0]
+    assert out.dof == 0 and out.cramers_v == 0.0
