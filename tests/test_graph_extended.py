@@ -825,3 +825,17 @@ def test_coreness_hindex_matches_on_fixture_graph(spark):
     lv = {r["id"]: r["coreness"] for r in g.coreness().collect()}
     hi = {r["id"]: r["coreness"] for r in g.coreness_hindex().collect()}
     assert lv == hi
+
+
+def test_ktruss_local_finish_equals_distributed(spark):
+    # bridged cliques + a cascade tail: force BOTH paths and compare
+    k5a = [(i, j) for i in range(1, 6) for j in range(1, 6) if i < j]
+    k5b = [(i, j) for i in range(6, 11) for j in range(6, 11) if i < j]
+    edges = k5a + k5b + [(5, 6), (1, 11), (11, 12)]
+    g = _g(spark, edges)
+    local = {(r["u"], r["v"]): r["support"]
+             for r in g.ktruss(4).collect()}            # gate: local
+    dist = {(r["u"], r["v"]): r["support"]
+            for r in g.ktruss(4, local_finish_edges=0).collect()}
+    assert local == dist
+    assert set(local) == {(u, v) for u, v in k5a + k5b}  # bridges gone
