@@ -89,6 +89,39 @@ def _pred_column(pred: str, cols: dict[str, Column],
     }[op]
 
 
+def flat_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint with INHERITED-STATS STRIPPING — the correct
+    lineage cut for iterative DataFrame loops.
+
+    ``Dataset.localCheckpoint`` deliberately preserves the child
+    plan's Catalyst statistics (originStats), so a checkpoint chained
+    through joins inherits MULTIPLIED sizeInBytes estimates: measured
+    on the ktruss peeling loop, the round-0 checkpoint of a 7k-row
+    edge set already claimed 26 GiB, and each subsequent round's
+    estimate compounds multiplicatively — the BigInt's DIGIT COUNT
+    doubles per round, and by round ~17 every stats computation runs
+    Toom-Cook multiplications on million-digit integers (jstack: all
+    CPU in java.math.BigInteger.multiply), exploding per-round
+    planning time 0.6 s → 30–190 s on flat data, flat lineage, flat
+    plans. Rebuilding the DataFrame over the SAME materialized
+    InternalRow RDD resets the stats to the size-unknown default; the
+    loop stays flat (27 rounds in 19 s where the stock checkpoint
+    chain needed 20+ minutes), and join strategy selection is
+    unaffected in practice because AQE re-plans joins from RUNTIME
+    shuffle sizes, not the static estimate. Falls back to the plain
+    checkpoint if the internal constructor is unavailable.
+    """
+    ck = df.localCheckpoint(eager=True)
+    try:
+        spark = ck.sparkSession
+        jdf = ck._jdf
+        fresh = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False)
+        return DataFrame(fresh, spark)
+    except Exception:  # pragma: no cover - version-dependent internal
+        return ck
+
+
 def _local_ktruss_finish(edges: list[tuple], need: int) -> list[tuple]:
     """Exact queue-based k-truss peeling of a MEASURED-SMALL edge list
     (the ``ktruss`` local-finish branch — callers gate on edge count).
@@ -1029,18 +1062,17 @@ class Graph:
                 keep = deg.filter(F.col("degree") >= k).select("id")
                 if deg.filter(F.col("degree") < k).limit(1).count() == 0:
                     break
-                und = (
+                und = flat_checkpoint(
                     und.join(keep.select(F.col("id").alias("src")),
                              "src", "left_semi")
                     .join(keep.select(F.col("id").alias("dst")),
                           "dst", "left_semi")
-                    .localCheckpoint(eager=True)
                 )
-            survivors = und.select(F.col("src").alias("id")).distinct() \
-                .localCheckpoint(eager=True)
+            survivors = flat_checkpoint(
+                und.select(F.col("src").alias("id")).distinct())
             lost = prev_core.join(survivors, "id", "left_anti").select(
                 "id", F.lit(k - 1).cast("long").alias("coreness"))
-            levels.append(lost.localCheckpoint(eager=True))
+            levels.append(flat_checkpoint(lost))
             if survivors.limit(1).count() == 0:
                 prev_core = survivors
                 break
@@ -1114,11 +1146,10 @@ class Graph:
                 .agg(F.max(F.least(F.col("__rn"), F.col("__nb")))
                      .cast("long").alias("__h"))
             )
-            new_est = (
+            new_est = flat_checkpoint(
                 est.join(hidx, "id")
                 .select("id", F.least(F.col("est"), F.col("__h"))
                         .alias("est"))
-                .localCheckpoint(eager=True)
             )
             changed = (
                 new_est.join(est.select("id", F.col("est").alias("__o")),
@@ -1742,8 +1773,8 @@ class Graph:
                     .alias("support"),
                 )
                 .filter(F.col("support") >= need)
-                .localCheckpoint(eager=True)
             )
+            kept = flat_checkpoint(kept)
             n_new = kept.count()
             e = kept.select("u", "v")
             if n_new == n:
