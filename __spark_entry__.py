@@ -212,7 +212,13 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator). Rows-only: the walk corpus is seeded-hash-driven and
     engine-specific by design; determinism, edge-validity, sink-stop
     and cap semantics are property-tested
-    (tests/test_graph_extended.py)."""
+    (tests/test_graph_extended.py).
+
+    Entry shape (VERDICT r7 item 1): the API returns the walk as
+    ``path array<bigint>`` — the natural corpus shape — but the
+    driver's pandas canonicalizer cannot sort/hash list cells, so the
+    ENTRY flattens it to a space-joined string column. The API
+    (`Graph.random_walks`) is unchanged."""
     g = _order_graph(spark, sf_dir)
     sym = graph.Graph(
         g.vertices,
@@ -223,6 +229,12 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sym.random_walks(walk_length=6, walks_per_node=2)
+        .select(
+            "start_id", "walk_no",
+            F.array_join(F.col("path").cast("array<string>"), " ")
+            .alias("path"),
+            "walk_len",
+        )
         .orderBy("start_id", "walk_no")
     )
 
@@ -437,80 +449,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ rows-only
     iterative graph algorithms per the contract's non-SQL allowance).
 
-    ORDERING IS DELIBERATE (round 7, VERDICT r6 item 1): the driver's
-    CORRECTNESS file records only the FIRST 50 entries. Rounds 2-5
-    recorded q01-q50; round 6 rotated to q51-q98 + the named oracled
-    entries — so every entry that existed at round-6 close has a
-    driver-green record EXCEPT the rows-only block. This round
-    therefore leads with ALL 25 rows-only entries, then the oracled
-    round-7 additions q99-q123 (never driver-recorded; verified so
-    far only by the local check_oracle gate) to fill the 50-window;
-    q124-q126 just miss the cut and lead the round-8 rotation; the
-    q01-q98 re-records (driver-green r2-r6) follow.
+    ORDERING IS DELIBERATE (round 8, VERDICT r7 item 2): the driver's
+    CORRECTNESS file records only the FIRST 50 entries. Coverage so
+    far — q01-q50 driver-green r2-r5, q51-q98 r6, the 25 rows-only
+    entries + q99-q123 r7. Never driver-recorded: q124-q133,
+    heavy_hitter_tokens, graph_coreness, approx_quantiles_prices
+    (13 entries), plus graph_random_walks whose only r7 row was the
+    array-column canonicalizer err (fixed above: the entry now emits
+    the walk as a flat string). This round therefore leads with those
+    14, then any NEW round-8 entries, then fills the window with the
+    OLDEST re-records (q01+, last driver-recorded in r05). Everything
+    after slot 50 retains a driver-green row from r2-r7.
     """
     return {
-        "graph_pagerank": graph_pagerank,
-        "graph_connected_components": graph_connected_components,
-        "graph_label_propagation": graph_label_propagation,
-        "graph_scc": graph_scc,
-        "graph_kcore": graph_kcore,
-        "graph_ppr": graph_ppr,
-        "graph_shortest_paths": graph_shortest_paths,
-        "graph_wpagerank": graph_wpagerank,
-        "graph_sssp_weighted": graph_sssp_weighted,
-        "graph_harmonic": graph_harmonic,
-        "graph_betweenness": graph_betweenness,
-        "graph_betweenness_approx": graph_betweenness_approx,
-        "graph_louvain": community.graph_louvain,
-        "graph_louvain_weighted": community.graph_louvain_weighted,
-        "graph_hits": graph_hits,
-        "graph_anf": graph_anf,
+        # -- 14 entries needing a (re-)record: the r7 err fix first --
         "graph_random_walks": graph_random_walks,
-        "graph_ktruss": graph_ktruss,
-        "text_profile": text_profile,
-        "text_quality_report": text_quality_report,
-        "dedup_minhash_near": dedup_minhash_near,
-        "dedup_embedding_near": dedup_embedding_near,
-        "knn_ann_lsh": knn_ann_lsh,
-        "knn_ann_ivf": knn_ann_ivf,
-        "approx_distinct_parts": extras.approx_distinct_parts,
-        "q99_modularity": community.q99_modularity,
-        # round-7 sessions 1-5 oracled additions, NONE ever driver-
-        # recorded — they fill the rest of the 50-window ahead of the
-        # q01+ re-records (q01-q98 all have driver-green rows from
-        # rounds 2-6; these have only builder/judge check_oracle runs)
-        "q100_link_prediction": graph.q100_link_prediction,
-        "q101_attribution": events.q101_attribution,
-        "q102_boilerplate_shingles": llm.q102_boilerplate_shingles,
-        "q103_graph_growth": graph.q103_graph_growth,
-        "q104_markov_transitions": events.q104_markov_transitions,
-        "q105_rfm_segments": extras.q105_rfm_segments,
-        "q106_cooccur_lift": extras.q106_cooccur_lift,
-        "q107_session_paths": events.q107_session_paths,
-        "q108_reorder_intervals": extras.q108_reorder_intervals,
-        "q109_cohort_ltv": extras.q109_cohort_ltv,
-        "q110_mad_outliers": pipeline.q110_mad_outliers,
-        "q111_degree_histogram": graph.q111_degree_histogram,
-        "q112_weighted_sample": pipeline.q112_weighted_sample,
-        "q113_snapshot_diff": extras.q113_snapshot_diff,
-        "q114_fuzzy_name_pairs": pipeline.q114_fuzzy_name_pairs,
-        "q115_rolling_actives": events.q115_rolling_actives,
-        "q116_ab_split_conversion": events.q116_ab_split_conversion,
-        "q117_table_profile": profile.q117_table_profile,
-        "q118_fk_integrity": profile.q118_fk_integrity,
-        "q119_decile_gains": extras.q119_decile_gains,
-        "q120_scd2_intervals": events.q120_scd2_intervals,
-        "q121_autocorr": extras.q121_autocorr,
-        "q122_weighted_median": extras.q122_weighted_median,
-        "q123_interval_union": events.q123_interval_union,
-        # ---- end of the 50-entry recorded window (25 rows-only +
-        # q99-q123; q124-q126 below just miss the cut and lead the
-        # round-8 rotation) ----
         "q124_time_to_convert": events.q124_time_to_convert,
         "q125_sorted_neighborhood": pipeline.q125_sorted_neighborhood,
         "q126_token_diversity": pipeline.q126_token_diversity,
-        "heavy_hitter_tokens": heavy_hitter_tokens,
-        "graph_coreness": graph_coreness,
         "q127_asof_forward": extras.q127_asof_forward,
         "q128_gini_concentration": extras.q128_gini_concentration,
         "q129_hhi_segments": extras.q129_hhi_segments,
@@ -518,7 +474,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_dup_cluster_histogram": pipeline.q131_dup_cluster_histogram,
         "q132_funnel_latency": events.q132_funnel_latency,
         "q133_chi_square": extras.q133_chi_square,
+        "heavy_hitter_tokens": heavy_hitter_tokens,
+        "graph_coreness": graph_coreness,
         "approx_quantiles_prices": extras.approx_quantiles_prices,
+        # -- NEW round-8 entries (never recorded, by construction) --
+        "node2vec_walks": graph_node2vec_walks,
+        "q134_cross_source_shingles": llm.q134_cross_source_shingles,
+        "q135_anomaly_mad_ts": events.q135_anomaly_mad_ts,
+        "q136_winsorized_stats": extras.q136_winsorized_stats,
+        "q137_source_mix_budget": pipeline.q137_source_mix_budget,
+        "q138_seasonal_dow": events.q138_seasonal_dow,
+        "q139_class_balance_plan": pipeline.q139_class_balance_plan,
+        "q140_burst_detection": events.q140_burst_detection,
+        # -- oldest re-records (q01+ last driver-recorded r05) fill
+        #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
         "q02_agg_pricing_summary": relational.q02_agg_pricing_summary,
         "q03_distinct_count": relational.q03_distinct_count,
