@@ -888,3 +888,150 @@ def q132_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = funnel_latency(ev, ["view", "click", "purchase"])
     return final_sort(res, spark, sf_dir, "events", "transition")
+
+
+def anomaly_mad_ts(events: DataFrame, ts_col: str = "ts",
+                   nsigma: float = 3.5) -> DataFrame:
+    """Robust time-series anomaly flags over the DAILY event volume:
+    median/MAD control limits (the MAD-outlier discipline of
+    q110_mad_outliers, applied to a time series instead of a value
+    column). ``score = (cnt - median) / mad`` — transcendental-free
+    and exact: daily counts are integers, so the interpolated median
+    is an exact half-integer, the absolute deviations are exact, and
+    the one final division is a single correctly-rounded IEEE op the
+    oracle reproduces bit-identically.
+
+    Scale: one shuffle to the per-day grain (map-side combine), then
+    two order-statistic selections over the DAYS relation — bounded
+    by the calendar (365 rows/year at any data scale), broadcast back
+    as 1-row parameter traffic, never a data collect.
+    """
+    daily = (
+        events.groupBy(F.date_trunc("day", F.col(ts_col)).alias("day"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    stats = daily.agg(
+        F.percentile(F.col("cnt"), F.lit(0.5)).alias("med"))
+    dev = daily.crossJoin(F.broadcast(stats)).select(
+        "day", "cnt", "med",
+        F.abs(F.col("cnt") - F.col("med")).alias("dev"),
+    )
+    mad = dev.agg(F.percentile(F.col("dev"), F.lit(0.5)).alias("mad"))
+    return dev.crossJoin(F.broadcast(mad)).select(
+        "day", "cnt",
+        decimal_round(F.col("med"), 4, grid=6).alias("med"),
+        decimal_round(F.col("mad"), 4, grid=6).alias("mad"),
+        decimal_round(
+            F.when(F.col("mad") > 0,
+                   (F.col("cnt") - F.col("med")) / F.col("mad"))
+            .otherwise(F.lit(None).cast("double")),
+            6, grid=8,
+        ).alias("score"),
+        F.when(
+            (F.col("mad") > 0)
+            & (F.abs((F.col("cnt") - F.col("med")) / F.col("mad"))
+               > F.lit(nsigma)),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long").alias("is_anomaly"),
+    )
+
+
+def q135_anomaly_mad_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly report with median/MAD robust limits
+    (see ``anomaly_mad_ts``)."""
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    return final_sort(anomaly_mad_ts(ev), spark, sf_dir, "events",
+                      "day")
+
+
+def seasonal_dow(events: DataFrame, ts_col: str = "ts",
+                 type_col: str = "event_type") -> DataFrame:
+    """Day-of-week seasonality profile per event type: the share index
+    ``7 * cnt / total`` (1.0 = flat week) that sizes weekday/weekend
+    capacity and detects type-specific weekly cycles. ISO day numbers
+    (Mon=1..Sun=7). Exact integer counts; the index is one snapped
+    division.
+
+    Scale: ONE shuffle on (type, isodow) — a ≤ 7×|types| relation —
+    with the per-type total as a window sum over that tiny relation.
+    """
+    isodow = (F.pmod(F.dayofweek(F.col(ts_col)) + F.lit(5), F.lit(7))
+              + F.lit(1)).cast("long")
+    per = (
+        events.groupBy(F.col(type_col).alias("event_type"),
+                       isodow.alias("isodow"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type")
+    return per.select(
+        "event_type", "isodow", "cnt",
+        decimal_round(
+            (F.col("cnt") * F.lit(7)).cast("double")
+            / F.sum("cnt").over(w).cast("double"),
+            6, grid=8,
+        ).alias("dow_index"),
+    )
+
+
+def q138_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality index per event type (see ``seasonal_dow``)."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    return final_sort(seasonal_dow(ev), spark, sf_dir, "events",
+                      "event_type", "isodow")
+
+
+def burst_detection(events: DataFrame, ts_col: str = "ts",
+                    type_col: str = "event_type",
+                    z_threshold: float = 2.0) -> DataFrame:
+    """Per-type hourly burst detector: z-score of each hour's count
+    against that type's own hourly distribution, emitting the buckets
+    past ``z_threshold`` — the traffic-spike / scraper-burst report.
+
+    Determinism: sum and sum-of-squares are exact bigints, variance is
+    ONE exact-integer division ``(n*sumsq - sum^2) / (n*(n-1))``, and
+    sqrt/subtract/divide are single correctly-rounded IEEE ops — the
+    oracle reproduces the z bit-identically with the same expression
+    shape.
+
+    Scale: one shuffle to the (type, hour) grain with map-side
+    combine; the per-type moments are a window sum over the bucket
+    relation (calendar-bounded rows per type). No percentile pass —
+    moments suffice for the z-test and merge map-side.
+    """
+    per = (
+        events.groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type")
+    per = per.select(
+        "event_type", "bucket", "cnt",
+        F.count("*").over(w).alias("n"),
+        F.sum("cnt").over(w).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("ss"),
+    ).filter(F.col("n") >= 2)
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        .cast("double")
+        / (F.col("n") * (F.col("n") - F.lit(1))).cast("double")
+    )
+    z = (F.col("cnt").cast("double") - mean) / F.sqrt(var)
+    return (
+        per.filter((var > 0) & (z > F.lit(z_threshold)))
+        .select(
+            "event_type", "bucket", "cnt",
+            decimal_round(mean, 4, grid=6).alias("hourly_mean"),
+            decimal_round(z, 4, grid=6).alias("z"),
+        )
+    )
+
+
+def q140_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume bursts per event type at z > 2 (see
+    ``burst_detection``)."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    return final_sort(burst_detection(ev), spark, sf_dir, "events",
+                      "event_type", "bucket")

@@ -1598,3 +1598,72 @@ def q133_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
     return chi_square_contingency(joined, "c_mktsegment",
                                   "o_orderpriority")
+
+
+def winsorized_stats(df: DataFrame, group_col: str, value_col: str,
+                     lo_pct: int = 5, hi_pct: int = 95) -> DataFrame:
+    """Per-group winsorized summary: clamp values to the [p_lo, p_hi]
+    rank-based order statistics, then report the clamp bounds, the
+    winsorized mean, and how many rows each tail clipped — the
+    outlier-robust mean the raw average can't give (q110 FLAGS
+    outliers; this bounds their influence instead).
+
+    Rank-based (percentile_disc) bounds: the bound at percentile p is
+    the value at row ``ceil(p/100 * n)`` of the group's sort order —
+    an ACTUAL data value, computed with exact integer rank arithmetic
+    ``floor((p*n + 99) / 100)`` (the +99 turns floor into ceil; the
+    double division is exact-or-safely-inside-ulp because the true
+    quotient is a rational with denominator 100, never within an ulp
+    of a different integer). No interpolation, so the clamp bounds are
+    engine-exact, and the winsorized mean is an exact decimal sum over
+    clamped values divided once.
+
+    Scale: one window sort per group (rank + count), one aggregate.
+    Same single-shuffle shape as q55 percent_rank; group count must be
+    modest (per-group sort), which holds for categorical group keys.
+    """
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    wn = Window.partitionBy(group_col)
+    lo_rank = F.floor(
+        (F.lit(lo_pct) * F.col("__n") + F.lit(99)) / F.lit(100))
+    hi_rank = F.floor(
+        (F.lit(hi_pct) * F.col("__n") + F.lit(99)) / F.lit(100))
+    ranked = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("v"),
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(wn).alias("__n"),
+    )
+    bounds = (
+        ranked.filter((F.col("__rn") == lo_rank)
+                      | (F.col("__rn") == hi_rank))
+        .groupBy("grp")
+        .agg(F.min("v").alias("lo_val"), F.max("v").alias("hi_val"))
+    )
+    clamped = ranked.join(F.broadcast(bounds), "grp").select(
+        "grp", "v", "lo_val", "hi_val",
+        F.least(F.greatest(F.col("v"), F.col("lo_val")),
+                F.col("hi_val")).alias("wv"),
+    )
+    return clamped.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("lo_val").alias("lo_val"),
+        F.max("hi_val").alias("hi_val"),
+        decimal_round(
+            F.sum(F.col("wv").cast("decimal(28,4)")).cast("double")
+            / F.count("*").cast("double"), 4, grid=6,
+        ).alias("win_mean"),
+        F.sum(F.when(F.col("v") < F.col("lo_val"), 1).otherwise(0))
+        .cast("long").alias("n_clip_lo"),
+        F.sum(F.when(F.col("v") > F.col("hi_val"), 1).otherwise(0))
+        .cast("long").alias("n_clip_hi"),
+    ).withColumnRenamed("grp", group_col)
+
+
+def q136_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized price stats per return flag (see
+    ``winsorized_stats``)."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice")
+    res = winsorized_stats(l, "l_returnflag", "l_extendedprice")
+    return final_sort(res, spark, sf_dir, "lineitem", "l_returnflag")

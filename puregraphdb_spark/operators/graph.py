@@ -1735,12 +1735,14 @@ class Graph:
         Scale: the second-order bias needs BOTH neighbor lists, so
         each step is TWO keyed joins against the adjacency relation
         (cur and prev) instead of ``random_walks``' one — still
-        O(walk_length) shuffles, no driver loops. Weights, the
-        inverse-CDF draw, and the pick are computed entirely with
-        codegen higher-order functions (transform / aggregate /
-        array_position) over the ≤ ``max_degree``-capped neighbor
-        array: vectors never cross into Python. State per walk is
-        ≤ walk_length+1 longs; lineage is plan-size-checkpointed like
+        O(walk_length) shuffles, no driver loops. The sampler is a
+        CATEGORY decomposition (weight classes {prev} / distance-1 /
+        distance-2 via hash-based array_intersect / array_except,
+        then a uniform within-class pick) — O(degree) per row in
+        codegen set algebra, never a per-element membership scan
+        (O(degree²), measured hanging on 10k-degree hubs). Vectors
+        never cross into Python. State per walk is ≤ walk_length+1
+        longs; lineage is plan-size-checkpointed like
         ``random_walks``.
         """
         if walk_length < 1 or walks_per_node < 1:
@@ -1775,55 +1777,66 @@ class Graph:
             h = F.xxhash64(F.lit(seed), F.col("walk_no"), F.lit(step),
                            F.col("cur"))
             uniform_idx = F.pmod(h, F.size("nbrs"))
+            uniform_nxt = F.element_at(
+                "nbrs", (uniform_idx + 1).cast("int"))
             if p == 1.0 and q == 1.0:
                 # bit-identical reduction to random_walks' sampler
-                chosen_idx = uniform_idx
+                nxt = uniform_nxt
             else:
+                # Category-decomposition sampler: each neighbor falls
+                # in exactly one weight class — {prev} (1/p), the
+                # distance-1 set d1 = nbrs ∩ pnbrs ∖ {prev} (1), or the
+                # distance-2 set d2 (1/q). Drawing the CLASS by its
+                # aggregate weight and then a uniform member is the
+                # same distribution as the per-element inverse CDF, but
+                # the set algebra is hash-based array_intersect /
+                # array_except — O(deg) per row. The first cut did a
+                # per-element array_contains(pnbrs, x) inside
+                # transform(nbrs, ...): O(deg²) per row, which on 10k-
+                # degree hubs was ~1e8 ops/row and hung the sf0.01
+                # fixture outright (>400 s vs 17 s for the uniform
+                # walker). Never scan one array per element of another.
                 hb = F.xxhash64(F.lit(seed), F.col("walk_no"),
                                 F.lit(step), F.col("cur"),
                                 F.coalesce(F.col("prev"), F.lit(-1)))
-                weights = F.transform(
-                    F.col("nbrs"),
-                    lambda x: F.when(x == F.col("prev"), F.lit(1.0 / p))
-                    .when(
-                        F.coalesce(
-                            F.array_contains(F.col("pnbrs"), x),
-                            F.lit(False)),
-                        F.lit(1.0))
-                    .otherwise(F.lit(1.0 / q)),
+                r = (F.pmod(hb, F.lit(mod)).cast("double")
+                     / F.lit(float(mod)))
+                pn = F.coalesce(F.col("pnbrs"),
+                                F.array().cast("array<bigint>"))
+                prev_arr = F.array(F.col("prev"))
+                d1 = F.array_except(
+                    F.array_intersect(F.col("nbrs"), pn), prev_arr)
+                d2 = F.array_except(F.col("nbrs"),
+                                    F.array_union(pn, prev_arr))
+                w_ret = F.when(
+                    F.array_contains(F.col("nbrs"), F.col("prev")),
+                    F.lit(1.0 / p)).otherwise(F.lit(0.0))
+                w_d1 = F.size(d1).cast("double")
+                w_d2 = F.size(d2).cast("double") * F.lit(1.0 / q)
+                t = r * (w_ret + w_d1 + w_d2)
+                # within-class uniform pick reuses the residual of the
+                # same draw; d1 members have weight exactly 1 so the
+                # residual IS the index; d2 rescales by q. Clamped to
+                # the class bounds (float edge) and F.get (0-based,
+                # null-safe) so an empty class can never throw.
+                idx1 = F.greatest(
+                    F.least(F.floor(t - w_ret),
+                            (F.size(d1) - 1).cast("long")),
+                    F.lit(0).cast("long"))
+                idx2 = F.greatest(
+                    F.least(F.floor((t - w_ret - w_d1) * F.lit(q)),
+                            (F.size(d2) - 1).cast("long")),
+                    F.lit(0).cast("long"))
+                biased_nxt = F.coalesce(
+                    F.when(t < w_ret, F.col("prev"))
+                    .when(t < w_ret + w_d1, F.get(d1, idx1.cast("int")))
+                    .otherwise(F.get(d2, idx2.cast("int"))),
+                    # exhausted-scan guard (t == total within ulps):
+                    # fall back to the last neighbor, as random_walks
+                    F.element_at("nbrs", F.size("nbrs")),
                 )
-                total = F.aggregate(
-                    weights, F.lit(0.0), lambda acc, w: acc + w)
-                target = (F.pmod(hb, F.lit(mod)).cast("double")
-                          / F.lit(float(mod))) * total
-                # inverse-CDF pick: first index whose cumulative
-                # weight exceeds the target draw (codegen aggregate
-                # over a (cum, chosen, pos) accumulator struct).
-                picked = F.aggregate(
-                    weights,
-                    F.struct(
-                        F.lit(0.0).alias("cum"),
-                        F.lit(-1).alias("chosen"),
-                        F.lit(0).alias("pos"),
-                    ),
-                    lambda acc, w: F.struct(
-                        (acc["cum"] + w).alias("cum"),
-                        F.when(acc["chosen"] >= 0, acc["chosen"])
-                        .when(acc["cum"] + w > target, acc["pos"])
-                        .otherwise(F.lit(-1)).alias("chosen"),
-                        (acc["pos"] + 1).alias("pos"),
-                    ),
-                    lambda acc: acc["chosen"],
-                )
-                # float-rounding guard: an exhausted scan (target ==
-                # total within ulps) falls back to the last neighbor;
-                # the first step (prev IS NULL) stays uniform.
-                biased_idx = F.when(picked >= 0, picked).otherwise(
-                    F.size("nbrs") - 1)
-                chosen_idx = F.when(
-                    F.col("prev").isNull(), uniform_idx
-                ).otherwise(biased_idx)
-            nxt = F.element_at("nbrs", (chosen_idx + 1).cast("int"))
+                nxt = F.when(F.col("prev").isNull(), uniform_nxt) \
+                    .otherwise(biased_nxt)
             joined = state.join(adj, state.cur == adj.src, "left")
             if not (p == 1.0 and q == 1.0):
                 joined = joined.join(

@@ -359,3 +359,70 @@ def q102_boilerplate_shingles(spark, sf_dir: str):
         ),
         spark, sf_dir, "documents", "lang",
     )
+
+
+def cross_source_shingles(docs: DataFrame, source_col: str = "source",
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          n: int = 4) -> DataFrame:
+    """Cross-SOURCE contamination matrix: for every pair of corpus
+    sources, how many distinct n-token shingles they share and the
+    Jaccard overlap of their shingle vocabularies — the
+    source-provenance twin of q102 (which measures cross-DOC sharing
+    within a language) and the planning input for source-level dedup
+    ordering. Exact integer counts; Jaccard is one snapped division.
+
+    Scale: shingling is a map-side explode; ONE shuffle to the
+    distinct (source, shingle) grain; the pair join is shingle-keyed
+    (inverted-index style, NOT pairwise over docs), so candidate
+    volume is bounded by vocabulary overlap, and the output is at most
+    |sources|² rows. Per-source vocab sizes ride the same relation.
+    """
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.split(F.col(text_col), " ").alias("toks"),
+    ).filter(F.size("toks") >= n)
+    sh = toks.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+            )
+        ).alias("sh"),
+    ).distinct()
+    vocab = sh.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_sh"))
+    a = sh.select(F.col("source").alias("src_a"), "sh")
+    b = sh.select(F.col("source").alias("src_b"), "sh")
+    overlap = (
+        a.join(b, "sh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    va = vocab.select(F.col("source").alias("src_a"),
+                      F.col("n_sh").alias("n_a"))
+    vb = vocab.select(F.col("source").alias("src_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (
+        overlap.join(F.broadcast(va), "src_a")
+        .join(F.broadcast(vb), "src_b")
+        .select(
+            "src_a", "src_b", "n_a", "n_b", "n_shared",
+            decimal_round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b")
+                   - F.col("n_shared")).cast("double"),
+                6, grid=10,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q134_cross_source_shingles(spark, sf_dir: str):
+    """Source-pair shingle contamination matrix (see
+    ``cross_source_shingles``)."""
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    return final_sort(cross_source_shingles(d), spark, sf_dir,
+                      "documents", "src_a", "src_b")

@@ -1431,3 +1431,106 @@ def q131_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return final_sort(dup_cluster_histogram(d), spark, sf_dir,
                       "documents", "size")
+
+
+def source_mix_budget(docs: DataFrame, source_col: str = "source",
+                      text_col: str = "text",
+                      budget_frac_pct: int = 50) -> DataFrame:
+    """Token-budget allocation across corpus sources: given a total
+    token budget (``budget_frac_pct`` percent of the corpus), give
+    each source an equal fair share, cap it at what the source
+    actually has, and redistribute the leftover proportionally to
+    remaining capacity — the data-mixture planning step before
+    sampling a pretraining corpus (q73 samples; this SIZES the mix).
+
+    All-integer arithmetic end to end (token counts, floor-divided
+    shares, one floored proportional redistribution round), so the
+    plan is bit-identical across engines; the final sampling rate is
+    one snapped division.
+
+    Scale: one map-side token count + ONE shuffle to the per-source
+    grain; everything after runs on the |sources|-row relation via
+    window totals. No driver collect.
+    """
+    per = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.size(F.filter(F.split(F.col(text_col), " "),
+                            lambda t: t != "")).cast("long")
+            .alias("toks"),
+        )
+        .groupBy("source")
+        .agg(F.sum("toks").alias("tokens"),
+             F.count("*").cast("long").alias("n_docs"))
+    )
+    w = Window.partitionBy()
+    total = F.sum("tokens").over(w)
+    k = F.count("*").over(w)
+    budget = F.floor(total * F.lit(budget_frac_pct) / F.lit(100))
+    fair = F.floor(budget / k)
+    step1 = per.select(
+        "source", "n_docs", "tokens",
+        F.least(F.col("tokens"), fair).alias("alloc1"),
+        budget.alias("budget"),
+    )
+    leftover = (F.col("budget")
+                - F.sum("alloc1").over(Window.partitionBy()))
+    cap = F.col("tokens") - F.col("alloc1")
+    cap_total = F.sum(cap).over(Window.partitionBy())
+    alloc2 = F.col("alloc1") + F.when(
+        cap_total > 0,
+        F.least(cap, F.floor(leftover * cap / cap_total)),
+    ).otherwise(F.lit(0))
+    return step1.select(
+        "source", "n_docs", "tokens",
+        alloc2.cast("long").alias("alloc_tokens"),
+        decimal_round(
+            alloc2.cast("double") / F.col("tokens").cast("double"),
+            6, grid=8,
+        ).alias("sample_rate"),
+    )
+
+
+def q137_source_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mix plan at 50% of the corpus (see
+    ``source_mix_budget``)."""
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    return final_sort(source_mix_budget(d), spark, sf_dir,
+                      "documents", "source")
+
+
+def class_balance_plan(docs: DataFrame,
+                       class_col: str = "lang") -> DataFrame:
+    """Downsample-to-minority class-balancing plan: per class, the
+    row count, the kept count (= the smallest class), the per-class
+    sampling rate, and the excess the plan drops — the label-balance
+    audit run before training a classifier on skewed data.
+
+    Exact integers + one snapped division per class.
+
+    Scale: ONE shuffle to the per-class grain; the minority count is
+    a window min over the |classes|-row relation.
+    """
+    per = (
+        docs.groupBy(F.col(class_col).alias("class"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy()
+    keep = F.min("cnt").over(w)
+    return per.select(
+        "class", "cnt",
+        keep.alias("keep_n"),
+        decimal_round(
+            keep.cast("double") / F.col("cnt").cast("double"),
+            6, grid=8,
+        ).alias("sample_rate"),
+        (F.col("cnt") - keep).cast("long").alias("n_excess"),
+    )
+
+
+def q139_class_balance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balance downsampling plan over documents (see
+    ``class_balance_plan``)."""
+    d = load_table(spark, sf_dir, "documents").select("lang")
+    return final_sort(class_balance_plan(d), spark, sf_dir,
+                      "documents", "class")

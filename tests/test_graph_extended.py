@@ -839,3 +839,103 @@ def test_ktruss_local_finish_equals_distributed(spark):
             for r in g.ktruss(4, local_finish_edges=0).collect()}
     assert local == dist
     assert set(local) == {(u, v) for u, v in k5a + k5b}  # bridges gone
+
+
+# -- node2vec biased walks ----------------------------------------------------
+
+
+def test_node2vec_pq1_reduces_to_random_walks(walk_graph):
+    """p=q=1 must short-circuit to EXACTLY the uniform sampler —
+    the corpus is bit-identical to random_walks at the same seed."""
+    def corpus(df):
+        return sorted(
+            (r["start_id"], r["walk_no"], tuple(r["path"]))
+            for r in df.collect()
+        )
+
+    uni = corpus(walk_graph.random_walks(
+        walk_length=5, walks_per_node=3, seed=7))
+    n2v = corpus(walk_graph.node2vec_walks(
+        walk_length=5, walks_per_node=3, seed=7, p=1.0, q=1.0))
+    assert uni == n2v
+
+
+def test_node2vec_walks_follow_edges_and_stop_at_sinks(walk_graph):
+    walks = walk_graph.node2vec_walks(
+        walk_length=5, walks_per_node=3, seed=11, p=0.5, q=2.0
+    ).collect()
+    edges = {(0, 1), (1, 2), (2, 3), (3, 0), (1, 9)}
+    assert len(walks) == 5 * 3
+    for r in walks:
+        p = r["path"]
+        assert p[0] == r["start_id"]
+        assert r["walk_len"] == len(p)
+        for a, b in zip(p, p[1:]):
+            assert (a, b) in edges, f"non-edge hop {a}->{b} in {p}"
+        if len(p) < 6:
+            assert p[-1] == 9  # early stop only at the sink
+
+
+def test_node2vec_deterministic_and_seed_sensitive(walk_graph):
+    def corpus(seed):
+        return sorted(
+            (r["start_id"], r["walk_no"], tuple(r["path"]))
+            for r in walk_graph.node2vec_walks(
+                walk_length=6, walks_per_node=2, seed=seed,
+                p=0.25, q=4.0).collect()
+        )
+
+    assert corpus(7) == corpus(7)
+    assert corpus(7) != corpus(8)
+
+
+def _backtrack_fraction(g, p, q, seed=5):
+    """Fraction of steps (past the first) that return to the node two
+    positions back — the statistic the p parameter controls."""
+    back = total = 0
+    for r in g.node2vec_walks(walk_length=8, walks_per_node=8,
+                              seed=seed, p=p, q=q).collect():
+        path = r["path"]
+        for i in range(2, len(path)):
+            total += 1
+            back += path[i] == path[i - 2]
+    return back / max(total, 1)
+
+
+def test_node2vec_p_controls_backtracking(spark):
+    """Symmetrized path 0-1-2-3-4-5: tiny p (return weight 1/p = 100)
+    must backtrack far more often than huge p (return weight 0.01)."""
+    g, _, _ = _sym_graph(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)])
+    low_p = _backtrack_fraction(g, p=0.01, q=1.0)
+    high_p = _backtrack_fraction(g, p=100.0, q=1.0)
+    assert low_p > 0.7, low_p
+    assert high_p < 0.3, high_p
+    assert low_p > high_p + 0.4
+
+
+def test_node2vec_q_controls_outwardness(spark):
+    """Lollipop: triangle {0,1,2} with a tail 2-3-4-5. From inside the
+    triangle, small q (outward weight 1/q large) should push walks out
+    to the tail end more often than large q (which keeps walks local:
+    distance-1 moves stay inside the triangle)."""
+    g, _, _ = _sym_graph(
+        spark, [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5)])
+
+    def tail_hits(q):
+        hits = 0
+        for r in g.node2vec_walks(walk_length=6, walks_per_node=10,
+                                  seed=9, p=1.0, q=q).collect():
+            if r["start_id"] in (0, 1) and 5 in r["path"]:
+                hits += 1
+        return hits
+
+    assert tail_hits(0.1) > tail_hits(10.0)
+
+
+def test_node2vec_rejects_bad_params(walk_graph):
+    with pytest.raises(ValueError):
+        walk_graph.node2vec_walks(walk_length=0)
+    with pytest.raises(ValueError):
+        walk_graph.node2vec_walks(p=0.0)
+    with pytest.raises(ValueError):
+        walk_graph.node2vec_walks(q=-1.0)

@@ -1,0 +1,168 @@
+"""Hand-computed ground truths for the round-9 operators: MAD
+time-series anomalies, day-of-week seasonality, hourly burst z-tests,
+winsorized stats, token-budget mix allocation, class balancing, and
+cross-source shingle contamination. The oracle sweep covers
+fixture-scale cross-engine equivalence; these pin the SEMANTICS on
+inputs small enough to verify by hand.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from puregraphdb_spark.operators.events import (
+    anomaly_mad_ts,
+    burst_detection,
+    seasonal_dow,
+)
+from puregraphdb_spark.operators.extras import winsorized_stats
+from puregraphdb_spark.operators.llm import cross_source_shingles
+from puregraphdb_spark.operators.pipeline import (
+    class_balance_plan,
+    source_mix_budget,
+)
+
+BASE = datetime(2024, 1, 1, 0, 0, 0)  # a Monday (isodow 1)
+
+
+def _ts_events(spark, rows):
+    # rows: (days_offset, seconds_within_day, event_type)
+    return spark.createDataFrame(
+        [(BASE + timedelta(days=d, seconds=s), t) for d, s, t in rows],
+        ["ts", "event_type"],
+    )
+
+
+def test_anomaly_mad_flags_the_spike_day(spark):
+    # 7 days: counts 2,2,2,2,2,2,16 → median 2, MAD 0... use varied
+    # counts so MAD > 0: 1,2,2,2,3,3,30 → med 2, |dev| = 1,0,0,0,1,1,28
+    # → MAD 1 → day-6 score 28.
+    rows = []
+    counts = [1, 2, 2, 2, 3, 3, 30]
+    for day, c in enumerate(counts):
+        rows += [(day, i, "x") for i in range(c)]
+    got = {r.day.day: r for r in
+           anomaly_mad_ts(_ts_events(spark, rows)).collect()}
+    assert got[7].cnt == 30 and got[7].is_anomaly == 1
+    assert got[7].med == 2.0 and got[7].mad == 1.0
+    assert got[7].score == 28.0
+    assert sum(r.is_anomaly for r in got.values()) == 1
+
+
+def test_anomaly_mad_zero_mad_yields_null_scores(spark):
+    rows = []
+    for day in range(3):
+        rows += [(day, i, "x") for i in range(5)]  # constant volume
+    res = anomaly_mad_ts(_ts_events(spark, rows)).collect()
+    assert all(r.score is None and r.is_anomaly == 0 for r in res)
+
+
+def test_seasonal_dow_index(spark):
+    # type "a": 6 on Monday, 1 on Tuesday → index Mon = 7*6/7 = 6.0
+    rows = [(0, i, "a") for i in range(6)] + [(1, 0, "a")]
+    got = {r.isodow: r for r in
+           seasonal_dow(_ts_events(spark, rows)).collect()}
+    assert got[1].cnt == 6 and got[1].dow_index == 6.0
+    assert got[2].cnt == 1 and got[2].dow_index == 1.0
+
+
+def test_burst_detection_flags_the_spike_hour(spark):
+    # 9 quiet hours of 2 events + 1 hour of 20 → that hour's z is
+    # huge; quiet hours are below threshold.
+    rows = []
+    for h in range(9):
+        rows += [(0, h * 3600 + i, "x") for i in range(2)]
+    rows += [(0, 9 * 3600 + i, "x") for i in range(20)]
+    res = burst_detection(_ts_events(spark, rows)).collect()
+    assert len(res) == 1
+    assert res[0].cnt == 20 and res[0].z > 2.0
+
+
+def test_burst_detection_needs_variance(spark):
+    rows = [(0, h * 3600, "x") for h in range(5)]  # constant 1/hour
+    assert burst_detection(_ts_events(spark, rows)).count() == 0
+
+
+def test_winsorized_stats_clamps_the_tails(spark):
+    # group g: values 1..20 → lo rank ceil(.05*20)=1 → lo=1,
+    # hi rank ceil(.95*20)=19 → hi=19; the 20 clamps to 19 →
+    # mean = (sum(1..19) + 19)/20 = (190+19)/20 = 10.45
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 21)], ["k", "v"])
+    r = winsorized_stats(df, "k", "v").collect()[0]
+    assert (r.n, r.lo_val, r.hi_val) == (20, 1.0, 19.0)
+    assert r.win_mean == pytest.approx(10.45)
+    assert (r.n_clip_lo, r.n_clip_hi) == (0, 1)
+    assert r.k == "g"
+
+
+def test_winsorized_stats_single_value_group(spark):
+    df = spark.createDataFrame([("g", 5.0)] * 3, ["k", "v"])
+    r = winsorized_stats(df, "k", "v").collect()[0]
+    assert (r.lo_val, r.hi_val, r.win_mean) == (5.0, 5.0, 5.0)
+    assert (r.n_clip_lo, r.n_clip_hi) == (0, 0)
+
+
+def test_source_mix_budget_allocates_and_redistributes(spark):
+    # sources: a=100 toks, b=20, c=60 → total 180, budget 90, fair 30.
+    # alloc1: a=30, b=20, c=30 → leftover 10, caps a=70, c=30 →
+    # second round: a += floor(10*70/100)=7, c += floor(10*30/100)=3.
+    docs = spark.createDataFrame(
+        [("a", "w " * 100), ("b", "w " * 20), ("c", "w " * 60)],
+        ["source", "text"],
+    )
+    got = {r.source: r for r in source_mix_budget(docs).collect()}
+    assert got["a"].tokens == 100 and got["a"].alloc_tokens == 37
+    assert got["b"].tokens == 20 and got["b"].alloc_tokens == 20
+    assert got["c"].tokens == 60 and got["c"].alloc_tokens == 33
+    assert got["b"].sample_rate == 1.0
+    assert got["a"].sample_rate == 0.37
+
+
+def test_source_mix_budget_budget_covers_everything(spark):
+    # one tiny source: budget 50% of 4 = 2, fair 2, alloc 2 of 4
+    docs = spark.createDataFrame([("a", "x y z w")], ["source", "text"])
+    r = source_mix_budget(docs).collect()[0]
+    assert r.tokens == 4 and r.alloc_tokens == 2 and r.sample_rate == 0.5
+
+
+def test_class_balance_plan(spark):
+    docs = spark.createDataFrame(
+        [("en",)] * 6 + [("fr",)] * 2 + [("de",)] * 4, ["lang"])
+    got = {r["class"]: r for r in class_balance_plan(docs).collect()}
+    assert got["fr"].keep_n == 2 and got["fr"].sample_rate == 1.0
+    assert got["en"].cnt == 6 and got["en"].n_excess == 4
+    assert got["de"].sample_rate == 0.5
+
+
+def test_cross_source_shingles_overlap_and_jaccard(spark):
+    # source a: "w x y z" → 1 shingle; source b has the same shingle
+    # plus one more; source c shares nothing.
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "w x y z"),
+            (2, "b", "w x y z q"),
+            (3, "c", "p p p p p"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    res = {(r.src_a, r.src_b): r
+           for r in cross_source_shingles(docs).collect()}
+    ab = res[("a", "b")]
+    assert (ab.n_a, ab.n_b, ab.n_shared) == (1, 2, 1)
+    assert ab.jaccard == 0.5
+    # pairs with zero overlap don't appear (inner join on shingle)
+    assert ("a", "c") not in res and ("b", "c") not in res
+
+
+def test_cross_source_shingles_dedups_within_source(spark):
+    # the same shingle twice in one source counts once
+    docs = spark.createDataFrame(
+        [(1, "a", "w x y z"), (2, "a", "w x y z"), (3, "b", "w x y z")],
+        ["doc_id", "source", "text"],
+    )
+    r = cross_source_shingles(docs).collect()[0]
+    assert (r.n_a, r.n_b, r.n_shared) == (1, 1, 1)
+    assert r.jaccard == 1.0
