@@ -2609,7 +2609,8 @@ def q86_reach2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q100_link_prediction(spark: SparkSession, sf_dir: str,
-                         max_neighborhood: int = 512) -> DataFrame:
+                         max_neighborhood: int = 512,
+                         skew_cap_bytes: int = 2 << 30) -> DataFrame:
     """Common-neighbor link prediction over the supplier co-supply
     graph: supplier pairs sharing customers scored by Jaccard
     |N(a)∩N(b)| / |N(a)∪N(b)| over their customer neighborhoods — the
@@ -2622,19 +2623,29 @@ def q100_link_prediction(spark: SparkSession, sf_dir: str,
     ``max_neighborhood`` hash-selected suppliers BEFORE the expansion
     — the same seeded-hash sampling as ``Graph.random_walks``'
     ``max_degree`` cap, giving an unbiased neighborhood subsample and
-    a hard O(cap²) per-key bound on the self-join. The default 512
-    is far above every fixture's max degree (67 at sf0.01, 102 at
-    sf0.1, 118 at sf1 — measured), so test-scale results are
-    bit-identical to the exact path; at 100 TB a power-law hub would
-    otherwise own the entire stage. Callers needing exactness pass
-    ``max_neighborhood=None``. Degrees attach by two broadcastable
-    joins; the top-k is TakeOrderedAndProject — no full sort. Note
-    the fixture's REAL sf1 cost is candidate volume (131.5M pairs at
-    near-uniform degree ~39), not skew — the cap is the skew
-    insurance, not a fixture speedup (SCALECHECK round-8 table).
+    a hard O(cap²) per-key bound on the self-join. The cap engages
+    behind a measured SIZE GATE (``skew_cap_bytes``, default 2 GiB of
+    lineitem — the repo's dual-plan discipline): under the gate the
+    absolute pair volume is bounded by the data itself, so the exact
+    plan runs untouched; past it the window's sort is cheap insurance
+    relative to the job against the power-law hub that would own the
+    stage at 100 TB. The gating alternatives were MEASURED at sf1
+    (round 9, max customer degree 118, mean 39.9, exact 37.2 s):
+    an unconditional window cap 74.7 s (full sort-shuffle that
+    filters nothing), a true max-degree pre-flight 103 s (re-derives
+    the join+distinct under pure-lazy bench honesty), a no-join
+    degree upper bound (max orders/cust × max supp/order) 55 s —
+    the O(1) footer-size gate is the only variant that is free when
+    skew is impossible and still hard-bounds the expansion when the
+    data could hide a hub. Callers needing exactness at any size pass
+    ``max_neighborhood=None``; tests force the window with
+    ``skew_cap_bytes=0``. Degrees attach by two broadcastable joins;
+    the top-k is TakeOrderedAndProject — no full sort.
     """
     from puregraphdb_spark.functions.numeric import decimal_round
-    from puregraphdb_spark.sources.registry import broadcast_if_small
+    from puregraphdb_spark.sources.registry import (
+        broadcast_if_small, table_bytes,
+    )
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load_table(spark, sf_dir, "lineitem").select(
@@ -2646,7 +2657,9 @@ def q100_link_prediction(spark: SparkSession, sf_dir: str,
                 F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    if max_neighborhood is not None:
+    if max_neighborhood is not None and (
+        table_bytes(spark, sf_dir, "lineitem") > skew_cap_bytes
+    ):
         wcap = Window.partitionBy("c").orderBy(
             F.xxhash64(F.lit(42), "s"), "s")
         pairs = (

@@ -99,6 +99,16 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 20,
     count_upper, every value with true count > count_upper(missing)
     guaranteed present. See module docstring for why this shape (pure
     map + tiny merge) is the one that survives fact-scale key spaces.
+
+    ADVICE r7 caveat — the presence guarantee applies to the MERGED
+    SUMMARY, not to the top-k cut: the output is ordered by
+    count_lower before ``limit(k)``, so a true heavy hitter that
+    survived every partition summary can still be cut from the top-k
+    by a value with a larger LOWER bound but smaller true count.
+    Callers that need the guarantee end-to-end must either set
+    ``k >= (capacity + 1) * n_partitions`` (emit the whole merged
+    summary) or post-filter on ``count_upper`` instead of taking the
+    head (the property test does exactly this with k=1000).
     """
     if k < 1 or capacity < 1:
         raise ValueError("heavy_hitters needs k >= 1 and capacity >= 1")

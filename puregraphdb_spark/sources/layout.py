@@ -66,11 +66,21 @@ def zorder_column(df: DataFrame, cols: list[str],
     for c in cols:
         mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
         span = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
+        # ADVICE r7: a NULL (or NaN) in ANY clustered column would
+        # otherwise make the whole Morton code NULL, collapsing those
+        # rows into one boundary range-partition and losing clustering
+        # on every OTHER column too. Map null/NaN to the min-scaled
+        # rank so the row still clusters on its remaining dimensions.
+        val = F.col(c).cast("double")
+        safe = F.when(val.isNull() | F.isnan(val), mn).otherwise(val)
         scaled.append(
-            F.least(
-                F.floor((F.col(c).cast("double") - mn) / span
-                        * F.lit(float(top + 1))).cast("long"),
-                F.lit(top),
+            F.coalesce(
+                F.least(
+                    F.floor((safe - mn) / span
+                            * F.lit(float(top + 1))).cast("long"),
+                    F.lit(top),
+                ),
+                F.lit(0),  # all-null column: mn itself is NULL
             )
         )
     annotated = annotated.withColumn(

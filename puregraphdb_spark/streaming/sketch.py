@@ -69,6 +69,11 @@ def heavy_hitters_stateful(stream: DataFrame, col: str,
     """
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
+    if n_buckets < 1:
+        # ADVICE r7: n_buckets=0 would make pmod(xxhash64, 0) yield
+        # NULL buckets and fail deep inside the executor with an
+        # opaque int(None) TypeError — validate at the API edge.
+        raise ValueError("n_buckets must be >= 1")
 
     def update(key: tuple, pdfs: Iterator[pd.DataFrame],
                state: Any) -> Iterator[pd.DataFrame]:

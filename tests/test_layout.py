@@ -123,3 +123,69 @@ def test_zorder_actually_skips_files_for_either_column(spark, tmp_path):
     ss_y, _ = skipped(spath, "y", 0, 31)
     assert ss_x >= st // 2      # slabs skip on the sort column...
     assert ss_y == 0            # ...and NEVER on the other one
+
+
+def test_zorder_nulls_keep_clustering_on_other_columns(spark, tmp_path):
+    """ADVICE r7: a NULL in one clustered column must not void the
+    Morton code — null rows map to that column's min rank and still
+    cluster on the remaining dimensions. Files must still prune on
+    the non-null column, and no row may be lost."""
+    import pyarrow.parquet as pq
+
+    df = spark.range(64 * 64).select(
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise(F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    zpath = str(tmp_path / "znull")
+    write_zordered(df, zpath, ["x", "y"], n_files=8)
+    assert spark.read.parquet(zpath).count() == 64 * 64  # nothing lost
+
+    total, skip = 0, 0
+    for f in glob.glob(f"{zpath}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("y")
+        mn = min(md.row_group(i).column(idx).statistics.min
+                 for i in range(md.num_row_groups))
+        mx = max(md.row_group(i).column(idx).statistics.max
+                 for i in range(md.num_row_groups))
+        total += 1
+        if mx < 0 or mn > 7:  # selective range on y: 1/8th
+            skip += 1
+    assert skip >= total // 2, (skip, total)
+
+
+def test_zorder_3d_prunes_on_every_column(spark, tmp_path):
+    """3-D Z-order (VERDICT r7 item 5): a selective filter on ANY of
+    the three clustered columns must skip files; an x-sorted slab
+    layout only prunes on x."""
+    import pyarrow.parquet as pq
+
+    df = spark.range(32 * 32 * 32).select(
+        (F.col("id") % 32).alias("x"),
+        ((F.col("id") / 32).cast("long") % 32).alias("y"),
+        (F.col("id") / (32 * 32)).cast("long").alias("z"),
+    )
+    zpath = str(tmp_path / "z3")
+    write_zordered(df, zpath, ["x", "y", "z"], n_files=16)
+
+    def skipped(col, lo, hi):
+        total, skip = 0, 0
+        for f in glob.glob(f"{zpath}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            mn = min(md.row_group(i).column(idx).statistics.min
+                     for i in range(md.num_row_groups))
+            mx = max(md.row_group(i).column(idx).statistics.max
+                     for i in range(md.num_row_groups))
+            total += 1
+            if mx < lo or mn > hi:
+                skip += 1
+        return skip, total
+
+    # 1/4 range on each of the three dimensions: with 16 files over a
+    # 32^3 cube the curve gives ~2 bits per dim, so at least a quarter
+    # of the files must prune on every axis.
+    for col in ("x", "y", "z"):
+        s, t = skipped(col, 0, 7)
+        assert s >= t // 4, (col, s, t)

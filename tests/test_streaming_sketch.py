@@ -11,6 +11,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from puregraphdb_spark.operators.pipeline import _nonempty_tokens
@@ -93,3 +94,12 @@ def test_stream_rejects_bad_capacity(spark, tmp_path):
 
     with pytest.raises(ValueError):
         heavy_hitters_stateful(stream, "tok", capacity=0)
+
+
+def test_heavy_hitters_stateful_rejects_zero_buckets(spark):
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(F.lit("a").alias("tok"))
+    )
+    with pytest.raises(ValueError, match="n_buckets"):
+        heavy_hitters_stateful(stream, "tok", capacity=4, n_buckets=0)
