@@ -232,17 +232,24 @@ def _manifest_files(part_dir: str) -> list[str]:
 
 
 def _compact_partition_manifest(spark, part_dir: str,
-                                target_files: int) -> bool:
+                                target_files: int,
+                                retire_grace_s: float = 300.0) -> bool:
     """Object-store-safe compaction of one closed partition (VERDICT
     r6 item 4): no directory renames, no instant where a manifest-
     aware reader sees zero, doubled, or vanishing rows.
 
     Protocol (manifest-is-truth, generation-numbered, deferred
     deletes):
-      1. Heal: delete the previous publish's ``retired`` files (their
-         one-cycle reader grace window has passed) and any
-         ``compact-*`` file not listed in the manifest (strays from a
-         crash before a publish).
+      1. Heal: delete the previous publish's ``retired`` files —
+         but ONLY once ``retire_grace_s`` has passed since that
+         publish (``published_at`` in the manifest). The grace is
+         TIME-based, not cycle-based: the round-9 concurrent-reader
+         test caught back-to-back compaction runs healing retired
+         files out from under a reader whose scan had already planned
+         against them (FAILED_READ_FILE mid-query) — the same reason
+         Delta/Iceberg VACUUM uses a retention clock, not a run
+         counter. ``compact-*`` strays never published by any
+         manifest (a crash before publish) are deleted immediately.
       2. Resolve the live inputs via ``_manifest_files`` — the
          published set plus late-appended plain files. Skip when
          already ≤ target_files and nothing unmerged.
@@ -252,11 +259,13 @@ def _compact_partition_manifest(spark, part_dir: str,
          lists the old generation).
       4. Publish the new manifest in ONE atomic replace/PUT — the
          single commit point — with ``retired`` = the inputs the new
-         files supersede. NOTHING is deleted at publish time: a
-         reader that resolved the previous manifest moments earlier
-         keeps scanning files that still exist (the retention the
-         first revision lacked); they are removed by step 1 of the
-         NEXT run.
+         files supersede PLUS any prior retired files still inside
+         their grace window (dropping those from the list would make
+         readers re-count them as late appends — double rows).
+         NOTHING is deleted at publish time: a reader that resolved
+         the previous manifest moments earlier keeps scanning files
+         that still exist; they are removed by step 1 of a run after
+         the grace passes.
     Crash before 4 → old state fully readable, strays healed next
     run. Crash after 4 → new state fully readable (deletes were never
     pending). Late appends after 4 → visible to readers immediately,
@@ -265,17 +274,25 @@ def _compact_partition_manifest(spark, part_dir: str,
     """
     import os
     import shutil
+    import time
     import uuid
 
     man = _read_manifest(part_dir)
     published = set(man["files"]) if man else set()
     retired = set(man.get("retired", [])) if man else set()
+    published_at = float(man.get("published_at", 0.0)) if man else 0.0
     gen = (man["generation"] + 1) if man else 1
+    grace_passed = (time.time() - published_at) >= retire_grace_s
     for f in list(os.listdir(part_dir)):
         if not f.endswith(".parquet") or f in published:
             continue
-        if f in retired or (f.startswith(_COMPACT_PREFIX)):
+        if f in retired:
+            if grace_passed:
+                os.remove(os.path.join(part_dir, f))
+        elif f.startswith(_COMPACT_PREFIX):
             os.remove(os.path.join(part_dir, f))
+    still_retired = sorted(
+        f for f in retired if os.path.exists(os.path.join(part_dir, f)))
     files = _manifest_files(part_dir)
     unmerged = [f for f in files if os.path.basename(f) not in published]
     if len(files) <= target_files and (man is None or not unmerged):
@@ -293,7 +310,9 @@ def _compact_partition_manifest(spark, part_dir: str,
     _publish_manifest(part_dir, {
         "generation": gen,
         "files": new_names,
-        "retired": sorted(os.path.basename(f) for f in files),
+        "retired": sorted(
+            {os.path.basename(f) for f in files} | set(still_retired)),
+        "published_at": time.time(),
     })
     return True
 
@@ -301,7 +320,8 @@ def _compact_partition_manifest(spark, part_dir: str,
 def compact_closed_partitions(spark, table_path: str,
                               closed_before,
                               target_files: int = 1,
-                              committer: str = "rename") -> list[str]:
+                              committer: str = "manifest",
+                              retire_grace_s: float = 300.0) -> list[str]:
     """Small-file compaction for the durable finest materialization:
     every streaming trigger appends a file per partition, so a
     long-running rollup accumulates many tiny files per
@@ -326,26 +346,31 @@ def compact_closed_partitions(spark, table_path: str,
     removes any such orphans for good (the rewrite reads through the
     directory, same as the glob read path).
 
-    Two committers (ADVICE r6 / VERDICT r6 item 4):
+    Two committers (ADVICE r6 / VERDICT r6 item 4; default flipped to
+    manifest per VERDICT r7 item 7 — a compaction job cannot in
+    general KNOW no reader is live, so the default must be the one
+    that is safe with concurrent readers):
 
-    - ``committer="rename"`` (default, HDFS/posix): crash-safe swap
-      per partition — write ``<dir>.__compact`` → rename live dir to
-      ``<dir>.__old`` → promote tmp → remove ``__old``. A previous
-      crash is healed on the next run (a surviving ``__old`` with no
-      live dir is restored; stale tmps discarded). SINGLE-READER
-      CAVEAT: between the two renames the partition directory does
-      not exist, so a CONCURRENT glob read silently misses that
-      partition — run rename-mode compaction offline, or use the
-      manifest committer, whose commit point is one atomic file PUT
-      and which keeps every instant fully readable.
-    - ``committer="manifest"`` (object stores / concurrent readers):
-      see ``_compact_partition_manifest`` — new files land inside the
-      live directory under names readers ignore until a
+    - ``committer="manifest"`` (DEFAULT — object stores / concurrent
+      readers): see ``_compact_partition_manifest`` — new files land
+      inside the live directory under names readers ignore until a
       generation-numbered ``_manifest.json`` is atomically published;
-      ``read_finest`` resolves manifested partitions through it. This
-      is the same commit shape Delta/Iceberg use (log-is-truth);
-      swap in those formats at the sink when the full transaction
-      log is wanted.
+      ``read_finest`` resolves manifested partitions through it.
+      Every instant stays fully readable (the concurrent-reader test
+      polls reads during compaction). This is the same commit shape
+      Delta/Iceberg use (log-is-truth); swap in those formats at the
+      sink when the full transaction log is wanted.
+    - ``committer="rename"`` (opt-in, HDFS/posix offline windows):
+      crash-safe swap per partition — write ``<dir>.__compact`` →
+      rename live dir to ``<dir>.__old`` → promote tmp → remove
+      ``__old``. A previous crash is healed on the next run (a
+      surviving ``__old`` with no live dir is restored; stale tmps
+      discarded). SINGLE-READER CAVEAT (why it is no longer the
+      default): between the two renames the partition directory does
+      not exist, so a CONCURRENT glob read silently misses that
+      partition — only use when compaction provably runs with readers
+      quiesced; its one advantage is leaving no manifest indirection
+      for non-``read_finest`` consumers.
     """
     import os
     import shutil
@@ -366,7 +391,8 @@ def compact_closed_partitions(spark, table_path: str,
             if entry.split("=", 1)[1] >= closed:
                 continue
             part_dir = os.path.join(table_path, entry)
-            if _compact_partition_manifest(spark, part_dir, target_files):
+            if _compact_partition_manifest(spark, part_dir, target_files,
+                                           retire_grace_s):
                 out.append(part_dir)
         return out
     for entry in sorted(os.listdir(table_path)):

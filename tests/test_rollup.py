@@ -230,8 +230,11 @@ def test_compaction_preserves_data_and_shrinks_files(spark, tmp_path):
     assert frag_count("2026-01-01") >= 4
     before = sorted(tuple(r) for r in spark.read.parquet(table).collect())
 
+    # rename committer explicitly: this test pins the in-place swap
+    # semantics (immediate collapse, plain-glob readable); the default
+    # is now the manifest committer (VERDICT r7 item 7)
     compacted = compact_closed_partitions(
-        spark, table, closed_before="2026-01-02"
+        spark, table, closed_before="2026-01-02", committer="rename"
     )
     assert len(compacted) == 1  # only the closed date
     assert frag_count("2026-01-01") == 1   # collapsed
@@ -240,7 +243,7 @@ def test_compaction_preserves_data_and_shrinks_files(spark, tmp_path):
     assert after == before
     # idempotent: second run finds nothing to do
     assert compact_closed_partitions(
-        spark, table, closed_before="2026-01-02"
+        spark, table, closed_before="2026-01-02", committer="rename"
     ) == []
 
 
@@ -315,7 +318,7 @@ def test_compaction_of_sink_written_table_stays_readable(spark, tmp_path):
     os.rename(victim, victim + ".__old")
 
     compacted = compact_closed_partitions(
-        spark, table, closed_before="9999-12-31"
+        spark, table, closed_before="9999-12-31", committer="rename"
     )
     assert os.path.isdir(victim)  # healed before compacting
     for d in pdirs:
@@ -393,10 +396,17 @@ def test_manifest_committer_compacts_without_renames(spark, tmp_path):
     assert len(_part_files(table, "2026-01-01")) > 1
     assert manifest_read() == want
     assert len(_part_files(table, "2026-01-02")) >= 4  # open untouched
-    # second run: nothing to rewrite -> [], and the heal step removes
-    # the retired files; a NAIVE glob is clean from here on
+    # second run WITHIN the retention grace: nothing rewritten AND the
+    # retired files stay (a reader could still be scanning them)
     assert compact_closed_partitions(
         spark, table, closed_before="2026-01-02", committer="manifest") == []
+    assert len(_part_files(table, "2026-01-01")) > 1
+    assert manifest_read() == want
+    # third run with the grace elapsed (retire_grace_s=0): the heal
+    # step removes the retired files; a NAIVE glob is clean from here
+    assert compact_closed_partitions(
+        spark, table, closed_before="2026-01-02", committer="manifest",
+        retire_grace_s=0.0) == []
     assert _part_files(table, "2026-01-01") == [
         "compact-00001-0000.parquet"]
     assert manifest_read() == want
@@ -437,9 +447,10 @@ def test_manifest_committer_late_append_survives(spark, tmp_path):
         spark, table, closed_before="2026-01-02", committer="manifest")
     assert len(done) == 1  # gen 2 merges the late file
     assert manifest_read() == want
-    # one more run heals the gen-1 leftovers; single compacted file
+    # one more run PAST the retention grace heals the gen-1 leftovers
     compact_closed_partitions(
-        spark, table, closed_before="2026-01-02", committer="manifest")
+        spark, table, closed_before="2026-01-02", committer="manifest",
+        retire_grace_s=0.0)
     assert _part_files(table, "2026-01-01") == [
         "compact-00002-0000.parquet"]
     assert manifest_read() == want
@@ -489,9 +500,10 @@ def test_manifest_committer_crash_before_publish_is_invisible(
             spark, table, ["grp"], {"n": ("sum", "n")}).collect()
     )
     assert got2 == got
-    # one more run heals the retired originals away
+    # one more run past the retention grace heals the retired originals
     R.compact_closed_partitions(
-        spark, table, closed_before="2026-01-02", committer="manifest")
+        spark, table, closed_before="2026-01-02", committer="manifest",
+        retire_grace_s=0.0)
     assert len(_part_files(table, "2026-01-01")) == 1
 
 
@@ -533,10 +545,11 @@ def test_manifest_committer_crash_after_publish_heals_deletes(
             spark, table, ["grp"], {"n": ("sum", "n")}).collect()
     )
     assert got == want  # new state, no double counting
-    # next run's heal deletes the retired generation even though the
-    # rewrite itself is a no-op (1 file <= target, nothing unmerged)
+    # next run's heal (grace elapsed) deletes the retired generation
+    # even though the rewrite itself is a no-op (1 file <= target)
     R.compact_closed_partitions(
-        spark, table, closed_before="2026-01-02", committer="manifest")
+        spark, table, closed_before="2026-01-02", committer="manifest",
+        retire_grace_s=0.0)
     left = [f for f in os.listdir(d)
             if f.endswith(".parquet") and not f.startswith("compact-")]
     assert left == []
@@ -545,3 +558,64 @@ def test_manifest_committer_crash_after_publish_heals_deletes(
             spark, table, ["grp"], {"n": ("sum", "n")}).collect()
     )
     assert got2 == want
+
+
+def test_manifest_is_the_default_committer(spark, tmp_path):
+    """VERDICT r7 item 7: a compaction job cannot know no reader is
+    live, so the no-args default must be the committer that keeps
+    every instant readable — manifest, not rename."""
+    import os
+
+    from puregraphdb_spark.operators.rollup import (
+        _manifest_files, compact_closed_partitions,
+    )
+
+    table, _ = _fragged_table(spark, tmp_path)
+    done = compact_closed_partitions(
+        spark, table, closed_before="2026-01-02")  # no committer arg
+    assert len(done) == 1
+    d = os.path.join(table, "bucket_date=2026-01-01")
+    # manifest artifacts, no rename swap dirs
+    assert os.path.exists(os.path.join(d, "_manifest.json"))
+    assert not os.path.exists(d + ".__old")
+    assert [os.path.basename(f) for f in _manifest_files(d)] == [
+        "compact-00001-0000.parquet"]
+
+
+def test_manifest_compaction_with_concurrent_reader(spark, tmp_path):
+    """A reader polling read_finest THROUGHOUT a manifest compaction
+    must see the complete, correct result on every single read — the
+    property the rename committer cannot give (its two-rename window
+    makes a concurrent glob silently drop the partition)."""
+    import threading
+
+    from puregraphdb_spark.operators.rollup import (
+        compact_closed_partitions, read_finest,
+    )
+
+    table, before = _fragged_table(spark, tmp_path)
+    want = sorted((r[0], r[1], r[2]) for r in before)
+
+    results: list = []
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            got = sorted(
+                tuple(r) for r in read_finest(
+                    spark, table, ["grp"], {"n": ("sum", "n")}).collect()
+            )
+            results.append(got)
+
+    t = threading.Thread(target=poll)
+    t.start()
+    try:
+        for _ in range(3):  # compact + heal + no-op, reader live
+            compact_closed_partitions(
+                spark, table, closed_before="2026-01-02")
+    finally:
+        stop.set()
+        t.join()
+    assert len(results) >= 2  # the reader actually overlapped the runs
+    for got in results:
+        assert got == want

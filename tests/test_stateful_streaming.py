@@ -201,3 +201,124 @@ def test_conversion_report_over_streaming_tracker_output(spark, tmp_path):
         for r in funnel_conversion_windows(funnel(ev, stages)).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_conversion_latency_matches_batch(spark, tmp_path):
+    """report(conversion tracker sink) ≡ batch conversion_latency
+    (q124) on the fixture, availableNow."""
+    from puregraphdb_spark.operators.events import conversion_latency
+    from puregraphdb_spark.streaming.reports import (
+        conversion_latency_report, conversion_stateful,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "events_convlat")
+    ev.write.parquet(path)
+    stream = sw.read_parquet_stream(spark, path, ev.schema)
+    q = (
+        conversion_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("t_convlat")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r)
+        for r in conversion_latency_report(
+            spark.table("t_convlat")).collect()
+    )
+    want = sorted(tuple(r) for r in conversion_latency(ev).collect())
+    assert got == want and len(got) > 0
+
+
+def test_streaming_conversion_incremental_across_triggers(spark, tmp_path):
+    """The anchor (first from-event) carried in state must complete
+    conversions whose to-event arrives in a later trigger."""
+    from puregraphdb_spark.operators.events import conversion_latency
+    from puregraphdb_spark.streaming.reports import (
+        conversion_latency_report, conversion_stateful,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").persist()
+    mid = ev.select(
+        F.percentile_approx("ts", 0.5).cast("timestamp")
+    ).collect()[0][0]
+    path = str(tmp_path / "events_convlat_inc")
+    ev.filter(F.col("ts") <= F.lit(mid)).coalesce(1).write.parquet(
+        path + "/b=0")
+    ev.filter(F.col("ts") > F.lit(mid)).coalesce(1).write.parquet(
+        path + "/b=1")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(path + "/b=*")
+    )
+    for c, d in stream.dtypes:
+        if d == "timestamp_ntz":
+            stream = stream.withColumn(c, F.col(c).cast("timestamp"))
+    q = (
+        conversion_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("t_convlat_inc")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r)
+        for r in conversion_latency_report(
+            spark.table("t_convlat_inc")).collect()
+    )
+    want = sorted(tuple(r) for r in conversion_latency(ev).collect())
+    ev.unpersist()
+    assert got == want and len(got) > 0
+
+
+def test_streaming_bounce_rate_matches_batch(spark, tmp_path):
+    """bounce_report(sessionizer sink) ≡ batch bounce_rate (q130).
+    A sentinel event per user one day past the stream's end closes
+    every real session (the sentinel's own 1-event session stays open
+    in state and is never emitted), so the closed-session sink covers
+    exactly the batch session set."""
+    from puregraphdb_spark.operators.events import bounce_rate
+    from puregraphdb_spark.streaming.reports import bounce_report
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "ts")
+    sentinel = (
+        ev.groupBy("user_id")
+        .agg((F.max("ts") + F.expr("interval 1 day")).alias("ts"))
+        .select("user_id", "ts")
+    )
+    path = str(tmp_path / "events_bounce")
+    # sentinel in a SECOND file so in-order arrival holds trivially
+    ev.coalesce(1).write.parquet(path + "/b=0")
+    sentinel.coalesce(1).write.parquet(path + "/b=1")
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(path + "/b=*")
+    )
+    for c, d in stream.dtypes:
+        if d == "timestamp_ntz":
+            stream = stream.withColumn(c, F.col(c).cast("timestamp"))
+    q = (
+        sessionize_stateful(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("t_bounce_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r)
+        for r in bounce_report(spark.table("t_bounce_sessions")).collect()
+    )
+    want = sorted(tuple(r) for r in bounce_rate(ev).collect())
+    assert got == want and len(got) > 0
