@@ -970,4 +970,105 @@ SPARK_SQL: dict[str, str] = {
                  as decimal(28,10)), 6) as double) as cramers_v
         from terms
     """,
+    "q134_cross_source_shingles": """
+        with t as (select source, split(text, ' ') as toks
+                   from documents),
+        f as (select * from t where size(toks) >= 4),
+        g as (
+            select distinct source,
+                   concat_ws(' ', slice(toks, i, 4)) as sh
+            from f lateral view explode(sequence(1, size(toks) - 3))
+                 u as i),
+        v as (select source, cast(count(*) as bigint) as n_sh
+              from g group by source),
+        o as (
+            select a.source as src_a, b.source as src_b,
+                   cast(count(*) as bigint) as n_shared
+            from g a join g b on a.sh = b.sh and a.source < b.source
+            group by 1, 2)
+        select src_a, src_b, va.n_sh as n_a, vb.n_sh as n_b, n_shared,
+               cast(round(cast(
+                    cast(n_shared as double)
+                    / cast(va.n_sh + vb.n_sh - n_shared as double)
+                    as decimal(28,10)), 6) as double) as jaccard
+        from o
+        join v va on va.source = o.src_a
+        join v vb on vb.source = o.src_b
+        order by src_a, src_b
+    """,
+    "q135_anomaly_mad_ts": """
+        with daily as (
+            select date_trunc('day', ts) as day,
+                   cast(count(*) as bigint) as cnt
+            from events group by 1),
+        m as (select percentile(cnt, 0.5) as med from daily),
+        dev as (
+            select day, cnt, med, abs(cnt - med) as dev
+            from daily cross join m),
+        md as (select percentile(dev, 0.5) as mad from dev)
+        select day, cnt,
+               cast(round(cast(med as decimal(28,6)), 4) as double)
+                 as med,
+               cast(round(cast(mad as decimal(28,6)), 4) as double)
+                 as mad,
+               cast(round(cast(
+                    case when mad > 0 then (cnt - med) / mad
+                         else null end
+                    as decimal(28,8)), 6) as double) as score,
+               cast(case when mad > 0 and abs((cnt - med) / mad) > 3.5
+                    then 1 else 0 end as bigint) as is_anomaly
+        from dev cross join md order by day
+    """,
+    "q137_source_mix_budget": """
+        with per as (
+            select source, cast(count(*) as bigint) as n_docs,
+                   sum(cast(size(filter(split(text, ' '),
+                                        t -> t <> '')) as bigint))
+                     as tokens
+            from documents group by source),
+        s1 as (
+            select source, n_docs, tokens,
+                   cast(floor(sum(tokens) over () * 50 / 100)
+                        as bigint) as budget,
+                   least(tokens,
+                         cast(floor(
+                             cast(floor(sum(tokens) over ()
+                                        * 50 / 100) as bigint)
+                             / count(*) over ()) as bigint)) as alloc1
+            from per),
+        s2 as (
+            select source, n_docs, tokens, alloc1,
+                   budget - sum(alloc1) over () as leftover,
+                   tokens - alloc1 as cap,
+                   sum(tokens - alloc1) over () as cap_total
+            from s1),
+        s3 as (
+            select source, n_docs, tokens,
+                   alloc1 + case when cap_total > 0
+                       then least(cap, cast(floor(
+                            leftover * cap / cap_total) as bigint))
+                       else 0 end as alloc2
+            from s2)
+        select source, n_docs, tokens,
+               cast(alloc2 as bigint) as alloc_tokens,
+               cast(round(cast(
+                    cast(alloc2 as double) / cast(tokens as double)
+                    as decimal(28,8)), 6) as double) as sample_rate
+        from s3 order by source
+    """,
+    "q138_seasonal_dow": """
+        with per as (
+            select event_type,
+                   cast(pmod(dayofweek(ts) + 5, 7) + 1 as bigint)
+                     as isodow,
+                   cast(count(*) as bigint) as cnt
+            from events group by 1, 2)
+        select event_type, isodow, cnt,
+               cast(round(cast(
+                    cast(cnt * 7 as double)
+                    / cast(sum(cnt) over (partition by event_type)
+                           as double)
+                    as decimal(28,8)), 6) as double) as dow_index
+        from per order by event_type, isodow
+    """,
 }

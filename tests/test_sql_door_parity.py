@@ -67,6 +67,10 @@ DUCKDB_ONLY = {
     "q131_dup_cluster_histogram",  # regexp_replace 'g' flag argument
     "q132_funnel_latency",   # epoch_us + quantile_cont
     "q133_chi_square",       # count(distinct ..) over () window
+    "q134_cross_source_shingles",  # string_split/list_slice/unnest
+    "q135_anomaly_mad_ts",   # quantile_cont
+    "q137_source_mix_budget",  # list_filter/string_split/len
+    "q138_seasonal_dow",     # isodow()
 }
 
 ORACLES = entrymod.oracle_sql()
