@@ -685,6 +685,85 @@ def _approx_quantiles(spark, table: str, value_col: str,
     )
 
 
+def _node2vec_walks(spark, edges: str, walk_length: int = 8,
+                    walks_per_node: int = 1, p: float = 1.0,
+                    q: float = 1.0, seed: int = 42,
+                    max_degree: int = 10_000,
+                    vertices: str | None = None) -> DataFrame:
+    """CALL node2vec_walks(edges => 'e', p => 0.25, q => 4.0) — biased
+    second-order (p,q) walks (Grover & Leskovec KDD'16) ->
+    (start_id, walk_no, path, walk_len); p=q=1 is bit-identical to
+    CALL random_walks."""
+    return _graph(spark, edges, vertices).node2vec_walks(
+        walk_length=int(walk_length), walks_per_node=int(walks_per_node),
+        p=float(p), q=float(q), seed=int(seed),
+        max_degree=int(max_degree))
+
+
+def _cross_source_shingles(spark, docs: str = "documents",
+                           source_col: str = "source",
+                           text_col: str = "text",
+                           n: int = 4) -> DataFrame:
+    from puregraphdb_spark.operators.llm import cross_source_shingles
+
+    return cross_source_shingles(
+        _view(spark, docs), source_col=source_col,
+        text_col=text_col, n=int(n))
+
+
+def _anomaly_mad(spark, events: str = "events", ts_col: str = "ts",
+                 nsigma: float = 3.5) -> DataFrame:
+    from puregraphdb_spark.operators.events import anomaly_mad_ts
+
+    return anomaly_mad_ts(_view(spark, events), ts_col=ts_col,
+                          nsigma=float(nsigma))
+
+
+def _seasonal_dow(spark, events: str = "events", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    from puregraphdb_spark.operators.events import seasonal_dow
+
+    return seasonal_dow(_view(spark, events), ts_col=ts_col,
+                        type_col=type_col)
+
+
+def _burst_detection(spark, events: str = "events", ts_col: str = "ts",
+                     type_col: str = "event_type",
+                     z_threshold: float = 2.0) -> DataFrame:
+    from puregraphdb_spark.operators.events import burst_detection
+
+    return burst_detection(_view(spark, events), ts_col=ts_col,
+                           type_col=type_col,
+                           z_threshold=float(z_threshold))
+
+
+def _winsorized_stats(spark, table: str, group_col: str,
+                      value_col: str, lo_pct: int = 5,
+                      hi_pct: int = 95) -> DataFrame:
+    from puregraphdb_spark.operators.extras import winsorized_stats
+
+    return winsorized_stats(_view(spark, table), group_col, value_col,
+                            lo_pct=int(lo_pct), hi_pct=int(hi_pct))
+
+
+def _source_mix_budget(spark, docs: str = "documents",
+                       source_col: str = "source",
+                       text_col: str = "text",
+                       budget_frac_pct: int = 50) -> DataFrame:
+    from puregraphdb_spark.operators.pipeline import source_mix_budget
+
+    return source_mix_budget(
+        _view(spark, docs), source_col=source_col, text_col=text_col,
+        budget_frac_pct=int(budget_frac_pct))
+
+
+def _class_balance(spark, docs: str = "documents",
+                   class_col: str = "lang") -> DataFrame:
+    from puregraphdb_spark.operators.pipeline import class_balance_plan
+
+    return class_balance_plan(_view(spark, docs), class_col=class_col)
+
+
 PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "pagerank": _pagerank,
     "hits": _hits,
@@ -746,6 +825,15 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "approx_quantiles": _approx_quantiles,
     "funnel_latency": _funnel_latency,
     "chi_square": _chi_square,
+    # round-9 operators
+    "node2vec_walks": _node2vec_walks,
+    "cross_source_shingles": _cross_source_shingles,
+    "anomaly_mad": _anomaly_mad,
+    "seasonal_dow": _seasonal_dow,
+    "burst_detection": _burst_detection,
+    "winsorized_stats": _winsorized_stats,
+    "source_mix_budget": _source_mix_budget,
+    "class_balance": _class_balance,
 }
 
 

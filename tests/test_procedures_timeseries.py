@@ -219,3 +219,66 @@ def test_call_betweenness_and_minhop_reach(spark):
     )
     # dist: (0,1)=1 (0,2)=1 (0,3)=2 (1,2)=1 (1,3)=2 (2,3)=1
     assert reach23 == [(0, 3), (1, 3)]
+
+
+def test_call_round9_doors_match_python(spark):
+    """EP2 parity for the round-9 CALL doors: each procedure must
+    return exactly what the Python operator surface does."""
+    from puregraphdb_spark.operators.events import (
+        anomaly_mad_ts, burst_detection, seasonal_dow,
+    )
+    from puregraphdb_spark.operators.extras import winsorized_stats
+    from puregraphdb_spark.operators.llm import cross_source_shingles
+    from puregraphdb_spark.operators.pipeline import (
+        class_balance_plan, source_mix_budget,
+    )
+
+    eng = _engine(spark)
+    ev = load_table(spark, SF_DIR, "events")
+    docs = load_table(spark, SF_DIR, "documents")
+    li = load_table(spark, SF_DIR, "lineitem")
+
+    for call, direct in [
+        ("CALL anomaly_mad(events => 'events')",
+         anomaly_mad_ts(ev)),
+        ("CALL seasonal_dow(events => 'events')",
+         seasonal_dow(ev)),
+        ("CALL burst_detection(events => 'events')",
+         burst_detection(ev)),
+        ("CALL winsorized_stats(table => 'lineitem', "
+         "group_col => 'l_returnflag', value_col => 'l_extendedprice')",
+         winsorized_stats(li, "l_returnflag", "l_extendedprice")),
+        ("CALL source_mix_budget(docs => 'documents')",
+         source_mix_budget(docs)),
+        ("CALL class_balance(docs => 'documents')",
+         class_balance_plan(docs)),
+        ("CALL cross_source_shingles(docs => 'documents')",
+         cross_source_shingles(docs)),
+    ]:
+        assert_frames_match(eng.sql(call).toPandas(), direct.toPandas())
+
+
+def test_call_node2vec_pq1_matches_random_walks(spark):
+    eng = _engine(spark)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1), (3, 2), (1, 3)], ["src", "dst"])
+    e.createOrReplaceTempView("n2v_edges")
+    def corpus(df):
+        # the walk column is an array — flatten for comparability
+        # (assert_frames_match's sort can't hash ndarray cells)
+        return sorted(
+            (r["start_id"], r["walk_no"], tuple(r["path"]))
+            for r in df.collect()
+        )
+
+    uni = corpus(eng.sql(
+        "CALL random_walks(edges => 'n2v_edges', walk_length => 4, "
+        "walks_per_node => 2, seed => 5)"))
+    n2v = corpus(eng.sql(
+        "CALL node2vec_walks(edges => 'n2v_edges', walk_length => 4, "
+        "walks_per_node => 2, seed => 5, p => 1, q => 1)"))
+    assert uni == n2v and len(uni) > 0
+    biased = eng.sql(
+        "CALL node2vec_walks(edges => 'n2v_edges', walk_length => 4, "
+        "walks_per_node => 2, seed => 5, p => 0.25, q => 4.0)")
+    assert biased.count() == len(uni)
