@@ -518,6 +518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_seasonal_dow": events.q138_seasonal_dow,
         "q139_class_balance_plan": pipeline.q139_class_balance_plan,
         "q140_burst_detection": events.q140_burst_detection,
+        "q141_split_contamination": pipeline.q141_split_contamination,
+        "q142_vocab_growth": pipeline.q142_vocab_growth,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -3122,5 +3124,86 @@ def oracle_sql() -> dict[str, str]:
             where var > 0
               and (cast(cnt as double) - mean) / sqrt(var) > 2.0
             order by event_type, bucket
+        """,
+        "q141_split_contamination": """
+            with assigned as (
+                select doc_id as doc,
+                       case when (doc_id * 2654435761) % 4294967296
+                                 % 100 < 80 then 'train'
+                            when (doc_id * 2654435761) % 4294967296
+                                 % 100 < 90 then 'val'
+                            else 'test' end as split,
+                       string_split(text, ' ') as toks
+                from documents),
+            f as (select * from assigned where len(toks) >= 4),
+            sh as (
+                select split, doc,
+                       array_to_string(list_slice(toks, i, i + 3), ' ')
+                         as sh
+                from f, unnest(generate_series(1, len(toks) - 3))
+                     as u(i)),
+            train_vocab as (
+                select distinct sh from sh where split = 'train'),
+            held_sh as (
+                select distinct split, sh from sh
+                where split <> 'train'),
+            sh_stats as (
+                select h.split,
+                       cast(count(*) as bigint) as n_shingles,
+                       cast(sum(case when t.sh is not null
+                                then 1 else 0 end) as bigint)
+                         as n_leaked
+                from held_sh h left join train_vocab t on h.sh = t.sh
+                group by h.split),
+            held_docs as (
+                select distinct split, doc from sh
+                where split <> 'train'),
+            leaked_docs as (
+                select distinct s.split, s.doc
+                from sh s join train_vocab t on s.sh = t.sh
+                where s.split <> 'train'),
+            doc_stats as (
+                select hd.split,
+                       cast(count(*) as bigint) as n_docs,
+                       cast(sum(case when ld.doc is not null
+                                then 1 else 0 end) as bigint)
+                         as n_docs_leaked
+                from held_docs hd
+                left join leaked_docs ld
+                  on hd.split = ld.split and hd.doc = ld.doc
+                group by hd.split)
+            select s.split, n_shingles, n_leaked,
+                   cast(round(cast(
+                        cast(n_leaked as double)
+                        / cast(n_shingles as double)
+                        as decimal(28,10)), 6) as double)
+                     as shingle_leak_ratio,
+                   n_docs, n_docs_leaked,
+                   cast(round(cast(
+                        cast(n_docs_leaked as double)
+                        / cast(n_docs as double)
+                        as decimal(28,10)), 6) as double)
+                     as doc_leak_ratio
+            from sh_stats s join doc_stats d on s.split = d.split
+            order by s.split
+        """,
+        "q142_vocab_growth": """
+            with toks as (
+                select doc_id as doc, t.tok
+                from documents,
+                     unnest(string_split(text, ' ')) as t(tok)
+                where t.tok <> ''),
+            firsts as (
+                select tok, min(doc) as first_doc from toks
+                group by tok),
+            m as (select max(doc_id) as mx from documents),
+            pcts as (
+                select p.pct, m.mx
+                from m, unnest(generate_series(10, 100, 10)) as p(pct))
+            select cast(pct as bigint) as pct,
+                   cast(count(*) as bigint) as vocab_size
+            from firsts, pcts
+            where first_doc <= floor(mx * pct / 100)
+            group by pct order by pct
         """,
     }

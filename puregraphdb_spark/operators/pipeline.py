@@ -1534,3 +1534,126 @@ def q139_class_balance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("lang")
     return final_sort(class_balance_plan(d), spark, sf_dir,
                       "documents", "class")
+
+
+def split_contamination(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 4,
+                        train_pct: int = 80,
+                        val_pct: int = 10) -> DataFrame:
+    """Cross-split contamination audit: for each held-out split
+    (val/test) under the q69 deterministic hash split, how many of its
+    distinct n-token shingles ALSO appear in train, and how many of
+    its documents contain at least one leaked shingle — the
+    train/eval leakage check run before trusting any held-out metric
+    (q66 checks corpus-vs-benchmark; this checks the pipeline's OWN
+    split boundary). Exact integer counts; ratios are snapped
+    divisions.
+
+    Scale: shingling is a map-side explode; ONE shuffle to the
+    distinct (split, shingle[, doc]) grain; the leak test is a
+    shingle-keyed left-semi join against the train vocabulary
+    (inverted index, never doc-pairwise).
+    """
+    toks = hash_split(docs, id_col, train_pct, val_pct).select(
+        "split", F.col(id_col).alias("doc"),
+        F.split(F.col(text_col), " ").alias("toks"),
+    ).filter(F.size("toks") >= n)
+    sh = toks.select(
+        "split", "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+            )
+        ).alias("sh"),
+    )
+    train_vocab = (sh.filter(F.col("split") == "train")
+                   .select("sh").distinct())
+    held = sh.filter(F.col("split") != "train")
+    held_sh = held.select("split", "sh").distinct()
+    leaked_sh = held_sh.join(train_vocab, "sh", "left_semi")
+    sh_stats = (
+        held_sh.groupBy("split")
+        .agg(F.count("*").cast("long").alias("n_shingles"))
+        .join(
+            leaked_sh.groupBy("split")
+            .agg(F.count("*").cast("long").alias("n_leaked")),
+            "split", "left")
+        .na.fill(0, ["n_leaked"])
+    )
+    held_docs = held.select("split", "doc").distinct()
+    leaked_docs = (
+        held.join(train_vocab, "sh", "left_semi")
+        .select("split", "doc").distinct()
+    )
+    doc_stats = (
+        held_docs.groupBy("split")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .join(
+            leaked_docs.groupBy("split")
+            .agg(F.count("*").cast("long").alias("n_docs_leaked")),
+            "split", "left")
+        .na.fill(0, ["n_docs_leaked"])
+    )
+    return sh_stats.join(doc_stats, "split").select(
+        "split", "n_shingles", "n_leaked",
+        decimal_round(
+            F.col("n_leaked").cast("double")
+            / F.col("n_shingles").cast("double"), 6, grid=10,
+        ).alias("shingle_leak_ratio"),
+        "n_docs", "n_docs_leaked",
+        decimal_round(
+            F.col("n_docs_leaked").cast("double")
+            / F.col("n_docs").cast("double"), 6, grid=10,
+        ).alias("doc_leak_ratio"),
+    )
+
+
+def q141_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→val/test shingle-leakage audit under the q69 split (see
+    ``split_contamination``)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return final_sort(split_contamination(d), spark, sf_dir,
+                      "documents", "split")
+
+
+def vocab_growth(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Vocabulary growth curve (Heaps' law table): distinct token
+    count after ingesting the first 10%, 20%, … 100% of documents in
+    id order — the tokenizer-sizing / corpus-diversity measure that
+    says whether more data still buys new vocabulary. Exact integers:
+    each token's FIRST document id is a min-aggregate; each decile
+    threshold is integer arithmetic on max(doc_id).
+
+    Scale: tokenize is a flatMap; ONE shuffle for the per-token min;
+    the growth table is a 10-row broadcast cross join over the tiny
+    firsts relation aggregate — no re-scan per decile.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    firsts = toks.groupBy("tok").agg(F.min("doc").alias("first_doc"))
+    mx = docs.agg(F.max(F.col(id_col)).alias("mx"))
+    pcts = mx.select(
+        F.explode(F.sequence(F.lit(10), F.lit(100), F.lit(10)))
+        .alias("pct"),
+        "mx",
+    )
+    return (
+        firsts.crossJoin(F.broadcast(pcts))
+        .filter(F.col("first_doc")
+                <= F.floor(F.col("mx") * F.col("pct") / F.lit(100)))
+        .groupBy("pct")
+        .agg(F.count("*").cast("long").alias("vocab_size"))
+        .withColumn("pct", F.col("pct").cast("long"))
+    )
+
+
+def q142_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-vocabulary growth by corpus decile (see
+    ``vocab_growth``)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return final_sort(vocab_growth(d), spark, sf_dir, "documents",
+                      "pct")

@@ -764,6 +764,27 @@ def _class_balance(spark, docs: str = "documents",
     return class_balance_plan(_view(spark, docs), class_col=class_col)
 
 
+def _split_contamination(spark, docs: str = "documents",
+                         id_col: str = "doc_id",
+                         text_col: str = "text", n: int = 4,
+                         train_pct: int = 80,
+                         val_pct: int = 10) -> DataFrame:
+    from puregraphdb_spark.operators.pipeline import split_contamination
+
+    return split_contamination(
+        _view(spark, docs), id_col=id_col, text_col=text_col,
+        n=int(n), train_pct=int(train_pct), val_pct=int(val_pct))
+
+
+def _vocab_growth(spark, docs: str = "documents",
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    from puregraphdb_spark.operators.pipeline import vocab_growth
+
+    return vocab_growth(_view(spark, docs), id_col=id_col,
+                        text_col=text_col)
+
+
 PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "pagerank": _pagerank,
     "hits": _hits,
@@ -834,6 +855,8 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "winsorized_stats": _winsorized_stats,
     "source_mix_budget": _source_mix_budget,
     "class_balance": _class_balance,
+    "split_contamination": _split_contamination,
+    "vocab_growth": _vocab_growth,
 }
 
 

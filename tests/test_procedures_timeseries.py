@@ -282,3 +282,19 @@ def test_call_node2vec_pq1_matches_random_walks(spark):
         "CALL node2vec_walks(edges => 'n2v_edges', walk_length => 4, "
         "walks_per_node => 2, seed => 5, p => 0.25, q => 4.0)")
     assert biased.count() == len(uni)
+
+
+def test_call_split_contamination_and_vocab_growth(spark):
+    from puregraphdb_spark.operators.pipeline import (
+        split_contamination, vocab_growth,
+    )
+
+    eng = _engine(spark)
+    docs = load_table(spark, SF_DIR, "documents")
+    assert_frames_match(
+        eng.sql("CALL split_contamination(docs => 'documents')")
+        .toPandas(),
+        split_contamination(docs).toPandas())
+    assert_frames_match(
+        eng.sql("CALL vocab_growth(docs => 'documents')").toPandas(),
+        vocab_growth(docs).toPandas())

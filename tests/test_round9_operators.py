@@ -203,3 +203,50 @@ def test_q100_forced_window_large_cap_still_bit_identical(spark):
     exact = sorted(map(tuple, q100_link_prediction(
         spark, sf, max_neighborhood=None).collect()))
     assert capped == exact
+
+
+def test_split_contamination_hand_case(spark):
+    """Force known splits by choosing doc ids whose multiplicative
+    hash lands in train/val: verify leak accounting on a 3-doc corpus
+    where one val doc shares its only shingle with train."""
+    from puregraphdb_spark.operators.pipeline import (
+        _hash_bucket, split_contamination,
+    )
+    from pyspark.sql import functions as F
+
+    # find concrete ids per split (same expression the operator uses)
+    ids = spark.range(0, 200).select(
+        F.col("id"), _hash_bucket(F.col("id"), 100).alias("b")).collect()
+    train_id = next(r.id for r in ids if r.b < 80)
+    val_ids = [r.id for r in ids if 80 <= r.b < 90][:2]
+    docs = spark.createDataFrame(
+        [
+            (train_id, "a b c d"),          # train: shingle "a b c d"
+            (val_ids[0], "a b c d e"),      # val: shares "a b c d"
+            (val_ids[1], "p q r s"),        # val: clean
+        ],
+        ["doc_id", "text"],
+    )
+    r = {row.split: row for row in split_contamination(docs).collect()}
+    v = r["val"]
+    # val shingles: {"a b c d", "b c d e", "p q r s"} → 1 of 3 leaked
+    assert (v.n_shingles, v.n_leaked) == (3, 1)
+    assert v.n_docs == 2 and v.n_docs_leaked == 1
+    assert v.doc_leak_ratio == 0.5
+    assert "test" not in r or r["test"].n_leaked == 0
+
+
+def test_vocab_growth_monotone_and_exact(spark):
+    from puregraphdb_spark.operators.pipeline import vocab_growth
+
+    docs = spark.createDataFrame(
+        [(10, "a b"), (50, "b c"), (100, "c d e")],
+        ["doc_id", "text"],
+    )
+    got = {r.pct: r.vocab_size for r in vocab_growth(docs).collect()}
+    # thresholds: pct*100/100 → docs ≤10 at 10%, ≤50 at 50%, ≤100 at 100%
+    assert got[10] == 2          # {a, b}
+    assert got[50] == 3          # + {c}
+    assert got[100] == 5         # + {d, e}
+    sizes = [got[p] for p in sorted(got)]
+    assert sizes == sorted(sizes)  # monotone growth

@@ -71,6 +71,8 @@ DUCKDB_ONLY = {
     "q135_anomaly_mad_ts",   # quantile_cont
     "q137_source_mix_budget",  # list_filter/string_split/len
     "q138_seasonal_dow",     # isodow()
+    "q141_split_contamination",  # string_split/list_slice/unnest
+    "q142_vocab_growth",     # unnest/string_split
 }
 
 ORACLES = entrymod.oracle_sql()
