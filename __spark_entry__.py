@@ -258,9 +258,16 @@ def graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("src").alias("dst"))
         ).distinct(),
     )
+    # max_degree=256 (vs the API's 10k default): the second-order
+    # sampler pays O(deg(cur) + deg(prev)) hash set-algebra PER WALK
+    # STEP, so hub width multiplies the whole corpus cost — measured
+    # at sf1 the uncapped entry ran >25 min (supplier hubs thousands
+    # wide × 300k walks × 6 steps); the cap bounds every per-row op.
+    # Same unbiased hash-subsample contract as random_walks'
+    # max_degree; callers wanting full-width hubs use the API.
     return (
         sym.node2vec_walks(walk_length=6, walks_per_node=2,
-                           p=0.25, q=4.0)
+                           p=0.25, q=4.0, max_degree=256)
         .select(
             "start_id", "walk_no",
             F.array_join(F.col("path").cast("array<string>"), " ")

@@ -86,8 +86,9 @@ def run_scale(spark, sf_dir: str, only: set[str]) -> dict:
 def main() -> int:
     args = sys.argv[1:]
     skip_sf1 = "--skip-sf1" in args
+    sf1_only = "--sf1-only" in args
     only = {a for a in args if not a.startswith("--")}
-    scales = [SF001]
+    scales = [] if sf1_only else [SF001]
     if not skip_sf1:
         if not os.path.isdir(SF1):
             print(f"generating sf1 fixtures at {SF1} ...", flush=True)
