@@ -488,17 +488,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ rows-only
     iterative graph algorithms per the contract's non-SQL allowance).
 
-    ORDERING IS DELIBERATE (round 8, VERDICT r7 item 2): the driver's
+    ORDERING IS DELIBERATE (round 9, VERDICT r7 item 2): the driver's
     CORRECTNESS file records only the FIRST 50 entries. Coverage so
     far — q01-q50 driver-green r2-r5, q51-q98 r6, the 25 rows-only
-    entries + q99-q123 r7. Never driver-recorded: q124-q133,
-    heavy_hitter_tokens, graph_coreness, approx_quantiles_prices
-    (13 entries), plus graph_random_walks whose only r7 row was the
-    array-column canonicalizer err (fixed above: the entry now emits
-    the walk as a flat string). This round therefore leads with those
-    14, then any NEW round-8 entries, then fills the window with the
-    OLDEST re-records (q01+, last driver-recorded in r05). Everything
-    after slot 50 retains a driver-green row from r2-r7.
+    entries + q99-q123 r7 (round 8 recorded nothing: it was cut off
+    mid-rotation and its snapshot left this dict referencing seven
+    unimplemented functions — restored and implemented in round 9).
+    The round-9 window therefore leads with (a) graph_random_walks,
+    whose only r7 row was the array-column canonicalizer err (the
+    entry now emits the walk as a flat string), (b) the 13
+    never-driver-recorded entries q124-q133 + heavy_hitter_tokens +
+    graph_coreness + approx_quantiles_prices, (c) the NEW round-9
+    entries node2vec_walks + q134-q142 (10), then fills the window
+    with the OLDEST re-records (q01+, last driver-recorded r05).
+    Everything after slot 50 retains a driver-green row from r2-r7.
+    Round-10 rotation: lead with whatever r9's CORRECTNESS file did
+    NOT reach, then continue the oldest-first re-records (q25+).
     """
     return {
         # -- 14 entries needing a (re-)record: the r7 err fix first --
