@@ -258,16 +258,15 @@ def graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("src").alias("dst"))
         ).distinct(),
     )
-    # max_degree=256 (vs the API's 10k default): the second-order
-    # sampler pays O(deg(cur) + deg(prev)) hash set-algebra PER WALK
-    # STEP, so hub width multiplies the whole corpus cost — measured
-    # at sf1 the uncapped entry ran >25 min (supplier hubs thousands
-    # wide × 300k walks × 6 steps); the cap bounds every per-row op.
-    # Same unbiased hash-subsample contract as random_walks'
-    # max_degree; callers wanting full-width hubs use the API.
+    # API-default max_degree (10k): after the round-9 staged-
+    # projection fix (each set-algebra tree evaluates once per row,
+    # not 3-4x compounding per step), the uncapped sf1 corpus runs in
+    # 40 s — hub width no longer multiplies the cost, so the entry
+    # keeps full-width hubs; SCALECHECK round 9 has the 25min->40s
+    # measurement chain.
     return (
         sym.node2vec_walks(walk_length=6, walks_per_node=2,
-                           p=0.25, q=4.0, max_degree=256)
+                           p=0.25, q=4.0)
         .select(
             "start_id", "walk_no",
             F.array_join(F.col("path").cast("array<string>"), " ")

@@ -1732,17 +1732,19 @@ class Graph:
         the p=q=1 corpus is bit-identical to ``random_walks`` with
         the same seed (property-pinned in tests/test_graph_extended).
 
-        Scale: the second-order bias needs BOTH neighbor lists, so
-        each step is TWO keyed joins against the adjacency relation
-        (cur and prev) instead of ``random_walks``' one — still
-        O(walk_length) shuffles, no driver loops. The sampler is a
-        CATEGORY decomposition (weight classes {prev} / distance-1 /
-        distance-2 via hash-based array_intersect / array_except,
-        then a uniform within-class pick) — O(degree) per row in
-        codegen set algebra, never a per-element membership scan
-        (O(degree²), measured hanging on 10k-degree hubs). Vectors
-        never cross into Python. State per walk is ≤ walk_length+1
-        longs; lineage is plan-size-checkpointed like
+        Scale: the second-order bias needs BOTH neighbor lists, but
+        prev's list at step i+1 IS the list the step-i join fetched
+        for cur — so it is CARRIED in walk state instead of paying a
+        second adjacency join (same ONE keyed join per step as
+        ``random_walks``; bit-identical corpus, round-9 measured).
+        The sampler is a CATEGORY decomposition (weight classes
+        {prev} / distance-1 / distance-2 via hash-based
+        array_intersect / array_except, then a uniform within-class
+        pick) — O(degree) per row in codegen set algebra, never a
+        per-element membership scan (O(degree²), measured hanging on
+        10k-degree hubs). Vectors never cross into Python. State per
+        walk is ≤ walk_length+1 longs plus prev's ≤``max_degree``
+        neighbor array; lineage is plan-size-checkpointed like
         ``random_walks``.
         """
         if walk_length < 1 or walks_per_node < 1:
@@ -1759,8 +1761,7 @@ class Graph:
             .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
             .localCheckpoint(eager=True)
         )
-        adj_prev = adj.select(
-            F.col("src").alias("psrc"), F.col("nbrs").alias("pnbrs"))
+        biased = not (p == 1.0 and q == 1.0)
         state = self.vertices.select(
             F.col("id").alias("start_id"),
             F.explode(
@@ -1770,6 +1771,16 @@ class Graph:
             F.col("id").alias("cur"),
             F.lit(None).cast("long").alias("prev"),
         ).withColumn("walk_no", F.col("walk_no").cast("long"))
+        if biased:
+            # prev's neighbor list at step i+1 IS the nbrs array the
+            # step-i join fetched for cur — carry it in walk state
+            # instead of a second adjacency join (round-9 measured:
+            # the two-join formulation shuffled the ≤cap-wide arrays
+            # twice per step; carrying halves the per-step shuffles
+            # and is bit-identical, since adj_prev served the same
+            # capped arrays). State width grows by ≤max_degree longs.
+            state = state.withColumn(
+                "pn", F.lit(None).cast("array<bigint>"))
         # large prime: turns the signed xxhash64 into a uniform draw
         # in [0, 1) without Python-side randomness (determinism).
         mod = 2_147_483_647
@@ -1779,7 +1790,8 @@ class Graph:
             uniform_idx = F.pmod(h, F.size("nbrs"))
             uniform_nxt = F.element_at(
                 "nbrs", (uniform_idx + 1).cast("int"))
-            if p == 1.0 and q == 1.0:
+            joined = state.join(adj, state.cur == adj.src, "left")
+            if not biased:
                 # bit-identical reduction to random_walks' sampler
                 nxt = uniform_nxt
             else:
@@ -1801,7 +1813,7 @@ class Graph:
                                 F.coalesce(F.col("prev"), F.lit(-1)))
                 r = (F.pmod(hb, F.lit(mod)).cast("double")
                      / F.lit(float(mod)))
-                pn = F.coalesce(F.col("pnbrs"),
+                pn = F.coalesce(F.col("pn"),
                                 F.array().cast("array<bigint>"))
                 prev_arr = F.array(F.col("prev"))
                 d1 = F.array_except(
@@ -1811,36 +1823,52 @@ class Graph:
                 w_ret = F.when(
                     F.array_contains(F.col("nbrs"), F.col("prev")),
                     F.lit(1.0 / p)).otherwise(F.lit(0.0))
-                w_d1 = F.size(d1).cast("double")
-                w_d2 = F.size(d2).cast("double") * F.lit(1.0 / q)
-                t = r * (w_ret + w_d1 + w_d2)
+                # STAGE the expensive set-algebra trees as NAMED
+                # columns: d1/d2/t feed 3–4 downstream expressions
+                # each, and inlining them (the first formulation)
+                # re-evaluated every intersect/except per use —
+                # CollapseProject keeps a non-cheap alias referenced
+                # more than once as its own projection, so each tree
+                # runs ONCE per row here.
+                joined = joined.select(
+                    "start_id", "walk_no", "path", "cur", "prev",
+                    "nbrs",
+                    d1.alias("__d1"), d2.alias("__d2"),
+                    w_ret.alias("__wret"), r.alias("__r"),
+                )
+                wret = F.col("__wret")
+                w_d1 = F.size("__d1").cast("double")
+                w_d2 = F.size("__d2").cast("double") * F.lit(1.0 / q)
+                t = F.col("__r") * (wret + w_d1 + w_d2)
                 # within-class uniform pick reuses the residual of the
                 # same draw; d1 members have weight exactly 1 so the
                 # residual IS the index; d2 rescales by q. Clamped to
                 # the class bounds (float edge) and F.get (0-based,
                 # null-safe) so an empty class can never throw.
                 idx1 = F.greatest(
-                    F.least(F.floor(t - w_ret),
-                            (F.size(d1) - 1).cast("long")),
+                    F.least(F.floor(t - wret),
+                            (F.size("__d1") - 1).cast("long")),
                     F.lit(0).cast("long"))
                 idx2 = F.greatest(
-                    F.least(F.floor((t - w_ret - w_d1) * F.lit(q)),
-                            (F.size(d2) - 1).cast("long")),
+                    F.least(F.floor((t - wret - w_d1) * F.lit(q)),
+                            (F.size("__d2") - 1).cast("long")),
                     F.lit(0).cast("long"))
                 biased_nxt = F.coalesce(
-                    F.when(t < w_ret, F.col("prev"))
-                    .when(t < w_ret + w_d1, F.get(d1, idx1.cast("int")))
-                    .otherwise(F.get(d2, idx2.cast("int"))),
+                    F.when(t < wret, F.col("prev"))
+                    .when(t < wret + w_d1,
+                          F.get("__d1", idx1.cast("int")))
+                    .otherwise(F.get("__d2", idx2.cast("int"))),
                     # exhausted-scan guard (t == total within ulps):
                     # fall back to the last neighbor, as random_walks
                     F.element_at("nbrs", F.size("nbrs")),
                 )
                 nxt = F.when(F.col("prev").isNull(), uniform_nxt) \
                     .otherwise(biased_nxt)
-            joined = state.join(adj, state.cur == adj.src, "left")
-            if not (p == 1.0 and q == 1.0):
-                joined = joined.join(
-                    adj_prev, state.prev == adj_prev.psrc, "left")
+            carry = [
+                # nbrs(cur) becomes nbrs(prev) for the next step —
+                # the array the dropped adj_prev join used to re-fetch
+                F.col("nbrs").alias("pn"),
+            ] if biased else []
             state = joined.select(
                 "start_id", "walk_no",
                 F.when(F.col("nbrs").isNotNull(),
@@ -1850,6 +1878,7 @@ class Graph:
                 .otherwise(F.lit(None).cast("long")).alias("cur"),
                 F.when(F.col("nbrs").isNotNull(), F.col("cur"))
                 .otherwise(F.lit(None).cast("long")).alias("prev"),
+                *carry,
             )
             if _plan_chars(state) > 60_000:
                 state = state.localCheckpoint(eager=True)
