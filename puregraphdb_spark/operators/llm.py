@@ -220,7 +220,6 @@ def q63_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-pair array work (array_union allocates + dedups a combined
     # array as expensive as the intersect itself).
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.col("na") + F.col("nb") - inter
     # Sound size prefilter: J(A,B) ≥ 0.6 ⟹ |A∩B| ≥ 0.6·|A∪B| ⟹
     # min(|A|,|B|) ≥ 0.6·max(|A|,|B|), checked as 5·min ≥ 3·max in
     # EXACT integer arithmetic (no float boundary). The two set sizes
@@ -235,9 +234,20 @@ def q63_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.join(broadcast_if_small(a, spark, sf_dir, "documents"),
                F.col("dst") != F.col("src"))
         .filter(prefilter)
+        # STAGE the intersect as its own column (node2vec round-9
+        # lesson): inlined, `inter` appears in both the numerator and
+        # the |A|+|B|−|A∩B| union term, so Catalyst evaluated the
+        # array_intersect TWICE per candidate pair. A non-cheap alias
+        # referenced twice survives CollapseProject, pinning single
+        # evaluation — measured sf1 213.2 → 182.3 s (toPandas, 1.43M
+        # pairs); smaller than 2× because the join/shuffle and the
+        # Arrow fetch share the bill with the intersect.
+        .select("src", "dst", "na", "nb", inter.alias("__i"))
         .select(
             "src", "dst",
-            (inter.cast("double") / union.cast("double")).alias("jac_raw"),
+            (F.col("__i").cast("double")
+             / (F.col("na") + F.col("nb") - F.col("__i"))
+             .cast("double")).alias("jac_raw"),
         )
         .filter(F.col("jac_raw") >= 0.6)
         .select(

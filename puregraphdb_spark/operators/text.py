@@ -47,10 +47,18 @@ def language_scores(text_col: str | F.Column) -> F.Column:
     )
 
 
-def detect_language(text_col: str | F.Column) -> F.Column:
+def detect_language(text_col: str | F.Column | None = None, *,
+                    dtoks_col: F.Column | None = None) -> F.Column:
     """argmax language by stopword hits; 'und' (undetermined) when no
-    profile matches."""
-    toks = F.array_distinct(tokens(text_col))
+    profile matches.
+
+    ``dtoks_col``: optionally a PRE-STAGED distinct-token array column
+    (node2vec round-9 lesson): inlined, the split+distinct tree is
+    re-evaluated once per language profile in the per-language
+    intersects below — hot callers (profile_documents) stage it once.
+    """
+    toks = (F.array_distinct(tokens(text_col))
+            if dtoks_col is None else dtoks_col)
     best_lang, best_score = F.lit("und"), F.lit(0)
     for lang, words in _STOPWORDS.items():
         score = F.size(F.array_intersect(
@@ -74,12 +82,18 @@ def token_count_bpe(text_col: str | F.Column) -> F.Column:
     return F.size(F.filter(F.split(c, _BPE_SPLIT), lambda t: t != ""))
 
 
-def quality_score(text_col: str | F.Column) -> F.Column:
+def quality_score(text_col: str | F.Column, *,
+                  toks_col: F.Column | None = None,
+                  dtoks_col: F.Column | None = None) -> F.Column:
     """Heuristic quality in [0,1]: penalize extreme length, high
     punctuation density, low stopword ratio, low alphabetic ratio —
-    the standard cheap pretraining filters."""
+    the standard cheap pretraining filters.
+
+    ``toks_col``/``dtoks_col``: optional pre-staged (distinct) token
+    arrays — inlined, the split tree evaluates ~3x (size + two
+    distinct-intersect uses) per row."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = tokens(c)
+    toks = tokens(c) if toks_col is None else toks_col
     n_tok = F.size(toks)
     n_chars = F.length(c)
     alpha_ratio = F.length(F.regexp_replace(c, r"[^\pL ]", "")) / F.greatest(
@@ -91,8 +105,9 @@ def quality_score(text_col: str | F.Column) -> F.Column:
     all_stop = F.array(*[
         F.lit(w) for words in _STOPWORDS.values() for w in words
     ])
-    stop_ratio = F.size(F.array_intersect(F.array_distinct(toks), all_stop)) / F.greatest(
-        F.size(F.array_distinct(toks)), F.lit(1)
+    dtoks = F.array_distinct(toks) if dtoks_col is None else dtoks_col
+    stop_ratio = F.size(F.array_intersect(dtoks, all_stop)) / F.greatest(
+        F.size(dtoks), F.lit(1)
     )
     len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(1.0)).otherwise(0.3)
     return F.round(
@@ -102,11 +117,18 @@ def quality_score(text_col: str | F.Column) -> F.Column:
     )
 
 
-def fingerprint(text_col: str | F.Column, window: int = 8) -> F.Column:
+def fingerprint(text_col: str | F.Column | None = None,
+                window: int = 8, *,
+                hashes_col: F.Column | None = None) -> F.Column:
     """Winnowing-style document fingerprint: min rolling-window hash
-    over token hashes — robust to small edits, one long per doc."""
-    toks = tokens(text_col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    over token hashes — robust to small edits, one long per doc.
+
+    ``hashes_col``: optionally a PRE-STAGED token-hash array column.
+    Inlined, the hash-array tree sits inside the per-window slice
+    lambda, so it re-evaluates PER WINDOW — O(windows x tokens)
+    re-hashing per document; hot callers stage it once."""
+    hashes = (F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+              if hashes_col is None else hashes_col)
     n = F.size(hashes)
     windows_arr = F.transform(
         F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
@@ -210,14 +232,31 @@ def contamination_report(corpus: DataFrame, benchmark: DataFrame,
 
 def profile_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document analysis record: detected language, token counts,
-    quality, fingerprint. Pure map — 0 shuffles at any scale."""
-    return docs.select(
+    quality, fingerprint. Pure map — 0 shuffles at any scale.
+
+    The token array, its distinct set, and the token-hash array are
+    STAGED once per row; inlined, the split tree was re-evaluated
+    ~10x per document across the five profile columns (once per
+    language profile, twice in the quality ratios, per-window in the
+    fingerprint) — the round-9 staged-projection discipline.
+    """
+    staged = docs.select(
+        "doc_id", F.col(text_col).alias("__text"),
+        tokens(text_col).alias("__toks"),
+    ).select(
+        "doc_id", "__text", "__toks",
+        F.array_distinct("__toks").alias("__dtoks"),
+        F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    return staged.select(
         "doc_id",
-        detect_language(text_col).alias("lang_detected"),
-        token_count_ws(text_col).alias("n_tokens_ws"),
-        token_count_bpe(text_col).alias("n_tokens_bpe"),
-        quality_score(text_col).alias("quality"),
-        fingerprint(text_col).alias("fingerprint"),
+        detect_language(dtoks_col=F.col("__dtoks"))
+        .alias("lang_detected"),
+        F.size("__toks").alias("n_tokens_ws"),
+        token_count_bpe("__text").alias("n_tokens_bpe"),
+        quality_score("__text", toks_col=F.col("__toks"),
+                      dtoks_col=F.col("__dtoks")).alias("quality"),
+        fingerprint(hashes_col=F.col("__th")).alias("fingerprint"),
     )
 
 
