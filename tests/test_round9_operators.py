@@ -250,3 +250,37 @@ def test_vocab_growth_monotone_and_exact(spark):
     assert got[100] == 5         # + {d, e}
     sizes = [got[p] for p in sorted(got)]
     assert sizes == sorted(sizes)  # monotone growth
+
+
+def test_minhash_staging_survives_optimizer(spark):
+    """Round-9 staged-projection pin: the shingle-construction tree
+    must appear O(1) times in the OPTIMIZED plan, not once per hash
+    component. If a future Spark version's CollapseProject starts
+    inlining non-cheap aliases referenced many times, this count
+    explodes to ~num_hashes x and the 40x sf1 regression returns
+    (SCALECHECK round 9: dedup_minhash_near 543s -> 13.7s)."""
+    from puregraphdb_spark.operators.similarity import minhash_signatures
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    plan = (minhash_signatures(df, num_hashes=64)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    # staged: 'split(' appears ~3x (inside the one shingles tree);
+    # collapsed it would appear ~192x (64 components x 3 uses)
+    assert plan.count("split(") <= 8, plan.count("split(")
+
+
+def test_node2vec_staging_survives_optimizer(spark):
+    """Same pin for the node2vec sampler: the d1/d2 set-algebra trees
+    must stay staged (each array_intersect once per step, not 3-4x)."""
+    from puregraphdb_spark.operators.graph import Graph
+
+    v = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (1, 0), (2, 1), (3, 2)], ["src", "dst"])
+    plan = (Graph(v, e)
+            .node2vec_walks(walk_length=2, walks_per_node=1,
+                            p=0.5, q=2.0)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    # 2 steps x 1 intersect each; collapsed would be 2 x 3+ per step
+    assert plan.count("array_intersect(") <= 4, (
+        plan.count("array_intersect("))
