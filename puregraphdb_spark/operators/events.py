@@ -1035,3 +1035,60 @@ def q140_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
     return final_sort(burst_detection(ev), spark, sf_dir, "events",
                       "event_type", "bucket")
+
+
+def seasonal_burst_detection(events: DataFrame, ts_col: str = "ts",
+                             type_col: str = "event_type",
+                             z_threshold: float = 2.0) -> DataFrame:
+    """Seasonally-adjusted burst detector: like ``burst_detection``
+    but each hour's count is z-tested against the moments of ITS OWN
+    (type, ISO-day-of-week) stratum — a Monday-morning spike is judged
+    against Mondays, so weekly cycles stop masquerading as bursts
+    (composition of q138's seasonality strata with q140's exact-moment
+    z-test). Exact bigint moments per stratum; one exact-integer
+    variance division; identical IEEE expression shape in the oracle.
+
+    Scale: one shuffle to the (type, hour) grain with map-side
+    combine; the stratum moments are window sums over the
+    calendar-bounded bucket relation. No percentile pass.
+    """
+    isodow = (F.pmod(F.dayofweek(F.col("bucket")) + F.lit(5), F.lit(7))
+              + F.lit(1)).cast("long")
+    per = (
+        events.groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn("isodow", isodow)
+    )
+    w = Window.partitionBy("event_type", "isodow")
+    per = per.select(
+        "event_type", "isodow", "bucket", "cnt",
+        F.count("*").over(w).alias("n"),
+        F.sum("cnt").over(w).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("ss"),
+    ).filter(F.col("n") >= 2)
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        .cast("double")
+        / (F.col("n") * (F.col("n") - F.lit(1))).cast("double")
+    )
+    z = (F.col("cnt").cast("double") - mean) / F.sqrt(var)
+    return (
+        per.filter((var > 0) & (z > F.lit(z_threshold)))
+        .select(
+            "event_type", "isodow", "bucket", "cnt",
+            decimal_round(mean, 4, grid=6).alias("stratum_mean"),
+            decimal_round(z, 4, grid=6).alias("z"),
+        )
+    )
+
+
+def q143_seasonal_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality-adjusted hourly bursts at z > 2 (see
+    ``seasonal_burst_detection``)."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    return final_sort(seasonal_burst_detection(ev), spark, sf_dir,
+                      "events", "event_type", "bucket")

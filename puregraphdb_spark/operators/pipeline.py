@@ -1657,3 +1657,52 @@ def q142_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return final_sort(vocab_growth(d), spark, sf_dir, "documents",
                       "pct")
+
+
+def dedup_impact_by_source(docs: DataFrame, source_col: str = "source",
+                           text_col: str = "text") -> DataFrame:
+    """Per-source exact-dup impact: document count, distinct canonical
+    content hashes, removable duplicates, and the dup ratio — the
+    source-level drill-down of q131's corpus-wide cluster histogram
+    (which source should be deduped first). Rides q77's canonical
+    normalization + md5 so the counts are bit-identical cross-engine.
+
+    Scale: ONE shuffle on (source, content_hash) with map-side
+    combine; the per-source rollup is |sources|-sized.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text_col), "[^a-z0-9 ]", ""),
+            " +", " ",
+        )
+    )
+    per_hash = (
+        docs.select(F.col(source_col).alias("source"),
+                    F.md5(norm).alias("h"))
+        .groupBy("source", "h")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return (
+        per_hash.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_unique"),
+            (F.sum("c") - F.count("*")).cast("long")
+            .alias("n_removable"),
+        )
+        .select(
+            "source", "n_docs", "n_unique", "n_removable",
+            decimal_round(
+                F.col("n_removable").cast("double")
+                / F.col("n_docs").cast("double"), 6, grid=10,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def q144_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-dup impact report (see
+    ``dedup_impact_by_source``)."""
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    return final_sort(dedup_impact_by_source(d), spark, sf_dir,
+                      "documents", "source")

@@ -785,6 +785,26 @@ def _vocab_growth(spark, docs: str = "documents",
                         text_col=text_col)
 
 
+def _seasonal_burst(spark, events: str = "events", ts_col: str = "ts",
+                    type_col: str = "event_type",
+                    z_threshold: float = 2.0) -> DataFrame:
+    from puregraphdb_spark.operators.events import seasonal_burst_detection
+
+    return seasonal_burst_detection(
+        _view(spark, events), ts_col=ts_col, type_col=type_col,
+        z_threshold=float(z_threshold))
+
+
+def _dedup_impact(spark, docs: str = "documents",
+                  source_col: str = "source",
+                  text_col: str = "text") -> DataFrame:
+    from puregraphdb_spark.operators.pipeline import dedup_impact_by_source
+
+    return dedup_impact_by_source(_view(spark, docs),
+                                  source_col=source_col,
+                                  text_col=text_col)
+
+
 PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "pagerank": _pagerank,
     "hits": _hits,
@@ -857,6 +877,8 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "class_balance": _class_balance,
     "split_contamination": _split_contamination,
     "vocab_growth": _vocab_growth,
+    "seasonal_burst": _seasonal_burst,
+    "dedup_impact": _dedup_impact,
 }
 
 

@@ -1147,4 +1147,58 @@ SPARK_SQL: dict[str, str] = {
         where first_doc <= floor(mx * pct / 100)
         group by pct order by pct
     """,
+    "q143_seasonal_burst": """
+        with per as (
+            select event_type, date_trunc('hour', ts) as bucket,
+                   cast(count(*) as bigint) as cnt
+            from events group by 1, 2),
+        tagged as (
+            select event_type, bucket, cnt,
+                   cast(pmod(dayofweek(bucket) + 5, 7) + 1 as bigint)
+                     as isodow
+            from per),
+        st as (
+            select event_type, isodow, bucket, cnt,
+                   count(*) over (partition by event_type, isodow)
+                     as n,
+                   sum(cnt) over (partition by event_type, isodow)
+                     as s,
+                   sum(cnt * cnt) over (partition by event_type,
+                                        isodow) as ss
+            from tagged),
+        sc as (
+            select event_type, isodow, bucket, cnt,
+                   cast(s as double) / cast(n as double) as mean,
+                   cast(n * ss - s * s as double)
+                   / cast(n * (n - 1) as double) as var
+            from st where n >= 2)
+        select event_type, isodow, bucket, cnt,
+               cast(round(cast(mean as decimal(28,6)), 4) as double)
+                 as stratum_mean,
+               cast(round(cast(
+                    (cast(cnt as double) - mean) / sqrt(var)
+                    as decimal(28,6)), 4) as double) as z
+        from sc
+        where var > 0
+          and (cast(cnt as double) - mean) / sqrt(var) > 2.0
+        order by event_type, bucket
+    """,
+    "q144_dedup_impact": """
+        with per_hash as (
+            select source,
+                   md5(trim(regexp_replace(regexp_replace(
+                       lower(text), '[^a-z0-9 ]', ''),
+                       ' +', ' '))) as h,
+                   cast(count(*) as bigint) as c
+            from documents group by 1, 2)
+        select source,
+               cast(sum(c) as bigint) as n_docs,
+               cast(count(*) as bigint) as n_unique,
+               cast(sum(c) - count(*) as bigint) as n_removable,
+               cast(round(cast(
+                    cast(sum(c) - count(*) as double)
+                    / cast(sum(c) as double)
+                    as decimal(28,10)), 6) as double) as dup_ratio
+        from per_hash group by source order by source
+    """,
 }

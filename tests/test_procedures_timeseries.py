@@ -298,3 +298,18 @@ def test_call_split_contamination_and_vocab_growth(spark):
     assert_frames_match(
         eng.sql("CALL vocab_growth(docs => 'documents')").toPandas(),
         vocab_growth(docs).toPandas())
+
+
+def test_call_seasonal_burst_and_dedup_impact(spark):
+    from puregraphdb_spark.operators.events import seasonal_burst_detection
+    from puregraphdb_spark.operators.pipeline import dedup_impact_by_source
+
+    eng = _engine(spark)
+    ev = load_table(spark, SF_DIR, "events")
+    docs = load_table(spark, SF_DIR, "documents")
+    assert_frames_match(
+        eng.sql("CALL seasonal_burst(events => 'events')").toPandas(),
+        seasonal_burst_detection(ev).toPandas())
+    assert_frames_match(
+        eng.sql("CALL dedup_impact(docs => 'documents')").toPandas(),
+        dedup_impact_by_source(docs).toPandas())

@@ -284,3 +284,51 @@ def test_node2vec_staging_survives_optimizer(spark):
     # 2 steps x 1 intersect each; collapsed would be 2 x 3+ per step
     assert plan.count("array_intersect(") <= 4, (
         plan.count("array_intersect("))
+
+
+def test_seasonal_burst_adjusts_for_weekday_pattern(spark):
+    """A 'spike' that equals the regular Monday level must NOT flag
+    when every Monday looks like that, but a genuinely anomalous
+    Monday must. Two quiet weekdays + 3 Mondays of 6 + 1 Monday of
+    30: only the 30 flags (the flat q140 detector would flag every
+    Monday against the global mean)."""
+    from puregraphdb_spark.operators.events import (
+        burst_detection, seasonal_burst_detection,
+    )
+
+    rows = []
+    # Mondays (BASE is a Monday): 7 weeks at 6/hour-0, week 8 at 30.
+    # With one outlier inflating its own stratum's variance, max z is
+    # ~(n-1)/sqrt(n·(n-1)) of the deviation — n=8 gives z≈2.47 > 2,
+    # while n=4 caps below 1.5 (why this test needs 8 weeks).
+    for wk, c in [(w, 6) for w in range(7)] + [(7, 30)]:
+        rows += [(wk * 7, i, "x") for i in range(c)]
+    # Tuesdays: constant 2 → stratum variance 0, never flags
+    for wk in range(8):
+        rows += [(wk * 7 + 1, i, "x") for i in range(2)]
+    ev = _ts_events(spark, rows)
+    seasonal = seasonal_burst_detection(ev).collect()
+    assert len(seasonal) == 1 and seasonal[0].cnt == 30
+    assert seasonal[0].isodow == 1
+    # the flat detector flags the ordinary Mondays too (global mean
+    # is dragged down by the Tuesdays) — the composition's point
+    flat = {r.cnt for r in burst_detection(ev).collect()}
+    assert 30 in flat
+
+
+def test_dedup_impact_by_source(spark):
+    from puregraphdb_spark.operators.pipeline import dedup_impact_by_source
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "Hello, World!"),   # normalizes equal to the next
+            ("a", "hello world"),
+            ("a", "something else"),
+            ("b", "unique one"),
+        ],
+        ["source", "text"],
+    )
+    got = {r.source: r for r in dedup_impact_by_source(docs).collect()}
+    assert (got["a"].n_docs, got["a"].n_unique,
+            got["a"].n_removable) == (3, 2, 1)
+    assert got["b"].dup_ratio == 0.0

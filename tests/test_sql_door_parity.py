@@ -73,6 +73,8 @@ DUCKDB_ONLY = {
     "q138_seasonal_dow",     # isodow()
     "q141_split_contamination",  # string_split/list_slice/unnest
     "q142_vocab_growth",     # unnest/string_split
+    "q143_seasonal_burst",   # isodow()
+    "q144_dedup_impact",     # regexp_replace 'g' flag argument
 }
 
 ORACLES = entrymod.oracle_sql()
