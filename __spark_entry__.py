@@ -487,24 +487,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ rows-only
     iterative graph algorithms per the contract's non-SQL allowance).
 
-    ORDERING IS DELIBERATE (round 9, VERDICT r7 item 2): the driver's
-    CORRECTNESS file records only the FIRST 50 entries. Coverage so
-    far — q01-q50 driver-green r2-r5, q51-q98 r6, the 25 rows-only
-    entries + q99-q123 r7 (round 8 recorded nothing: it was cut off
-    mid-rotation and its snapshot left this dict referencing seven
-    unimplemented functions — restored and implemented in round 9).
-    The round-9 window therefore leads with (a) graph_random_walks,
-    whose only r7 row was the array-column canonicalizer err (the
-    entry now emits the walk as a flat string), (b) the 13
-    never-driver-recorded entries q124-q133 + heavy_hitter_tokens +
-    graph_coreness + approx_quantiles_prices, (c) the NEW round-9
-    entries node2vec_walks + q134-q142 (10), then fills the window
-    with the OLDEST re-records (q01+, last driver-recorded r05).
-    Everything after slot 50 retains a driver-green row from r2-r7.
-    Round-10 rotation: lead with whatever r9's CORRECTNESS file did
-    NOT reach, then continue the oldest-first re-records (q25+).
+    ORDERING IS DELIBERATE (VERDICT r7 item 2, r9 item 3): the
+    driver's CORRECTNESS file records only the FIRST 50 entries, so
+    each round rotates the stalest driver records to the front. The
+    ``_FRONT_WINDOW`` list below IS the rotation — the literal dict
+    keeps a stable canonical order and the return reorders it.
+
+    Round-10 window (per VERDICT r9 item 3): q137 re-record (its r9
+    red row was an oracle HUGEINT-typing bug, fixed this round) +
+    the NEW round-10 entries + the r5-stale cohort q25-q50 (last
+    driver-recorded round 5) + the r6-cohort head
+    (hypertable_rollup, sliding_window_counts, q51+) to fill 50.
+    Everything after slot 50 retains a driver-green row from r6-r9.
+    Round-11 rotation: continue oldest-first — the r6 remainder
+    (q5x-q98), then the r7 cohort.
     """
-    return {
+    table = {
         # -- 14 entries needing a (re-)record: the r7 err fix first --
         "graph_random_walks": graph_random_walks,
         "q124_time_to_convert": events.q124_time_to_convert,
@@ -689,6 +687,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_weighted_median": extras.q122_weighted_median,
         "q123_interval_union": events.q123_interval_union,
     }
+    front = [k for k in _FRONT_WINDOW if k in table]
+    missing = [k for k in _FRONT_WINDOW if k not in table]
+    if missing:  # a typo here must fail loudly, not shrink the window
+        raise KeyError(f"_FRONT_WINDOW names unknown entries: {missing}")
+    ordered = {k: table[k] for k in front}
+    ordered.update((k, v) for k, v in table.items() if k not in ordered)
+    return ordered
+
+
+#: Round-10 driver window (first 50 entries the driver records).
+_FRONT_WINDOW = [
+    "q137_source_mix_budget",       # r9 red row — oracle cast fixed
+    # r5-stale cohort (last driver-recorded round 5)
+    "q25_graph_2hop", "q26_dedup_keys", "q27_text_tokens",
+    "q28_text_stats", "q29_knn_cosine", "q30_knn_label",
+    "q31_asof_join", "q32_full_outer", "q33_cube",
+    "q34_window_analytics", "q35_string_date", "q36_pivot",
+    "q37_regex", "q38_levenshtein", "q39_array_agg",
+    "q40_grouping_sets", "q41_correlated_avg", "q42_not_exists",
+    "q43_scalar_subquery", "q44_interval_join",
+    "q45_conditional_distinct", "q46_range_frame", "q47_unpivot",
+    "q48_trailing_feature", "q49_array_ops", "q50_gap_fill",
+    # r6-cohort head fills the remainder of the 50-window
+    "hypertable_rollup", "sliding_window_counts",
+    "q51_stat_agg", "q52_histogram", "q53_array_hof",
+    "q54_dedup_latest", "q55_percent_rank", "q56_weighted_avg",
+    "q57_mode", "q58_bigrams", "q59_loo_avg", "q60_having_scalar",
+    "q61_rank_ties", "q62_json_typed", "q63_ngram_jaccard",
+    "q64_regex_tokens", "q65_motif_wedge", "q66_contamination",
+    "q67_simhash_hamming", "q68_doc_chunks",
+]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3048,9 +3077,9 @@ def oracle_sql() -> dict[str, str]:
         "q137_source_mix_budget": """
             with per as (
                 select source, cast(count(*) as bigint) as n_docs,
-                       sum(cast(len(list_filter(
+                       cast(sum(cast(len(list_filter(
                            string_split(text, ' '), t -> t <> ''))
-                           as bigint)) as tokens
+                           as bigint)) as bigint) as tokens
                 from documents group by source),
             s1 as (
                 select source, n_docs, tokens,

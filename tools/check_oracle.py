@@ -25,6 +25,30 @@ from puregraphdb_spark.engine import get_session  # noqa: E402
 from puregraphdb_spark.sources.registry import TABLES  # noqa: E402
 
 
+def dtype_kind_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Columns where one engine fetches int and the other float.
+
+    The driver's value-hash is dtype-sensitive: DuckDB ``sum(BIGINT)``
+    returns HUGEINT which pandas fetches as float64 (``7682.0``) while
+    Spark returns int64 (``7682``) — numerically equal, hash-different
+    (the exact class that broke q137 in round 9). ``normalize()``
+    coerces this away, so the parity must be asserted BEFORE
+    normalization to keep the local gate at least as strict as the
+    driver. Fix mismatches by casting the oracle SQL (e.g.
+    ``cast(sum(x) as bigint)``), never by weakening this check."""
+    bad = []
+    for c in sorted(set(sdf.columns) & set(odf.columns)):
+        s_int = pd.api.types.is_integer_dtype(sdf[c])
+        s_flt = pd.api.types.is_float_dtype(sdf[c])
+        o_int = pd.api.types.is_integer_dtype(odf[c])
+        o_flt = pd.api.types.is_float_dtype(odf[c])
+        if (s_int and o_flt) or (s_flt and o_int):
+            bad.append(
+                f"{c}: spark={sdf[c].dtype} oracle={odf[c].dtype}"
+            )
+    return bad
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -87,6 +111,12 @@ def main() -> int:
             )
             failures.append(name)
             continue
+        kind_bad = dtype_kind_mismatches(sdf, odf)
+        if kind_bad:
+            print(f"FAIL {name}: dtype-kind mismatch (driver hash would "
+                  f"differ): {'; '.join(kind_bad)}")
+            failures.append(name)
+            continue
         a, b = normalize(sdf), normalize(odf)
         try:
             # EXACT value match — the driver compares value hashes, so
@@ -101,6 +131,10 @@ def main() -> int:
         print(f"ok   {name}: {len(sdf)} rows hash-match  ({dt_spark:.2f}s)")
 
     print(f"\n{n_checked - len(failures)}/{n_checked} pass")
+    if n_checked == 0:
+        print(f"ERROR: 0 queries checked (misspelled name in "
+              f"{sorted(only)}?)")
+        return 2
     return 1 if failures else 0
 
 

@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod  # noqa: E402
 from puregraphdb_spark.engine import get_session  # noqa: E402
 from puregraphdb_spark.sources.registry import TABLES  # noqa: E402
-from tools.check_oracle import normalize  # noqa: E402
+from tools.check_oracle import dtype_kind_mismatches, normalize  # noqa: E402
 
 SF001 = "/root/testdata/sf0.01"
 SF1 = "/root/repo/.scale/sf1"
@@ -64,6 +64,15 @@ def run_scale(spark, sf_dir: str, only: set[str]) -> dict:
         ok = (len(sdf) == len(odf)
               and sorted(sdf.columns) == sorted(odf.columns))
         if ok:
+            # Driver-hash parity: int-vs-float dtype-kind mismatch
+            # (e.g. DuckDB HUGEINT -> float64) fails the driver even
+            # when values are equal — fail it locally too (q137, r9).
+            kind_bad = dtype_kind_mismatches(sdf, odf)
+            if kind_bad:
+                print(f"FAIL {name} @{sf_dir}: dtype-kind mismatch: "
+                      f"{'; '.join(kind_bad)}")
+                failures.append(name)
+                continue
             try:
                 pd.testing.assert_frame_equal(
                     normalize(sdf), normalize(odf),
@@ -102,11 +111,20 @@ def main() -> int:
     spark = get_session(
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
     spark.sparkContext.setLogLevel("ERROR")
+    if not scales:
+        # --sf1-only + --skip-sf1 would otherwise verify nothing and
+        # exit 0 — a vacuously green gate (ADVICE r9).
+        print("ERROR: no scales selected (--sf1-only with --skip-sf1)")
+        return 2
     bad = 0
     for sf_dir in scales:
         summary = run_scale(spark, sf_dir, only)
         print("SUMMARY " + json.dumps(summary), flush=True)
         bad += len(summary["failed"])
+        if summary["checked"] == 0:
+            print(f"ERROR: 0 queries checked at {sf_dir} "
+                  f"(misspelled query name in {sorted(only)}?)")
+            bad += 1
     return 1 if bad else 0
 
 
