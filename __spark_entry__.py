@@ -531,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_vocab_growth": pipeline.q142_vocab_growth,
         "q143_seasonal_burst": events.q143_seasonal_burst,
         "q144_dedup_impact": pipeline.q144_dedup_impact,
+        "q145_substring_dedup": pipeline.q145_substring_dedup,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -699,6 +700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: Round-10 driver window (first 50 entries the driver records).
 _FRONT_WINDOW = [
     "q137_source_mix_budget",       # r9 red row — oracle cast fixed
+    # NEW round-10 entries (never recorded, by construction)
+    "q145_substring_dedup",
     # r5-stale cohort (last driver-recorded round 5)
     "q25_graph_2hop", "q26_dedup_keys", "q27_text_tokens",
     "q28_text_stats", "q29_knn_cosine", "q30_knn_label",
@@ -3300,5 +3303,69 @@ def oracle_sql() -> dict[str, str]:
                         / cast(sum(c) as double)
                         as decimal(28,10)), 6) as double) as dup_ratio
             from per_hash group by source order by source
+        """,
+        "q145_substring_dedup": """
+            with base as (
+                select doc_id, source,
+                       list_filter(string_split(lower(text), ' '),
+                                   t -> t <> '') as toks
+                from documents),
+            st as (select doc_id, source, len(toks) as n_toks, toks
+                   from base),
+            sh as (
+                select doc_id, source, i as pos,
+                       md5(array_to_string(
+                           list_slice(toks, i, i + 7), ' ')) as sh
+                from st, unnest(generate_series(1, n_toks - 7))
+                     as u(i)
+                where n_toks >= 8),
+            dup as (select sh from sh group by sh
+                    having min(doc_id) <> max(doc_id)),
+            dp as (select s.doc_id, s.source, s.pos
+                   from sh s join dup d on s.sh = d.sh),
+            lg as (select doc_id, source, pos,
+                          lag(pos) over (partition by doc_id
+                                         order by pos) as prev
+                   from dp),
+            isl as (select doc_id, source, pos,
+                           sum(case when pos - prev > 8
+                               then 1 else 0 end)
+                             over (partition by doc_id order by pos
+                                   rows between unbounded preceding
+                                   and current row) as grp
+                    from lg),
+            spans as (select doc_id, source,
+                             max(pos) - min(pos) + 8 as span_tokens
+                      from isl group by doc_id, source, grp),
+            per_doc as (select source, doc_id,
+                               count(*) as n_spans,
+                               sum(span_tokens) as covered,
+                               max(span_tokens) as mx
+                        from spans group by 1, 2),
+            tot as (select source, cast(count(*) as bigint) as n_docs,
+                           cast(sum(n_toks) as bigint) as total_tokens
+                    from st group by source),
+            agg as (select source,
+                           cast(count(*) as bigint)
+                             as n_docs_with_repeat,
+                           cast(sum(n_spans) as bigint) as n_spans,
+                           cast(sum(covered) as bigint) as dup_tokens,
+                           cast(max(mx) as bigint) as max_span_tokens
+                    from per_doc group by source)
+            select t.source, t.n_docs, t.total_tokens,
+                   cast(coalesce(a.n_docs_with_repeat, 0) as bigint)
+                     as n_docs_with_repeat,
+                   cast(coalesce(a.n_spans, 0) as bigint) as n_spans,
+                   cast(coalesce(a.dup_tokens, 0) as bigint)
+                     as dup_tokens,
+                   cast(coalesce(a.max_span_tokens, 0) as bigint)
+                     as max_span_tokens,
+                   cast(round(cast(
+                        cast(coalesce(a.dup_tokens, 0) as double)
+                        / cast(t.total_tokens as double)
+                        as decimal(28,10)), 6) as double)
+                     as dup_token_ratio
+            from tot t left join agg a on a.source = t.source
+            order by t.source
         """,
     }

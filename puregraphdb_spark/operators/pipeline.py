@@ -1706,3 +1706,137 @@ def q144_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("source", "text")
     return final_sort(dedup_impact_by_source(d), spark, sf_dir,
                       "documents", "source")
+
+
+def repeated_substring_spans(docs: DataFrame, k: int = 8,
+                             dup_broadcast=None) -> DataFrame:
+    """Cross-doc repeated-substring spans — the exact substring-level
+    dedup family member (public suffix-array dedup, Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"),
+    lowered to DataFrames: instead of a monolithic suffix array, build
+    a token-``k``-gram inverted index, keep shingles occurring in ≥2
+    DISTINCT docs, and merge each doc's duplicated window positions
+    into maximal covered spans (two windows merge while their token
+    intervals touch, i.e. position gap ≤ k). A span of merged windows
+    [p_first, p_last] covers exactly ``p_last - p_first + k`` tokens —
+    the verbatim-repeated extent MinHash's document granularity (q93)
+    and intra-doc repetition (q81) both miss.
+
+    Returns one row per span: (doc_id, source, span_start, span_tokens,
+    n_windows).
+
+    Engine-portable: md5 window hashes (q84 discipline) + integer
+    position arithmetic only, so the whole report is hash-oracle-able.
+
+    Scale: shingling is a map-side explode; the dup-shingle set is a
+    partial-aggregated ``groupBy(sh)`` (Zipf-head shingles collapse in
+    the map-side combine) whose OUTPUT is only the ≥2-doc hashes — it
+    joins back broadcast under the measured gate (pass
+    ``dup_broadcast``), falling back to an AQE shuffle join past it.
+    Span merging shuffles once on doc_id (window) and the per-doc
+    position volume is only the DUPLICATED windows, a small fraction
+    of the corpus in a curated pipeline.
+    """
+    ts = _nonempty_tokens()
+    base = docs.select("doc_id", "source", ts.alias("toks"))
+    st = base.select(
+        "doc_id", "source", F.size("toks").cast("int").alias("n_toks"),
+        "toks")
+    wg = F.transform(
+        F.sequence(F.lit(1), F.col("n_toks") - F.lit(k - 1)),
+        lambda i: F.md5(F.array_join(F.slice("toks", i, k), " ")),
+    )
+    shingles = (
+        st.filter(F.col("n_toks") >= k)
+        .select("doc_id", "source", F.posexplode(wg).alias("p0", "sh"))
+        .select("doc_id", "source", (F.col("p0") + 1).alias("pos"), "sh")
+    )
+    dup = (
+        shingles.groupBy("sh")
+        .agg(F.min("doc_id").alias("d1"), F.max("doc_id").alias("d2"))
+        .filter(F.col("d1") != F.col("d2"))
+        .select("sh")
+    )
+    if dup_broadcast is not None:
+        dup = dup_broadcast(dup)
+    dp = shingles.join(dup, "sh").select("doc_id", "source", "pos")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    wrun = (Window.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    grp = dp.select(
+        "doc_id", "source", "pos",
+        F.sum(
+            F.when(F.col("pos") - F.lag("pos").over(wdoc) > k, 1)
+            .otherwise(0)
+        ).over(wrun).alias("grp"),
+    )
+    return grp.groupBy("doc_id", "source", "grp").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") - F.min("pos") + k).cast("long")
+        .alias("span_tokens"),
+        F.count("*").cast("long").alias("n_windows"),
+    ).drop("grp")
+
+
+def substring_dedup_report(docs: DataFrame, k: int = 8,
+                           dup_broadcast=None) -> DataFrame:
+    """Per-source roll-up of ``repeated_substring_spans``: how much of
+    each source is verbatim-repeated across documents, the actionable
+    summary a curation run reads before deciding to cut (the per-span
+    relation is the surgical path — join it back to drop the spans).
+
+    Columns: n_docs, total_tokens, n_docs_with_repeat, n_spans,
+    dup_tokens (union of covered tokens — merged spans never
+    double-count), max_span_tokens, dup_token_ratio.
+    """
+    ts = _nonempty_tokens()
+    totals = (
+        docs.select("source", ts.alias("toks"))
+        .select("source", F.size("toks").alias("n_toks"))
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("n_toks").cast("long").alias("total_tokens"))
+    )
+    per_doc = (
+        repeated_substring_spans(docs, k=k, dup_broadcast=dup_broadcast)
+        .groupBy("source", "doc_id")
+        .agg(F.count("*").alias("n_spans"),
+             F.sum("span_tokens").alias("covered"),
+             F.max("span_tokens").alias("mx"))
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs_with_repeat"),
+        F.sum("n_spans").cast("long").alias("n_spans"),
+        F.sum("covered").cast("long").alias("dup_tokens"),
+        F.max("mx").cast("long").alias("max_span_tokens"),
+    )
+    joined = totals.join(F.broadcast(agg), "source", "left")
+    return joined.select(
+        "source", "n_docs", "total_tokens",
+        F.coalesce("n_docs_with_repeat", F.lit(0)).cast("long")
+        .alias("n_docs_with_repeat"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long")
+        .alias("dup_tokens"),
+        F.coalesce("max_span_tokens", F.lit(0)).cast("long")
+        .alias("max_span_tokens"),
+        decimal_round(
+            F.coalesce("dup_tokens", F.lit(0)).cast("double")
+            / F.col("total_tokens").cast("double"), 6, grid=10,
+        ).alias("dup_token_ratio"),
+    )
+
+
+def q145_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact substring-level dedup report (see
+    ``substring_dedup_report``; k=8 token windows)."""
+    from puregraphdb_spark.sources.registry import broadcast_if_small
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    res = substring_dedup_report(
+        d, k=8,
+        dup_broadcast=lambda df: broadcast_if_small(
+            df, spark, sf_dir, "documents"),
+    )
+    return final_sort(res, spark, sf_dir, "documents", "source")

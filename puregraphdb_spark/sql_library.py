@@ -1201,4 +1201,62 @@ SPARK_SQL: dict[str, str] = {
                     as decimal(28,10)), 6) as double) as dup_ratio
         from per_hash group by source order by source
     """,
+    "q145_substring_dedup": """
+        with base as (
+            select doc_id, source,
+                   filter(split(lower(text), ' '), t -> t <> '') as toks
+            from documents),
+        st as (select doc_id, source, size(toks) as n_toks, toks
+               from base),
+        stf as (select * from st where n_toks >= 8),
+        sh as (
+            select doc_id, source, p0 + 1 as pos, sh
+            from stf
+            lateral view posexplode(transform(sequence(1, n_toks - 7),
+                i -> md5(array_join(slice(toks, i, 8), ' '))))
+              t as p0, sh),
+        dup as (select sh from sh group by sh
+                having min(doc_id) <> max(doc_id)),
+        dp as (select s.doc_id, s.source, s.pos
+               from sh s join dup d on s.sh = d.sh),
+        lg as (select doc_id, source, pos,
+                      lag(pos) over (partition by doc_id
+                                     order by pos) as prev
+               from dp),
+        isl as (select doc_id, source, pos,
+                       sum(case when pos - prev > 8 then 1 else 0 end)
+                         over (partition by doc_id order by pos
+                               rows between unbounded preceding
+                               and current row) as grp
+                from lg),
+        spans as (select doc_id, source,
+                         max(pos) - min(pos) + 8 as span_tokens
+                  from isl group by doc_id, source, grp),
+        per_doc as (select source, doc_id, count(*) as n_spans,
+                           sum(span_tokens) as covered,
+                           max(span_tokens) as mx
+                    from spans group by 1, 2),
+        tot as (select source, cast(count(*) as bigint) as n_docs,
+                       cast(sum(n_toks) as bigint) as total_tokens
+                from st group by source),
+        agg as (select source,
+                       cast(count(*) as bigint) as n_docs_with_repeat,
+                       cast(sum(n_spans) as bigint) as n_spans,
+                       cast(sum(covered) as bigint) as dup_tokens,
+                       cast(max(mx) as bigint) as max_span_tokens
+                from per_doc group by source)
+        select t.source, t.n_docs, t.total_tokens,
+               cast(coalesce(a.n_docs_with_repeat, 0) as bigint)
+                 as n_docs_with_repeat,
+               cast(coalesce(a.n_spans, 0) as bigint) as n_spans,
+               cast(coalesce(a.dup_tokens, 0) as bigint) as dup_tokens,
+               cast(coalesce(a.max_span_tokens, 0) as bigint)
+                 as max_span_tokens,
+               cast(round(cast(
+                    cast(coalesce(a.dup_tokens, 0) as double)
+                    / cast(t.total_tokens as double)
+                    as decimal(28,10)), 6) as double) as dup_token_ratio
+        from tot t left join agg a on a.source = t.source
+        order by t.source
+    """,
 }

@@ -45,3 +45,87 @@ def test_winsorized_validates_percentiles(spark):
         winsorized_stats(df, "k", "v", lo_pct=-1, hi_pct=95)
     with pytest.raises(ValueError):
         winsorized_stats(df, "k", "v", lo_pct=5, hi_pct=101)
+
+
+# ---------------------------------------------------------------- q145
+from puregraphdb_spark.operators.pipeline import (  # noqa: E402
+    repeated_substring_spans,
+    substring_dedup_report,
+)
+
+
+def _docs(spark, rows):
+    # rows: (doc_id, source, text)
+    return spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+
+def test_substring_spans_single_shared_window(spark):
+    # "c d e" (k=3) is the only cross-doc repeat; in doc 1 it starts
+    # at token position 3 and covers exactly 3 tokens.
+    d = _docs(spark, [
+        (1, "s", "a b c d e f g h"),
+        (2, "s", "x y c d e z w q"),
+    ])
+    spans = {r.doc_id: r for r in
+             repeated_substring_spans(d, k=3).collect()}
+    assert spans[1].span_start == 3 and spans[1].span_tokens == 3
+    assert spans[1].n_windows == 1
+    assert spans[2].span_start == 3 and spans[2].span_tokens == 3
+
+
+def test_substring_spans_merge_consecutive_windows(spark):
+    # identical docs: every window duplicates; consecutive positions
+    # merge into ONE span covering the whole doc (5 tokens, 3 windows)
+    d = _docs(spark, [
+        (1, "s", "v w x y z"),
+        (2, "s", "v w x y z"),
+    ])
+    spans = repeated_substring_spans(d, k=3).collect()
+    assert len(spans) == 2
+    for r in spans:
+        assert (r.span_start, r.span_tokens, r.n_windows) == (1, 5, 3)
+
+
+def test_substring_spans_gap_exactly_k_merges(spark):
+    # dup windows at positions 1 and 4 with k=3: coverage [1,3] and
+    # [4,6] touch -> one merged span of 6 tokens; a gap > k splits.
+    d = _docs(spark, [
+        (1, "s", "a b c d e f"),
+        (2, "s", "a b c q q q q d e f"),
+    ])
+    spans = {r.doc_id: r for r in
+             repeated_substring_spans(d, k=3).collect()}
+    assert (spans[1].span_start, spans[1].span_tokens) == (1, 6)
+    # doc 2: dup windows at pos 1 ("a b c") and pos 8 ("d e f"),
+    # gap 7 > 3 -> two separate 3-token spans
+    two = [r for r in repeated_substring_spans(d, k=3).collect()
+           if r.doc_id == 2]
+    assert sorted((r.span_start, r.span_tokens) for r in two) == [
+        (1, 3), (8, 3)]
+
+
+def test_substring_spans_intra_doc_repeat_not_counted(spark):
+    # the same 3-gram twice WITHIN one doc is q81's business, not a
+    # cross-doc repeat -> no spans
+    d = _docs(spark, [
+        (1, "s", "a b c x a b c"),
+        (2, "s", "p q r s t u v"),
+    ])
+    assert repeated_substring_spans(d, k=3).count() == 0
+
+
+def test_substring_report_rolls_up_and_counts_union_tokens(spark):
+    d = _docs(spark, [
+        (1, "sA", "a b c d e f"),      # span covers all 6 tokens
+        (2, "sA", "a b c q q q q d e f"),  # two 3-token spans
+        (3, "sB", "m n o p q r"),      # no repeats
+    ])
+    rep = {r.source: r for r in
+           substring_dedup_report(d, k=3).collect()}
+    a, b = rep["sA"], rep["sB"]
+    assert (a.n_docs, a.total_tokens) == (2, 16)
+    assert (a.n_docs_with_repeat, a.n_spans) == (2, 3)
+    assert a.dup_tokens == 6 + 6 and a.max_span_tokens == 6
+    assert a.dup_token_ratio == pytest.approx(12 / 16)
+    assert (b.n_docs_with_repeat, b.n_spans, b.dup_tokens,
+            b.max_span_tokens, b.dup_token_ratio) == (0, 0, 0, 0, 0.0)

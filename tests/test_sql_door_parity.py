@@ -75,6 +75,7 @@ DUCKDB_ONLY = {
     "q142_vocab_growth",     # unnest/string_split
     "q143_seasonal_burst",   # isodow()
     "q144_dedup_impact",     # regexp_replace 'g' flag argument
+    "q145_substring_dedup",  # string_split/list_slice/unnest
 }
 
 ORACLES = entrymod.oracle_sql()
