@@ -493,14 +493,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``_FRONT_WINDOW`` list below IS the rotation — the literal dict
     keeps a stable canonical order and the return reorders it.
 
-    Round-10 window (per VERDICT r9 item 3): q137 re-record (its r9
-    red row was an oracle HUGEINT-typing bug, fixed this round) +
-    the NEW round-10 entries + the r5-stale cohort q25-q50 (last
-    driver-recorded round 5) + the r6-cohort head
-    (hypertable_rollup, sliding_window_counts, q51+) to fill 50.
-    Everything after slot 50 retains a driver-green row from r6-r9.
-    Round-11 rotation: continue oldest-first — the r6 remainder
-    (q5x-q98), then the r7 cohort.
+    Round-11 window (per VERDICT r10 item 1): the r6-stale cohort
+    q69-q98 (30 entries, last driver-recorded round 6 — the oldest
+    records on the board) + the r7-cohort head (rows-only graph and
+    sketch entries) to fill 50 exactly. Everything after slot 50
+    retains a driver-green row from r7-r10. Round-12 rotation:
+    the r7 remainder (graph_ktruss tail + q99-q123), then r9.
     """
     table = {
         # -- 14 entries needing a (re-)record: the r7 err fix first --
@@ -688,38 +686,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_weighted_median": extras.q122_weighted_median,
         "q123_interval_union": events.q123_interval_union,
     }
-    front = [k for k in _FRONT_WINDOW if k in table]
     missing = [k for k in _FRONT_WINDOW if k not in table]
     if missing:  # a typo here must fail loudly, not shrink the window
         raise KeyError(f"_FRONT_WINDOW names unknown entries: {missing}")
-    ordered = {k: table[k] for k in front}
+    if len(_FRONT_WINDOW) != 50:  # driver records exactly 50 entries
+        raise ValueError(
+            f"_FRONT_WINDOW must be exactly 50 entries, got "
+            f"{len(_FRONT_WINDOW)} — rotation slots wasted/overflowed"
+        )
+    ordered = {k: table[k] for k in _FRONT_WINDOW}
     ordered.update((k, v) for k, v in table.items() if k not in ordered)
     return ordered
 
 
-#: Round-10 driver window (first 50 entries the driver records).
+#: Round-11 driver window (first 50 entries the driver records).
 _FRONT_WINDOW = [
-    "q137_source_mix_budget",       # r9 red row — oracle cast fixed
-    # NEW round-10 entries (never recorded, by construction)
-    "q145_substring_dedup",
-    # r5-stale cohort (last driver-recorded round 5)
-    "q25_graph_2hop", "q26_dedup_keys", "q27_text_tokens",
-    "q28_text_stats", "q29_knn_cosine", "q30_knn_label",
-    "q31_asof_join", "q32_full_outer", "q33_cube",
-    "q34_window_analytics", "q35_string_date", "q36_pivot",
-    "q37_regex", "q38_levenshtein", "q39_array_agg",
-    "q40_grouping_sets", "q41_correlated_avg", "q42_not_exists",
-    "q43_scalar_subquery", "q44_interval_join",
-    "q45_conditional_distinct", "q46_range_frame", "q47_unpivot",
-    "q48_trailing_feature", "q49_array_ops", "q50_gap_fill",
-    # r6-cohort head fills the remainder of the 50-window
-    "hypertable_rollup", "sliding_window_counts",
-    "q51_stat_agg", "q52_histogram", "q53_array_hof",
-    "q54_dedup_latest", "q55_percent_rank", "q56_weighted_avg",
-    "q57_mode", "q58_bigrams", "q59_loo_avg", "q60_having_scalar",
-    "q61_rank_ties", "q62_json_typed", "q63_ngram_jaccard",
-    "q64_regex_tokens", "q65_motif_wedge", "q66_contamination",
-    "q67_simhash_hamming", "q68_doc_chunks",
+    # r6-stale cohort (last driver-recorded round 6 — oldest records)
+    "q69_hash_split", "q70_tfidf", "q71_quality_filter",
+    "q72_langid_confusion", "q73_stratified_sample",
+    "q74_minhash_vocab", "q75_pmi_bigrams", "q76_embed_quantize",
+    "q77_content_hash_dedup", "q78_zscore_outliers",
+    "q79_vocab_coverage", "q80_doc_embedding_join",
+    "q81_repetition_filter", "q82_cosine_pairs", "q83_graph_strength",
+    "q84_winnow_fingerprint", "q85_clustering_coeff", "q86_reach2",
+    "q87_funnel", "q88_retention", "q89_skyline", "q90_regression",
+    "q91_motif_weighted", "q92_sequence_pack", "q93_minhash_bands",
+    "q94_bounded_funnel", "q95_degree_assortativity",
+    "q96_embedding_centroids", "q97_skew_profile", "q98_funnel_windows",
+    # r7-cohort head fills the remainder of the 50-window
+    "graph_pagerank", "graph_connected_components",
+    "graph_label_propagation", "graph_scc", "graph_kcore",
+    "graph_ppr", "graph_shortest_paths", "graph_wpagerank",
+    "graph_sssp_weighted", "graph_harmonic", "graph_betweenness",
+    "graph_betweenness_approx", "graph_louvain",
+    "graph_louvain_weighted", "graph_hits", "graph_anf",
+    "graph_ktruss", "text_profile", "text_quality_report",
+    "dedup_minhash_near",
 ]
 
 

@@ -108,14 +108,16 @@ def main() -> int:
                 check=True,
             )
         scales.append(SF1)
+    if not scales:
+        # --sf1-only + --skip-sf1 would otherwise verify nothing and
+        # exit 0 — a vacuously green gate (ADVICE r9). Checked before
+        # the Spark session build so the argument mistake fails fast
+        # (ADVICE r10).
+        print("ERROR: no scales selected (--sf1-only with --skip-sf1)")
+        return 2
     spark = get_session(
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
     spark.sparkContext.setLogLevel("ERROR")
-    if not scales:
-        # --sf1-only + --skip-sf1 would otherwise verify nothing and
-        # exit 0 — a vacuously green gate (ADVICE r9).
-        print("ERROR: no scales selected (--sf1-only with --skip-sf1)")
-        return 2
     bad = 0
     for sf_dir in scales:
         summary = run_scale(spark, sf_dir, only)
