@@ -1600,8 +1600,40 @@ def q133_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   "o_orderpriority")
 
 
+def _winsor_ranks(lo_pct: int, hi_pct: int, n):
+    """1-indexed clamp ranks: ``floor((p*n + 99) / 100)`` (the +99
+    turns floor into ceil; the double division is exact-or-safely-
+    inside-ulp because the true quotient is a rational with
+    denominator 100, never within an ulp of a different integer),
+    clamped into [1, n]: lo_pct=0 would otherwise yield rank 0,
+    matching no row (ADVICE r9) — clamped, pct=0 selects the group
+    minimum, i.e. the low tail is left unclipped."""
+    lo_rank = F.greatest(
+        F.floor((F.lit(lo_pct) * n + F.lit(99)) / F.lit(100)), F.lit(1))
+    hi_rank = F.least(
+        F.floor((F.lit(hi_pct) * n + F.lit(99)) / F.lit(100)), n)
+    return lo_rank, hi_rank
+
+
+_DEC_SUM = "decimal(38,4)"
+
+
+def _dec_arr_sum(arr):
+    """Exact decimal sum of an array of doubles, each snapped to
+    decimal(28,4) exactly as the row-level ``wv.cast(decimal(28,4))``
+    the oracle sums — decimal addition is exact and associative, so
+    any regrouping of the same multiset gives the identical total."""
+    return F.aggregate(
+        arr, F.lit(0).cast(_DEC_SUM),
+        lambda a, x: (a + x.cast("decimal(28,4)")).cast(_DEC_SUM),
+    )
+
+
 def winsorized_stats(df: DataFrame, group_col: str, value_col: str,
-                     lo_pct: int = 5, hi_pct: int = 95) -> DataFrame:
+                     lo_pct: int = 5, hi_pct: int = 95,
+                     n_estimate: int | None = None,
+                     accuracy: int = 1000,
+                     band_target: int = 100_000) -> DataFrame:
     """Per-group winsorized summary: clamp values to the [p_lo, p_hi]
     rank-based order statistics, then report the clamp bounds, the
     winsorized mean, and how many rows each tail clipped — the
@@ -1610,82 +1642,182 @@ def winsorized_stats(df: DataFrame, group_col: str, value_col: str,
 
     Rank-based (percentile_disc) bounds: the bound at percentile p is
     the value at row ``ceil(p/100 * n)`` of the group's sort order —
-    an ACTUAL data value, computed with exact integer rank arithmetic
-    ``floor((p*n + 99) / 100)`` (the +99 turns floor into ceil; the
-    double division is exact-or-safely-inside-ulp because the true
-    quotient is a rational with denominator 100, never within an ulp
-    of a different integer). No interpolation, so the clamp bounds are
-    engine-exact, and the winsorized mean is an exact decimal sum over
-    clamped values divided once.
+    an ACTUAL data value (see ``_winsor_ranks``). No interpolation,
+    so the clamp bounds are engine-exact, and the winsorized mean is
+    an exact decimal sum over clamped values divided once.
 
-    Scale: ONE scan, ONE exchange on the group key, ONE sort. The
-    clamp bounds are conditional ``max(when(__rn == rank, v))`` over
-    the unordered group window in a second Window op on the SAME
-    partitioning — the (grp, v) sort from the rank pass already
-    satisfies it, so no re-sort and no join-back (the previous
-    filter + broadcast-join derivation scanned the fact table and
-    sorted it twice; VERDICT r9 item 4 — plan-pinned to 1 scan in
-    test_round10_operators.py). Group count must be modest
-    (per-group sort), which holds for categorical group keys.
+    Size-gated dual plan (the q17 discipline — callers own the gate):
 
-    Ranks are clamped into [1, n]: lo_pct=0 would otherwise yield
-    rank 0, matching no row and leaving the low clamp NULL
-    (ADVICE r9) — clamped, pct=0 selects the group minimum, i.e. the
-    low tail is left unclipped, exactly the winsorizing limit.
+    - ``n_estimate=None`` (measured-small input): ONE scan, ONE
+      map-side-combining aggregation that collects each group's
+      sorted values and derives bounds, clip counts, and the decimal
+      win-sum from the array with HOFs. No window, no per-group sort
+      task — the previous ``row_number`` window serialized the whole
+      table through one task per group key (3 keys here), which is
+      why the r10 single-scan rewrite never moved the wall time
+      (VERDICT r10 item 2). Per-group buffer is O(group size):
+      callers MUST gate on a measured input size.
+    - ``n_estimate`` set (past the gate): GK-sketch bracket around
+      both target ranks (±5/accuracy margin, the percentile.py:74
+      slack argument; groups ≤ max(1000, accuracy) rows collect
+      whole) → ONE more scan joins the broadcast 3-row brackets and
+      aggregates, per group: counts below/above the brackets, the
+      two sorted in-bracket bands, and the exact decimal sum of the
+      between-bracket middle. The exact bounds are then picked from
+      the bands by rank arithmetic, and the win-sum is reconstructed
+      exactly: clipped tails contribute bound×count, band values
+      below/above the bounds swap their own decimal for the bound's.
+      ``accuracy`` autoscales so each band stays ≤ ~band_target
+      values (10·n/accuracy); the sketch is O(accuracy·log n) memory,
+      fine to ~10¹⁰ rows/group — beyond that, percentile.py's
+      grid-refinement rounds are the documented extension.
+
+    Both paths share the rank and decimal arithmetic and are
+    property-tested equal (test_round11_operators.py). NULL values
+    in ``value_col`` are not supported (ranks count rows).
     """
     if not 0 <= lo_pct < hi_pct <= 100:
         raise ValueError(
             f"need 0 <= lo_pct < hi_pct <= 100, got {lo_pct}, {hi_pct}")
-    # Alias BEFORE the windows so both Window ops partition on the
-    # same attribute (`grp`) — partitioning on group_col and then
-    # windowing on the alias re-exchanges: hashpartitioning(col) is
-    # not recognized as satisfying hashpartitioning(alias).
     base = df.select(F.col(group_col).alias("grp"),
                      F.col(value_col).alias("v"))
-    w = Window.partitionBy("grp").orderBy("v")
-    wg = Window.partitionBy("grp")
-    lo_rank = F.greatest(F.floor(
-        (F.lit(lo_pct) * F.col("__n") + F.lit(99)) / F.lit(100)),
-        F.lit(1))
-    hi_rank = F.least(F.floor(
-        (F.lit(hi_pct) * F.col("__n") + F.lit(99)) / F.lit(100)),
-        F.col("__n"))
-    ranked = base.select(
-        "grp", "v",
-        F.row_number().over(w).alias("__rn"),
-        F.count("*").over(wg).alias("__n"),
-    )
-    bounded = ranked.select(
-        "grp", "v",
-        F.max(F.when(F.col("__rn") == lo_rank, F.col("v")))
-        .over(wg).alias("lo_val"),
-        F.max(F.when(F.col("__rn") == hi_rank, F.col("v")))
-        .over(wg).alias("hi_val"),
-    )
-    clamped = bounded.select(
-        "grp", "v", "lo_val", "hi_val",
-        F.least(F.greatest(F.col("v"), F.col("lo_val")),
-                F.col("hi_val")).alias("wv"),
-    )
-    return clamped.groupBy("grp").agg(
-        F.count("*").cast("long").alias("n"),
-        F.min("lo_val").alias("lo_val"),
-        F.max("hi_val").alias("hi_val"),
+    if n_estimate is None:
+        out = _winsorized_collect(base, lo_pct, hi_pct)
+    else:
+        out = _winsorized_bracket(base, lo_pct, hi_pct,
+                                  n_estimate, accuracy, band_target)
+    return out.withColumnRenamed("grp", group_col)
+
+
+def _winsor_finish(n, lo_val, hi_val, clip_lo, clip_hi, win_sum):
+    """Shared output projection: identical final arithmetic on both
+    paths (decimal win-sum → double, divided once, decimal-snapped)."""
+    return [
+        n.cast("long").alias("n"),
+        lo_val.alias("lo_val"),
+        hi_val.alias("hi_val"),
         decimal_round(
-            F.sum(F.col("wv").cast("decimal(28,4)")).cast("double")
-            / F.count("*").cast("double"), 4, grid=6,
+            win_sum.cast("double") / n.cast("double"), 4, grid=6,
         ).alias("win_mean"),
-        F.sum(F.when(F.col("v") < F.col("lo_val"), 1).otherwise(0))
-        .cast("long").alias("n_clip_lo"),
-        F.sum(F.when(F.col("v") > F.col("hi_val"), 1).otherwise(0))
-        .cast("long").alias("n_clip_hi"),
-    ).withColumnRenamed("grp", group_col)
+        clip_lo.cast("long").alias("n_clip_lo"),
+        clip_hi.cast("long").alias("n_clip_hi"),
+    ]
+
+
+def _winsorized_collect(base: DataFrame, lo_pct: int,
+                        hi_pct: int) -> DataFrame:
+    """Measured-small path: one collect-and-sort aggregation."""
+    agg = base.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sort_array(F.collect_list("v")).alias("band"),
+    )
+    lo_rank, hi_rank = _winsor_ranks(lo_pct, hi_pct, F.col("n"))
+    lo_val = F.element_at("band", lo_rank.cast("int"))
+    hi_val = F.element_at("band", hi_rank.cast("int"))
+    # rows before lo_rank clamp to lo_val, after hi_rank to hi_val;
+    # ties at the bound contribute the bound either way, so the
+    # rank-count split is exact. Clip counts are strict comparisons
+    # (a tie is NOT a clip), hence the array filters.
+    win_sum = (
+        lo_val.cast("decimal(28,4)") * (lo_rank - 1)
+        + hi_val.cast("decimal(28,4)") * (F.col("n") - hi_rank)
+        + _dec_arr_sum(F.slice("band", lo_rank.cast("int"),
+                               (hi_rank - lo_rank + 1).cast("int")))
+    )
+    clip_lo = F.size(F.filter("band", lambda x: x < lo_val))
+    clip_hi = F.size(F.filter("band", lambda x: x > hi_val))
+    return agg.select("grp", *_winsor_finish(
+        F.col("n"), lo_val, hi_val, clip_lo, clip_hi, win_sum))
+
+
+def _winsorized_bracket(base: DataFrame, lo_pct: int, hi_pct: int,
+                        n_estimate: int, accuracy: int,
+                        band_target: int) -> DataFrame:
+    """Size-invariant path: sketch-bracket both ranks, then one
+    band-bounded exact pass (see winsorized_stats docstring)."""
+    accuracy = max(accuracy,
+                   -(-10 * max(n_estimate, 1) // band_target))
+    small_floor = max(1000, accuracy)
+    margin = 5.0 / accuracy
+    plo, phi = lo_pct / 100.0, hi_pct / 100.0
+    targets = [max(0.0, plo - margin), min(1.0, plo + margin),
+               max(0.0, phi - margin), min(1.0, phi + margin)]
+    bounds = base.groupBy("grp").agg(
+        F.percentile_approx("v", F.lit(targets), F.lit(accuracy))
+        .alias("bnd"),
+        F.count("*").alias("n_g"),
+    ).select(
+        F.col("grp").alias("b_g"),
+        F.col("bnd")[0].alias("llo"), F.col("bnd")[1].alias("lhi"),
+        F.col("bnd")[2].alias("hlo"), F.col("bnd")[3].alias("hhi"),
+        "n_g",
+    )
+    small = F.col("n_g") <= small_floor
+    v = F.col("v")
+    in_l = small | ((v >= F.col("llo")) & (v <= F.col("lhi")))
+    in_h = small | ((v >= F.col("hlo")) & (v <= F.col("hhi")))
+    below_llo = F.when(~small & (v < F.col("llo")), 1).otherwise(0)
+    below_hlo = F.when(~small & (v < F.col("hlo")), 1).otherwise(0)
+    above_hhi = F.when(~small & (v > F.col("hhi")), 1).otherwise(0)
+    in_mid = small | ((v >= F.col("llo")) & (v <= F.col("hhi")))
+    agg = (
+        base.join(F.broadcast(bounds), F.col("grp") == F.col("b_g"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(below_llo).alias("a_lo"),
+            F.sum(below_hlo).alias("a_hi"),
+            F.sum(above_hhi).alias("b_hi"),
+            F.sort_array(F.collect_list(F.when(in_l, v)))
+            .alias("lband"),
+            F.sort_array(F.collect_list(F.when(in_h, v)))
+            .alias("hband"),
+            # exact decimal sum of everything between the brackets
+            # (the bands' own members are re-based below)
+            F.coalesce(
+                F.sum(F.when(in_mid, v.cast("decimal(28,4)"))),
+                F.lit(0).cast(_DEC_SUM),
+            ).cast(_DEC_SUM).alias("sum_mid"),
+        )
+    )
+    lo_rank, hi_rank = _winsor_ranks(lo_pct, hi_pct, F.col("n"))
+    lo_val = F.element_at(
+        "lband", (lo_rank - F.col("a_lo")).cast("int"))
+    hi_val = F.element_at(
+        "hband", (hi_rank - F.col("a_hi")).cast("int"))
+    lt = F.filter("lband", lambda x: x < lo_val)
+    gt = F.filter("hband", lambda x: x > hi_val)
+    # sum_mid counted band members at their own value; members below
+    # lo_val (above hi_val) must contribute the bound instead — swap
+    # their decimal for bound×count. Rows outside the brackets
+    # entirely (a_lo below, b_hi above) contribute bound×count too.
+    win_sum = (
+        lo_val.cast("decimal(28,4)") * (F.col("a_lo") + F.size(lt))
+        + hi_val.cast("decimal(28,4)") * (F.col("b_hi") + F.size(gt))
+        + F.col("sum_mid") - _dec_arr_sum(lt) - _dec_arr_sum(gt)
+    )
+    return agg.select("grp", *_winsor_finish(
+        F.col("n"), lo_val, hi_val,
+        F.col("a_lo") + F.size(lt), F.col("b_hi") + F.size(gt),
+        win_sum))
 
 
 def q136_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized price stats per return flag (see
-    ``winsorized_stats``)."""
+    ``winsorized_stats``) — size-gated dual, the q17 discipline:
+    measured-small inputs take the one-pass collect-and-sort plan;
+    past the gate, the sketch-bracketed two-scan plan (no per-group
+    sort at ANY size — the 3-value group key made the old window
+    sort serialize the table through 3 tasks, VERDICT r10 item 2)."""
+    from puregraphdb_spark.operators.percentile import estimate_rows
+    from puregraphdb_spark.sources.registry import table_bytes
+
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice")
-    res = winsorized_stats(l, "l_returnflag", "l_extendedprice")
+    if table_bytes(spark, sf_dir, "lineitem") < (32 << 20):
+        res = winsorized_stats(l, "l_returnflag", "l_extendedprice")
+    else:
+        res = winsorized_stats(
+            l, "l_returnflag", "l_extendedprice",
+            n_estimate=estimate_rows(spark, sf_dir, "lineitem"))
     return final_sort(res, spark, sf_dir, "lineitem", "l_returnflag")

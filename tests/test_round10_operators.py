@@ -12,9 +12,9 @@ from puregraphdb_spark.operators.extras import winsorized_stats
 
 
 def test_winsorized_single_scan_plan(spark):
-    """VERDICT r9 item 4: the bounds must come from a conditional
-    window aggregate in the same pass, not a filter + broadcast-join
-    back (which scanned and window-sorted the fact table twice)."""
+    """VERDICT r9 item 4 + r10 item 2: the measured-small path is ONE
+    scan, ONE aggregation — and neither path may contain a Window op
+    (the 3-key window sort serialized the table through 3 tasks)."""
     import __spark_entry__ as entrymod
 
     df = entrymod.queries()["q136_winsorized_stats"](
@@ -22,6 +22,22 @@ def test_winsorized_single_scan_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1, plan
     assert "BroadcastHashJoin" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_winsorized_bracket_plan_no_window(spark):
+    """Past the size gate: two scans (sketch bracket + band pass), the
+    3-row brackets broadcast, and STILL no per-group sort window."""
+    from puregraphdb_spark.sources.registry import load_table
+
+    l = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_returnflag", "l_extendedprice")
+    df = winsorized_stats(l, "l_returnflag", "l_extendedprice",
+                          n_estimate=10_000)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
 
 
 def test_winsorized_lo_pct_zero_leaves_low_tail_unclipped(spark):
