@@ -21,8 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from puregraphdb_spark.operators import (
-    community, events, extras, graph, llm, pipeline, profile, relational,
-    similarity, sketch, skew, text,
+    community, events, extras, graph, llm, pii, pipeline, profile,
+    relational, similarity, sketch, skew, text,
 )
 from puregraphdb_spark.sources.registry import load_table
 
@@ -530,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_seasonal_burst": events.q143_seasonal_burst,
         "q144_dedup_impact": pipeline.q144_dedup_impact,
         "q145_substring_dedup": pipeline.q145_substring_dedup,
+        "q146_pii_scan": pii.q146_pii_scan,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -701,6 +702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 #: Round-11 driver window (first 50 entries the driver records).
 _FRONT_WINDOW = [
+    # NEW round-11 entries (never recorded, by construction)
+    "q146_pii_scan",
     # r6-stale cohort (last driver-recorded round 6 — oldest records)
     "q69_hash_split", "q70_tfidf", "q71_quality_filter",
     "q72_langid_confusion", "q73_stratified_sample",
@@ -721,7 +724,6 @@ _FRONT_WINDOW = [
     "graph_betweenness_approx", "graph_louvain",
     "graph_louvain_weighted", "graph_hits", "graph_anf",
     "graph_ktruss", "text_profile", "text_quality_report",
-    "dedup_minhash_near",
 ]
 
 
@@ -3369,5 +3371,52 @@ def oracle_sql() -> dict[str, str]:
                      as dup_token_ratio
             from tot t left join agg a on a.source = t.source
             order by t.source
+        """,
+        "q146_pii_scan": """
+            with planted as (
+                select source,
+                       text
+                       || case when doc_id % 7 = 0 then
+                              ' contact user' || cast(doc_id as varchar)
+                              || '@example.com'
+                          else '' end
+                       || case when doc_id % 11 = 0 then
+                              ' call +1-555-867-'
+                              || lpad(cast(doc_id % 10000 as varchar),
+                                      4, '0')
+                          else '' end
+                       || case when doc_id % 13 = 0 then
+                              ' from 10.' || cast(doc_id % 256 as varchar)
+                              || '.' || cast(doc_id % 100 as varchar)
+                              || '.' || cast(doc_id % 250 + 1 as varchar)
+                          else '' end
+                       as text
+                from documents),
+            per_doc as (
+                select source,
+                       cast(len(regexp_extract_all(text,
+                           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'
+                           )) as bigint) as e,
+                       cast(len(regexp_extract_all(text,
+                           '\\+[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ][0-9]{4}'
+                           )) as bigint) as p,
+                       cast(len(regexp_extract_all(text,
+                           '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'
+                           )) as bigint) as i
+                from planted)
+            select source,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(case when e + p + i > 0 then 1 else 0 end)
+                        as bigint) as docs_with_pii,
+                   cast(sum(e) as bigint) as n_email,
+                   cast(sum(p) as bigint) as n_phone,
+                   cast(sum(i) as bigint) as n_ipv4,
+                   cast(round(cast(
+                        cast(sum(case when e + p + i > 0
+                                 then 1 else 0 end) as double)
+                        / cast(count(*) as double)
+                        as decimal(28,10)), 6) as double)
+                     as pii_doc_ratio
+            from per_doc group by source order by source
         """,
     }

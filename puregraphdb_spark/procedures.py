@@ -805,6 +805,26 @@ def _dedup_impact(spark, docs: str = "documents",
                                   text_col=text_col)
 
 
+def _pii_scan(spark, docs: str = "documents",
+              text_col: str = "text",
+              source_col: str = "source") -> DataFrame:
+    from puregraphdb_spark.operators.pii import pii_scan
+
+    return pii_scan(_view(spark, docs), text_col=text_col,
+                    source_col=source_col)
+
+
+def _redact_pii(spark, docs: str = "documents",
+                text_col: str = "text",
+                kinds: str | None = None) -> DataFrame:
+    from puregraphdb_spark.operators.pii import redact_pii
+
+    kind_list = ([k.strip() for k in kinds.split(",") if k.strip()]
+                 if kinds else None)
+    return redact_pii(_view(spark, docs), kinds=kind_list,
+                      text_col=text_col)
+
+
 PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "pagerank": _pagerank,
     "hits": _hits,
@@ -879,6 +899,9 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "vocab_growth": _vocab_growth,
     "seasonal_burst": _seasonal_burst,
     "dedup_impact": _dedup_impact,
+    # round-11 operators
+    "pii_scan": _pii_scan,
+    "redact_pii": _redact_pii,
 }
 
 

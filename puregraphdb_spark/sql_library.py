@@ -1259,4 +1259,50 @@ SPARK_SQL: dict[str, str] = {
         from tot t left join agg a on a.source = t.source
         order by t.source
     """,
+    "q146_pii_scan": """
+        with planted as (
+            select source,
+                   concat(text,
+                       case when doc_id % 7 = 0 then
+                           concat(' contact user',
+                                  cast(doc_id as string), '@example.com')
+                       else '' end,
+                       case when doc_id % 11 = 0 then
+                           concat(' call +1-555-867-',
+                                  lpad(cast(doc_id % 10000 as string),
+                                       4, '0'))
+                       else '' end,
+                       case when doc_id % 13 = 0 then
+                           concat(' from 10.',
+                                  cast(doc_id % 256 as string), '.',
+                                  cast(doc_id % 100 as string), '.',
+                                  cast(doc_id % 250 + 1 as string))
+                       else '' end) as text
+            from documents),
+        per_doc as (
+            select source,
+                   cast(size(regexp_extract_all(text,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\\\.[a-zA-Z]{2,}'
+                       , 0)) as bigint) as e,
+                   cast(size(regexp_extract_all(text,
+                       '\\\\+[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ][0-9]{4}'
+                       , 0)) as bigint) as p,
+                   cast(size(regexp_extract_all(text,
+                       '[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}'
+                       , 0)) as bigint) as i
+            from planted)
+        select source,
+               cast(count(*) as bigint) as n_docs,
+               cast(sum(case when e + p + i > 0 then 1 else 0 end)
+                    as bigint) as docs_with_pii,
+               cast(sum(e) as bigint) as n_email,
+               cast(sum(p) as bigint) as n_phone,
+               cast(sum(i) as bigint) as n_ipv4,
+               cast(round(cast(
+                    cast(sum(case when e + p + i > 0 then 1 else 0 end)
+                         as double)
+                    / cast(count(*) as double)
+                    as decimal(28,10)), 6) as double) as pii_doc_ratio
+        from per_doc group by source order by source
+    """,
 }

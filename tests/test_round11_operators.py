@@ -1,15 +1,20 @@
 """Round-11 operator pins: winsorized-stats dual-path equivalence
-(the sort-free rewrite, VERDICT r10 item 2). The oracle sweep covers
-fixture-scale cross-engine equivalence; these pin that the
-sketch-bracketed path is EXACTLY the collect path on adversarial
-shapes (ties, bound-straddling duplicates, sub-floor groups).
+(the sort-free rewrite, VERDICT r10 item 2) and the PII
+detect/redact family — hand-computed ground truths on crafted text,
+since the oracle sweep only proves cross-engine agreement, not that
+the patterns find what a human calls PII.
 """
 
 from __future__ import annotations
 
 import random
 
+import pytest
+
 from puregraphdb_spark.operators.extras import winsorized_stats
+from puregraphdb_spark.operators.pii import (
+    pii_scan, plant_synthetic_pii, redact_pii,
+)
 
 
 def _rows():
@@ -40,6 +45,80 @@ def test_winsorized_paths_equal(spark):
             winsorized_stats(df, "k", "v", lo, hi,
                              n_estimate=10_000).collect())
         assert a == b, (lo, hi, a, b)
+
+
+# ------------------------------------------------------------------ pii
+
+_PII_DOCS = [
+    # (doc_id, text, source) — hand-counted below
+    (1, "write to alice.smith+news@mail.example.org today", "a"),
+    (2, "two mails: a@b.io and c_d%e@f-g.h.museum here", "a"),
+    (3, "server at 10.0.255.3 and backup at 192.168.1.17", "a"),
+    (4, "call +1-555-867-5309 or +44 207 946 0958 now", "b"),
+    (5, "no pii here, just words and 42 numbers", "b"),
+    (6, "mixed: bob@ex.co from 8.8.8.8 dial +1-555-000-1234", "b"),
+]
+
+
+def _pii_df(spark):
+    return spark.createDataFrame(_PII_DOCS, ["doc_id", "text", "source"])
+
+
+def test_pii_scan_hand_counts(spark):
+    rows = {r.source: r for r in pii_scan(_pii_df(spark)).collect()}
+    a, b = rows["a"], rows["b"]
+    # source a: doc1 email, doc2 two emails, doc3 two IPs
+    assert (a.n_docs, a.docs_with_pii) == (3, 3)
+    assert (a.n_email, a.n_phone, a.n_ipv4) == (3, 0, 2)
+    # source b: doc4 one phone (the +44-spaced one matches too),
+    # doc5 clean, doc6 one of each
+    assert (b.n_docs, b.docs_with_pii) == (3, 2)
+    assert (b.n_email, b.n_phone, b.n_ipv4) == (1, 3, 1)
+    assert a.pii_doc_ratio == 1.0
+    assert b.pii_doc_ratio == pytest.approx(0.666667)
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    out = {r.doc_id: r for r in redact_pii(_pii_df(spark)).collect()}
+    assert out[1].text == "write to [EMAIL] today"
+    assert out[4].text == "call [PHONE] or [PHONE] now"
+    assert out[6].text == "mixed: [EMAIL] from [IP] dial [PHONE]"
+    assert out[5].text == _PII_DOCS[4][1]  # untouched
+    assert out[6].n_redactions == 3
+    assert out[5].n_redactions == 0
+    # redaction is idempotent: a second pass finds nothing
+    again = redact_pii(redact_pii(_pii_df(spark)).drop("n_redactions"))
+    assert all(r.n_redactions == 0 for r in again.collect())
+
+
+def test_redact_pii_kinds_subset_and_validation(spark):
+    out = {r.doc_id: r
+           for r in redact_pii(_pii_df(spark), kinds=["email"]).collect()}
+    assert out[6].text == "mixed: [EMAIL] from 8.8.8.8 dial +1-555-000-1234"
+    assert out[6].n_redactions == 1
+    with pytest.raises(ValueError):
+        redact_pii(_pii_df(spark), kinds=["ssn"])
+
+
+def test_plant_then_scan_matches_residue_arithmetic(spark):
+    # 1001 docs with ids 0..1000: plant guarantees exactly the
+    # residue-class counts, scan must find exactly those.
+    df = spark.createDataFrame(
+        [(i, "plain words only", "s") for i in range(1001)],
+        ["doc_id", "text", "source"])
+    r = pii_scan(plant_synthetic_pii(df)).collect()[0]
+    n7 = sum(1 for i in range(1001) if i % 7 == 0)
+    n11 = sum(1 for i in range(1001) if i % 11 == 0)
+    n13 = sum(1 for i in range(1001) if i % 13 == 0)
+    assert (r.n_email, r.n_phone, r.n_ipv4) == (n7, n11, n13)
+    hit = sum(1 for i in range(1001)
+              if i % 7 == 0 or i % 11 == 0 or i % 13 == 0)
+    assert r.docs_with_pii == hit
+    # ... and redaction drives the planted corpus back to zero hits
+    clean = pii_scan(
+        redact_pii(plant_synthetic_pii(df)).drop("n_redactions"))
+    c = clean.collect()[0]
+    assert (c.n_email, c.n_phone, c.n_ipv4, c.docs_with_pii) == (0, 0, 0, 0)
 
 
 def test_winsorized_bracket_autoscales_accuracy(spark):

@@ -76,6 +76,7 @@ DUCKDB_ONLY = {
     "q143_seasonal_burst",   # isodow()
     "q144_dedup_impact",     # regexp_replace 'g' flag argument
     "q145_substring_dedup",  # string_split/list_slice/unnest
+    "q146_pii_scan",         # len(regexp_extract_all(..)) / varchar
 }
 
 ORACLES = entrymod.oracle_sql()
