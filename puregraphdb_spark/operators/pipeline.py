@@ -1827,6 +1827,64 @@ def substring_dedup_report(docs: DataFrame, k: int = 8,
     )
 
 
+def apply_substring_dedup(docs: DataFrame, spans: DataFrame | None = None,
+                          k: int = 8, text_col: str = "text",
+                          dup_broadcast=None) -> DataFrame:
+    """The surgical cut ``repeated_substring_spans`` promises: drop the
+    covered token ranges from the corpus (the substring-level
+    ``apply_dedup`` — the doc-level family has similarity.apply_dedup;
+    this is its span-granular sibling).
+
+    Cuts EVERY occurrence of a repeated span (the Lee et al. 2022
+    ExactSubstr choice — both copies go); to keep one canonical copy
+    instead, filter the span relation before passing it in. Documents
+    with cuts are re-joined with single spaces over the shared
+    ``_nonempty_tokens`` tokenization (span positions are defined on
+    it); untouched documents keep their text verbatim.
+
+    Token conservation (property-tested): per document,
+    tokens_out = tokens_in − Σ span_tokens — merged spans never
+    overlap (a new span only starts after a > k position gap), so the
+    removed count is exactly the report's ``dup_tokens``.
+
+    Scale: the span relation is tiny next to the corpus (only
+    duplicated extents); it folds to one row per cut doc
+    (collect_list of spans — per-doc span counts are small by
+    construction) and joins back on the uniform doc_id key, LEFT so
+    clean docs stream through untouched. The per-token span test is
+    O(n_toks × n_spans_doc) inside one projection — no extra shuffle
+    beyond the one doc_id exchange.
+    """
+    if spans is None:
+        spans = repeated_substring_spans(docs, k=k,
+                                         dup_broadcast=dup_broadcast)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"),
+                     (F.col("span_start") + F.col("span_tokens"))
+                     .alias("e"))  # half-open [s, e)
+        ).alias("__spans"),
+        F.count("*").cast("long").alias("__n_spans"),
+        F.sum("span_tokens").cast("long").alias("__cut"),
+    )
+    joined = docs.join(per_doc, "doc_id", "left")
+    toks = _nonempty_tokens(text_col)
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (i + 1 >= sp["s"]) & (i + 1 < sp["e"]),
+        ),
+    )
+    has_cut = F.col("__spans").isNotNull()
+    return joined.withColumns({
+        text_col: F.when(has_cut, F.array_join(kept, " "))
+        .otherwise(F.col(text_col)),
+        "n_spans_cut": F.coalesce("__n_spans", F.lit(0)),
+        "n_tokens_cut": F.coalesce("__cut", F.lit(0)),
+    }).drop("__spans", "__n_spans", "__cut")
+
+
 def q145_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source exact substring-level dedup report (see
     ``substring_dedup_report``; k=8 token windows)."""

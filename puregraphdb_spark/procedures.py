@@ -805,6 +805,15 @@ def _dedup_impact(spark, docs: str = "documents",
                                   text_col=text_col)
 
 
+def _apply_substring_dedup(spark, docs: str = "documents",
+                           k: int = 8,
+                           text_col: str = "text") -> DataFrame:
+    from puregraphdb_spark.operators.pipeline import apply_substring_dedup
+
+    return apply_substring_dedup(_view(spark, docs), k=int(k),
+                                 text_col=text_col)
+
+
 def _pii_scan(spark, docs: str = "documents",
               text_col: str = "text",
               source_col: str = "source") -> DataFrame:
@@ -902,6 +911,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     # round-11 operators
     "pii_scan": _pii_scan,
     "redact_pii": _redact_pii,
+    "apply_substring_dedup": _apply_substring_dedup,
 }
 
 

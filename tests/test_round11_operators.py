@@ -121,6 +121,61 @@ def test_plant_then_scan_matches_residue_arithmetic(spark):
     assert (c.n_email, c.n_phone, c.n_ipv4, c.docs_with_pii) == (0, 0, 0, 0)
 
 
+# ------------------------------------- apply_substring_dedup (q145 cut)
+
+_SHARED = " ".join(f"w{i}" for i in range(1, 11))  # 10 shared tokens
+
+
+def _span_docs(spark):
+    rows = [
+        (1, f"a1 a2 a3 {_SHARED} a4 a5", "s"),
+        (2, f"b1 {_SHARED} b2 b3 b4", "s"),
+        (3, _SHARED, "s"),                      # fully covered
+        (4, "clean  doc   with odd   spacing", "s"),  # untouched
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_apply_substring_dedup_cuts_exact_spans(spark):
+    from puregraphdb_spark.operators.pipeline import apply_substring_dedup
+
+    out = {r.doc_id: r
+           for r in apply_substring_dedup(_span_docs(spark)).collect()}
+    assert out[1].text == "a1 a2 a3 a4 a5"
+    assert out[2].text == "b1 b2 b3 b4"
+    assert out[3].text == ""                     # whole doc was a dup
+    assert out[4].text == "clean  doc   with odd   spacing"  # verbatim
+    assert (out[1].n_spans_cut, out[1].n_tokens_cut) == (1, 10)
+    assert (out[3].n_spans_cut, out[3].n_tokens_cut) == (1, 10)
+    assert (out[4].n_spans_cut, out[4].n_tokens_cut) == (0, 0)
+
+
+def test_apply_substring_dedup_token_conservation(spark):
+    """tokens_out = tokens_in − dup_tokens, on the real fixture corpus
+    against the q145 report's own accounting."""
+    from pyspark.sql import functions as F
+
+    from puregraphdb_spark.operators.pipeline import (
+        _nonempty_tokens, apply_substring_dedup, substring_dedup_report,
+    )
+    from puregraphdb_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "source", "text")
+
+    def total_tokens(df):
+        return df.select(
+            F.sum(F.size(_nonempty_tokens("text")))).collect()[0][0]
+
+    rep = substring_dedup_report(docs).agg(
+        F.sum("total_tokens"), F.sum("dup_tokens")).collect()[0]
+    out = apply_substring_dedup(docs)
+    cut = out.agg(F.sum("n_tokens_cut")).collect()[0][0]
+    assert total_tokens(docs) == rep[0]
+    assert cut == rep[1]
+    assert total_tokens(out) == rep[0] - rep[1]
+
+
 def test_winsorized_bracket_autoscales_accuracy(spark):
     # a huge n_estimate must raise accuracy so bands stay bounded —
     # and the result must still be exact on the actual (small) data,
