@@ -1446,7 +1446,13 @@ def source_mix_budget(docs: DataFrame, source_col: str = "source",
     All-integer arithmetic end to end (token counts, floor-divided
     shares, one floored proportional redistribution round), so the
     plan is bit-identical across engines; the final sampling rate is
-    one snapped division.
+    one snapped division. The shares run in decimal(38,0) with an
+    exact remainder-based floor division (``_idiv``) — a plain
+    ``floor(a * b / c)`` on longs routes through doubles and loses
+    exactness past 2^53 (ADVICE r9), while the oracle's HUGEINT
+    arithmetic never does; decimal(38,0) keeps the redistribution
+    product ``leftover × cap`` (≤ ~10^30 for int64 token counts)
+    exact at any realistic corpus size.
 
     Scale: one map-side token count + ONE shuffle to the per-source
     grain; everything after runs on the |sources|-row relation via
@@ -1463,24 +1469,41 @@ def source_mix_budget(docs: DataFrame, source_col: str = "source",
         .agg(F.sum("toks").alias("tokens"),
              F.count("*").cast("long").alias("n_docs"))
     )
+    return mix_allocation(per, budget_frac_pct=budget_frac_pct)
+
+
+def mix_allocation(per: DataFrame,
+                   budget_frac_pct: int = 50) -> DataFrame:
+    """The allocation arithmetic of ``source_mix_budget`` over an
+    already-aggregated (source, n_docs, tokens) relation — split out
+    so the >2^53 exactness is unit-testable without a 10^16-token
+    corpus (test_round11_operators.py pins it against Python ints)."""
+    dec = "decimal(38,0)"
+
+    def _idiv(a, b):
+        # exact floor division for nonnegative decimal(38,0) ints:
+        # (a - a%b) is exactly divisible, so the decimal division
+        # yields the integer quotient exactly at any scale
+        return ((a - a % b) / b).cast(dec)
+
     w = Window.partitionBy()
-    total = F.sum("tokens").over(w)
-    k = F.count("*").over(w)
-    budget = F.floor(total * F.lit(budget_frac_pct) / F.lit(100))
-    fair = F.floor(budget / k)
+    total = F.sum("tokens").over(w).cast(dec)
+    k = F.count("*").over(w).cast(dec)
+    budget = _idiv(total * F.lit(budget_frac_pct), F.lit(100).cast(dec))
+    fair = _idiv(budget, k)
     step1 = per.select(
         "source", "n_docs", "tokens",
-        F.least(F.col("tokens"), fair).alias("alloc1"),
+        F.least(F.col("tokens").cast(dec), fair).alias("alloc1"),
         budget.alias("budget"),
     )
     leftover = (F.col("budget")
                 - F.sum("alloc1").over(Window.partitionBy()))
-    cap = F.col("tokens") - F.col("alloc1")
+    cap = F.col("tokens").cast(dec) - F.col("alloc1")
     cap_total = F.sum(cap).over(Window.partitionBy())
     alloc2 = F.col("alloc1") + F.when(
         cap_total > 0,
-        F.least(cap, F.floor(leftover * cap / cap_total)),
-    ).otherwise(F.lit(0))
+        F.least(cap, _idiv(leftover * cap, cap_total)),
+    ).otherwise(F.lit(0).cast(dec))
     return step1.select(
         "source", "n_docs", "tokens",
         alloc2.cast("long").alias("alloc_tokens"),
@@ -1620,11 +1643,21 @@ def q141_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vocab_growth(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Vocabulary growth curve (Heaps' law table): distinct token
-    count after ingesting the first 10%, 20%, … 100% of documents in
-    id order — the tokenizer-sizing / corpus-diversity measure that
-    says whether more data still buys new vocabulary. Exact integers:
-    each token's FIRST document id is a min-aggregate; each decile
-    threshold is integer arithmetic on max(doc_id).
+    count after ingesting the first 10%, 20%, … 100% of the DOCUMENT
+    ID RANGE in id order — the tokenizer-sizing / corpus-diversity
+    measure that says whether more data still buys new vocabulary.
+    Exact integers: each token's FIRST document id is a min-aggregate;
+    each decile threshold is integer arithmetic on max(doc_id).
+
+    Deciles cut the id RANGE, not document counts (ADVICE r9): for
+    dense contiguous ids — the fixtures and the usual warehouse
+    surrogate key — the two coincide (to ±1 doc), but a sparse or
+    offset id space skews the x-axis toward where ids cluster. That
+    is the deliberate trade: exact count-based deciles would need a
+    global doc-rank (a distributed order-statistic pass over every
+    doc_id) just to place 10 grid lines on a diagnostic curve. If ids
+    are known-sparse, pre-densify with ``row_number`` upstream or
+    read the curve as "per id-range decile".
 
     Scale: tokenize is a flatMap; ONE shuffle for the per-token min;
     the growth table is a 10-row broadcast cross join over the tiny

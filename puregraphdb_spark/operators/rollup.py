@@ -240,13 +240,17 @@ def _compact_partition_manifest(spark, part_dir: str,
 
     Protocol (manifest-is-truth, generation-numbered, deferred
     deletes):
-      1. Heal: delete the previous publish's ``retired`` files —
-         but ONLY once ``retire_grace_s`` has passed since that
-         publish (``published_at`` in the manifest). The grace is
-         TIME-based, not cycle-based: the round-9 concurrent-reader
-         test caught back-to-back compaction runs healing retired
-         files out from under a reader whose scan had already planned
-         against them (FAILED_READ_FILE mid-query) — the same reason
+      1. Heal: delete ``retired`` files — but ONLY once
+         ``retire_grace_s`` has passed since the file was FIRST
+         retired (per-file ``retired_at`` in the manifest, not the
+         manifest's own publish time: a partition republishing
+         faster than the grace would otherwise reset the clock every
+         cycle and never heal anything — unbounded manifest growth,
+         ADVICE r9). The grace is TIME-based, not cycle-based: the
+         round-9 concurrent-reader test caught back-to-back
+         compaction runs healing retired files out from under a
+         reader whose scan had already planned against them
+         (FAILED_READ_FILE mid-query) — the same reason
          Delta/Iceberg VACUUM uses a retention clock, not a run
          counter. ``compact-*`` strays never published by any
          manifest (a crash before publish) are deleted immediately.
@@ -279,20 +283,28 @@ def _compact_partition_manifest(spark, part_dir: str,
 
     man = _read_manifest(part_dir)
     published = set(man["files"]) if man else set()
-    retired = set(man.get("retired", [])) if man else set()
-    published_at = float(man.get("published_at", 0.0)) if man else 0.0
+    raw_retired = man.get("retired", {}) if man else {}
+    if isinstance(raw_retired, list):
+        # legacy list-form manifest: those files were retired at the
+        # manifest's own publish time (the old single-clock scheme)
+        published_at = float(man.get("published_at", 0.0)) if man else 0.0
+        retired = {f: published_at for f in raw_retired}
+    else:
+        retired = {f: float(ts) for f, ts in raw_retired.items()}
     gen = (man["generation"] + 1) if man else 1
-    grace_passed = (time.time() - published_at) >= retire_grace_s
+    now = time.time()
     for f in list(os.listdir(part_dir)):
         if not f.endswith(".parquet") or f in published:
             continue
         if f in retired:
-            if grace_passed:
+            if now - retired[f] >= retire_grace_s:
                 os.remove(os.path.join(part_dir, f))
         elif f.startswith(_COMPACT_PREFIX):
             os.remove(os.path.join(part_dir, f))
-    still_retired = sorted(
-        f for f in retired if os.path.exists(os.path.join(part_dir, f)))
+    still_retired = {
+        f: ts for f, ts in retired.items()
+        if os.path.exists(os.path.join(part_dir, f))
+    }
     files = _manifest_files(part_dir)
     unmerged = [f for f in files if os.path.basename(f) not in published]
     if len(files) <= target_files and (man is None or not unmerged):
@@ -307,12 +319,17 @@ def _compact_partition_manifest(spark, part_dir: str,
         os.replace(os.path.join(tmp_out, f), os.path.join(part_dir, name))
         new_names.append(name)
     shutil.rmtree(tmp_out)
+    publish_ts = time.time()
+    # newly retired files get THIS publish's timestamp; files already
+    # retired keep their ORIGINAL retire time so their grace clock
+    # keeps running across republish cycles
+    retired_out = {os.path.basename(f): publish_ts for f in files}
+    retired_out.update(still_retired)
     _publish_manifest(part_dir, {
         "generation": gen,
         "files": new_names,
-        "retired": sorted(
-            {os.path.basename(f) for f in files} | set(still_retired)),
-        "published_at": time.time(),
+        "retired": retired_out,
+        "published_at": publish_ts,
     })
     return True
 

@@ -456,6 +456,91 @@ def test_manifest_committer_late_append_survives(spark, tmp_path):
     assert manifest_read() == want
 
 
+def test_manifest_retire_clock_is_per_file(spark, tmp_path):
+    """ADVICE r9: the retire grace used to be one clock per MANIFEST
+    (published_at), so a partition republishing faster than
+    retire_grace_s reset every retired file's clock each cycle and
+    never healed anything — unbounded manifest growth. Each file must
+    heal once ITS OWN retired_at + grace passes, republishes or not;
+    files retired by a LATER publish keep waiting."""
+    import json
+    import os
+
+    from puregraphdb_spark.operators.rollup import (
+        _read_manifest, compact_closed_partitions, read_finest,
+    )
+
+    table, before = _fragged_table(spark, tmp_path)
+    d = os.path.join(table, "bucket_date=2026-01-01")
+    compact_closed_partitions(
+        spark, table, closed_before="2026-01-02", committer="manifest",
+        retire_grace_s=3600.0)
+    gen1_retired = set(_read_manifest(d)["retired"])
+    assert gen1_retired  # the original fragments
+    # late append forces a second publish WITHIN the grace window
+    late = spark.createDataFrame(
+        [(999, 9, 9990)], "bucket long, grp long, n long"
+    ).withColumn("bucket_date", F.lit("2026-01-01"))
+    late.coalesce(1).write.mode("append").partitionBy(
+        "bucket_date").parquet(table)
+    compact_closed_partitions(
+        spark, table, closed_before="2026-01-02", committer="manifest",
+        retire_grace_s=3600.0)
+    man = _read_manifest(d)
+    assert man["generation"] == 2
+    # the gen-1 retirees survived the republish with their ORIGINAL
+    # retire times (strictly older than this publish's)
+    for f in gen1_retired:
+        assert man["retired"][f] < man["published_at"]
+    # simulate gen-1's grace passing (backdate ONLY those clocks)
+    for f in gen1_retired:
+        man["retired"][f] -= 7200.0
+    with open(os.path.join(d, "_manifest.json"), "w") as fh:
+        json.dump(man, fh)
+    # heal run, still inside gen-2's grace: gen-1 files go, gen-2's
+    # freshly retired inputs stay
+    assert compact_closed_partitions(
+        spark, table, closed_before="2026-01-02", committer="manifest",
+        retire_grace_s=3600.0) == []
+    on_disk = set(_part_files(table, "2026-01-01"))
+    assert not (gen1_retired & on_disk)
+    gen2_retired = {f for f in man["retired"] if f not in gen1_retired}
+    assert gen2_retired <= on_disk
+    # reads stay exact throughout
+    got = sorted(tuple(r) for r in read_finest(
+        spark, table, ["grp"], {"n": ("sum", "n")}).collect())
+    want = sorted([(r[0], r[1], r[2]) for r in before] + [(999, 9, 9990)])
+    assert got == want
+
+
+def test_manifest_legacy_list_retired_still_heals(spark, tmp_path):
+    """Manifests written by the old single-clock scheme carry
+    ``retired`` as a LIST — the heal step must keep honoring them
+    (retired_at = the manifest's published_at)."""
+    import json
+    import os
+
+    from puregraphdb_spark.operators.rollup import (
+        _read_manifest, compact_closed_partitions,
+    )
+
+    table, _ = _fragged_table(spark, tmp_path)
+    d = os.path.join(table, "bucket_date=2026-01-01")
+    compact_closed_partitions(
+        spark, table, closed_before="2026-01-02", committer="manifest",
+        retire_grace_s=3600.0)
+    man = _read_manifest(d)
+    retired_names = sorted(man["retired"])
+    man["retired"] = retired_names  # rewrite in legacy list form
+    man["published_at"] -= 7200.0   # grace has passed
+    with open(os.path.join(d, "_manifest.json"), "w") as fh:
+        json.dump(man, fh)
+    compact_closed_partitions(
+        spark, table, closed_before="2026-01-02", committer="manifest",
+        retire_grace_s=3600.0)
+    assert not (set(retired_names) & set(_part_files(table, "2026-01-01")))
+
+
 def test_manifest_committer_crash_before_publish_is_invisible(
         spark, tmp_path):
     """Kill the compactor AFTER the compacted files land but BEFORE the

@@ -121,6 +121,37 @@ def test_plant_then_scan_matches_residue_arithmetic(spark):
     assert (c.n_email, c.n_phone, c.n_ipv4, c.docs_with_pii) == (0, 0, 0, 0)
 
 
+# --------------------------------------------- mix allocation exactness
+
+
+def test_mix_allocation_exact_past_2_53(spark):
+    """ADVICE r9: the redistribution used to route long arithmetic
+    through doubles (floor(a*b/c)), losing exactness past 2^53. The
+    decimal(38,0) remainder-based floor division must match Python
+    integer arithmetic bit-for-bit on >2^53 token counts."""
+    from puregraphdb_spark.operators.pipeline import mix_allocation
+
+    data = [("a", 10, 2 ** 61), ("b", 5, 3 ** 38),
+            ("c", 7, 2 ** 53 + 1), ("d", 1, 12345)]
+    pct = 50
+    tot = sum(t for _, _, t in data)
+    budget, k = tot * pct // 100, len(data)
+    fair = budget // k
+    alloc1 = {s: min(t, fair) for s, _, t in data}
+    leftover = budget - sum(alloc1.values())
+    cap = {s: t - alloc1[s] for s, _, t in data}
+    cap_total = sum(cap.values())
+    want = {
+        s: alloc1[s] + (min(cap[s], leftover * cap[s] // cap_total)
+                        if cap_total > 0 else 0)
+        for s, _, t in data
+    }
+    df = spark.createDataFrame(data, ["source", "n_docs", "tokens"])
+    got = {r.source: r.alloc_tokens
+           for r in mix_allocation(df, pct).collect()}
+    assert got == want
+
+
 # ------------------------------------- apply_substring_dedup (q145 cut)
 
 _SHARED = " ".join(f"w{i}" for i in range(1, 11))  # 10 shared tokens
