@@ -153,10 +153,36 @@ def _track_history(record: dict) -> None:
     except (OSError, ValueError) as exc:
         print(f"bench: starting fresh history ({exc})", file=sys.stderr)
         history = []
-    prev = next(
-        (h for h in reversed(history) if h.get("sf") == record["sf"]),
-        None,
-    )
+    same_sf = [h for h in history if h.get("sf") == record["sf"]]
+    # Plausibility guard (VERDICT r10 item 7): a run whose core total
+    # deviates >1.4x either way from the trailing median is host
+    # co-tenancy noise (or a silently broken re-execution discipline),
+    # not a baseline — the 15:13 r10 outlier (1.87 s vs a stable
+    # 2.9-3.2 s band) would mask a real 50% regression if diffed
+    # against. Flag it in the history and skip flagged records when
+    # picking the regression-diff baseline. Old unflagged records are
+    # re-screened against the median at selection time, so pre-guard
+    # outliers can't be chosen either.
+    vals = sorted(h["value"] for h in same_sf
+                  if isinstance(h.get("value"), (int, float)))
+    med = vals[len(vals) // 2] if vals else None
+
+    def plausible(h) -> bool:
+        v = h.get("value")
+        if med is None or not isinstance(v, (int, float)):
+            return True
+        return (not h.get("implausible")
+                and med / 1.4 <= v <= med * 1.4)
+
+    implausible = (len(vals) >= 3 and med is not None
+                   and not (med / 1.4 <= record["value"] <= med * 1.4))
+    if implausible:
+        print(
+            f"bench: IMPLAUSIBLE run ({record['value']:.3f}s vs trailing "
+            f"median {med:.3f}s, >1.4x off) — flagged; regression diffs "
+            "will skip it", file=sys.stderr,
+        )
+    prev = next((h for h in reversed(same_sf) if plausible(h)), None)
     if prev:
         regressions = []
         for name, t in sorted(record["queries"].items()):
@@ -174,6 +200,8 @@ def _track_history(record: dict) -> None:
                   file=sys.stderr)
     entry = dict(record)
     entry["at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    if implausible:
+        entry["implausible"] = True
     history.append(entry)
     try:
         with open(path, "w") as f:
