@@ -1286,7 +1286,8 @@ def q121_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def weighted_median(df: DataFrame, value_col: str, weight_col: str,
-                    *group_cols: str) -> DataFrame:
+                    *group_cols: str,
+                    collect_small: bool = True) -> DataFrame:
     """Per-group weighted median (upper/"whichever value first
     accumulates half the total weight" variant): the smallest value v
     such that the summed weight of rows with value ≤ v reaches half
@@ -1294,26 +1295,43 @@ def weighted_median(df: DataFrame, value_col: str, weight_col: str,
     carries a size (quantity, duration, spend).
 
     Exactness: weights sum in decimal (order-immune), the half-total
-    test is ``2·cum ≥ total`` in decimal (no division, no FP), and the
-    cumulative sum uses a RANGE frame — ties all land in the same
-    cumulative value, so the crossing value is independent of tie
-    order on both engines.
+    test is ``2·cum ≥ total`` in decimal (no division, no FP), and
+    ties all land in the same cumulative value (RANGE frame on the
+    window path; equal-value runs cross at the same value on the
+    collect path), so the crossing value is independent of tie order
+    on both engines.
 
-    Scale: ONE exchange on the group key shared by both windows and
-    the final aggregate; state per row is O(1) (Spark computes the
-    unbounded-preceding RANGE frame incrementally). Measured decision
-    (sf1, 6M rows, 3 groups): the pre-collapse variant — groupBy
-    (group, value) weight sums first, window over the distinct-value
-    relation — ran 11.9–19.2 s vs 8.1–10.6 s for this direct window,
-    because values here are ~89% distinct so the extra exchange buys
-    no shrink; collapse first ONLY when values repeat heavily. For an
-    UNGROUPED median over fact-scale data use the percentile
-    machinery (operators/percentile.py) — a single-partition global
-    window does not scale, the documented q105 posture. Low-
-    cardinality group keys serialize into one window task per group
-    at extreme scale; the fix there is the same percentile machinery
-    applied per group, not this window.
+    Size-gated dual (the q17/q136 discipline — callers own the gate):
+
+    - ``collect_small=True`` (measured-small input): ONE scan, ONE
+      map-side-combining aggregation collecting each group's sorted
+      (value, weight) pairs, with the total and the crossing value
+      found by array folds — no window, no per-group sort task (a
+      3-value group key serializes the window sort into 3 tasks; the
+      q136 lesson, measured 0.47 s → ~0.15 s at sf0.1). Per-group
+      buffer is O(group size): callers MUST gate on measured bytes.
+    - ``collect_small=False``: the window plan — ONE exchange on the
+      group key shared by both windows and the final aggregate; state
+      per row is O(1). Measured decision (sf1, 6M rows, 3 groups):
+      the pre-collapse variant — groupBy (group, value) weight sums
+      first, window over the distinct-value relation — ran
+      11.9–19.2 s vs 8.1–10.6 s for this direct window, because
+      values here are ~89% distinct so the extra exchange buys no
+      shrink; collapse first ONLY when values repeat heavily. For an
+      UNGROUPED median over fact-scale data use the percentile
+      machinery (operators/percentile.py) — a single-partition global
+      window does not scale, the documented q105 posture. Low-
+      cardinality group keys still serialize this window into one
+      task per group at extreme scale; the fix there is a weighted
+      bracket-and-refine (the percentile.py pattern with weight sums
+      in place of rank counts), not yet built — this path is the
+      honest middle posture until a measured need appears.
+
+    Both paths are property-tested equal (test_round11_operators.py).
     """
+    if collect_small:
+        return _weighted_median_collect(
+            df, value_col, weight_col, *group_cols)
     wd = F.col("__w")
     cum = F.sum(wd).over(
         Window.partitionBy(*group_cols).orderBy(value_col)
@@ -1336,12 +1354,58 @@ def weighted_median(df: DataFrame, value_col: str, weight_col: str,
     )
 
 
+def _weighted_median_collect(df: DataFrame, value_col: str,
+                             weight_col: str,
+                             *group_cols: str) -> DataFrame:
+    """Measured-small path of ``weighted_median``: one aggregation,
+    crossing found by an exact decimal fold over the sorted pairs."""
+    cum_t = "decimal(38,2)"
+    agg = df.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col(value_col).alias("v"),
+            F.col(weight_col).cast("decimal(18,2)").alias("w"),
+        ))).alias("__pairs"),
+    )
+    tot = F.aggregate(
+        "__pairs", F.lit(0).cast(cum_t),
+        lambda a, x: (a + x["w"]).cast(cum_t),
+    )
+    agg = agg.withColumn("__tot", tot)
+    # fold state: (cum weight so far, first crossing value or null);
+    # ties share the crossing value, so intra-tie weight order is
+    # irrelevant — same invariance the window path gets from the
+    # RANGE frame.
+    crossing = F.aggregate(
+        "__pairs",
+        F.struct(F.lit(0).cast(cum_t).alias("cum"),
+                 F.lit(None).cast("double").alias("med")),
+        lambda a, x: F.struct(
+            (a["cum"] + x["w"]).cast(cum_t).alias("cum"),
+            F.coalesce(
+                a["med"],
+                F.when(F.lit(2) * (a["cum"] + x["w"]) >= F.col("__tot"),
+                       x["v"]),
+            ).alias("med"),
+        ),
+        lambda a: a["med"],
+    )
+    return agg.select(
+        *group_cols,
+        crossing.alias("w_median"),
+        F.col("__tot").cast("double").alias("total_weight"),
+    )
+
+
 def q122_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted median extended price per return flag (see
-    ``weighted_median``), with the group row count alongside."""
+    ``weighted_median``; size-gated dual, the q17/q136 discipline),
+    with the group row count alongside."""
+    from puregraphdb_spark.sources.registry import table_bytes
+
     li = load_table(spark, sf_dir, "lineitem")
     med = weighted_median(
-        li, "l_extendedprice", "l_quantity", "l_returnflag"
+        li, "l_extendedprice", "l_quantity", "l_returnflag",
+        collect_small=table_bytes(spark, sf_dir, "lineitem") < (32 << 20),
     )
     counts = li.groupBy("l_returnflag").agg(
         F.count("*").cast("long").alias("n_rows")

@@ -121,6 +121,50 @@ def test_plant_then_scan_matches_residue_arithmetic(spark):
     assert (c.n_email, c.n_phone, c.n_ipv4, c.docs_with_pii) == (0, 0, 0, 0)
 
 
+# ---------------------------------------------- weighted median dual
+
+
+def test_weighted_median_paths_equal(spark):
+    """The collect path (q136 lesson applied to q122) must equal the
+    window path exactly, including tie pileups and single-row groups."""
+    from puregraphdb_spark.operators.extras import weighted_median
+
+    rng = random.Random(122)
+    rows = [("g1", float(rng.randrange(50)), float(rng.randrange(1, 9)))
+            for _ in range(4000)]
+    rows += [("g_tie", 5.0, 2.5)] * 300 + [("g_tie", 7.0, 1.0)] * 100
+    rows += [("g_one", 3.25, 0.5)]
+    df = spark.createDataFrame(rows, ["k", "v", "w"])
+    a = sorted(tuple(r) for r in weighted_median(
+        df, "v", "w", "k", collect_small=True).collect())
+    b = sorted(tuple(r) for r in weighted_median(
+        df, "v", "w", "k", collect_small=False).collect())
+    assert a == b
+
+
+# -------------------------------------------------- MAD outliers dual
+
+
+def test_mad_outliers_paths_equal(spark):
+    """The one-aggregation collect path must equal the two-window
+    plan exactly, including tie pileups at the median."""
+    from puregraphdb_spark.operators.pipeline import mad_outliers
+
+    rng = random.Random(110)
+    rows = [("A", float(rng.randrange(100)), i, 1)
+            for i in range(3001)]
+    rows += [("B", 5.0, i, 1) for i in range(500)]          # all ties
+    rows += [("C", float(v), v, 1) for v in (1, 2, 1000)]   # heavy tail
+    df = spark.createDataFrame(
+        rows, ["l_returnflag", "l_extendedprice",
+               "l_orderkey", "l_linenumber"])
+    a = sorted(tuple(r) for r in mad_outliers(
+        df, collect_small=True).collect())
+    b = sorted(tuple(r) for r in mad_outliers(
+        df, collect_small=False).collect())
+    assert a == b
+
+
 # --------------------------------------------- mix allocation exactness
 
 
