@@ -1626,7 +1626,8 @@ def q139_class_balance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def split_contamination(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 4,
                         train_pct: int = 80,
-                        val_pct: int = 10) -> DataFrame:
+                        val_pct: int = 10,
+                        dup_broadcast=None) -> DataFrame:
     """Cross-split contamination audit: for each held-out split
     (val/test) under the q69 deterministic hash split, how many of its
     distinct n-token shingles ALSO appear in train, and how many of
@@ -1636,50 +1637,70 @@ def split_contamination(docs: DataFrame, id_col: str = "doc_id",
     split boundary). Exact integer counts; ratios are snapped
     divisions.
 
-    Scale: shingling is a map-side explode; ONE shuffle to the
-    distinct (split, shingle[, doc]) grain; the leak test is a
-    shingle-keyed left-semi join against the train vocabulary
-    (inverted index, never doc-pairwise).
+    Scale (r11 rewrite): the round-9 plan branched the shingle stream
+    four ways (train vocab distinct, held distinct, two semi-joins) —
+    each branch re-scanned and RE-SHINGLED the corpus, since the
+    branches diverge before any reusable exchange. Now TWO shingle
+    passes: (1) one groupBy(sh) folds per-split presence FLAGS
+    map-side (no doc payload, no skew-prone collects — a Zipf-head
+    shingle is one flag row), giving every shingle-level count and
+    the leaked vocabulary; (2) the doc-level count semi-joins the
+    held stream against that leaked vocabulary (gated broadcast via
+    ``dup_broadcast`` — leaked vocab is small in a curated corpus —
+    falling back to an AQE shuffle join past the gate). Doc totals
+    come straight off the token-length filter, no distinct needed.
     """
-    toks = hash_split(docs, id_col, train_pct, val_pct).select(
+    split_docs = hash_split(docs, id_col, train_pct, val_pct).select(
         "split", F.col(id_col).alias("doc"),
         F.split(F.col(text_col), " ").alias("toks"),
     ).filter(F.size("toks") >= n)
-    sh = toks.select(
-        "split", "doc",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
-            )
-        ).alias("sh"),
+
+    def shingled(df):
+        return df.select(
+            "split", "doc",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+                )
+            ).alias("sh"),
+        )
+
+    flags = shingled(split_docs).groupBy("sh").agg(
+        F.max((F.col("split") == "train").cast("int")).alias("t"),
+        F.max((F.col("split") == "val").cast("int")).alias("v"),
+        F.max((F.col("split") == "test").cast("int")).alias("e"),
     )
-    train_vocab = (sh.filter(F.col("split") == "train")
-                   .select("sh").distinct())
-    held = sh.filter(F.col("split") != "train")
-    held_sh = held.select("split", "sh").distinct()
-    leaked_sh = held_sh.join(train_vocab, "sh", "left_semi")
-    sh_stats = (
-        held_sh.groupBy("split")
-        .agg(F.count("*").cast("long").alias("n_shingles"))
-        .join(
-            leaked_sh.groupBy("split")
-            .agg(F.count("*").cast("long").alias("n_leaked")),
-            "split", "left")
-        .na.fill(0, ["n_leaked"])
+    tot = flags.agg(
+        F.sum("v").cast("long").alias("sh_val"),
+        F.sum(F.col("v") * F.col("t")).cast("long").alias("leak_val"),
+        F.sum("e").cast("long").alias("sh_test"),
+        F.sum(F.col("e") * F.col("t")).cast("long").alias("leak_test"),
     )
-    held_docs = held.select("split", "doc").distinct()
+    sh_stats = tot.select(F.explode(F.array(
+        F.struct(F.lit("val").alias("split"),
+                 F.col("sh_val").alias("n_shingles"),
+                 F.col("leak_val").alias("n_leaked")),
+        F.struct(F.lit("test").alias("split"),
+                 F.col("sh_test").alias("n_shingles"),
+                 F.col("leak_test").alias("n_leaked")),
+    )).alias("r")).select("r.*")
+    leaked_vocab = flags.filter(
+        (F.col("t") == 1) & ((F.col("v") == 1) | (F.col("e") == 1))
+    ).select("sh")
+    if dup_broadcast is not None:
+        leaked_vocab = dup_broadcast(leaked_vocab)
+    held = split_docs.filter(F.col("split") != "train")
     leaked_docs = (
-        held.join(train_vocab, "sh", "left_semi")
+        shingled(held).join(leaked_vocab, "sh", "left_semi")
         .select("split", "doc").distinct()
+        .groupBy("split")
+        .agg(F.count("*").cast("long").alias("n_docs_leaked"))
     )
     doc_stats = (
-        held_docs.groupBy("split")
+        held.groupBy("split")
         .agg(F.count("*").cast("long").alias("n_docs"))
-        .join(
-            leaked_docs.groupBy("split")
-            .agg(F.count("*").cast("long").alias("n_docs_leaked")),
-            "split", "left")
+        .join(leaked_docs, "split", "left")
         .na.fill(0, ["n_docs_leaked"])
     )
     return sh_stats.join(doc_stats, "split").select(
@@ -1699,9 +1720,13 @@ def split_contamination(docs: DataFrame, id_col: str = "doc_id",
 def q141_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train→val/test shingle-leakage audit under the q69 split (see
     ``split_contamination``)."""
+    from puregraphdb_spark.sources.registry import broadcast_if_small
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return final_sort(split_contamination(d), spark, sf_dir,
-                      "documents", "split")
+    res = split_contamination(
+        d, dup_broadcast=lambda df: broadcast_if_small(
+            df, spark, sf_dir, "documents"))
+    return final_sort(res, spark, sf_dir, "documents", "split")
 
 
 def vocab_growth(docs: DataFrame, id_col: str = "doc_id",
