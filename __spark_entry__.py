@@ -531,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_dedup_impact": pipeline.q144_dedup_impact,
         "q145_substring_dedup": pipeline.q145_substring_dedup,
         "q146_pii_scan": pii.q146_pii_scan,
+        "q147_token_length_profile": pipeline.q147_token_length_profile,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -703,7 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: Round-11 driver window (first 50 entries the driver records).
 _FRONT_WINDOW = [
     # NEW round-11 entries (never recorded, by construction)
-    "q146_pii_scan",
+    "q146_pii_scan", "q147_token_length_profile",
     # r6-stale cohort (last driver-recorded round 6 — oldest records)
     "q69_hash_split", "q70_tfidf", "q71_quality_filter",
     "q72_langid_confusion", "q73_stratified_sample",
@@ -723,7 +724,7 @@ _FRONT_WINDOW = [
     "graph_sssp_weighted", "graph_harmonic", "graph_betweenness",
     "graph_betweenness_approx", "graph_louvain",
     "graph_louvain_weighted", "graph_hits", "graph_anf",
-    "graph_ktruss", "text_profile", "text_quality_report",
+    "graph_ktruss", "text_profile",
 ]
 
 
@@ -3418,5 +3419,42 @@ def oracle_sql() -> dict[str, str]:
                         as decimal(28,10)), 6) as double)
                      as pii_doc_ratio
             from per_doc group by source order by source
+        """,
+        "q147_token_length_profile": """
+            with per_doc as (
+                select source,
+                       cast(len(list_filter(string_split(text, ' '),
+                            t -> t <> '')) as bigint) as n_toks
+                from documents),
+            tot as (
+                select source, cast(count(*) as bigint) as n_docs,
+                       cast(sum(n_toks) as bigint) as total_tokens
+                from per_doc group by source),
+            ranked as (
+                select source, n_toks,
+                       row_number() over (partition by source
+                                          order by n_toks) as rn,
+                       count(*) over (partition by source) as n
+                from per_doc),
+            picks as (
+                select source,
+                       max(case when rn = greatest(cast(floor(
+                           (25*n+99)/100) as bigint), 1)
+                           then n_toks end) as p25_tokens,
+                       max(case when rn = greatest(cast(floor(
+                           (50*n+99)/100) as bigint), 1)
+                           then n_toks end) as p50_tokens,
+                       max(case when rn = greatest(cast(floor(
+                           (90*n+99)/100) as bigint), 1)
+                           then n_toks end) as p90_tokens,
+                       max(case when rn = greatest(cast(floor(
+                           (99*n+99)/100) as bigint), 1)
+                           then n_toks end) as p99_tokens
+                from ranked group by source)
+            select t.source, t.n_docs, t.total_tokens,
+                   p.p25_tokens, p.p50_tokens, p.p90_tokens,
+                   p.p99_tokens
+            from tot t join picks p on t.source = p.source
+            order by t.source
         """,
     }

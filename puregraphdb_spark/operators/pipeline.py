@@ -1949,6 +1949,118 @@ def substring_dedup_report(docs: DataFrame, k: int = 8,
     )
 
 
+def token_length_profile(docs: DataFrame, source_col: str = "source",
+                         text_col: str = "text",
+                         pcts: tuple[int, ...] = (25, 50, 90, 99),
+                         n_estimate: int | None = None,
+                         accuracy: int = 1000,
+                         band_target: int = 100_000) -> DataFrame:
+    """Per-source token-count distribution: document count, total
+    tokens, and EXACT rank-based percentiles (p25/p50/p90/p99 token
+    lengths) — the sequence-length sizing report read before choosing
+    a packing budget (q92) or a truncation length; mean-only stats
+    (q28) hide the long tail that blows up attention memory.
+
+    Percentiles are the ``ceil(p/100·n)``-th order statistics (the
+    q136 rank discipline — actual data values, integer rank
+    arithmetic, no interpolation), so every number is engine-exact.
+
+    Size-gated dual (q17/q136 discipline — callers own the gate):
+    ``n_estimate=None`` (measured-small) collects each source's
+    sorted token counts in ONE aggregation (per-group buffer is ONE
+    long per doc — still 8 GB at 10^9 docs/source, so the gate
+    matters); past the gate, a GK bracket around EVERY target rank +
+    one band-bounded pass picks the exact order statistics, the
+    winsorized_stats bracket argument verbatim (groups under
+    max(1000, accuracy) rows collect whole; accuracy autoscales to
+    keep each band ≤ band_target). Paths property-tested equal.
+    """
+    per_doc = docs.select(
+        F.col(source_col).alias("source"),
+        F.size(_nonempty_tokens(text_col)).cast("long").alias("n_toks"),
+    )
+
+    def rank_of(p, n):
+        return F.greatest(
+            F.floor((F.lit(p) * n + F.lit(99)) / F.lit(100)), F.lit(1))
+
+    if n_estimate is None:
+        agg = per_doc.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.sort_array(F.collect_list("n_toks")).alias("__band"),
+        )
+        cols = [
+            F.element_at(
+                "__band", rank_of(p, F.col("n_docs")).cast("int"))
+            .alias(f"p{p}_tokens")
+            for p in pcts
+        ]
+        return agg.select("source", "n_docs", "total_tokens", *cols)
+
+    accuracy = max(accuracy, -(-10 * max(n_estimate, 1) // band_target))
+    small_floor = max(1000, accuracy)
+    margin = 5.0 / accuracy
+    targets = []
+    for p in pcts:
+        targets += [max(0.0, p / 100.0 - margin),
+                    min(1.0, p / 100.0 + margin)]
+    bounds = per_doc.groupBy("source").agg(
+        F.percentile_approx("n_toks", F.lit(targets), F.lit(accuracy))
+        .alias("bnd"),
+        F.count("*").alias("n_g"),
+    ).select(
+        F.col("source").alias("b_src"),
+        *[F.col("bnd")[2 * i].alias(f"lo{i}") for i in range(len(pcts))],
+        *[F.col("bnd")[2 * i + 1].alias(f"hi{i}")
+          for i in range(len(pcts))],
+        "n_g",
+    )
+    small = F.col("n_g") <= small_floor
+    v = F.col("n_toks")
+    agg = (
+        per_doc.join(F.broadcast(bounds),
+                     F.col("source") == F.col("b_src"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            *[F.sum(F.when(~small & (v < F.col(f"lo{i}")), 1)
+                    .otherwise(0)).alias(f"a{i}")
+              for i in range(len(pcts))],
+            *[F.sort_array(F.collect_list(F.when(
+                small | ((v >= F.col(f"lo{i}")) & (v <= F.col(f"hi{i}"))),
+                v))).alias(f"band{i}")
+              for i in range(len(pcts))],
+        )
+    )
+    cols = [
+        F.element_at(
+            f"band{i}",
+            (rank_of(p, F.col("n_docs")) - F.col(f"a{i}")).cast("int"))
+        .alias(f"p{p}_tokens")
+        for i, p in enumerate(pcts)
+    ]
+    return agg.select("source", "n_docs", "total_tokens", *cols)
+
+
+def q147_token_length_profile(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Per-source exact token-length percentiles (see
+    ``token_length_profile``; size-gated dual)."""
+    from puregraphdb_spark.operators.percentile import estimate_rows
+    from puregraphdb_spark.sources.registry import table_bytes
+
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    if table_bytes(spark, sf_dir, "documents") < (32 << 20):
+        res = token_length_profile(d)
+    else:
+        res = token_length_profile(
+            d, n_estimate=estimate_rows(spark, sf_dir, "documents",
+                                        bytes_per_row=200))
+    return final_sort(res, spark, sf_dir, "documents", "source")
+
+
 def apply_substring_dedup(docs: DataFrame, spans: DataFrame | None = None,
                           k: int = 8, text_col: str = "text",
                           dup_broadcast=None) -> DataFrame:

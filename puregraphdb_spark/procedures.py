@@ -814,6 +814,16 @@ def _apply_substring_dedup(spark, docs: str = "documents",
                                  text_col=text_col)
 
 
+def _token_length_profile(spark, docs: str = "documents",
+                          source_col: str = "source",
+                          text_col: str = "text") -> DataFrame:
+    from puregraphdb_spark.operators.pipeline import token_length_profile
+
+    return token_length_profile(_view(spark, docs),
+                                source_col=source_col,
+                                text_col=text_col)
+
+
 def _pii_scan(spark, docs: str = "documents",
               text_col: str = "text",
               source_col: str = "source") -> DataFrame:
@@ -912,6 +922,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "pii_scan": _pii_scan,
     "redact_pii": _redact_pii,
     "apply_substring_dedup": _apply_substring_dedup,
+    "token_length_profile": _token_length_profile,
 }
 
 

@@ -1305,4 +1305,40 @@ SPARK_SQL: dict[str, str] = {
                     as decimal(28,10)), 6) as double) as pii_doc_ratio
         from per_doc group by source order by source
     """,
+    "q147_token_length_profile": """
+        with per_doc as (
+            select source,
+                   cast(size(filter(split(lower(text), ' '),
+                        t -> t <> '')) as bigint) as n_toks
+            from documents),
+        tot as (
+            select source, cast(count(*) as bigint) as n_docs,
+                   cast(sum(n_toks) as bigint) as total_tokens
+            from per_doc group by source),
+        ranked as (
+            select source, n_toks,
+                   row_number() over (partition by source
+                                      order by n_toks) as rn,
+                   count(*) over (partition by source) as n
+            from per_doc),
+        picks as (
+            select source,
+                   max(case when rn = greatest(cast(floor(
+                       (25*n+99)/100) as bigint), cast(1 as bigint))
+                       then n_toks end) as p25_tokens,
+                   max(case when rn = greatest(cast(floor(
+                       (50*n+99)/100) as bigint), cast(1 as bigint))
+                       then n_toks end) as p50_tokens,
+                   max(case when rn = greatest(cast(floor(
+                       (90*n+99)/100) as bigint), cast(1 as bigint))
+                       then n_toks end) as p90_tokens,
+                   max(case when rn = greatest(cast(floor(
+                       (99*n+99)/100) as bigint), cast(1 as bigint))
+                       then n_toks end) as p99_tokens
+            from ranked group by source)
+        select t.source, t.n_docs, t.total_tokens,
+               p.p25_tokens, p.p50_tokens, p.p90_tokens, p.p99_tokens
+        from tot t join picks p on t.source = p.source
+        order by t.source
+    """,
 }

@@ -142,6 +142,28 @@ def test_weighted_median_paths_equal(spark):
     assert a == b
 
 
+# ------------------------------------------- token length profile dual
+
+
+def test_token_length_profile_paths_equal(spark):
+    """The bracket path must pick the exact same order statistics as
+    the collect path, on a >small_floor group with heavy ties plus
+    degenerate small groups."""
+    from puregraphdb_spark.operators.pipeline import token_length_profile
+
+    rng = random.Random(147)
+    rows = [("big", "w " * rng.randrange(1, 40)) for _ in range(5000)]
+    rows += [("tiny", "a b c")] * 3 + [("one", "x y")]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    a = sorted(tuple(r) for r in token_length_profile(df).collect())
+    b = sorted(tuple(r) for r in token_length_profile(
+        df, n_estimate=10_000).collect())
+    assert a == b
+    c = sorted(tuple(r) for r in token_length_profile(
+        df, n_estimate=10 ** 9).collect())  # autoscaled accuracy
+    assert a == c
+
+
 # -------------------------------------------------- MAD outliers dual
 
 

@@ -77,6 +77,7 @@ DUCKDB_ONLY = {
     "q144_dedup_impact",     # regexp_replace 'g' flag argument
     "q145_substring_dedup",  # string_split/list_slice/unnest
     "q146_pii_scan",         # len(regexp_extract_all(..)) / varchar
+    "q147_token_length_profile",  # list_filter/string_split/len
 }
 
 ORACLES = entrymod.oracle_sql()
