@@ -532,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_substring_dedup": pipeline.q145_substring_dedup,
         "q146_pii_scan": pii.q146_pii_scan,
         "q147_token_length_profile": pipeline.q147_token_length_profile,
+        "q148_benchmark_attribution": llm.q148_benchmark_attribution,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -705,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _FRONT_WINDOW = [
     # NEW round-11 entries (never recorded, by construction)
     "q146_pii_scan", "q147_token_length_profile",
+    "q148_benchmark_attribution",
     # r6-stale cohort (last driver-recorded round 6 — oldest records)
     "q69_hash_split", "q70_tfidf", "q71_quality_filter",
     "q72_langid_confusion", "q73_stratified_sample",
@@ -724,7 +726,7 @@ _FRONT_WINDOW = [
     "graph_sssp_weighted", "graph_harmonic", "graph_betweenness",
     "graph_betweenness_approx", "graph_louvain",
     "graph_louvain_weighted", "graph_hits", "graph_anf",
-    "graph_ktruss", "text_profile",
+    "graph_ktruss",
 ]
 
 
@@ -3456,5 +3458,58 @@ def oracle_sql() -> dict[str, str]:
                    p.p99_tokens
             from tot t join picks p on t.source = p.source
             order by t.source
+        """,
+        "q148_benchmark_attribution": """
+            with benches as (
+                select 'bench_a' as bench,
+                       substring(text, 10, 200) as text
+                from documents where doc_id % 97 = 0
+                union all
+                select 'bench_b', substring(text, 30, 200)
+                from documents where doc_id % 89 = 0
+                union all
+                select 'bench_c', substring(text, 50, 200)
+                from documents where doc_id % 83 = 0),
+            bg as (select distinct bench, gram from (
+                     select bench,
+                            unnest(list_transform(
+                              generate_series(1, greatest(
+                                len(string_split(lower(text), ' ')) - 4,
+                                0)),
+                              i -> array_to_string(list_slice(
+                                string_split(lower(text), ' '), i, i + 4),
+                                ' '))) as gram
+                     from benches)),
+            ct as (select source, doc_id as doc,
+                          string_split(lower(text), ' ') as ts
+                   from documents),
+            cg as (select source, doc, unnest(list_distinct(
+                          list_transform(
+                            generate_series(1, greatest(len(ts) - 4, 0)),
+                            i -> array_to_string(
+                              list_slice(ts, i, i + 4), ' ')))) as gram
+                   from ct),
+            hits as (
+                select source, bench,
+                       cast(count(*) as bigint) as n_contaminated
+                from (select distinct cg.source, cg.doc, bg.bench
+                      from cg join bg on cg.gram = bg.gram)
+                group by source, bench),
+            totals as (select source, cast(count(*) as bigint) as n_docs
+                       from documents group by source),
+            grid as (select t.source, b.bench, t.n_docs
+                     from totals t
+                     cross join (select distinct bench from benches) b)
+            select g.source, g.bench, g.n_docs,
+                   cast(coalesce(h.n_contaminated, 0) as bigint)
+                     as n_contaminated,
+                   cast(round(cast(
+                        cast(coalesce(h.n_contaminated, 0) as double)
+                        / cast(g.n_docs as double)
+                        as decimal(28,10)), 6) as double)
+                     as contam_doc_ratio
+            from grid g left join hits h
+              on g.source = h.source and g.bench = h.bench
+            order by g.source, g.bench
         """,
     }

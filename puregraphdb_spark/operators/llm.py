@@ -327,6 +327,32 @@ def q66_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q148_benchmark_attribution(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per (source, benchmark) contamination attribution over THREE
+    simulated benchmarks (residue-class excerpts at distinct offsets,
+    the q66 synthesis extended) — see
+    ``text.benchmark_attribution``."""
+    from puregraphdb_spark.operators.text import benchmark_attribution
+    from puregraphdb_spark.sources.registry import table_bytes
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def mk(label: str, mod: int, off: int):
+        return d.filter(F.col("doc_id") % mod == 0).select(
+            F.lit(label).alias("bench"),
+            F.substring("text", off, 200).alias("text"),
+        )
+
+    benches = (mk("bench_a", 97, 10)
+               .unionByName(mk("bench_b", 89, 30))
+               .unionByName(mk("bench_c", 83, 50)))
+    bounded = table_bytes(spark, sf_dir, "documents") < (2 << 30)
+    rep = benchmark_attribution(d, benches, n=5,
+                                broadcast_benchmark=bounded)
+    return final_sort(rep, spark, sf_dir, "documents", "source", "bench")
+
+
 def q102_boilerplate_shingles(spark, sf_dir: str):
     """Cross-document boilerplate detector: per language, how many
     distinct 4-token shingles exist and how many appear in MORE THAN

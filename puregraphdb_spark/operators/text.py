@@ -227,6 +227,72 @@ def contamination_report(corpus: DataFrame, benchmark: DataFrame,
     )
 
 
+def benchmark_attribution(corpus: DataFrame, benchmarks: DataFrame,
+                          n: int = 5, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          source_col: str = "source",
+                          bench_col: str = "bench",
+                          broadcast_benchmark: bool = True) -> DataFrame:
+    """Multi-benchmark decontamination attribution: per (corpus
+    source, benchmark), how many corpus documents share at least one
+    word n-gram with THAT benchmark — q66 tells you a doc is
+    contaminated; this tells you which eval suite leaked into which
+    feed, the table a curation run reads to decide what to drop and
+    which upstream source to fix. Zero rows are kept (the full
+    source × benchmark grid), so a clean cell is evidence, not
+    absence. ``benchmarks`` is a (bench, text) relation.
+
+    Scale: the benchmark side explodes to a distinct (bench, gram)
+    table — bounded, BROADCAST under the caller's gate; corpus grams
+    build and dedup map-side per doc and die in the broadcast join
+    unless they match, so the only shuffle is the distinct
+    (source, doc, bench) hit set — at most |benchmark grams| ×
+    dup-factor, never corpus-sized. The grid is a tiny cross join of
+    two distinct aggregates.
+    """
+    bg = (
+        benchmarks.select(
+            F.col(bench_col).alias("bench"),
+            F.explode(word_ngrams(text_col, n)).alias("gram"),
+        ).distinct()
+    )
+    if broadcast_benchmark:
+        bg = F.broadcast(bg)
+    ng = word_ngram_array(F.col("__ts"), n)
+    cg = (
+        corpus.select(
+            F.col(source_col).alias("source"),
+            F.col(id_col).alias("doc"),
+            F.split(F.lower(text_col), " ").alias("__ts"),
+        )
+        .select("source", "doc",
+                F.explode(F.array_distinct(ng)).alias("gram"))
+    )
+    hits = (
+        cg.join(bg, "gram")
+        .select("source", "doc", "bench").distinct()
+        .groupBy("source", "bench")
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+    totals = corpus.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").cast("long").alias("n_docs"))
+    grid = totals.crossJoin(
+        benchmarks.select(F.col(bench_col).alias("bench")).distinct())
+    from puregraphdb_spark.functions.numeric import decimal_round
+
+    return (
+        grid.join(hits, ["source", "bench"], "left")
+        .na.fill(0, ["n_contaminated"])
+        .select(
+            "source", "bench", "n_docs", "n_contaminated",
+            decimal_round(
+                F.col("n_contaminated").cast("double")
+                / F.col("n_docs").cast("double"), 6, grid=10,
+            ).alias("contam_doc_ratio"),
+        )
+    )
+
+
 # -- corpus-level operators (rows-only queries() entries) --------------------
 
 

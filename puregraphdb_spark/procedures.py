@@ -814,6 +814,15 @@ def _apply_substring_dedup(spark, docs: str = "documents",
                                  text_col=text_col)
 
 
+def _benchmark_attribution(spark, docs: str = "documents",
+                           benchmarks: str = "benchmarks",
+                           n: int = 5) -> DataFrame:
+    from puregraphdb_spark.operators.text import benchmark_attribution
+
+    return benchmark_attribution(_view(spark, docs),
+                                 _view(spark, benchmarks), n=int(n))
+
+
 def _token_length_profile(spark, docs: str = "documents",
                           source_col: str = "source",
                           text_col: str = "text") -> DataFrame:
@@ -923,6 +932,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "redact_pii": _redact_pii,
     "apply_substring_dedup": _apply_substring_dedup,
     "token_length_profile": _token_length_profile,
+    "benchmark_attribution": _benchmark_attribution,
 }
 
 

@@ -1341,4 +1341,52 @@ SPARK_SQL: dict[str, str] = {
         from tot t join picks p on t.source = p.source
         order by t.source
     """,
+    "q148_benchmark_attribution": """
+        with benches as (
+            select 'bench_a' as bench, substring(text, 10, 200) as text
+            from documents where doc_id % 97 = 0
+            union all
+            select 'bench_b', substring(text, 30, 200)
+            from documents where doc_id % 89 = 0
+            union all
+            select 'bench_c', substring(text, 50, 200)
+            from documents where doc_id % 83 = 0),
+        bt as (select bench, split(lower(text), ' ') as ts from benches),
+        bg as (select distinct bench, gram from (
+                 select bench,
+                        explode(case when size(ts) >= 5 then
+                          transform(sequence(1, size(ts) - 4),
+                            i -> array_join(slice(ts, i, 5), ' '))
+                        else cast(array() as array<string>) end) as gram
+                 from bt)),
+        ct as (select source, doc_id as doc, split(lower(text), ' ') as ts
+               from documents),
+        cg as (select source, doc,
+                      explode(case when size(ts) >= 5 then
+                        array_distinct(transform(sequence(1, size(ts) - 4),
+                          i -> array_join(slice(ts, i, 5), ' ')))
+                      else cast(array() as array<string>) end) as gram
+               from ct),
+        hits as (
+            select source, bench,
+                   cast(count(*) as bigint) as n_contaminated
+            from (select distinct cg.source, cg.doc, bg.bench
+                  from cg join bg on cg.gram = bg.gram)
+            group by source, bench),
+        totals as (select source, cast(count(*) as bigint) as n_docs
+                   from documents group by source),
+        grid as (select t.source, b.bench, t.n_docs
+                 from totals t
+                 cross join (select distinct bench from benches) b)
+        select g.source, g.bench, g.n_docs,
+               cast(coalesce(h.n_contaminated, 0) as bigint)
+                 as n_contaminated,
+               cast(round(cast(
+                    cast(coalesce(h.n_contaminated, 0) as double)
+                    / cast(g.n_docs as double)
+                    as decimal(28,10)), 6) as double) as contam_doc_ratio
+        from grid g left join hits h
+          on g.source = h.source and g.bench = h.bench
+        order by g.source, g.bench
+    """,
 }

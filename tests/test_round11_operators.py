@@ -142,6 +142,33 @@ def test_weighted_median_paths_equal(spark):
     assert a == b
 
 
+# ------------------------------------------- benchmark attribution
+
+
+def test_benchmark_attribution_hand_grid(spark):
+    """Hand-computed (source, bench) grid: which eval suite leaked
+    into which feed, zero cells kept."""
+    from puregraphdb_spark.operators.text import benchmark_attribution
+
+    run = "alpha beta gamma delta epsilon"          # one shared 5-gram
+    run2 = "one two three four five six"            # two 5-grams
+    corpus = spark.createDataFrame([
+        (1, f"{run} tail words here", "a"),
+        (2, "totally clean document text here", "a"),
+        (3, f"lead in {run2}", "b"),
+        (4, f"{run2} again and again", "b"),
+    ], ["doc_id", "text", "source"])
+    benches = spark.createDataFrame([
+        ("X", run), ("Y", run2), ("Z", "no overlap at all whatsoever"),
+    ], ["bench", "text"])
+    got = {(r.source, r.bench): (r.n_docs, r.n_contaminated)
+           for r in benchmark_attribution(corpus, benches).collect()}
+    assert got == {
+        ("a", "X"): (2, 1), ("a", "Y"): (2, 0), ("a", "Z"): (2, 0),
+        ("b", "X"): (2, 0), ("b", "Y"): (2, 2), ("b", "Z"): (2, 0),
+    }
+
+
 # ------------------------------------------- token length profile dual
 
 

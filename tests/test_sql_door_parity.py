@@ -78,6 +78,7 @@ DUCKDB_ONLY = {
     "q145_substring_dedup",  # string_split/list_slice/unnest
     "q146_pii_scan",         # len(regexp_extract_all(..)) / varchar
     "q147_token_length_profile",  # list_filter/string_split/len
+    "q148_benchmark_attribution",  # string_split/list_slice/unnest
 }
 
 ORACLES = entrymod.oracle_sql()
