@@ -200,6 +200,14 @@ def q63_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     you band first (similarity.near_dup_pairs) and run THIS arithmetic
     only inside candidate buckets; the operator is that verify step as
     a standalone oracled query.
+
+    sf1 verification cost, measured r11: 180 s Spark + 160 s DuckDB —
+    the 1.43M true ≥0.6 pairs of the pathologically self-similar
+    synthetic corpus make the RESULT the work on both engines (not
+    the Arrow fetch, as r10 guessed). The default two-scale sweep
+    therefore verifies this entry at sf0.1 (full frame compare) and
+    folds it engine-side at sf1 under ``--full``
+    (tools/verify_all.FOLD_AT_SF1).
     """
     from puregraphdb_spark.sources.registry import broadcast_if_small, table_bytes
 

@@ -40,6 +40,17 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 }
 
 
+def pii_count_columns(text_col: str = "text") -> list[F.Column]:
+    """Per-kind match-count columns (``__email``, ``__phone``,
+    ``__ipv4``) — the map-side building block shared by the batch
+    report and the streaming monitor (streaming/pii_monitor.py)."""
+    return [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+        .cast("long").alias(f"__{kind}")
+        for kind, (pat, _) in PII_PATTERNS.items()
+    ]
+
+
 def pii_scan(docs: DataFrame, text_col: str = "text",
              source_col: str = "source") -> DataFrame:
     """Per-source PII exposure report: document counts, per-kind hit
@@ -48,11 +59,7 @@ def pii_scan(docs: DataFrame, text_col: str = "text",
     One map-side tokenize-and-count per kind, one shuffle on the
     source key; only per-doc counts cross the exchange.
     """
-    counts = [
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
-        .cast("long").alias(f"__{kind}")
-        for kind, (pat, _) in PII_PATTERNS.items()
-    ]
+    counts = pii_count_columns(text_col)
     per_doc = docs.select(F.col(source_col).alias("source"), *counts)
     any_hit = sum(
         (F.col(f"__{k}") for k in PII_PATTERNS),
