@@ -416,11 +416,15 @@ def cross_source_shingles(docs: DataFrame, source_col: str = "source",
     within a language) and the planning input for source-level dedup
     ordering. Exact integer counts; Jaccard is one snapped division.
 
-    Scale: shingling is a map-side explode; ONE shuffle to the
-    distinct (source, shingle) grain; the pair join is shingle-keyed
-    (inverted-index style, NOT pairwise over docs), so candidate
-    volume is bounded by vocabulary overlap, and the output is at most
-    |sources|² rows. Per-source vocab sizes ride the same relation.
+    Scale (r11 rewrite): shingling is a map-side explode; ONE shuffle
+    folds each shingle's SOURCE SET (bounded by |sources|, so no skew
+    risk and no payload blow-up — a Zipf-head shingle is one short
+    array row); the pair counts then come from a map-side
+    combinations explode of those tiny arrays — the round-9 plan's
+    shingle-keyed SELF-JOIN (which re-exchanged the whole distinct
+    vocabulary by shingle on both sides) is gone. Per-source vocab
+    sizes ride the same per-shingle relation. Output stays at most
+    |sources|² rows.
     """
     toks = docs.select(
         F.col(source_col).alias("source"),
@@ -434,14 +438,23 @@ def cross_source_shingles(docs: DataFrame, source_col: str = "source",
                 lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
             )
         ).alias("sh"),
-    ).distinct()
-    vocab = sh.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_sh"))
-    a = sh.select(F.col("source").alias("src_a"), "sh")
-    b = sh.select(F.col("source").alias("src_b"), "sh")
+    )
+    per_sh = sh.groupBy("sh").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs"))
+    vocab = (
+        per_sh.select(F.explode("srcs").alias("source"))
+        .groupBy("source").agg(F.count("*").cast("long").alias("n_sh"))
+    )
+    pair_arr = F.flatten(F.transform(
+        "srcs",
+        lambda a: F.transform(
+            F.filter("srcs", lambda b: b > a),
+            lambda b: F.struct(a.alias("src_a"), b.alias("src_b")),
+        ),
+    ))
     overlap = (
-        a.join(b, "sh")
-        .filter(F.col("src_a") < F.col("src_b"))
+        per_sh.select(F.explode(pair_arr).alias("p"))
+        .select("p.src_a", "p.src_b")
         .groupBy("src_a", "src_b")
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
