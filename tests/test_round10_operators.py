@@ -27,11 +27,16 @@ def test_winsorized_single_scan_plan(spark):
 
 def test_winsorized_bracket_plan_no_window(spark):
     """Past the size gate: two scans (sketch bracket + band pass), the
-    3-row brackets broadcast, and STILL no per-group sort window."""
-    from puregraphdb_spark.sources.registry import load_table
+    3-row brackets broadcast, and STILL no per-group sort window.
 
-    l = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
-        "l_returnflag", "l_extendedprice")
+    Reads the parquet directly rather than via load_table: the
+    load_table memo can carry a repartition exchange (latency-mode
+    width) from an earlier Engine test in the same session, which
+    ReusedExchange then legitimately collapses to ONE scan — a better
+    plan, but not the shape this test pins (found as an order-
+    dependent failure in the r11 full-suite run)."""
+    l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet") \
+        .select("l_returnflag", "l_extendedprice")
     df = winsorized_stats(l, "l_returnflag", "l_extendedprice",
                           n_estimate=10_000)
     plan = df._jdf.queryExecution().executedPlan().toString()
