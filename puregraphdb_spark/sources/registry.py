@@ -56,6 +56,17 @@ _PARTITION_KEYS: dict[str, str | None] = {
 _LOADED: dict[tuple[int, str, str], DataFrame] = {}
 
 
+def _scan_partitions(spark: SparkSession) -> int:
+    """The repartition width load_table would use under the CURRENT
+    session conf (also part of the memo key — see load_table)."""
+    par = spark.sparkContext.defaultParallelism
+    try:
+        par = min(par, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except (TypeError, ValueError):
+        pass  # non-numeric conf (foreign session) → cores-wide default
+    return int(os.environ.get("SPARK_GRAFT_SCAN_PARTITIONS", par))
+
+
 def load_table(spark: SparkSession, data_dir: str, name: str) -> DataFrame:
     """Read one named table from ``{data_dir}/{name}.parquet`` (or a
     partitioned directory of the same name, transparently).
@@ -65,7 +76,12 @@ def load_table(spark: SparkSession, data_dir: str, name: str) -> DataFrame:
     Hadoop-compatible URI (s3://, hdfs://, file:/), matching the
     partitioned-directory 100-TB posture.
     """
-    key = (id(spark), data_dir, name)
+    # The memo key includes the repartition width the CURRENT session
+    # conf would pick: memoizing only on (session, dir, name) let the
+    # first loader's latency-mode width leak into every later caller
+    # of the same session (order-dependent plans; found r11 via an
+    # order-dependent plan-pin failure).
+    key = (id(spark), data_dir, name, _scan_partitions(spark))
     if key in _LOADED:
         return _LOADED[key]
 
@@ -107,12 +123,7 @@ def load_table(spark: SparkSession, data_dir: str, name: str) -> DataFrame:
         # The repartition IS a shuffle, so its width honors the session's
         # shuffle fan-out (latency mode pins it low for sub-GB inputs;
         # cluster deployments keep the cores-wide default).
-        par = spark.sparkContext.defaultParallelism
-        try:
-            par = min(par, int(spark.conf.get("spark.sql.shuffle.partitions")))
-        except (TypeError, ValueError):
-            pass  # non-numeric conf (foreign session) → cores-wide default
-        par = int(os.environ.get("SPARK_GRAFT_SCAN_PARTITIONS", par))
+        par = _scan_partitions(spark)
         if df.rdd.getNumPartitions() < max(2, par // 2):
             pkey = _PARTITION_KEYS[name]
             df = df.repartition(par, pkey) if pkey else df.repartition(par)
