@@ -933,28 +933,41 @@ def cooccur_lift(lineitem: DataFrame, n_orders_df: DataFrame,
     co-occurrence structure the graph queries project (SURVEY §2.3),
     which those queries never expose as association scores.
 
-    Scale: the (orderkey, partkey) dedup and the self-join are both
-    keyed on l_orderkey — co-located with lineitem's load partitioning
-    (zero extra shuffle); the pair aggregation is the one wide shuffle;
-    per-part order counts are part-keyspace-sized, so they are joined
-    back through ``hint`` — the oracled wrapper passes the MEASURED
-    size gate (broadcast under it, shuffle join past it; a bare
-    F.broadcast would force-broadcast a scale-growing aggregate at
-    100 TB). The 1-row total is always broadcast. Top-k plans as
-    TakeOrderedAndProject.
+    Scale (r11 rewrite, the q134 discipline): ONE groupBy(l_orderkey)
+    folds each basket's distinct part set — co-located with
+    lineitem's load partitioning (zero extra shuffle) and BOUNDED by
+    basket width (~lines per order), so no skew risk; both the
+    per-part order counts and the pair stream then explode from those
+    tiny arrays map-side — the r5 plan's orderkey self-join (which
+    branched the distinct three ways) is gone. The pair aggregation
+    is the one wide shuffle; per-part order counts are
+    part-keyspace-sized, so they are joined back through ``hint`` —
+    the oracled wrapper passes the MEASURED size gate (broadcast
+    under it, shuffle join past it; a bare F.broadcast would
+    force-broadcast a scale-growing aggregate at 100 TB). The 1-row
+    total is always broadcast. Top-k plans as TakeOrderedAndProject.
 
     Exactness: all counts are exact integers; lift is ONE division of
     exact long products (≤ 2^53, value-preserving in double) snapped on
     the decimal grid; (lift desc, a, b) is a total order.
     """
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
-    n_a = items.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.count("*").alias("n_one"))
-    a = items.select("l_orderkey", F.col("l_partkey").alias("a"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("b"))
+    baskets = lineitem.select("l_orderkey", "l_partkey").groupBy(
+        "l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    n_a = (
+        baskets.select(F.explode("parts").alias("pk"))
+        .groupBy("pk").agg(F.count("*").alias("n_one"))
+    )
+    pair_arr = F.flatten(F.transform(
+        "parts",
+        lambda x: F.transform(
+            F.filter("parts", lambda y: y > x),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    ))
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select("p.a", "p.b")
         .groupBy("a", "b").agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= min_support)
     )
