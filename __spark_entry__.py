@@ -533,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_pii_scan": pii.q146_pii_scan,
         "q147_token_length_profile": pipeline.q147_token_length_profile,
         "q148_benchmark_attribution": llm.q148_benchmark_attribution,
+        "q149_doc_stitching": pipeline.q149_doc_stitching,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -706,7 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _FRONT_WINDOW = [
     # NEW round-11 entries (never recorded, by construction)
     "q146_pii_scan", "q147_token_length_profile",
-    "q148_benchmark_attribution",
+    "q148_benchmark_attribution", "q149_doc_stitching",
     # r6-stale cohort (last driver-recorded round 6 — oldest records)
     "q69_hash_split", "q70_tfidf", "q71_quality_filter",
     "q72_langid_confusion", "q73_stratified_sample",
@@ -726,7 +727,6 @@ _FRONT_WINDOW = [
     "graph_sssp_weighted", "graph_harmonic", "graph_betweenness",
     "graph_betweenness_approx", "graph_louvain",
     "graph_louvain_weighted", "graph_hits", "graph_anf",
-    "graph_ktruss",
 ]
 
 
@@ -3511,5 +3511,33 @@ def oracle_sql() -> dict[str, str]:
             from grid g left join hits h
               on g.source = h.source and g.bench = h.bench
             order by g.source, g.bench
+        """,
+        "q149_doc_stitching": """
+            with base as (
+                select doc_id as doc, source as src,
+                       list_filter(string_split(lower(text), ' '),
+                                   t -> t <> '') as toks
+                from documents),
+            st as (select doc, src, len(toks) as n, toks
+                   from base where len(toks) >= 6),
+            edges as (
+                select doc, src,
+                       md5(array_to_string(
+                           list_slice(toks, 1, 3), ' ')) as head,
+                       md5(array_to_string(
+                           list_slice(toks, n - 2, n), ' ')) as tail
+                from st),
+            pairs as (
+                select t.src as src_from, h.src as src_to,
+                       t.doc as doc_from, h.doc as doc_to
+                from edges t join edges h on t.tail = h.head
+                where t.doc <> h.doc)
+            select src_from, src_to,
+                   cast(count(*) as bigint) as n_pairs,
+                   cast(count(distinct doc_from) as bigint)
+                     as n_from_docs,
+                   cast(count(distinct doc_to) as bigint) as n_to_docs
+            from pairs group by src_from, src_to
+            order by src_from, src_to
         """,
     }

@@ -2061,6 +2061,68 @@ def q147_token_length_profile(spark: SparkSession,
     return final_sort(res, spark, sf_dir, "documents", "source")
 
 
+def doc_stitching_report(docs: DataFrame, k: int = 3,
+                         id_col: str = "doc_id",
+                         source_col: str = "source",
+                         text_col: str = "text") -> DataFrame:
+    """Document-fragmentation detector: pairs (A, B) where A's LAST
+    ``k`` tokens equal B's FIRST ``k`` tokens — the signature of one
+    document split across two records (pagination, chunked ingest,
+    truncated uploads). Reported per (src_from, src_to): candidate
+    pair count and the distinct fragment docs on each side — the
+    table that says WHICH feed is shipping split documents and where
+    the continuations land.
+
+    Exact and engine-portable: boundary keys are md5 of the
+    space-joined k-token edge (q84 discipline); counts are exact
+    integers.
+
+    Scale: edge keys build map-side (two O(k) slices per doc — never
+    the whole token array across the exchange); the stitch test is
+    ONE hash join on the uniform md5 key (inverted index, never
+    doc-pairwise); the rollup is |sources|²-bounded. A stop-phrase
+    edge (boilerplate opener) fans out like any hot join key — salt
+    or pre-filter high-frequency edge keys if a corpus ships them;
+    the fixtures' synthetic text keeps fan-out Poisson-bounded.
+    """
+    ts = _nonempty_tokens(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc"), F.col(source_col).alias("src"),
+        ts.alias("toks"),
+    ).select(
+        "doc", "src", F.size("toks").alias("n"), "toks",
+    ).filter(F.col("n") >= 2 * k)  # an edge must not be the whole doc
+    staged = base.select(
+        "doc", "src",
+        F.md5(F.array_join(F.slice("toks", 1, k), " ")).alias("head"),
+        F.md5(F.array_join(
+            F.slice("toks", F.col("n") - (k - 1), k), " ")).alias("tail"),
+    )
+    tails = staged.select(F.col("doc").alias("doc_from"),
+                          F.col("src").alias("src_from"),
+                          F.col("tail").alias("edge"))
+    heads = staged.select(F.col("doc").alias("doc_to"),
+                          F.col("src").alias("src_to"),
+                          F.col("head").alias("edge"))
+    pairs = tails.join(heads, "edge").filter(
+        F.col("doc_from") != F.col("doc_to"))
+    return pairs.groupBy("src_from", "src_to").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.count_distinct("doc_from").cast("long").alias("n_from_docs"),
+        F.count_distinct("doc_to").cast("long").alias("n_to_docs"),
+    )
+
+
+def q149_doc_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-record document-stitching candidates per source pair
+    (see ``doc_stitching_report``; k=3 token edges)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    res = doc_stitching_report(d, k=3)
+    return final_sort(res, spark, sf_dir, "documents",
+                      "src_from", "src_to")
+
+
 def apply_substring_dedup(docs: DataFrame, spans: DataFrame | None = None,
                           k: int = 8, text_col: str = "text",
                           dup_broadcast=None) -> DataFrame:

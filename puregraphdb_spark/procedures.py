@@ -814,6 +814,13 @@ def _apply_substring_dedup(spark, docs: str = "documents",
                                  text_col=text_col)
 
 
+def _doc_stitching(spark, docs: str = "documents",
+                   k: int = 3) -> DataFrame:
+    from puregraphdb_spark.operators.pipeline import doc_stitching_report
+
+    return doc_stitching_report(_view(spark, docs), k=int(k))
+
+
 def _benchmark_attribution(spark, docs: str = "documents",
                            benchmarks: str = "benchmarks",
                            n: int = 5) -> DataFrame:
@@ -933,6 +940,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "apply_substring_dedup": _apply_substring_dedup,
     "token_length_profile": _token_length_profile,
     "benchmark_attribution": _benchmark_attribution,
+    "doc_stitching": _doc_stitching,
 }
 
 

@@ -1389,4 +1389,28 @@ SPARK_SQL: dict[str, str] = {
           on g.source = h.source and g.bench = h.bench
         order by g.source, g.bench
     """,
+    "q149_doc_stitching": """
+        with base as (
+            select doc_id as doc, source as src,
+                   filter(split(lower(text), ' '), t -> t <> '') as toks
+            from documents),
+        st as (select doc, src, size(toks) as n, toks
+               from base where size(toks) >= 6),
+        edges as (
+            select doc, src,
+                   md5(array_join(slice(toks, 1, 3), ' ')) as head,
+                   md5(array_join(slice(toks, n - 2, 3), ' ')) as tail
+            from st),
+        pairs as (
+            select t.src as src_from, h.src as src_to,
+                   t.doc as doc_from, h.doc as doc_to
+            from edges t join edges h on t.tail = h.head
+            where t.doc <> h.doc)
+        select src_from, src_to,
+               cast(count(*) as bigint) as n_pairs,
+               cast(count(distinct doc_from) as bigint) as n_from_docs,
+               cast(count(distinct doc_to) as bigint) as n_to_docs
+        from pairs group by src_from, src_to
+        order by src_from, src_to
+    """,
 }

@@ -142,6 +142,28 @@ def test_weighted_median_paths_equal(spark):
     assert a == b
 
 
+# -------------------------------------------------- doc stitching
+
+
+def test_doc_stitching_hand_pairs(spark):
+    """Hand-built fragments: A's tail == B's head stitches; same-edge
+    self-pairs and short docs do not."""
+    from puregraphdb_spark.operators.pipeline import doc_stitching_report
+
+    docs = spark.createDataFrame([
+        (1, "intro words here page one ends mid sentence", "a"),
+        #       tail of 1 = "ends mid sentence" == head of 2
+        (2, "ends mid sentence and the story goes on", "b"),
+        (3, "totally unrelated document content right here", "a"),
+        (4, "short one", "a"),                    # < 2k tokens: skipped
+        (5, "ends mid sentence only five tokens x", "b"),  # also stitches
+    ], ["doc_id", "text", "source"])
+    got = {(r.src_from, r.src_to): (r.n_pairs, r.n_from_docs, r.n_to_docs)
+           for r in doc_stitching_report(docs, k=3).collect()}
+    # doc1 (a) tail -> doc2 (b) head AND doc5 (b) head == same edge
+    assert got == {("a", "b"): (2, 1, 2)}
+
+
 # ------------------------------------------- benchmark attribution
 
 

@@ -79,6 +79,7 @@ DUCKDB_ONLY = {
     "q146_pii_scan",         # len(regexp_extract_all(..)) / varchar
     "q147_token_length_profile",  # list_filter/string_split/len
     "q148_benchmark_attribution",  # string_split/list_slice/unnest
+    "q149_doc_stitching",    # list_filter/string_split/list_slice
 }
 
 ORACLES = entrymod.oracle_sql()
