@@ -1304,7 +1304,10 @@ def q121_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def weighted_median(df: DataFrame, value_col: str, weight_col: str,
                     *group_cols: str,
-                    collect_small: bool = True) -> DataFrame:
+                    collect_small: bool = True,
+                    n_estimate: int | None = None,
+                    n_buckets: int = 1024,
+                    band_target: int = 100_000) -> DataFrame:
     """Per-group weighted median (upper/"whichever value first
     accumulates half the total weight" variant): the smallest value v
     such that the summed weight of rows with value ≤ v reaches half
@@ -1327,28 +1330,43 @@ def weighted_median(df: DataFrame, value_col: str, weight_col: str,
       3-value group key serializes the window sort into 3 tasks; the
       q136 lesson, measured 0.47 s → ~0.15 s at sf0.1). Per-group
       buffer is O(group size): callers MUST gate on measured bytes.
-    - ``collect_small=False``: the window plan — ONE exchange on the
-      group key shared by both windows and the final aggregate; state
-      per row is O(1). Measured decision (sf1, 6M rows, 3 groups):
-      the pre-collapse variant — groupBy (group, value) weight sums
-      first, window over the distinct-value relation — ran
-      11.9–19.2 s vs 8.1–10.6 s for this direct window, because
-      values here are ~89% distinct so the extra exchange buys no
-      shrink; collapse first ONLY when values repeat heavily. For an
-      UNGROUPED median over fact-scale data use the percentile
-      machinery (operators/percentile.py) — a single-partition global
-      window does not scale, the documented q105 posture. Low-
-      cardinality group keys still serialize this window into one
-      task per group at extreme scale; the fix there is a weighted
-      bracket-and-refine (the percentile.py pattern with weight sums
-      in place of rank counts), not yet built — this path is the
-      honest middle posture until a measured need appears.
+    - ``collect_small=False, n_estimate=<rows>``: the size-invariant
+      HISTOGRAM-REFINE plan (r11, closing the gap this docstring used
+      to admit): each round scans once, buckets the in-bracket values
+      into ``n_buckets`` per-group value bins keyed by the group's
+      own [lo, hi] (joined as a broadcast |groups|-row relation),
+      folds the K-row per-group histograms to locate the bucket where
+      the cumulative weight crosses half the total, and tightens the
+      bracket to that bucket's MEASURED min/max (exact, no FP
+      boundary arithmetic — a one-distinct-value bucket terminates
+      immediately since the crossing value IS that value). Rounds =
+      ceil(log_K(n/band_target)) from the metadata row estimate; the
+      final pass collects the ≤ ~band_target in-bracket (value,
+      weight) pairs and finishes with the SAME exact decimal fold as
+      the collect path, seeded with the bracket's below-weight.
+      Ties and concentration are handled by the min==max early-out,
+      not assumed away.
+    - ``collect_small=False, n_estimate=None``: the window plan — ONE
+      exchange on the group key shared by both windows and the final
+      aggregate; state per row is O(1). Measured decision (sf1, 6M
+      rows, 3 groups): the pre-collapse variant — groupBy (group,
+      value) weight sums first, window over the distinct-value
+      relation — ran 11.9–19.2 s vs 8.1–10.6 s for this direct
+      window, because values here are ~89% distinct so the extra
+      exchange buys no shrink. Low-cardinality group keys serialize
+      this window into one task per group at extreme scale — past
+      the gate prefer the histogram plan above.
 
-    Both paths are property-tested equal (test_round11_operators.py).
+    All paths are property-tested equal (test_round11_operators.py).
     """
     if collect_small:
         return _weighted_median_collect(
             df, value_col, weight_col, *group_cols)
+    if n_estimate is not None:
+        return _weighted_median_histogram(
+            df, value_col, weight_col, *group_cols,
+            n_estimate=n_estimate, n_buckets=n_buckets,
+            band_target=band_target)
     wd = F.col("__w")
     cum = F.sum(wd).over(
         Window.partitionBy(*group_cols).orderBy(value_col)
@@ -1369,6 +1387,132 @@ def weighted_median(df: DataFrame, value_col: str, weight_col: str,
             F.min(F.col("__tot")).cast("double").alias("total_weight"),
         )
     )
+
+
+_DEC_W = "decimal(38,2)"
+
+
+def _weighted_median_histogram(df: DataFrame, value_col: str,
+                               weight_col: str, *group_cols: str,
+                               n_estimate: int, n_buckets: int,
+                               band_target: int) -> DataFrame:
+    """Size-invariant path of ``weighted_median`` (see its docstring):
+    per-round per-group value histograms tighten a [lo, hi] bracket
+    around the weighted-median crossing; the final pass collects only
+    the bounded in-bracket pairs and finishes with the exact decimal
+    fold, seeded with the bracket's accumulated below-weight."""
+    import math
+
+    if len(group_cols) != 1:
+        raise ValueError(
+            "histogram path supports exactly one group column (join "
+            "the composite key into one column upstream)")
+    g = group_cols[0]
+    base = df.select(
+        F.col(g).alias("grp"), F.col(value_col).alias("v"),
+        F.col(weight_col).cast("decimal(18,2)").alias("w"),
+    )
+    rounds = max(0, math.ceil(
+        math.log(max(n_estimate, 1) / band_target, n_buckets)))
+    bounds = base.groupBy("grp").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+        F.sum("w").cast(_DEC_W).alias("tot"),
+        F.lit(0).cast(_DEC_W).alias("wb"),
+    )
+    for _ in range(rounds):
+        b = F.broadcast(bounds.withColumnRenamed("grp", "b_g"))
+        width = (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
+        bucket = F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col("v") - F.col("lo")) / width).cast("int"),
+        )
+        hist = (
+            base.join(b, F.col("grp") == F.col("b_g"))
+            # done groups (bracket collapsed to one value) skip the
+            # scan's aggregation entirely
+            .filter((F.col("lo") < F.col("hi"))
+                    & (F.col("v") >= F.col("lo"))
+                    & (F.col("v") <= F.col("hi")))
+            .groupBy("grp", bucket.alias("bk"))
+            .agg(F.sum("w").cast(_DEC_W).alias("bw"),
+                 F.min("v").alias("bmin"), F.max("v").alias("bmax"),
+                 F.first("tot").alias("tot"), F.first("wb").alias("wb"),
+                 F.first("lo").alias("p_lo"), F.first("hi").alias("p_hi"))
+            .groupBy("grp")
+            .agg(F.sort_array(F.collect_list(F.struct(
+                     F.col("bk"), F.col("bw"),
+                     F.col("bmin"), F.col("bmax")))).alias("bks"),
+                 F.first("tot").alias("tot"), F.first("wb").alias("wb"))
+        )
+        # walk buckets in order; the first whose cumulative weight
+        # crosses half the total is the new bracket
+        pick = F.aggregate(
+            "bks",
+            F.struct(
+                F.lit(0).cast(_DEC_W).alias("cum"),
+                F.lit(None).cast("double").alias("nlo"),
+                F.lit(None).cast("double").alias("nhi"),
+                F.lit(0).cast(_DEC_W).alias("nwb"),
+            ),
+            lambda a, x: F.struct(
+                (a["cum"] + x["bw"]).cast(_DEC_W).alias("cum"),
+                F.coalesce(a["nlo"], F.when(
+                    F.lit(2) * (F.col("wb") + a["cum"] + x["bw"])
+                    >= F.col("tot"), x["bmin"])).alias("nlo"),
+                F.coalesce(a["nhi"], F.when(
+                    F.lit(2) * (F.col("wb") + a["cum"] + x["bw"])
+                    >= F.col("tot"), x["bmax"])).alias("nhi"),
+                F.when(a["nlo"].isNull() & (
+                    F.lit(2) * (F.col("wb") + a["cum"] + x["bw"])
+                    < F.col("tot")),
+                    (a["nwb"] + x["bw"]).cast(_DEC_W))
+                .otherwise(a["nwb"]).alias("nwb"),
+            ),
+        )
+        refined = hist.select(
+            "grp", pick.alias("p"), "tot", "wb",
+        ).select(
+            "grp", F.col("p.nlo").alias("lo"), F.col("p.nhi").alias("hi"),
+            "tot", (F.col("wb") + F.col("p.nwb")).cast(_DEC_W).alias("wb"),
+        )
+        # groups already collapsed (lo == hi) were filtered out of the
+        # histogram — carry their bounds forward unchanged
+        done = bounds.filter(F.col("lo") >= F.col("hi"))
+        bounds = refined.unionByName(done)
+    b = F.broadcast(bounds.withColumnRenamed("grp", "b_g"))
+    final = (
+        base.join(b, F.col("grp") == F.col("b_g"))
+        .groupBy("grp")
+        .agg(
+            F.sort_array(F.collect_list(F.when(
+                (F.col("lo") < F.col("hi"))
+                & (F.col("v") >= F.col("lo"))
+                & (F.col("v") <= F.col("hi")),
+                F.struct(F.col("v"), F.col("w"))))).alias("__pairs"),
+            F.first("lo").alias("lo"), F.first("hi").alias("hi"),
+            F.first("tot").alias("__tot"), F.first("wb").alias("wb"),
+        )
+    )
+    crossing = F.aggregate(
+        "__pairs",
+        F.struct(F.col("wb").alias("cum"),
+                 F.lit(None).cast("double").alias("med")),
+        lambda a, x: F.struct(
+            (a["cum"] + x["w"]).cast(_DEC_W).alias("cum"),
+            F.coalesce(
+                a["med"],
+                F.when(F.lit(2) * (a["cum"] + x["w"]) >= F.col("__tot"),
+                       x["v"]),
+            ).alias("med"),
+        ),
+        lambda a: a["med"],
+    )
+    return final.select(
+        "grp",
+        F.when(F.col("lo") >= F.col("hi"), F.col("lo"))
+        .otherwise(crossing).alias("w_median"),
+        F.col("__tot").cast("double").alias("total_weight"),
+    ).withColumnRenamed("grp", g)
 
 
 def _weighted_median_collect(df: DataFrame, value_col: str,
@@ -1415,14 +1559,19 @@ def _weighted_median_collect(df: DataFrame, value_col: str,
 
 def q122_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted median extended price per return flag (see
-    ``weighted_median``; size-gated dual, the q17/q136 discipline),
-    with the group row count alongside."""
+    ``weighted_median``; size-gated dual, the q17/q136 discipline:
+    collect under 32 MiB, histogram-refine past it — no per-group
+    sort at any size), with the group row count alongside."""
+    from puregraphdb_spark.operators.percentile import estimate_rows
     from puregraphdb_spark.sources.registry import table_bytes
 
     li = load_table(spark, sf_dir, "lineitem")
+    small = table_bytes(spark, sf_dir, "lineitem") < (32 << 20)
     med = weighted_median(
         li, "l_extendedprice", "l_quantity", "l_returnflag",
-        collect_small=table_bytes(spark, sf_dir, "lineitem") < (32 << 20),
+        collect_small=small,
+        n_estimate=(None if small
+                    else estimate_rows(spark, sf_dir, "lineitem")),
     )
     counts = li.groupBy("l_returnflag").agg(
         F.count("*").cast("long").alias("n_rows")

@@ -142,6 +142,32 @@ def test_weighted_median_paths_equal(spark):
     assert a == b
 
 
+def test_weighted_median_histogram_path_equal(spark):
+    """The size-invariant histogram-refine path must equal the collect
+    path exactly — forced through REAL refinement rounds (small
+    buckets + band target), on skewed ties, heavy single-value
+    concentration inside the crossing bucket, and all-equal groups."""
+    from puregraphdb_spark.operators.extras import weighted_median
+
+    rng = random.Random(1222)
+    rows = [("g1", float(rng.randrange(500)), float(rng.randrange(1, 9)))
+            for _ in range(5000)]
+    # concentration: one hot value owns most of the weight mid-range
+    rows += [("g_hot", 250.0, 1.0)] * 2000
+    rows += [("g_hot", float(v), 1.0) for v in range(500)]
+    rows += [("g_all_tie", 9.5, 3.0)] * 400   # collapses round 0
+    rows += [("g_two", 1.0, 1.0), ("g_two", 2.0, 1.0)]
+    df = spark.createDataFrame(rows, ["k", "v", "w"])
+    want = sorted(tuple(r) for r in weighted_median(
+        df, "v", "w", "k", collect_small=True).collect())
+    for n_buckets, band in [(4, 100), (1024, 100_000)]:
+        got = sorted(tuple(r) for r in weighted_median(
+            df, "v", "w", "k", collect_small=False,
+            n_estimate=10 ** 7, n_buckets=n_buckets,
+            band_target=band).collect())
+        assert got == want, (n_buckets, band, got, want)
+
+
 # -------------------------------------------------- doc stitching
 
 
