@@ -1135,7 +1135,8 @@ def q96_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mad_outliers(lineitem: DataFrame,
-                 collect_small: bool = True) -> DataFrame:
+                 collect_small: bool = True,
+                 n_estimate: int | None = None) -> DataFrame:
     """Robust per-group outlier screen: exact discrete median + median
     absolute deviation (MAD) of l_extendedprice per returnflag, and
     the count of rows beyond 3×MAD — the classic heavy-tail-safe
@@ -1156,17 +1157,18 @@ def mad_outliers(lineitem: DataFrame,
     pass is an array transform + sort of the SAME buffer — no second
     window, no joins; the old plan's two 3-task window sorts were the
     q136 pathology twice over, measured 0.80 s → ~0.15 s at sf0.1).
-    Past the gate, the window plan: the exact grouped median sorts
-    each group in ONE partition — the documented low-cardinality-group
-    posture (3 returnflag groups; same contract as q105's global
-    ntile). For fact-sized or high-cardinality groups use
-    operators/percentile.py's size-invariant bracketed percentiles or
-    approx_percentile; this operator is the exact-semantics member of
-    that family. The median relations broadcast (one row per group).
-    Both paths property-tested equal (test_round11_operators.py).
+    ``collect_small=False, n_estimate=<rows>``: the size-invariant
+    BRACKET plan (``_mad_outliers_bracket``) — five bounded-memory
+    scans, no per-group sort at any size. ``n_estimate=None`` keeps
+    the window plan: the exact grouped median sorts each group in ONE
+    partition — the documented low-cardinality-group posture; past
+    the gate prefer the bracket plan. All paths property-tested equal
+    (test_round11_operators.py).
     """
     if collect_small:
         return _mad_outliers_collect(lineitem)
+    if n_estimate is not None:
+        return _mad_outliers_bracket(lineitem, n_estimate)
     base = lineitem.select(
         "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
     w1 = Window.partitionBy("l_returnflag").orderBy(
@@ -1206,6 +1208,84 @@ def mad_outliers(lineitem: DataFrame,
     )
 
 
+def _rank_pick_bracket(base: DataFrame, val: str, rank_col,
+                       accuracy: int, small_floor: int,
+                       out: str) -> DataFrame:
+    """Exact per-group order statistic without a sort: GK bracket at
+    0.5±5/accuracy (the percentile.py slack argument; groups under
+    ``small_floor`` collect whole), then one band-bounded pass picks
+    the value at 1-indexed rank ``rank_col`` (a column over the
+    returned relation's ``n``). Returns (grp, n, <out>). TWO scans of
+    ``base``, each a map-side-combining aggregate."""
+    margin = 5.0 / accuracy
+    bounds = base.groupBy("grp").agg(
+        F.percentile_approx(
+            val, F.lit([0.5 - margin, 0.5 + margin]), F.lit(accuracy))
+        .alias("bnd"),
+        F.count("*").alias("n_g"),
+    ).select(
+        F.col("grp").alias("b_g"),
+        F.col("bnd")[0].alias("blo"), F.col("bnd")[1].alias("bhi"),
+        "n_g",
+    )
+    small = F.col("n_g") <= small_floor
+    v = F.col(val)
+    in_band = small | ((v >= F.col("blo")) & (v <= F.col("bhi")))
+    below = F.when(~small & (v < F.col("blo")), 1).otherwise(0)
+    agg = (
+        base.join(F.broadcast(bounds), F.col("grp") == F.col("b_g"))
+        .groupBy("grp")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum(below).alias("__below"),
+             F.sort_array(F.collect_list(F.when(in_band, v)))
+             .alias("__band"))
+    )
+    return agg.select(
+        "grp", "n",
+        F.element_at("__band",
+                     (rank_col - F.col("__below")).cast("int"))
+        .alias(out),
+    )
+
+
+def _mad_outliers_bracket(lineitem: DataFrame, n_estimate: int,
+                          accuracy: int = 1000,
+                          band_target: int = 100_000) -> DataFrame:
+    """Size-invariant path of ``mad_outliers``: five bounded-memory
+    scans (median bracket+pick, deviation bracket+pick, outlier
+    count), each a map-side-combining aggregate with a broadcast
+    |groups|-row side — no per-group sort at any size. The rank is
+    q110's lower median floor((n+1)/2); accuracy autoscales so each
+    collected band stays ≤ ~band_target values."""
+    accuracy = max(accuracy, -(-10 * max(n_estimate, 1) // band_target))
+    small_floor = max(1000, accuracy)
+    base = lineitem.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("v"))
+    mid = F.floor((F.col("n") + 1) / F.lit(2.0)).cast("long")
+    med = _rank_pick_bracket(base, "v", mid, accuracy, small_floor,
+                             "med").withColumnRenamed("grp", "m_g")
+    dev_base = base.join(
+        F.broadcast(med), F.col("grp") == F.col("m_g")
+    ).select("grp", F.abs(F.col("v") - F.col("med")).alias("dv"))
+    mad = _rank_pick_bracket(dev_base, "dv", mid, accuracy, small_floor,
+                             "mad").withColumnRenamed("grp", "d_g") \
+        .withColumnRenamed("n", "n2")
+    out = (
+        dev_base.join(F.broadcast(mad), F.col("grp") == F.col("d_g"))
+        .groupBy("grp")
+        .agg(F.first("n2").alias("n"), F.first("mad").alias("mad"),
+             F.count(F.when(F.col("dv") > F.col("mad") * F.lit(3.0),
+                            F.lit(1))).alias("n_out"))
+    )
+    return (
+        out.join(F.broadcast(med.select("m_g", "med")),
+                 out.grp == F.col("m_g"))
+        .select("grp", "n", "med", "mad", "n_out")
+        .withColumnRenamed("grp", "l_returnflag")
+    )
+
+
 def _mad_outliers_collect(lineitem: DataFrame) -> DataFrame:
     """Measured-small path of ``mad_outliers``: one aggregation; the
     median, the MAD (a transform + re-sort of the same buffer), and
@@ -1236,12 +1316,16 @@ def _mad_outliers_collect(lineitem: DataFrame) -> DataFrame:
 
 def q110_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAD outlier screen per return flag (see ``mad_outliers``;
-    size-gated dual, the q17/q136 discipline)."""
+    size-gated dual: collect under 32 MiB, sketch-bracket past it)."""
+    from puregraphdb_spark.operators.percentile import estimate_rows
     from puregraphdb_spark.sources.registry import table_bytes
 
+    small = table_bytes(spark, sf_dir, "lineitem") < (32 << 20)
     res = mad_outliers(
         load_table(spark, sf_dir, "lineitem"),
-        collect_small=table_bytes(spark, sf_dir, "lineitem") < (32 << 20),
+        collect_small=small,
+        n_estimate=(None if small
+                    else estimate_rows(spark, sf_dir, "lineitem")),
     )
     return final_sort(res, spark, sf_dir, "lineitem", "l_returnflag")
 

@@ -260,6 +260,12 @@ def test_mad_outliers_paths_equal(spark):
     b = sorted(tuple(r) for r in mad_outliers(
         df, collect_small=False).collect())
     assert a == b
+    # size-invariant bracket plan (5 bounded scans, no sorts): exact
+    # on the same adversarial shapes, incl. autoscaled accuracy
+    for est in (10_000, 10 ** 9):
+        c = sorted(tuple(r) for r in mad_outliers(
+            df, collect_small=False, n_estimate=est).collect())
+        assert c == a, (est, c, a)
 
 
 # --------------------------------------------- mix allocation exactness
