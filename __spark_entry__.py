@@ -534,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_token_length_profile": pipeline.q147_token_length_profile,
         "q148_benchmark_attribution": llm.q148_benchmark_attribution,
         "q149_doc_stitching": pipeline.q149_doc_stitching,
+        "q150_embedding_drift": pipeline.q150_embedding_drift,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -708,6 +709,7 @@ _FRONT_WINDOW = [
     # NEW round-11 entries (never recorded, by construction)
     "q146_pii_scan", "q147_token_length_profile",
     "q148_benchmark_attribution", "q149_doc_stitching",
+    "q150_embedding_drift",
     # r6-stale cohort (last driver-recorded round 6 — oldest records)
     "q69_hash_split", "q70_tfidf", "q71_quality_filter",
     "q72_langid_confusion", "q73_stratified_sample",
@@ -726,7 +728,7 @@ _FRONT_WINDOW = [
     "graph_ppr", "graph_shortest_paths", "graph_wpagerank",
     "graph_sssp_weighted", "graph_harmonic", "graph_betweenness",
     "graph_betweenness_approx", "graph_louvain",
-    "graph_louvain_weighted", "graph_hits", "graph_anf",
+    "graph_louvain_weighted", "graph_hits",
 ]
 
 
@@ -3539,5 +3541,30 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(distinct doc_to) as bigint) as n_to_docs
             from pairs group by src_from, src_to
             order by src_from, src_to
+        """,
+        "q150_embedding_drift": """
+            with ex as (
+                select label, generate_subscripts(embedding, 1) as dim,
+                       unnest(embedding::DOUBLE[]) as v
+                from embeddings),
+            comp as (
+                select label, dim,
+                       cast(count(*) as bigint) as n_vecs,
+                       cast(round(cast(avg(v) as decimal(28,8)), 6)
+                         as decimal(18,6)) as c
+                from ex group by label, dim),
+            gcent as (
+                select dim,
+                       cast(round(cast(avg(v) as decimal(28,8)), 6)
+                         as decimal(18,6)) as g
+                from ex group by dim)
+            select comp.label,
+                   cast(max(n_vecs) as bigint) as n_vecs,
+                   cast(round(cast(sqrt(cast(sum(
+                        cast((c - g) * (c - g) as decimal(38,12))
+                        ) as double)) as decimal(28,10)), 6) as double)
+                     as drift_l2
+            from comp join gcent on comp.dim = gcent.dim
+            group by comp.label order by comp.label
         """,
     }

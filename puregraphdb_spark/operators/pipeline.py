@@ -1134,6 +1134,65 @@ def q96_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_drift(embeddings: DataFrame, key_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-group embedding drift: the L2 distance between each group's
+    centroid and the GLOBAL centroid — the monitor that says a
+    source/label's representation moved (new crawl snapshot, encoder
+    version bump, topical shift) before a similarity index (IVF/LSH)
+    quietly degrades; q96 emits the centroids, this scores them.
+
+    Exactness: per-component means are decimal-snapped at 6 dp (the
+    q96 discipline — each component an independent scalar, no
+    array-ordering dependence); the squared differences and their sum
+    then run ENTIRELY in decimal (exact at any dim count), so the one
+    final sqrt maps an identical decimal to an identical double on
+    both engines.
+
+    Scale: posexplode is a pure map (rows × dim fan-out); ONE shuffle
+    to the (group, dim) grain with map-side combine; the global
+    centroid is a dim-sized relation (broadcast); the drift rollup is
+    |groups|-sized. The classic fully map-decomposable vector mean,
+    twice.
+    """
+    ex = embeddings.select(
+        F.col(key_col).alias("grp"),
+        F.posexplode(vec_col).alias("dim", "v"),
+    )
+    comp = ex.groupBy("grp", "dim").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        decimal_round(F.avg(F.col("v").cast("double")), 6, grid=8)
+        .alias("c"),
+    )
+    glob = ex.groupBy("dim").agg(
+        decimal_round(F.avg(F.col("v").cast("double")), 6, grid=8)
+        .alias("g"),
+    ).withColumnRenamed("dim", "g_dim")
+    d = (F.col("c").cast("decimal(18,6)")
+         - F.col("g").cast("decimal(18,6)"))
+    return (
+        comp.join(F.broadcast(glob), comp.dim == F.col("g_dim"))
+        .select("grp", "n_vecs", (d * d).cast("decimal(38,12)").alias("d2"))
+        .groupBy("grp")
+        .agg(
+            F.max("n_vecs").alias("n_vecs"),
+            decimal_round(
+                F.sqrt(F.sum("d2").cast("double")), 6, grid=10,
+            ).alias("drift_l2"),
+        )
+        .withColumnRenamed("grp", key_col)
+    )
+
+
+def q150_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift vs the global centroid (see
+    ``embedding_drift``)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", "embedding")
+    res = embedding_drift(e)
+    return final_sort(res, spark, sf_dir, "embeddings", "label")
+
+
 def mad_outliers(lineitem: DataFrame,
                  collect_small: bool = True,
                  n_estimate: int | None = None) -> DataFrame:

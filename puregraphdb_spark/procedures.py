@@ -814,6 +814,15 @@ def _apply_substring_dedup(spark, docs: str = "documents",
                                  text_col=text_col)
 
 
+def _embedding_drift(spark, embeddings: str = "embeddings",
+                     key_col: str = "label",
+                     vec_col: str = "embedding") -> DataFrame:
+    from puregraphdb_spark.operators.pipeline import embedding_drift
+
+    return embedding_drift(_view(spark, embeddings), key_col=key_col,
+                           vec_col=vec_col)
+
+
 def _doc_stitching(spark, docs: str = "documents",
                    k: int = 3) -> DataFrame:
     from puregraphdb_spark.operators.pipeline import doc_stitching_report
@@ -941,6 +950,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "token_length_profile": _token_length_profile,
     "benchmark_attribution": _benchmark_attribution,
     "doc_stitching": _doc_stitching,
+    "embedding_drift": _embedding_drift,
 }
 
 

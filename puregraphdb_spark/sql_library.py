@@ -1413,4 +1413,28 @@ SPARK_SQL: dict[str, str] = {
         from pairs group by src_from, src_to
         order by src_from, src_to
     """,
+    "q150_embedding_drift": """
+        with ex as (
+            select label, posexplode(embedding) as (dim, v)
+            from embeddings),
+        comp as (
+            select label, dim,
+                   cast(count(*) as bigint) as n_vecs,
+                   cast(round(cast(avg(cast(v as double))
+                        as decimal(28,8)), 6) as decimal(18,6)) as c
+            from ex group by label, dim),
+        gcent as (
+            select dim,
+                   cast(round(cast(avg(cast(v as double))
+                        as decimal(28,8)), 6) as decimal(18,6)) as g
+            from ex group by dim)
+        select comp.label,
+               cast(max(n_vecs) as bigint) as n_vecs,
+               cast(round(cast(sqrt(cast(sum(
+                    cast((c - g) * (c - g) as decimal(38,12))
+                    ) as double)) as decimal(28,10)), 6) as double)
+                 as drift_l2
+        from comp join gcent on comp.dim = gcent.dim
+        group by comp.label order by comp.label
+    """,
 }

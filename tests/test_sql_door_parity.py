@@ -80,6 +80,7 @@ DUCKDB_ONLY = {
     "q147_token_length_profile",  # list_filter/string_split/len
     "q148_benchmark_attribution",  # string_split/list_slice/unnest
     "q149_doc_stitching",    # list_filter/string_split/list_slice
+    "q150_embedding_drift",  # generate_subscripts/unnest/::DOUBLE[]
 }
 
 ORACLES = entrymod.oracle_sql()
