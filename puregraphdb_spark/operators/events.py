@@ -867,14 +867,16 @@ def funnel_latency(events: DataFrame, stages: list[str],
              .cast("double") / F.lit(1e6)).alias("latency_s"),
         )
     )
-    counts = trans.groupBy("transition").agg(
-        F.count("*").cast("long").alias("n_users")
-    )
+    # include_count: the separate count branch re-executed the WHOLE
+    # funnel lineage (measured r11: the plan carried 15 broadcast
+    # joins — ~3 full funnel executions); the bracket pass already
+    # counts per group.
     pct = exact_percentile_cont(
-        trans, "transition", "latency_s", ps=[0.5, 0.9]
+        trans, "transition", "latency_s", ps=[0.5, 0.9],
+        include_count=True,
     )
-    return counts.join(pct, "transition").select(
-        "transition", "n_users",
+    return pct.select(
+        "transition", F.col("n").alias("n_users"),
         decimal_round(F.col("p_0"), 4, grid=6).alias("median_s"),
         decimal_round(F.col("p_1"), 4, grid=6).alias("p90_s"),
     )

@@ -61,7 +61,8 @@ def exact_percentile_cont(vals: DataFrame, group_col: str, val_col: str,
                           ps: list[float], accuracy: int = 1000,
                           band_target: int = 100_000,
                           small_group: int = 1000,
-                          n_estimate: int | None = None) -> DataFrame:
+                          n_estimate: int | None = None,
+                          include_count: bool = False) -> DataFrame:
     """Exact percentile_cont(``p``) of ``val_col`` per ``group_col``
     for each p in ``ps``. Returns (group_col, p_0, p_1, ...) with
     column names ``p_<idx>`` — callers alias/round as needed.
@@ -70,6 +71,12 @@ def exact_percentile_cont(vals: DataFrame, group_col: str, val_col: str,
     number of refinement passes (default: exact plans for ≤10⁷ rows
     with zero refinement). Pass a metadata-derived estimate
     (``table_bytes``/bytes-per-row) — never a data scan.
+
+    ``include_count=True`` also returns the per-group non-null value
+    count as ``n`` — it is already computed in the bracket pass, so
+    callers that need (count, percentiles) together (q132) avoid a
+    WHOLE extra execution of the input lineage (the count branch
+    re-ran the entire upstream funnel there).
     """
     # The ±5/accuracy bracket carries (5−1)·n/accuracy ranks of slack
     # beyond the sketch's worst-case error; below n ≈ accuracy/2 that
@@ -216,8 +223,10 @@ def exact_percentile_cont(vals: DataFrame, group_col: str, val_col: str,
         # guarded, because the element_at index would be 0 (invalid).
         return F.when(F.col("n") > 0, vlo + frac * (vhi - vlo))
 
+    count_cols = [F.col("n").cast("long").alias("n")] if include_count else []
     return agg.select(
-        g, *[interp(i).alias(f"p_{i}") for i in range(len(ps))]
+        g, *count_cols,
+        *[interp(i).alias(f"p_{i}") for i in range(len(ps))]
     )
 
 
