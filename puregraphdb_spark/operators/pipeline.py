@@ -681,19 +681,20 @@ def q81_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer ratio → the flag cut is exact on both engines.
     """
     d = load_table(spark, sf_dir, "documents")
-    ts = _nonempty_tokens()
-    # zip tokens with their own 1-shifted slice: one pass, no index
-    # array + per-index element_at (measured sf0.1: halves the
-    # construction cost)
+    # stage the token array (round-9 rule: the split tree appears 5x
+    # in the bigram expression), then zip tokens with their own
+    # 1-shifted slice: one pass, no index array + per-index
+    # element_at (measured sf0.1: halves the construction cost)
+    toks = d.select("lang", _nonempty_tokens().alias("toks"))
     bigr = F.when(
-        F.size(ts) >= 2,
+        F.size("toks") >= 2,
         F.zip_with(
-            F.slice(ts, 1, F.size(ts) - 1),
-            F.slice(ts, 2, F.size(ts) - 1),
+            F.slice("toks", 1, F.size("toks") - 1),
+            F.slice("toks", 2, F.size("toks") - 1),
             lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    staged = d.select("lang", bigr.alias("bigr"))
+    staged = toks.select("lang", bigr.alias("bigr"))
     # longest equal-adjacent run of the sorted array == max multiplicity
     top = F.aggregate(
         F.sort_array("bigr"),
@@ -785,15 +786,18 @@ def q84_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     never leave the row.
     """
     d = load_table(spark, sf_dir, "documents")
-    ts = _nonempty_tokens()
+    # stage the token array first: inlined, the split tree appears in
+    # the size guard AND the window builder and is re-evaluated per
+    # use site (the round-9 staged-projection rule)
+    toks = d.select("doc_id", _nonempty_tokens().alias("toks"))
     wg = F.when(
-        F.size(ts) >= 4,
+        F.size("toks") >= 4,
         F.transform(
-            F.sequence(F.lit(1), F.size(ts) - 3),
-            lambda i: F.md5(F.array_join(F.slice(ts, i, 4), " ")),
+            F.sequence(F.lit(1), F.size("toks") - 3),
+            lambda i: F.md5(F.array_join(F.slice("toks", i, 4), " ")),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    staged = d.select("doc_id", wg.alias("wg"))
+    staged = toks.select("doc_id", wg.alias("wg"))
     return final_sort(
         staged.select(
             "doc_id",
