@@ -349,14 +349,16 @@ def q71_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid. Scale: per-doc work is map-side; 1 shuffle on lang.
     """
     d = load_table(spark, sf_dir, "documents")
-    ts = _nonempty_tokens()
-    per_doc = d.select(
+    # staged token array (round-9 rule: was inlined 3x per doc)
+    toks = d.select("lang", _nonempty_tokens().alias("toks"))
+    per_doc = toks.select(
         "lang",
-        F.size(ts).cast("long").alias("n_tok"),
+        F.size("toks").cast("long").alias("n_tok"),
         F.aggregate(
-            ts, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            "toks", F.lit(0).cast("long"),
+            lambda acc, t: acc + F.length(t)
         ).alias("tok_chars"),
-        F.size(F.array_distinct(ts)).cast("long").alias("n_uniq"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_uniq"),
     ).select(
         "lang", "n_tok",
         (F.col("tok_chars").cast("double")
