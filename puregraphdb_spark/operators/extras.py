@@ -824,14 +824,17 @@ def q60_having_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # division-free above-average test: brand_rev · n_brands > total,
     # ALL in exact decimal/integer arithmetic — no double ever enters
     # the comparison, so no summation-order ulp can flip a brand that
-    # sits exactly on the mean.
-    threshold = per_brand.agg(
-        F.sum("brand_rev_d").alias("total_d"),
-        F.count("*").alias("n_brands"),
-    )
+    # sits exactly on the mean. The totals ride a whole-relation
+    # window over the |brands|-row aggregate (q137 discipline) — the
+    # previous separate-aggregate + broadcast-join branch re-executed
+    # the lineitem⋈part lineage twice (r11).
+    wall = Window.partitionBy()
     return final_sort(
-        per_brand.join(F.broadcast(threshold))
-        .filter(F.col("brand_rev_d") * F.col("n_brands") > F.col("total_d"))
+        per_brand
+        .withColumn("__total_d", F.sum("brand_rev_d").over(wall))
+        .withColumn("__n_brands", F.count("*").over(wall))
+        .filter(F.col("brand_rev_d") * F.col("__n_brands")
+                > F.col("__total_d"))
         .select(
             "p_brand",
             F.round(F.col("brand_rev_d"), 2).cast("double").alias("brand_rev"),
@@ -1225,11 +1228,14 @@ def q119_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = dec.groupBy("decile").agg(
         F.count("*").alias("n_customers"),
         F.sum("spend_d").alias("dec_rev_d"))
-    total = per.agg(F.sum("dec_rev_d").alias("total_d"))
     wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     res = (
+        # total rides a whole-relation window over the 10-row decile
+        # aggregate (q60/q137 discipline) — the separate aggregate +
+        # cross-join branch re-executed the ntile lineage twice (r11)
         per.withColumn("cum_rev_d", F.sum("dec_rev_d").over(wc))
-        .crossJoin(F.broadcast(total))
+        .withColumn("total_d",
+                    F.sum("dec_rev_d").over(Window.partitionBy()))
         .select(
             "decile", "n_customers",
             F.round(F.col("dec_rev_d"), 2).cast("double").alias("decile_rev"),
@@ -1639,16 +1645,20 @@ def gini_concentration(orders: DataFrame, key_col: str = "o_custkey",
     spend = orders.groupBy(key_col).agg(
         F.sum(F.col(amount_col).cast("decimal(18,2)")).alias("__sp")
     )
+    # the global rank window already single-partitions this relation;
+    # the count/sum totals ride the same window for free — the
+    # separate aggregate + cross-join re-executed the spend lineage
+    # twice (r11)
+    wall = Window.orderBy("__sp", key_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
     ranked = spend.select(
         "__sp",
         F.row_number().over(Window.orderBy("__sp", key_col)).alias("__rk"),
-    )
-    totals = spend.agg(
-        F.count("*").cast("long").alias("__n"),
-        F.sum("__sp").alias("__s0"),
+        F.count("*").over(wall).cast("long").alias("__n"),
+        F.sum("__sp").over(wall).alias("__s0"),
     )
     n = F.col("__n")
-    stats = ranked.crossJoin(F.broadcast(totals)).agg(
+    stats = ranked.agg(
         F.min("__n").alias("n_keys"),
         F.min("__s0").alias("__s0_min"),
         F.sum(F.col("__rk") * F.col("__sp")).alias("__s1"),

@@ -293,8 +293,10 @@ def q70_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines. df/N come from the FULL corpus; only tf is
     restricted to the sample.
 
-    Scale: tokenize is a flatMap; tf and df are one shuffle each with
-    map-side combine (Zipf head collapses in partial agg); N is a
+    Scale: tokenize is a flatMap; tf and df both derive from ONE
+    full-corpus (doc, tok) aggregate (r11 — the separate df branch
+    re-tokenized the corpus: df per token = row count of that grain,
+    and tf is its sampled filter, so the exchange is shared); N is a
     1-row aggregate broadcast into the score; the per-doc top-3 is a
     window on the already-sampled side.
     """
@@ -305,12 +307,9 @@ def q70_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("tok") != "")
     )
-    tf = (
-        tok.filter(F.col("doc_id") % 10 == 0)
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    per = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    tf = per.filter(F.col("doc_id") % 10 == 0)
+    dfreq = per.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     score = F.col("tf") * F.col("n_docs") / F.col("df")
     w = Window.partitionBy("doc_id").orderBy(F.desc("score_raw"), "tok")
