@@ -926,7 +926,7 @@ def q105_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "r_score", "f_score", "m_score")
 
 
-def cooccur_lift(lineitem: DataFrame, n_orders_df: DataFrame,
+def cooccur_lift(lineitem: DataFrame, n_orders_df: DataFrame | None = None,
                  min_support: int = 3, k: int = 30,
                  hint=lambda df: df) -> DataFrame:
     """Market-basket association mining: top-k part pairs by lift.
@@ -957,6 +957,11 @@ def cooccur_lift(lineitem: DataFrame, n_orders_df: DataFrame,
     baskets = lineitem.select("l_orderkey", "l_partkey").groupBy(
         "l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    if n_orders_df is None:
+        # N = one row per basket — derived from the SAME exchange the
+        # pair/count branches consume (a separate distinct-orderkey
+        # scan re-read the fact table, r11)
+        n_orders_df = baskets.agg(F.count("*").alias("n_orders"))
     n_a = (
         baskets.select(F.explode("parts").alias("pk"))
         .groupBy("pk").agg(F.count("*").alias("n_one"))
@@ -995,11 +1000,8 @@ def cooccur_lift(lineitem: DataFrame, n_orders_df: DataFrame,
 
 def q106_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
-    n_orders = l.select("l_orderkey").distinct().agg(
-        F.count("*").alias("n_orders"))
     return cooccur_lift(
-        l, n_orders,
-        hint=lambda df: broadcast_if_small(df, spark, sf_dir, "part"))
+        l, hint=lambda df: broadcast_if_small(df, spark, sf_dir, "part"))
 
 
 def q108_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
