@@ -133,15 +133,19 @@ def test_q25_small_path_broadcasts_gated_sets(spark):
     assert count_exchanges(df) <= 6
 
 
-def test_q60_reuses_the_per_brand_aggregate(spark):
-    """The threshold side must reuse the per-brand aggregate's exchange
-    (one fact scan), not recompute the join from scratch. AQE applies
-    exchange reuse during execution, so assert on the EXECUTED plan —
-    the static plan legitimately shows the duplicated subtree."""
+def test_q60_single_execution_of_the_per_brand_aggregate(spark):
+    """r11: the threshold now rides a whole-relation window over the
+    |brands|-row aggregate, so the per-brand join/agg lineage exists
+    ONCE by construction — exactly one lineitem scan and one part scan
+    in the executed plan (the old shape duplicated the subtree and
+    relied on AQE ReusedExchange to deduplicate it at runtime)."""
     df = Q["q60_having_scalar"](spark, SF_DIR)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan
+    # AQE's toString appends the Initial Plan section — count scans in
+    # the FINAL plan only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan") == 2, plan
 
 
 def test_final_sort_paths(spark):
