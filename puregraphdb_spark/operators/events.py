@@ -912,14 +912,19 @@ def anomaly_mad_ts(events: DataFrame, ts_col: str = "ts",
         events.groupBy(F.date_trunc("day", F.col(ts_col)).alias("day"))
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    stats = daily.agg(
-        F.percentile(F.col("cnt"), F.lit(0.5)).alias("med"))
-    dev = daily.crossJoin(F.broadcast(stats)).select(
-        "day", "cnt", "med",
-        F.abs(F.col("cnt") - F.col("med")).alias("dev"),
-    )
-    mad = dev.agg(F.percentile(F.col("dev"), F.lit(0.5)).alias("mad"))
-    return dev.crossJoin(F.broadcast(mad)).select(
+    # median and MAD ride whole-relation windows over the DAYS
+    # relation (bounded by the calendar, so the single window
+    # partition is safe at any data scale) — the previous
+    # aggregate + cross-join chain re-executed the events scan and
+    # its per-day shuffle FOUR times (r11 lineage-dedup sweep)
+    wall = Window.partitionBy()
+    dev = daily.select(
+        "day", "cnt",
+        F.percentile(F.col("cnt"), F.lit(0.5)).over(wall).alias("med"),
+    ).withColumn("dev", F.abs(F.col("cnt") - F.col("med")))
+    return dev.withColumn(
+        "mad", F.percentile(F.col("dev"), F.lit(0.5)).over(wall)
+    ).select(
         "day", "cnt",
         decimal_round(F.col("med"), 4, grid=6).alias("med"),
         decimal_round(F.col("mad"), 4, grid=6).alias("mad"),

@@ -550,7 +550,14 @@ def q75_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from puregraphdb_spark.sources.registry import broadcast_if_small
 
-    t = bg.agg(F.sum("cab").alias("t_big"))
+    # T = total bigram instances — a map-side per-doc count (one
+    # cheap column scan, no shuffle); the previous bg.agg(sum(cab))
+    # re-ran the whole bigram explode + vocabulary shuffle (r11)
+    t = (
+        d.select(F.split(F.lower("text"), " ").alias("toks"))
+        .select(F.size(bigrams).alias("nb"))
+        .agg(F.sum("nb").alias("t_big"))
+    )
     ratio = (
         F.col("cab").cast("double") * F.col("t_big").cast("double")
     ) / (F.col("ca").cast("double") * F.col("cb").cast("double"))
