@@ -1157,9 +1157,17 @@ def embedding_drift(embeddings: DataFrame, key_col: str = "label",
     Exactness: per-component means are decimal-snapped at 6 dp (the
     q96 discipline — each component an independent scalar, no
     array-ordering dependence); the squared differences and their sum
-    then run ENTIRELY in decimal (exact at any dim count), so the one
-    final sqrt maps an identical decimal to an identical double on
-    both engines.
+    then run ENTIRELY in decimal, so the one final sqrt maps an
+    identical decimal to an identical double on both engines. The
+    difference is cast BACK to decimal(18,6) before squaring: Spark
+    types a decimal(18,6) subtraction as decimal(19,6), and
+    decimal(19,6)² needs 39 digits — past the 38-digit cap Spark
+    silently re-types the product decimal(38,11), rounding the exact
+    12-dp square (a 2e-6 component diff squares to 4e-12 which rounds
+    to 0 at 11 dp — the monitor goes blind in exactly the small-drift
+    regime it exists for). decimal(18,6)² is decimal(37,12): exact.
+    The down-cast is lossless — the difference of two 6-dp means of
+    bounded embedding components is itself 6 dp and far below 10^12.
 
     Scale: posexplode is a pure map (rows × dim fan-out); ONE shuffle
     to the (group, dim) grain with map-side combine; the global
@@ -1181,7 +1189,7 @@ def embedding_drift(embeddings: DataFrame, key_col: str = "label",
         .alias("g"),
     ).withColumnRenamed("dim", "g_dim")
     d = (F.col("c").cast("decimal(18,6)")
-         - F.col("g").cast("decimal(18,6)"))
+         - F.col("g").cast("decimal(18,6)")).cast("decimal(18,6)")
     return (
         comp.join(F.broadcast(glob), comp.dim == F.col("g_dim"))
         .select("grp", "n_vecs", (d * d).cast("decimal(38,12)").alias("d2"))

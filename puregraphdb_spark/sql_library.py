@@ -1430,8 +1430,14 @@ SPARK_SQL: dict[str, str] = {
             from ex group by dim)
         select comp.label,
                cast(max(n_vecs) as bigint) as n_vecs,
+               -- cast the DIFFERENCE down to decimal(18,6) before
+               -- squaring: decimal(19,6)^2 needs 39 digits and Spark
+               -- silently re-types it decimal(38,11), rounding away
+               -- small drift; decimal(18,6)^2 = decimal(37,12) exact
                cast(round(cast(sqrt(cast(sum(
-                    cast((c - g) * (c - g) as decimal(38,12))
+                    cast(cast(c - g as decimal(18,6))
+                         * cast(c - g as decimal(18,6))
+                         as decimal(38,12))
                     ) as double)) as decimal(28,10)), 6) as double)
                  as drift_l2
         from comp join gcent on comp.dim = gcent.dim
