@@ -493,12 +493,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``_FRONT_WINDOW`` list below IS the rotation — the literal dict
     keeps a stable canonical order and the return reorders it.
 
-    Round-11 window (per VERDICT r10 item 1): the r6-stale cohort
-    q69-q98 (30 entries, last driver-recorded round 6 — the oldest
-    records on the board) + the r7-cohort head (rows-only graph and
-    sketch entries) to fill 50 exactly. Everything after slot 50
-    retains a driver-green row from r7-r10. Round-12 rotation:
-    the r7 remainder (graph_ktruss tail + q99-q123), then r9.
+    Round-12 window (per VERDICT r11 item 1): the 34 entries whose
+    newest driver record is r7 — the stalest evidence on the board
+    (rows-only graph/text/dedup/knn ops + oracled q99-q123) — topped
+    up to exactly 50 with the oldest r9 entries (q125-q136 block +
+    the four rows-only r9 sketch/graph ops). Everything after slot 50
+    retains a driver-green row from r9-r11. Round-13 rotation: the
+    r9 remainder (q138-q144, q01-q24), then r10.
     """
     table = {
         # -- 14 entries needing a (re-)record: the r7 err fix first --
@@ -704,31 +705,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-#: Round-11 driver window (first 50 entries the driver records).
+#: Round-12 driver window (first 50 entries the driver records).
+#: Per VERDICT r11 item 1: the 34 entries whose newest driver record
+#: is r7 (now the stalest evidence on the board), topped up to exactly
+#: 50 with the oldest r9 entries. NEW round-12 entries go at the very
+#: front (never recorded, by construction) and displace the tail r9
+#: top-ups, which already hold r9-green records.
 _FRONT_WINDOW = [
-    # NEW round-11 entries (never recorded, by construction)
-    "q146_pii_scan", "q147_token_length_profile",
-    "q148_benchmark_attribution", "q149_doc_stitching",
-    "q150_embedding_drift",
-    # r6-stale cohort (last driver-recorded round 6 — oldest records)
-    "q69_hash_split", "q70_tfidf", "q71_quality_filter",
-    "q72_langid_confusion", "q73_stratified_sample",
-    "q74_minhash_vocab", "q75_pmi_bigrams", "q76_embed_quantize",
-    "q77_content_hash_dedup", "q78_zscore_outliers",
-    "q79_vocab_coverage", "q80_doc_embedding_join",
-    "q81_repetition_filter", "q82_cosine_pairs", "q83_graph_strength",
-    "q84_winnow_fingerprint", "q85_clustering_coeff", "q86_reach2",
-    "q87_funnel", "q88_retention", "q89_skyline", "q90_regression",
-    "q91_motif_weighted", "q92_sequence_pack", "q93_minhash_bands",
-    "q94_bounded_funnel", "q95_degree_assortativity",
-    "q96_embedding_centroids", "q97_skew_profile", "q98_funnel_windows",
-    # r7-cohort head fills the remainder of the 50-window
-    "graph_pagerank", "graph_connected_components",
-    "graph_label_propagation", "graph_scc", "graph_kcore",
-    "graph_ppr", "graph_shortest_paths", "graph_wpagerank",
-    "graph_sssp_weighted", "graph_harmonic", "graph_betweenness",
-    "graph_betweenness_approx", "graph_louvain",
-    "graph_louvain_weighted", "graph_hits",
+    # r7-stale cohort: rows-only ops recorded last in r7
+    "graph_anf", "graph_ktruss", "text_profile",
+    "text_quality_report", "dedup_minhash_near",
+    "dedup_embedding_near", "knn_ann_lsh", "knn_ann_ivf",
+    "approx_distinct_parts",
+    # r7-stale cohort: oracled q99-q123
+    "q99_modularity", "q100_link_prediction", "q101_attribution",
+    "q102_boilerplate_shingles", "q103_graph_growth",
+    "q104_markov_transitions", "q105_rfm_segments",
+    "q106_cooccur_lift", "q107_session_paths",
+    "q108_reorder_intervals", "q109_cohort_ltv", "q110_mad_outliers",
+    "q111_degree_histogram", "q112_weighted_sample",
+    "q113_snapshot_diff", "q114_fuzzy_name_pairs",
+    "q115_rolling_actives", "q116_ab_split_conversion",
+    "q117_table_profile", "q118_fk_integrity", "q119_decile_gains",
+    "q120_scd2_intervals", "q121_autocorr", "q122_weighted_median",
+    "q123_interval_union",
+    # oldest-r9 top-ups to fill the 50-window
+    "q125_sorted_neighborhood", "q126_token_diversity",
+    "q127_asof_forward", "q128_gini_concentration",
+    "q129_hhi_segments", "q130_bounce_rate",
+    "q131_dup_cluster_histogram", "q132_funnel_latency",
+    "q133_chi_square", "heavy_hitter_tokens", "graph_coreness",
+    "approx_quantiles_prices", "node2vec_walks",
+    "q134_cross_source_shingles", "q135_anomaly_mad_ts",
+    "q136_winsorized_stats",
 ]
 
 
