@@ -163,8 +163,16 @@ def _track_history(record: dict) -> None:
     # picking the regression-diff baseline. Old unflagged records are
     # re-screened against the median at selection time, so pre-guard
     # outliers can't be chosen either.
-    vals = sorted(h["value"] for h in same_sf
-                  if isinstance(h.get("value"), (int, float)))
+    # Median over the last 10 PLAUSIBLE runs only (ADVICE r11): a
+    # sustained burst of co-tenancy-skewed runs would otherwise drag
+    # an all-history median toward the outliers — both flagging
+    # genuinely good runs and un-flagging bad ones. Trailing window
+    # keeps the baseline tracking recent healthy behavior.
+    vals = sorted(
+        [h["value"] for h in same_sf
+         if isinstance(h.get("value"), (int, float))
+         and not h.get("implausible")][-10:]
+    )
     med = vals[len(vals) // 2] if vals else None
 
     def plausible(h) -> bool:

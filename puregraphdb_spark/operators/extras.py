@@ -1408,7 +1408,24 @@ def _weighted_median_histogram(df: DataFrame, value_col: str,
     per-round per-group value histograms tighten a [lo, hi] bracket
     around the weighted-median crossing; the final pass collects only
     the bounded in-bracket pairs and finishes with the exact decimal
-    fold, seeded with the bracket's accumulated below-weight."""
+    fold, seeded with the bracket's accumulated below-weight.
+
+    Round-count assumption (ADVICE r11): ``rounds`` is sized from
+    ``ceil(log_nbuckets(n_estimate / band_target))``, which assumes
+    each VALUE-domain bisection shrinks the in-bracket ROW count
+    ~n_buckets-fold — i.e. rows are roughly uniform across the value
+    range. A distribution with many distinct values packed into a
+    narrow slice of the range shrinks the bracket WIDTH geometrically
+    but sheds rows slower, so the final collect can exceed
+    band_target. One extra safety round is added whenever any
+    refinement runs (an extra bounded scan, cheap relative to the
+    base passes); one-value buckets still early-out (lo==hi groups
+    skip further scans), and a still-oversized final collect degrades
+    to a larger — but correct — per-group array, never a wrong
+    answer. Keeping the loop static (no per-round driver action on
+    measured in-bracket counts) preserves the repo's pure-lazy
+    operator discipline; callers with known pathological value
+    concentration can raise ``n_estimate`` to buy more rounds."""
     import math
 
     if len(group_cols) != 1:
@@ -1422,6 +1439,8 @@ def _weighted_median_histogram(df: DataFrame, value_col: str,
     )
     rounds = max(0, math.ceil(
         math.log(max(n_estimate, 1) / band_target, n_buckets)))
+    if rounds > 0:  # safety round against value-concentrated data
+        rounds += 1
     bounds = base.groupBy("grp").agg(
         F.min("v").alias("lo"), F.max("v").alias("hi"),
         F.sum("w").cast(_DEC_W).alias("tot"),

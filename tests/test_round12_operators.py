@@ -17,6 +17,7 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 
+from puregraphdb_spark.operators.extras import weighted_median
 from puregraphdb_spark.operators.pipeline import embedding_drift
 
 
@@ -62,3 +63,30 @@ def test_embedding_drift_small_drift_matches_oracle(spark):
     assert list(spark_out["n_vecs"]) == list(oracle_out["n_vecs"])
     assert list(spark_out["drift_l2"]) == list(oracle_out["drift_l2"])
     assert all(v != 0.0 for v in spark_out["drift_l2"])
+
+
+def test_weighted_median_histogram_value_concentrated(spark):
+    """ADVICE r11 (low): the histogram path's round count assumes
+    value-domain bisection sheds rows ~n_buckets-fold per round; a
+    distribution with many distinct values packed into a narrow slice
+    of the range violates that. The safety round plus the bounded
+    final fold must still produce the exact collect-path answer."""
+    import random
+
+    rng = random.Random(1207)
+    rows = []
+    # 4000 distinct-ish values inside [100.0, 100.0 + 1e-4] — the
+    # whole mass in 1e-7 of the value range spanned by the outliers.
+    rows += [("g", 100.0 + rng.random() * 1e-4, float(rng.randrange(1, 9)))
+             for _ in range(4000)]
+    rows += [("g", 0.0, 1.0), ("g", 1000.0, 1.0)]  # stretch the range
+    # a second, tiny group keeps the multi-group bookkeeping honest
+    rows += [("h", 5.0, 2.0), ("h", 7.0, 1.0)]
+    df = spark.createDataFrame(rows, ["k", "v", "w"])
+    a = sorted(tuple(r) for r in
+               weighted_median(df, "v", "w", "k").collect())
+    b = sorted(tuple(r) for r in
+               weighted_median(df, "v", "w", "k", collect_small=False,
+                               n_estimate=5000, n_buckets=8,
+                               band_target=50).collect())
+    assert a == b
