@@ -339,25 +339,38 @@ def q148_benchmark_attribution(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """Per (source, benchmark) contamination attribution over THREE
     simulated benchmarks (residue-class excerpts at distinct offsets,
-    the q66 synthesis extended) — see
-    ``text.benchmark_attribution``."""
+    the q66 synthesis extended) — see ``text.benchmark_attribution``.
+
+    r12 lineage-dedup: the three benchmarks build in ONE corpus scan
+    (a per-row array of matching (bench, excerpt) structs, exploded
+    map-side) instead of three filtered scans unioned — which,
+    consumed twice inside benchmark_attribution (gram explode + grid
+    axis), cost SIX corpus re-reads; the grid axis is now the static
+    label list. Scans: benches 1 + corpus grams 1 + totals 1.
+    """
     from puregraphdb_spark.operators.text import benchmark_attribution
     from puregraphdb_spark.sources.registry import table_bytes
 
     d = load_table(spark, sf_dir, "documents")
-
-    def mk(label: str, mod: int, off: int):
-        return d.filter(F.col("doc_id") % mod == 0).select(
-            F.lit(label).alias("bench"),
-            F.substring("text", off, 200).alias("text"),
-        )
-
-    benches = (mk("bench_a", 97, 10)
-               .unionByName(mk("bench_b", 89, 30))
-               .unionByName(mk("bench_c", 83, 50)))
+    specs = [("bench_a", 97, 10), ("bench_b", 89, 30),
+             ("bench_c", 83, 50)]
+    per_row = F.filter(
+        F.array(*[
+            F.when(
+                F.col("doc_id") % mod == 0,
+                F.struct(F.lit(label).alias("bench"),
+                         F.substring("text", off, 200).alias("text")),
+            )
+            for label, mod, off in specs
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    benches = d.select(F.explode(per_row).alias("b")).select(
+        "b.bench", "b.text")
     bounded = table_bytes(spark, sf_dir, "documents") < (2 << 30)
     rep = benchmark_attribution(d, benches, n=5,
-                                broadcast_benchmark=bounded)
+                                broadcast_benchmark=bounded,
+                                labels=[s[0] for s in specs])
     return final_sort(rep, spark, sf_dir, "documents", "source", "bench")
 
 

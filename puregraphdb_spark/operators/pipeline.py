@@ -1498,44 +1498,50 @@ def sorted_neighborhood_pairs(df: DataFrame, key_col: str,
     of corpus size — no hot-block blowup (contrast q114's length-band
     blocking where a popular block is quadratic in its size).
 
-    Exactness: the rank is a total order (key, id tiebreak); the edit
-    distance is integer levenshtein — identical on both engines.
+    Exactness: the neighbor order is a total order (key, id
+    tiebreak); the edit distance is integer levenshtein — identical
+    on both engines.
 
-    Scale: the global rank is the q105 global-window posture, fine for
-    dimension-scale inputs; at fact scale swap the row_number for a
-    range-partitioned ``zipWithIndex``-style two-pass rank (the q92
-    prefix-scan machinery) — the neighbor self-join on rank is
-    shuffle-colocated either way and carries only (rank, key, id).
+    Scale (r12 lineage-dedup): each record's next ``window``
+    neighbors come from ``lead(·, j)`` over ONE sorted window — the
+    old plan ranked the relation, then SELF-JOINED it on rank+offset,
+    which executed the global sort lineage twice (left and right of
+    the join) plus a rank shuffle; lead() reads the neighbors off the
+    already-sorted run with zero joins. The global (unpartitioned)
+    window is the q105 posture, fine for dimension-scale inputs; at
+    fact scale pre-rank with a range-partitioned two-pass rank (the
+    q92 prefix-scan machinery) and lead within range partitions,
+    stitching the ``window``-row partition seams with a second pass.
     """
-    ranked = df.select(
+    w = Window.orderBy("__key", "__id")
+    # leads stage in their own projection (generators can't host
+    # window expressions); the array build + explode follow map-side
+    led = df.select(
         F.col(id_col).alias("__id"), F.col(key_col).alias("__key"),
-        F.row_number().over(
-            Window.orderBy(key_col, id_col)
-        ).alias("__rn"),
+    ).select(
+        "__id", "__key",
+        *[c for j in range(1, window + 1) for c in (
+            F.lead("__id", j).over(w).alias(f"__id{j}"),
+            F.lead("__key", j).over(w).alias(f"__key{j}"))],
     )
-    right = ranked.select(
-        F.col("__id").alias("__id2"), F.col("__key").alias("__key2"),
-        F.col("__rn").alias("__rn2"),
-    )
-    # equi-join on (rank + offset), NOT a non-equi range condition: a
-    # rank-band predicate would plan as a nested-loop join (quadratic
-    # compares); exploding the fixed offsets keeps it a hash join —
-    # exactly `window` probe rows per record.
-    offsets = F.array(*[F.lit(j) for j in range(1, window + 1)])
-    pairs = (
-        ranked.withColumn("__j", F.explode(offsets))
-        .withColumn("__rn2", F.col("__rn") + F.col("__j"))
-        .join(right, "__rn2")
-    )
+    neigh = F.array(*[
+        F.struct(F.col(f"__id{j}").alias("id2"),
+                 F.col(f"__key{j}").alias("key2"))
+        for j in range(1, window + 1)
+    ])
     return (
-        pairs.withColumn(
-            "dist", F.levenshtein("__key", "__key2").cast("long")
-        )
+        led.select("__id", "__key",
+                   F.explode(F.filter(
+                       neigh, lambda x: x["id2"].isNotNull()
+                   )).alias("__p"))
+        .withColumn(
+            "dist",
+            F.levenshtein("__key", F.col("__p.key2")).cast("long"))
         .filter(F.col("dist") <= max_dist)
         .select(
-            F.col("__id").alias("id1"), F.col("__id2").alias("id2"),
-            F.col("__key").alias("key1"), F.col("__key2").alias("key2"),
-            "dist",
+            F.col("__id").alias("id1"), F.col("__p.id2").alias("id2"),
+            F.col("__key").alias("key1"),
+            F.col("__p.key2").alias("key2"), "dist",
         )
     )
 

@@ -813,27 +813,51 @@ def blocked_fuzzy_pairs(df: DataFrame, id_col: str, text_col: str,
     q97 skew profile on the block key is the pre-flight check — same
     guardrail thinking as near_dup_pairs' max_bucket_size). The
     length pre-filter |len(a)-len(b)| <= d is a codegen-cheap
-    necessary condition that prunes before the edit-distance loop,
-    and the THRESHOLDED levenshtein (3-arg form) lets the JVM
-    early-exit its DP at distance > d — both standard blocked-match
-    optimizations. ONE shuffle on the blocking key.
+    necessary condition that prunes INSIDE the pair generation, and
+    the THRESHOLDED levenshtein (3-arg form) lets the JVM early-exit
+    its DP at distance > d — both standard blocked-match
+    optimizations.
+
+    r12 lineage-dedup: ONE scan + ONE shuffle — each block folds to a
+    sorted (id, text) array via collect_list and the a<b candidate
+    pairs explode from that array map-side (the q106 combinations
+    idiom). The old self-join on block_cols executed the input
+    lineage twice and shuffled both sides. The per-block pair array
+    is materialized before the explode, so the block-size guardrail
+    above is also the memory bound (~10³ rows → ≤ ~5·10⁵ structs of
+    two short strings after the length pre-filter, per block row).
     """
     if not block_cols:
         raise ValueError("need at least one blocking column")
-    a = df.select(F.col(id_col).alias("a_id"),
-                  F.col(text_col).alias("a_txt"), *block_cols)
-    b = df.select(F.col(id_col).alias("b_id"),
-                  F.col(text_col).alias("b_txt"), *block_cols)
+    grouped = df.groupBy(*block_cols).agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col(id_col).alias("i"), F.col(text_col).alias("t")
+        ))).alias("__rows")
+    )
+    pair_arr = F.flatten(F.transform(
+        "__rows",
+        lambda x: F.transform(
+            F.filter(
+                "__rows",
+                lambda y: (y["i"] > x["i"])
+                & (F.abs(F.length(y["t"]) - F.length(x["t"]))
+                   <= max_distance),
+            ),
+            lambda y: F.struct(
+                x["i"].alias("a_id"), x["t"].alias("a_txt"),
+                y["i"].alias("b_id"), y["t"].alias("b_txt"),
+            ),
+        ),
+    ))
     return (
-        a.join(b, block_cols)
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(
-            F.abs(F.length("a_txt") - F.length("b_txt")) <= max_distance
-        )
+        grouped.select(*block_cols, F.explode(pair_arr).alias("__p"))
         .withColumn(
             "distance",
-            F.levenshtein("a_txt", "b_txt", max_distance).cast("long"),
+            F.levenshtein(F.col("__p.a_txt"), F.col("__p.b_txt"),
+                          max_distance).cast("long"),
         )
         .filter(F.col("distance") >= 0)
-        .select("a_id", "b_id", *block_cols, "distance")
+        .select(F.col("__p.a_id").alias("a_id"),
+                F.col("__p.b_id").alias("b_id"),
+                *block_cols, "distance")
     )

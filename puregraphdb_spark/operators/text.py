@@ -232,7 +232,8 @@ def benchmark_attribution(corpus: DataFrame, benchmarks: DataFrame,
                           id_col: str = "doc_id",
                           source_col: str = "source",
                           bench_col: str = "bench",
-                          broadcast_benchmark: bool = True) -> DataFrame:
+                          broadcast_benchmark: bool = True,
+                          labels: list[str] | None = None) -> DataFrame:
     """Multi-benchmark decontamination attribution: per (corpus
     source, benchmark), how many corpus documents share at least one
     word n-gram with THAT benchmark — q66 tells you a doc is
@@ -248,7 +249,11 @@ def benchmark_attribution(corpus: DataFrame, benchmarks: DataFrame,
     unless they match, so the only shuffle is the distinct
     (source, doc, bench) hit set — at most |benchmark grams| ×
     dup-factor, never corpus-sized. The grid is a tiny cross join of
-    two distinct aggregates.
+    two distinct aggregates; when the caller already knows the
+    benchmark labels, pass ``labels`` so the grid axis is a literal
+    relation instead of a distinct() that re-executes the (possibly
+    corpus-derived) ``benchmarks`` lineage a second time (r12
+    lineage-dedup).
     """
     bg = (
         benchmarks.select(
@@ -276,8 +281,13 @@ def benchmark_attribution(corpus: DataFrame, benchmarks: DataFrame,
     )
     totals = corpus.groupBy(F.col(source_col).alias("source")).agg(
         F.count("*").cast("long").alias("n_docs"))
-    grid = totals.crossJoin(
-        benchmarks.select(F.col(bench_col).alias("bench")).distinct())
+    if labels is not None:
+        lab = corpus.sparkSession.range(1).select(
+            F.explode(F.array(*[F.lit(x) for x in sorted(labels)]))
+            .alias("bench"))
+    else:
+        lab = benchmarks.select(F.col(bench_col).alias("bench")).distinct()
+    grid = totals.crossJoin(F.broadcast(lab))
     from puregraphdb_spark.functions.numeric import decimal_round
 
     return (
