@@ -861,3 +861,155 @@ def blocked_fuzzy_pairs(df: DataFrame, id_col: str, text_col: str,
                 F.col("__p.b_id").alias("b_id"),
                 *block_cols, "distance")
     )
+
+
+# -- SemDeDup-class semantic dedup (r12) --------------------------------------
+
+
+def semantic_prune(scored: DataFrame, id_col: str = "vec_id",
+                   threshold: float = 0.85) -> DataFrame:
+    """Intra-cluster semantic prune — the shared core of
+    ``semantic_dedup`` (IVF clusters) and ``hash_semantic_dedup``
+    (oracle-verifiable hash clusters). SemDeDup (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): inside each embedding cluster, near-duplicate
+    pairs (cosine ≥ ``threshold``) keep ONE representative — the
+    member LEAST similar to the cluster centroid (the most "extreme"
+    point, the paper's keep-low choice), which anchors the
+    deterministic keep order used here: a vector is dropped iff some
+    EARLIER vector in the (centroid_sim asc, id asc) cluster order is
+    within ``threshold`` of it. Single pass, greedy-by-order — the
+    order-minimal member of every near-dup group survives; a chain
+    u1~u2~u3 with u1 !~ u3 drops BOTH u2 and u3 (each has an earlier
+    above-threshold neighbor), the standard single-pass approximation
+    of the paper's per-group argmin.
+
+    ``scored`` carries (id, cluster, emb array<double>, nrm, csim).
+    Returns one row per vector: (id, cluster, centroid_sim,
+    n_earlier_dups, kept 0/1).
+
+    Scale: ONE shuffle — each cluster folds to a (csim, id, emb,
+    nrm)-sorted array via collect_list and both the keep decisions and
+    the O(b²) pairwise cosines run INSIDE one JVM expression over that
+    array (the q106 combinations idiom; a join formulation would
+    execute the scored lineage — scan + centroid agg — three times).
+    Per-cluster memory is the bound: b vectors × dim doubles per
+    cluster row, so size k (IVF) / n_clusters (hash) to keep clusters
+    ~10³-10⁴ rows; past that, feed LSH/IVF-bucketed CANDIDATE pairs to
+    this arithmetic instead (embedding_near_dup_pairs posture).
+    """
+    packed = scored.groupBy("cluster").agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("csim"), F.col("__vid").alias("vid"),
+            F.col("emb"), F.col("nrm")))).alias("__rows"))
+    per = F.transform(
+        "__rows",
+        lambda x, i: F.struct(
+            x["vid"].alias("vid"), x["csim"].alias("csim"),
+            F.size(F.filter(
+                F.slice("__rows", F.lit(1), i),
+                lambda y: F.aggregate(
+                    F.zip_with(x["emb"], y["emb"], lambda a, b: a * b),
+                    F.lit(0.0), lambda acc, p: acc + p,
+                ) / (x["nrm"] * y["nrm"]) >= F.lit(threshold),
+            )).cast("long").alias("nd"),
+        ),
+    )
+    from puregraphdb_spark.functions.numeric import decimal_round
+
+    return (
+        packed.select("cluster", F.explode(per).alias("r"))
+        .select(
+            F.col("r.vid").alias(id_col),
+            F.col("cluster").cast("long").alias("cluster"),
+            decimal_round(F.col("r.csim"), 6, grid=10)
+            .alias("centroid_sim"),
+            F.col("r.nd").alias("n_earlier_dups"),
+            (F.col("r.nd") == 0).cast("long").alias("kept"),
+        )
+    )
+
+
+def _score_against_centroids(assigned: DataFrame, cent: DataFrame,
+                             id_col: str, emb_col: str) -> DataFrame:
+    """(id, cluster, emb, nrm, csim) relation: one broadcast join of
+    the cluster-carrying vectors against a tiny (cluster, cvec)
+    centroid relation."""
+    from puregraphdb_spark.functions.vector import l2_norm
+
+    return (
+        assigned.select(
+            F.col(id_col).alias("__vid"), "cluster",
+            F.col(emb_col).cast("array<double>").alias("emb"))
+        .join(F.broadcast(cent), "cluster")
+        .select(
+            "__vid", "cluster", "emb", l2_norm("emb").alias("nrm"),
+            cosine_similarity(F.col("emb"), F.col("cvec")).alias("csim"))
+    )
+
+
+def semantic_dedup(corpus: DataFrame, id_col: str = "vec_id",
+                   emb_col: str = "embedding",
+                   threshold: float = 0.85, k: int = 16,
+                   iters: int = 3, dim: int = 64) -> DataFrame:
+    """SemDeDup over IVF clusters: deterministic seeded k-means
+    (``kmeans_centroids`` — hash-ordered seeds, Lloyd refinement),
+    nearest-centroid assignment, then the intra-cluster prune
+    (``semantic_prune``). centroid_sim scores against the k-means
+    centroid the vector was ASSIGNED to (the paper's choice), so the
+    kept representative is the cluster's most extreme member.
+
+    Rows-only entry: the k-means centroids are deterministic given
+    the seed order but float-iterative, so there is no clean
+    cross-engine hash oracle — ``hash_semantic_dedup`` (q151) oracles
+    the IDENTICAL prune arithmetic under hash-assigned clusters, and
+    the property tests pin determinism + threshold monotonicity here.
+    """
+    cents = kmeans_centroids(corpus, emb_col, id_col, k=k, iters=iters,
+                             dim=dim)
+    assigned = ivf_assign(corpus, cents, emb_col)
+    cent = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cluster int, cvec array<double>",
+    )
+    return semantic_prune(
+        _score_against_centroids(assigned, cent, id_col, emb_col),
+        id_col, threshold)
+
+
+def hash_semantic_dedup(corpus: DataFrame, id_col: str = "vec_id",
+                        emb_col: str = "embedding",
+                        threshold: float = 0.3,
+                        n_clusters: int = 16) -> DataFrame:
+    """The oracle-verifiable SemDeDup twin (q151): clusters are the
+    deterministic hash partition ``id % n_clusters`` (the q73
+    discipline — swap the float-iterative k-means for integer
+    arithmetic so every downstream number is engine-exact), centroids
+    are per-(cluster, dim) means decimal-snapped at 6 dp (the
+    q96/q150 centroid discipline, then cast to double so both engines
+    run the same sequential-order cosine), and the prune arithmetic
+    is ``semantic_prune`` verbatim. Hash clusters are NOT semantic —
+    the point is that the entire keep/drop pipeline (centroid build,
+    centroid_sim ordering, pairwise threshold cut) hash-matches
+    DuckDB, which oracles the same code path ``semantic_dedup`` runs
+    over real IVF clusters.
+    """
+    from puregraphdb_spark.functions.numeric import decimal_round
+
+    assigned = corpus.select(
+        F.col(id_col), F.col(emb_col),
+        (F.col(id_col) % n_clusters).cast("int").alias("cluster"))
+    ex = assigned.select(
+        "cluster",
+        F.posexplode(F.col(emb_col).cast("array<double>"))
+        .alias("dim", "v"))
+    comp = ex.groupBy("cluster", "dim").agg(
+        decimal_round(F.avg("v"), 6, grid=8).alias("c"))
+    cent = comp.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda x: x["c"],
+        ).alias("cvec"))
+    return semantic_prune(
+        _score_against_centroids(assigned, cent, id_col, emb_col),
+        id_col, threshold)
