@@ -459,6 +459,30 @@ def knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over IVF (seeded k-means) clusters (rows-only: the
+    k-means centroids are deterministic given the hash-ordered seeds
+    but float-iterative, so no clean cross-engine hash oracle exists;
+    q151 oracles the IDENTICAL prune arithmetic under hash clusters).
+    Threshold lowered for the synthetic corpus (random embeddings,
+    max pairwise cosine ~0.51 — 0.35 exercises real drops)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, threshold=0.35, k=8, iters=2, dim=64
+    ).orderBy("vec_id")
+
+
+def q151_hash_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's oracle-verifiable twin: hash-assigned clusters
+    (vec_id % 16, the q73 discipline), decimal-snapped centroids, and
+    the same intra-cluster greedy prune ``semantic_dedup`` runs —
+    every keep/drop decision hash-checked against DuckDB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hash_semantic_dedup(
+        emb, threshold=0.3, n_clusters=16
+    ).orderBy("vec_id")
+
+
 def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-granularity continuous aggregate over events: one source
     scan feeds the finest level, coarser levels re-aggregate partials.
@@ -493,13 +517,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``_FRONT_WINDOW`` list below IS the rotation — the literal dict
     keeps a stable canonical order and the return reorders it.
 
-    Round-12 window (per VERDICT r11 item 1): the 34 entries whose
-    newest driver record is r7 — the stalest evidence on the board
-    (rows-only graph/text/dedup/knn ops + oracled q99-q123) — topped
-    up to exactly 50 with the oldest r9 entries (q125-q136 block +
-    the four rows-only r9 sketch/graph ops). Everything after slot 50
-    retains a driver-green row from r9-r11. Round-13 rotation: the
-    r9 remainder (q138-q144, q01-q24), then r10.
+    Round-12 window (per VERDICT r11 item 1): the two NEW round-12
+    entries (q151 + semantic_dedup, never recorded by construction)
+    lead, then the 34 entries whose newest driver record is r7 — the
+    stalest evidence on the board (rows-only graph/text/dedup/knn ops
+    + oracled q99-q123) — topped up to exactly 50 with the oldest r9
+    entries (q125-q134 block + the four rows-only r9 sketch/graph
+    ops). Everything after slot 50 retains a driver-green row from
+    r9-r11. Round-13 rotation: the r9 remainder (q135/q136,
+    q138-q144, q01-q24), then r10.
     """
     table = {
         # -- 14 entries needing a (re-)record: the r7 err fix first --
@@ -536,6 +562,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_benchmark_attribution": llm.q148_benchmark_attribution,
         "q149_doc_stitching": pipeline.q149_doc_stitching,
         "q150_embedding_drift": pipeline.q150_embedding_drift,
+        # -- NEW round-12 entries --
+        "q151_hash_semantic_dedup": q151_hash_semantic_dedup,
+        "semantic_dedup": semantic_dedup,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -712,6 +741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: front (never recorded, by construction) and displace the tail r9
 #: top-ups, which already hold r9-green records.
 _FRONT_WINDOW = [
+    # NEW round-12 entries (never recorded, by construction)
+    "q151_hash_semantic_dedup", "semantic_dedup",
     # r7-stale cohort: rows-only ops recorded last in r7
     "graph_anf", "graph_ktruss", "text_profile",
     "text_quality_report", "dedup_minhash_near",
@@ -736,8 +767,7 @@ _FRONT_WINDOW = [
     "q131_dup_cluster_histogram", "q132_funnel_latency",
     "q133_chi_square", "heavy_hitter_tokens", "graph_coreness",
     "approx_quantiles_prices", "node2vec_walks",
-    "q134_cross_source_shingles", "q135_anomaly_mad_ts",
-    "q136_winsorized_stats",
+    "q134_cross_source_shingles",
 ]
 
 
@@ -3575,5 +3605,49 @@ def oracle_sql() -> dict[str, str]:
                      as drift_l2
             from comp join gcent on comp.dim = gcent.dim
             group by comp.label order by comp.label
+        """,
+        # SemDeDup hash-cluster twin: clusters are vec_id % 16 (exact
+        # integer arithmetic), centroids decimal-snapped at 6 dp, and
+        # the greedy keep order is (csim asc, vec_id asc) — "earlier"
+        # rows are the join predicate, the prune is a threshold count.
+        "q151_hash_semantic_dedup": """
+            with assigned as (
+                select vec_id, embedding::DOUBLE[] as emb,
+                       cast(vec_id % 16 as int) as cluster
+                from embeddings),
+            ex as (
+                select cluster, generate_subscripts(emb, 1) as dim,
+                       unnest(emb) as v
+                from assigned),
+            comp as (
+                select cluster, dim,
+                       cast(round(cast(avg(v) as decimal(28,8)), 6)
+                         as double) as c
+                from ex group by cluster, dim),
+            cent as (
+                select cluster, list(c order by dim) as cvec
+                from comp group by cluster),
+            scored as (
+                select a.vec_id, a.cluster, a.emb,
+                       list_cosine_similarity(a.emb, c.cvec) as csim
+                from assigned a join cent c on a.cluster = c.cluster),
+            agg as (
+                select x.vec_id, x.cluster, x.csim,
+                       count(case when
+                             list_cosine_similarity(x.emb, y.emb) >= 0.3
+                             then 1 end) as nd
+                from scored x left join scored y
+                  on y.cluster = x.cluster
+                 and (y.csim < x.csim
+                      or (y.csim = x.csim and y.vec_id < x.vec_id))
+                group by x.vec_id, x.cluster, x.csim)
+            select vec_id,
+                   cast(cluster as bigint) as cluster,
+                   cast(round(cast(csim as decimal(28,10)), 6) as double)
+                     as centroid_sim,
+                   cast(nd as bigint) as n_earlier_dups,
+                   cast(case when nd = 0 then 1 else 0 end as bigint)
+                     as kept
+            from agg order by vec_id
         """,
     }

@@ -869,6 +869,30 @@ def _redact_pii(spark, docs: str = "documents",
                       text_col=text_col)
 
 
+def _semantic_dedup(spark, embeddings: str = "embeddings",
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    threshold: float = 0.85, k: int = 16,
+                    iters: int = 3, dim: int = 64) -> DataFrame:
+    from puregraphdb_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(_view(spark, embeddings), id_col=id_col,
+                          emb_col=emb_col, threshold=float(threshold),
+                          k=int(k), iters=int(iters), dim=int(dim))
+
+
+def _hash_semantic_dedup(spark, embeddings: str = "embeddings",
+                         id_col: str = "vec_id",
+                         emb_col: str = "embedding",
+                         threshold: float = 0.3,
+                         n_clusters: int = 16) -> DataFrame:
+    from puregraphdb_spark.operators.similarity import hash_semantic_dedup
+
+    return hash_semantic_dedup(_view(spark, embeddings), id_col=id_col,
+                               emb_col=emb_col,
+                               threshold=float(threshold),
+                               n_clusters=int(n_clusters))
+
+
 PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "pagerank": _pagerank,
     "hits": _hits,
@@ -951,6 +975,9 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "benchmark_attribution": _benchmark_attribution,
     "doc_stitching": _doc_stitching,
     "embedding_drift": _embedding_drift,
+    # round-12 operators
+    "semantic_dedup": _semantic_dedup,
+    "hash_semantic_dedup": _hash_semantic_dedup,
 }
 
 

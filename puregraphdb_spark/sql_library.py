@@ -1443,4 +1443,66 @@ SPARK_SQL: dict[str, str] = {
         from comp join gcent on comp.dim = gcent.dim
         group by comp.label order by comp.label
     """,
+    # SemDeDup hash-cluster twin (q151): same greedy keep order as
+    # operators/similarity.semantic_prune — "earlier in (csim asc,
+    # vec_id asc)" becomes the self-join predicate; the pairwise
+    # cosine is the identical dot/(nrm_x*nrm_y) sequential fold, so
+    # the SQL door reproduces the DataFrame door bit-for-bit.
+    "q151_hash_semantic_dedup": """
+        with assigned as (
+            select vec_id, cast(embedding as array<double>) as emb,
+                   cast(vec_id % 16 as int) as cluster
+            from embeddings),
+        ex as (
+            select cluster, posexplode(emb) as (dim, v) from assigned),
+        comp as (
+            select cluster, dim,
+                   cast(round(cast(avg(v) as decimal(28,8)), 6)
+                     as double) as c
+            from ex group by cluster, dim),
+        cent as (
+            select cluster,
+                   transform(array_sort(collect_list(struct(dim, c))),
+                             x -> x.c) as cvec
+            from comp group by cluster),
+        scored as (
+            select a.vec_id, a.cluster, a.emb,
+                   sqrt(aggregate(zip_with(a.emb, a.emb,
+                                           (x, y) -> x * y),
+                                  cast(0 as double),
+                                  (acc, p) -> acc + p)) as nrm,
+                   aggregate(zip_with(a.emb, c.cvec, (x, y) -> x * y),
+                             cast(0 as double), (acc, p) -> acc + p)
+                   / (sqrt(aggregate(zip_with(a.emb, a.emb,
+                                              (x, y) -> x * y),
+                                     cast(0 as double),
+                                     (acc, p) -> acc + p))
+                      * sqrt(aggregate(zip_with(c.cvec, c.cvec,
+                                                (x, y) -> x * y),
+                                       cast(0 as double),
+                                       (acc, p) -> acc + p))) as csim
+            from assigned a join cent c on a.cluster = c.cluster),
+        agg as (
+            select x.vec_id, x.cluster, x.csim,
+                   count(case when
+                         aggregate(zip_with(x.emb, y.emb,
+                                            (p, q) -> p * q),
+                                   cast(0 as double),
+                                   (acc, p) -> acc + p)
+                           / (x.nrm * y.nrm) >= 0.3D
+                         then 1 end) as nd
+            from scored x left join scored y
+              on y.cluster = x.cluster
+             and (y.csim < x.csim
+                  or (y.csim = x.csim and y.vec_id < x.vec_id))
+            group by x.vec_id, x.cluster, x.csim)
+        select vec_id,
+               cast(cluster as bigint) as cluster,
+               cast(round(cast(csim as decimal(28,10)), 6) as double)
+                 as centroid_sim,
+               cast(nd as bigint) as n_earlier_dups,
+               cast(case when nd = 0 then 1 else 0 end as bigint)
+                 as kept
+        from agg order by vec_id
+    """,
 }

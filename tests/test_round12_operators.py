@@ -90,3 +90,118 @@ def test_weighted_median_histogram_value_concentrated(spark):
                                n_estimate=5000, n_buckets=8,
                                band_target=50).collect())
     assert a == b
+
+
+# -- SemDeDup-class semantic dedup (VERDICT r11 item 4) -----------------------
+#
+# semantic_dedup (IVF clusters) is rows-only by design (float-iterative
+# k-means has no cross-engine hash oracle); these tests pin the
+# properties that make the rows-only declaration honest — seeded
+# determinism, threshold monotonicity, the greedy chain semantics —
+# and that q151's hash-cluster twin runs the IDENTICAL prune
+# arithmetic (same kept set under equal cluster assignments).
+
+
+def _toy_vectors(spark):
+    # Three near-dup groups + two singletons, 4-dim. Cosines within a
+    # group > 0.99; across groups < 0.9.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.01]),
+        (1, [1.0, 0.0, 0.0, 0.02]),   # ~ dup of 0
+        (2, [0.0, 1.0, 0.0, 0.01]),
+        (3, [0.0, 1.0, 0.0, 0.03]),   # ~ dup of 2
+        (4, [0.0, 0.0, 1.0, 0.0]),    # singleton
+        (5, [0.5, 0.5, 0.5, 0.5]),    # singleton
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>")
+
+
+def test_semantic_dedup_deterministic(spark):
+    from puregraphdb_spark.operators.similarity import semantic_dedup
+
+    corpus = _toy_vectors(spark)
+    a = semantic_dedup(corpus, threshold=0.99, k=2, iters=2,
+                       dim=4).orderBy("vec_id").toPandas()
+    b = semantic_dedup(corpus, threshold=0.99, k=2, iters=2,
+                       dim=4).orderBy("vec_id").toPandas()
+    pd.testing.assert_frame_equal(a, b)  # cluster membership + kept
+    # exactly one representative survives per near-dup group
+    kept = set(a[a.kept == 1].vec_id)
+    assert len(kept & {0, 1}) == 1 and len(kept & {2, 3}) == 1
+    assert {4, 5} <= kept
+
+
+def test_semantic_prune_threshold_monotonicity(spark):
+    from puregraphdb_spark.operators.similarity import hash_semantic_dedup
+
+    corpus = _toy_vectors(spark)
+    kept_at = {}
+    for t in (0.5, 0.9, 0.999):
+        out = hash_semantic_dedup(corpus, threshold=t,
+                                  n_clusters=1).toPandas()
+        kept_at[t] = set(out[out.kept == 1].vec_id)
+    # raising the threshold only ever KEEPS more (fewer pairs qualify)
+    assert kept_at[0.5] <= kept_at[0.9] <= kept_at[0.999]
+
+
+def test_semantic_prune_greedy_chain(spark):
+    # u1~u2 and u2~u3 above threshold but u1!~u3: the single-pass
+    # greedy drops BOTH u2 and u3 (each has an earlier above-threshold
+    # neighbor) — the documented approximation of per-group argmin.
+    from puregraphdb_spark.functions.vector import cosine_similarity as _  # noqa: F401
+    from puregraphdb_spark.operators.similarity import semantic_prune
+    from pyspark.sql import functions as F
+
+    import math
+    # unit vectors at angles 0, 25, 50 degrees: cos(25°)≈0.906 pairs
+    # adjacent; cos(50°)≈0.643 does not pair the endpoints at t=0.9
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    rows = [(0, vec(0)), (1, vec(25)), (2, vec(50))]
+    scored = spark.createDataFrame(
+        rows, "vec_id bigint, emb array<double>"
+    ).select(
+        F.col("vec_id").alias("__vid"), F.lit(0).alias("cluster"),
+        "emb", F.lit(1.0).alias("nrm"),
+        # csim ordered by id so the keep order is 0, 1, 2
+        (F.col("vec_id") * 0.1).alias("csim"),
+    )
+    out = semantic_prune(scored, threshold=0.9).orderBy("vec_id").toPandas()
+    assert out.kept.tolist() == [1, 0, 0]
+    assert out.n_earlier_dups.tolist() == [0, 1, 1]
+
+
+def test_hash_and_ivf_prune_agree_under_equal_clusters(spark):
+    # With ONE cluster both paths score against the same mean centroid
+    # (k-means with k=1 converges to the mean in one step), so the
+    # kept sets must coincide — the twin really runs the same
+    # arithmetic q151 oracles.
+    from puregraphdb_spark.operators.similarity import (
+        hash_semantic_dedup, semantic_dedup)
+
+    corpus = _toy_vectors(spark)
+    h = hash_semantic_dedup(corpus, threshold=0.99, n_clusters=1).toPandas()
+    s = semantic_dedup(corpus, threshold=0.99, k=1, iters=1,
+                       dim=4).toPandas()
+    assert (set(h[h.kept == 1].vec_id)
+            == set(s[s.kept == 1].vec_id))
+
+
+def test_semantic_dedup_call_doors(spark):
+    from puregraphdb_spark.engine import Engine
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark, SF_DIR)
+    out = eng.sql(
+        "CALL hash_semantic_dedup(embeddings => 'embeddings', "
+        "threshold => 0.3, n_clusters => 16)")
+    assert set(out.columns) == {
+        "vec_id", "cluster", "centroid_sim", "n_earlier_dups", "kept"}
+    n = out.count()
+    assert n == eng.sql(
+        "CALL semantic_dedup(embeddings => 'embeddings', "
+        "threshold => 0.35, k => 4, iters => 1, dim => 64)").count()
+    assert n > 0

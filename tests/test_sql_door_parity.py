@@ -81,6 +81,7 @@ DUCKDB_ONLY = {
     "q148_benchmark_attribution",  # string_split/list_slice/unnest
     "q149_doc_stitching",    # list_filter/string_split/list_slice
     "q150_embedding_drift",  # generate_subscripts/unnest/::DOUBLE[]
+    "q151_hash_semantic_dedup",  # list_cosine_similarity/list(order by)
 }
 
 ORACLES = entrymod.oracle_sql()
