@@ -517,15 +517,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``_FRONT_WINDOW`` list below IS the rotation — the literal dict
     keeps a stable canonical order and the return reorders it.
 
-    Round-12 window (per VERDICT r11 item 1): the two NEW round-12
-    entries (q151 + semantic_dedup, never recorded by construction)
-    lead, then the 34 entries whose newest driver record is r7 — the
-    stalest evidence on the board (rows-only graph/text/dedup/knn ops
-    + oracled q99-q123) — topped up to exactly 50 with the oldest r9
-    entries (q125-q134 block + the four rows-only r9 sketch/graph
-    ops). Everything after slot 50 retains a driver-green row from
-    r9-r11. Round-13 rotation: the r9 remainder (q135/q136,
-    q138-q144, q01-q24), then r10.
+    Round-12 window (per VERDICT r11 item 1): the four NEW round-12
+    entries (q151-q153 + semantic_dedup, never recorded by
+    construction) lead, then the 34 entries whose newest driver
+    record is r7 — the stalest evidence on the board (rows-only
+    graph/text/dedup/knn ops + oracled q99-q123) — topped up to
+    exactly 50 with the oldest r9 entries (q125-q132 block + the
+    four rows-only r9 sketch/graph ops). Everything after slot 50
+    retains a driver-green row from r9-r11. Round-13 rotation: the
+    r9 remainder (q133-q136, q138-q144, q01-q24), then r10.
     """
     table = {
         # -- 14 entries needing a (re-)record: the r7 err fix first --
@@ -565,6 +565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW round-12 entries --
         "q151_hash_semantic_dedup": q151_hash_semantic_dedup,
         "semantic_dedup": semantic_dedup,
+        "q152_tokenizer_fertility": pipeline.q152_tokenizer_fertility,
+        "q153_provenance_dedup": pipeline.q153_provenance_dedup,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -743,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _FRONT_WINDOW = [
     # NEW round-12 entries (never recorded, by construction)
     "q151_hash_semantic_dedup", "semantic_dedup",
+    "q152_tokenizer_fertility", "q153_provenance_dedup",
     # r7-stale cohort: rows-only ops recorded last in r7
     "graph_anf", "graph_ktruss", "text_profile",
     "text_quality_report", "dedup_minhash_near",
@@ -765,9 +768,8 @@ _FRONT_WINDOW = [
     "q127_asof_forward", "q128_gini_concentration",
     "q129_hhi_segments", "q130_bounce_rate",
     "q131_dup_cluster_histogram", "q132_funnel_latency",
-    "q133_chi_square", "heavy_hitter_tokens", "graph_coreness",
+    "heavy_hitter_tokens", "graph_coreness",
     "approx_quantiles_prices", "node2vec_walks",
-    "q134_cross_source_shingles",
 ]
 
 
@@ -3649,5 +3651,77 @@ def oracle_sql() -> dict[str, str]:
                    cast(case when nd = 0 then 1 else 0 end as bigint)
                      as kept
             from agg order by vec_id
+        """,
+        # Tokenizer fertility: all-integer token/word/char totals, two
+        # final rational ratios (quotients of exact longs) snapped.
+        "q152_tokenizer_fertility": """
+            with rich as (
+                select source,
+                       text || ' v' || cast(doc_id % 10 as varchar)
+                            || '.' || cast(doc_id % 7 as varchar)
+                            || ' rank#'
+                            || cast(doc_id % 100 as varchar) || '!'
+                         as text
+                from documents),
+            per_doc as (
+                select source,
+                       cast(length(text) as bigint) as n_chars,
+                       cast(len(list_filter(string_split(lower(text),
+                            ' '), x -> x <> '')) as bigint) as n_words,
+                       cast(len(regexp_extract_all(lower(text),
+                            '[a-z]+|[0-9]+|[^a-z0-9\\s]')) as bigint)
+                         as n_tokens
+                from rich)
+            select source,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(n_chars) as bigint) as total_chars,
+                   cast(sum(n_words) as bigint) as total_words,
+                   cast(sum(n_tokens) as bigint) as total_tokens,
+                   cast(round(cast(cast(sum(n_tokens) as double)
+                        / cast(sum(n_words) as double)
+                        as decimal(28,10)), 6) as double)
+                     as tokens_per_word,
+                   cast(round(cast(cast(sum(n_tokens) as double)
+                        / cast(sum(n_chars) as double)
+                        as decimal(28,10)), 6) as double)
+                     as tokens_per_char
+            from per_doc group by source order by source
+        """,
+        # Provenance dedup at the planted domain grain (source '.d'
+        # doc_id%3): q144's within-grain numbers + the cross-domain
+        # mirror count (distinct contents present in >= 2 domains).
+        "q153_provenance_dedup": """
+            with planted as (
+                select source || '.d' || cast(doc_id % 3 as varchar)
+                         as domain,
+                       case when doc_id % 37 = 0
+                            then 'syndicated boilerplate item '
+                                 || cast(doc_id % 5 as varchar)
+                            else text end as text
+                from documents),
+            per_hash as (
+                select domain,
+                       md5(trim(regexp_replace(regexp_replace(
+                           lower(text), '[^a-z0-9 ]', '', 'g'),
+                           ' +', ' ', 'g'))) as h,
+                       cast(count(*) as bigint) as c
+                from planted group by 1, 2),
+            hd as (
+                select h, cast(count(*) as bigint) as nd
+                from per_hash group by h)
+            select domain,
+                   cast(sum(c) as bigint) as n_docs,
+                   cast(count(*) as bigint) as n_unique,
+                   cast(sum(c) - count(*) as bigint) as n_removable,
+                   cast(sum(case when nd >= 2 then 1 else 0 end)
+                     as bigint) as n_mirrored,
+                   cast(round(cast(
+                        cast(sum(case when nd >= 2 then 1 else 0 end)
+                             as double)
+                        / cast(count(*) as double)
+                        as decimal(28,10)), 6) as double)
+                     as mirror_ratio
+            from per_hash join hd using (h)
+            group by domain order by domain
         """,
     }

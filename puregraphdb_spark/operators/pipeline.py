@@ -2363,3 +2363,158 @@ def q145_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             df, spark, sf_dir, "documents"),
     )
     return final_sort(res, spark, sf_dir, "documents", "source")
+
+
+def tokenizer_fertility(docs: DataFrame, source_col: str = "source",
+                        text_col: str = "text") -> DataFrame:
+    """Per-source tokenizer-fertility report: BPE-ish regex tokens per
+    whitespace word and per character — the tokenizer-sizing number
+    read NEXT TO q79's vocabulary-coverage curve and q147's length
+    percentiles (a source whose fertility is 2× the corpus mean burns
+    2× the context budget per word; fertility drift per feed is the
+    standard signal for retraining or swapping a tokenizer).
+
+    Counts are all-integer (q64's regex token count, q27's whitespace
+    word count, char length); the two ratios are quotients of exact
+    long totals — identical doubles on both engines — then
+    decimal-snapped.
+
+    Scale: tokenize + count are map-side projections (arrays never
+    cross the exchange); ONE shuffle on source with map-side combine
+    aggregates four longs per source.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(text_col), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+    )
+    per_doc = docs.select(
+        F.col(source_col).alias("source"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(_nonempty_tokens(text_col)).cast("long").alias("n_words"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "source", "n_docs", "total_chars", "total_words",
+            "total_tokens",
+            decimal_round(
+                F.col("total_tokens").cast("double")
+                / F.col("total_words").cast("double"), 6, grid=10,
+            ).alias("tokens_per_word"),
+            decimal_round(
+                F.col("total_tokens").cast("double")
+                / F.col("total_chars").cast("double"), 6, grid=10,
+            ).alias("tokens_per_char"),
+        )
+    )
+
+
+def q152_tokenizer_fertility(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility (see ``tokenizer_fertility``).
+
+    The fixture text is pure lowercase words (regex tokens ==
+    whitespace words, fertility trivially 1.0), so a deterministic
+    version/rank suffix with digit runs and punctuation is planted
+    from doc_id arithmetic (the q146 synthetic-PII discipline) — the
+    cross-engine regex-token comparison then exercises real >1
+    fertility instead of hash-matching vacuously."""
+    i = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.concat(
+            F.col("text"), F.lit(" v"), s(i % 10), F.lit("."),
+            s(i % 7), F.lit(" rank#"), s(i % 100), F.lit("!"),
+        ).alias("text"),
+    )
+    return final_sort(tokenizer_fertility(d), spark, sf_dir,
+                      "documents", "source")
+
+
+def provenance_dedup_report(docs: DataFrame, domain_col: str = "domain",
+                            text_col: str = "text") -> DataFrame:
+    """Per-domain provenance dedup report — q144's source grain
+    generalized to URL/domain provenance: for every domain, the
+    within-domain removable duplicates (q144's numbers at the finer
+    grain) PLUS the cross-domain mirror signal — how many of this
+    domain's distinct contents also appear under at least one OTHER
+    domain. A domain with high mirror_ratio is a scrape of feeds
+    already ingested (CommonCrawl mirrors, syndication) and should be
+    dropped whole rather than deduped row-by-row.
+
+    Rides q77's canonical normalization + md5 so every count is
+    bit-identical cross-engine; mirror_ratio is a quotient of exact
+    longs, decimal-snapped.
+
+    Scale: ONE shuffle to the (domain, content-hash) grain with
+    map-side combine; the hash-grain domain counts reuse that relation
+    (grouped on uniform md5 keys, output = distinct corpus contents)
+    and join back on h — an AQE shuffle join of two already-aggregated
+    relations, never a doc-level self-join.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text_col), "[^a-z0-9 ]", ""),
+            " +", " ",
+        )
+    )
+    per_hash = (
+        docs.select(F.col(domain_col).alias("domain"),
+                    F.md5(norm).alias("h"))
+        .groupBy("domain", "h")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    hash_domains = per_hash.groupBy("h").agg(
+        F.count("*").cast("long").alias("nd"))
+    return (
+        per_hash.join(hash_domains, "h")
+        .groupBy("domain")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_unique"),
+            (F.sum("c") - F.count("*")).cast("long")
+            .alias("n_removable"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long").alias("n_mirrored"),
+        )
+        .select(
+            "domain", "n_docs", "n_unique", "n_removable", "n_mirrored",
+            decimal_round(
+                F.col("n_mirrored").cast("double")
+                / F.col("n_unique").cast("double"), 6, grid=10,
+            ).alias("mirror_ratio"),
+        )
+    )
+
+
+def q153_provenance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-grain provenance dedup report (see
+    ``provenance_dedup_report``). The fixtures carry no URL column, so
+    provenance is planted deterministically from integer arithmetic
+    (the q146 synthetic-PII discipline): domain = source '.d' doc_id%3
+    — three synthetic hosts per feed, identical on both engines.
+
+    The sf0.01 fixture corpus has ZERO exact dups (measured), so a
+    syndicated-content residue class is planted deterministically:
+    doc_id % 37 == 0 docs carry one of five shared boilerplate
+    strings — cross-domain mirrors exist at the driver gate scale and
+    the mirror arithmetic is exercised, not vacuously hash-matched."""
+    i = F.col("doc_id")
+    d = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.col("source"), F.lit(".d"),
+                 (i % 3).cast("string")).alias("domain"),
+        F.when(
+            i % 37 == 0,
+            F.concat(F.lit("syndicated boilerplate item "),
+                     (i % 5).cast("string")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return final_sort(provenance_dedup_report(d), spark, sf_dir,
+                      "documents", "domain")

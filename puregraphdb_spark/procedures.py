@@ -893,6 +893,26 @@ def _hash_semantic_dedup(spark, embeddings: str = "embeddings",
                                n_clusters=int(n_clusters))
 
 
+def _tokenizer_fertility(spark, docs: str = "documents",
+                         source_col: str = "source",
+                         text_col: str = "text") -> DataFrame:
+    from puregraphdb_spark.operators.pipeline import tokenizer_fertility
+
+    return tokenizer_fertility(_view(spark, docs),
+                               source_col=source_col, text_col=text_col)
+
+
+def _provenance_dedup(spark, docs: str = "documents",
+                      domain_col: str = "domain",
+                      text_col: str = "text") -> DataFrame:
+    from puregraphdb_spark.operators.pipeline import (
+        provenance_dedup_report)
+
+    return provenance_dedup_report(_view(spark, docs),
+                                   domain_col=domain_col,
+                                   text_col=text_col)
+
+
 PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "pagerank": _pagerank,
     "hits": _hits,
@@ -978,6 +998,8 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     # round-12 operators
     "semantic_dedup": _semantic_dedup,
     "hash_semantic_dedup": _hash_semantic_dedup,
+    "tokenizer_fertility": _tokenizer_fertility,
+    "provenance_dedup": _provenance_dedup,
 }
 
 

@@ -1505,4 +1505,72 @@ SPARK_SQL: dict[str, str] = {
                  as kept
         from agg order by vec_id
     """,
+    # Tokenizer fertility twin (q152): same planted version/rank
+    # suffix, Spark HOF spellings of the word/token counts.
+    "q152_tokenizer_fertility": """
+        with rich as (
+            select source,
+                   concat(text, ' v', cast(doc_id % 10 as string),
+                          '.', cast(doc_id % 7 as string), ' rank#',
+                          cast(doc_id % 100 as string), '!') as text
+            from documents),
+        per_doc as (
+            select source,
+                   cast(length(text) as bigint) as n_chars,
+                   cast(size(filter(split(lower(text), ' '),
+                        x -> x != '')) as bigint) as n_words,
+                   cast(size(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) as bigint)
+                     as n_tokens
+            from rich)
+        select source,
+               cast(count(*) as bigint) as n_docs,
+               cast(sum(n_chars) as bigint) as total_chars,
+               cast(sum(n_words) as bigint) as total_words,
+               cast(sum(n_tokens) as bigint) as total_tokens,
+               cast(round(cast(cast(sum(n_tokens) as double)
+                    / cast(sum(n_words) as double)
+                    as decimal(28,10)), 6) as double)
+                 as tokens_per_word,
+               cast(round(cast(cast(sum(n_tokens) as double)
+                    / cast(sum(n_chars) as double)
+                    as decimal(28,10)), 6) as double)
+                 as tokens_per_char
+        from per_doc group by source order by source
+    """,
+    # Provenance dedup twin (q153): same planted domain grain and
+    # syndicated residue class, Spark regexp_replace (implicit 'g').
+    "q153_provenance_dedup": """
+        with planted as (
+            select concat(source, '.d', cast(doc_id % 3 as string))
+                     as domain,
+                   case when doc_id % 37 = 0
+                        then concat('syndicated boilerplate item ',
+                                    cast(doc_id % 5 as string))
+                        else text end as text
+            from documents),
+        per_hash as (
+            select domain,
+                   md5(trim(regexp_replace(regexp_replace(
+                       lower(text), '[^a-z0-9 ]', ''),
+                       ' +', ' '))) as h,
+                   cast(count(*) as bigint) as c
+            from planted group by 1, 2),
+        hd as (
+            select h, cast(count(*) as bigint) as nd
+            from per_hash group by h)
+        select domain,
+               cast(sum(c) as bigint) as n_docs,
+               cast(count(*) as bigint) as n_unique,
+               cast(sum(c) - count(*) as bigint) as n_removable,
+               cast(sum(case when nd >= 2 then 1 else 0 end)
+                 as bigint) as n_mirrored,
+               cast(round(cast(
+                    cast(sum(case when nd >= 2 then 1 else 0 end)
+                         as double)
+                    / cast(count(*) as double)
+                    as decimal(28,10)), 6) as double) as mirror_ratio
+        from per_hash join hd using (h)
+        group by domain order by domain
+    """,
 }

@@ -205,3 +205,53 @@ def test_semantic_dedup_call_doors(spark):
         "CALL semantic_dedup(embeddings => 'embeddings', "
         "threshold => 0.35, k => 4, iters => 1, dim => 64)").count()
     assert n > 0
+
+
+# -- q152 tokenizer fertility / q153 provenance dedup -------------------------
+
+
+def test_tokenizer_fertility_counts(spark):
+    from puregraphdb_spark.operators.pipeline import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [("a", "hello world v1.2 ok!"),   # words 4; tokens: hello,
+         #  world, v, 1, ., 2, ok, ! = 8
+         ("a", "plain words only"),       # words 3; tokens 3
+         ("b", "x=1")],                   # words 1; tokens x,=,1 = 3
+        "source string, text string")
+    out = {r.source: r for r in tokenizer_fertility(docs).collect()}
+    assert out["a"].total_words == 7 and out["a"].total_tokens == 11
+    assert out["b"].total_words == 1 and out["b"].total_tokens == 3
+    assert out["b"].tokens_per_word == 3.0
+
+
+def test_provenance_dedup_mirror_semantics(spark):
+    from puregraphdb_spark.operators.pipeline import (
+        provenance_dedup_report)
+
+    docs = spark.createDataFrame(
+        [("d1", "same text"), ("d1", "same text"),   # within-domain dup
+         ("d2", "same text"),                        # cross-domain mirror
+         ("d2", "unique two"), ("d3", "unique three")],
+        "domain string, text string")
+    out = {r.domain: r for r in provenance_dedup_report(docs).collect()}
+    # d1: 2 docs, 1 unique, 1 removable, that hash also in d2 -> mirrored
+    assert (out["d1"].n_docs, out["d1"].n_unique,
+            out["d1"].n_removable, out["d1"].n_mirrored) == (2, 1, 1, 1)
+    assert out["d2"].n_mirrored == 1 and out["d2"].n_unique == 2
+    assert out["d3"].n_mirrored == 0
+    assert out["d2"].mirror_ratio == 0.5
+
+
+def test_fertility_and_provenance_call_doors(spark):
+    from puregraphdb_spark.engine import Engine
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark, SF_DIR)
+    f = eng.sql("CALL tokenizer_fertility(docs => 'documents')")
+    assert "tokens_per_word" in f.columns and f.count() > 0
+    spark.createDataFrame(
+        [("d1", "dup"), ("d2", "dup")], "domain string, text string"
+    ).createOrReplaceTempView("prov_docs")
+    p = eng.sql("CALL provenance_dedup(docs => 'prov_docs')")
+    assert p.filter("n_mirrored = 1").count() == 2

@@ -82,6 +82,8 @@ DUCKDB_ONLY = {
     "q149_doc_stitching",    # list_filter/string_split/list_slice
     "q150_embedding_drift",  # generate_subscripts/unnest/::DOUBLE[]
     "q151_hash_semantic_dedup",  # list_cosine_similarity/list(order by)
+    "q152_tokenizer_fertility",  # list_filter/string_split/len
+    "q153_provenance_dedup",     # regexp_replace 'g' flag argument
 }
 
 ORACLES = entrymod.oracle_sql()
