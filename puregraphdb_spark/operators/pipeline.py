@@ -2454,10 +2454,13 @@ def provenance_dedup_report(docs: DataFrame, domain_col: str = "domain",
     longs, decimal-snapped.
 
     Scale: ONE shuffle to the (domain, content-hash) grain with
-    map-side combine; the hash-grain domain counts reuse that relation
-    (grouped on uniform md5 keys, output = distinct corpus contents)
-    and join back on h — an AQE shuffle join of two already-aggregated
-    relations, never a doc-level self-join.
+    map-side combine; the per-hash domain count is a WINDOW over h on
+    that already-aggregated relation — md5 keys are uniform and a
+    hash's partition is one row per domain carrying it (tiny), so no
+    skew. The window replaces the r11 lineage-dedup antipattern (an
+    ``.agg()`` of the per_hash lineage joined back onto per_hash
+    re-executed scan+md5+groupBy twice; measured A/B in SCALECHECK
+    r12). ONE corpus scan, three exchanges total.
     """
     norm = F.trim(
         F.regexp_replace(
@@ -2471,10 +2474,11 @@ def provenance_dedup_report(docs: DataFrame, domain_col: str = "domain",
         .groupBy("domain", "h")
         .agg(F.count("*").cast("long").alias("c"))
     )
-    hash_domains = per_hash.groupBy("h").agg(
-        F.count("*").cast("long").alias("nd"))
+    with_nd = per_hash.select(
+        "domain", "c",
+        F.count("*").over(Window.partitionBy("h")).alias("nd"))
     return (
-        per_hash.join(hash_domains, "h")
+        with_nd
         .groupBy("domain")
         .agg(
             F.sum("c").cast("long").alias("n_docs"),
