@@ -1013,3 +1013,26 @@ def hash_semantic_dedup(corpus: DataFrame, id_col: str = "vec_id",
     return semantic_prune(
         _score_against_centroids(assigned, cent, id_col, emb_col),
         id_col, threshold)
+
+
+def apply_semantic_dedup(corpus: DataFrame, id_col: str = "vec_id",
+                         emb_col: str = "embedding",
+                         threshold: float = 0.85, k: int = 16,
+                         iters: int = 3, dim: int = 64) -> DataFrame:
+    """End-to-end semantic dedup: corpus in, pruned corpus out,
+    original schema — the apply side of ``semantic_dedup`` (the
+    report tells a curator WHAT would drop; this drops it), the
+    ``apply_dedup``/``apply_substring_dedup`` pattern.
+
+    Scale: the kept-flag relation is (id, kept) — two columns per
+    vector; the id-key join broadcasts when small and falls back to a
+    keyed shuffle join past the threshold (no hint, the planner
+    decides). The corpus columns never enter the prune arithmetic.
+    """
+    kept = semantic_dedup(
+        corpus, id_col=id_col, emb_col=emb_col, threshold=threshold,
+        k=k, iters=iters, dim=dim,
+    ).filter(F.col("kept") == 1).select(F.col(id_col).alias("__keep"))
+    return (
+        corpus.join(kept, corpus[id_col] == F.col("__keep"), "left_semi")
+    )

@@ -893,6 +893,20 @@ def _hash_semantic_dedup(spark, embeddings: str = "embeddings",
                                n_clusters=int(n_clusters))
 
 
+def _apply_semantic_dedup(spark, embeddings: str = "embeddings",
+                          id_col: str = "vec_id",
+                          emb_col: str = "embedding",
+                          threshold: float = 0.85, k: int = 16,
+                          iters: int = 3, dim: int = 64) -> DataFrame:
+    from puregraphdb_spark.operators.similarity import (
+        apply_semantic_dedup)
+
+    return apply_semantic_dedup(_view(spark, embeddings), id_col=id_col,
+                                emb_col=emb_col,
+                                threshold=float(threshold), k=int(k),
+                                iters=int(iters), dim=int(dim))
+
+
 def _tokenizer_fertility(spark, docs: str = "documents",
                          source_col: str = "source",
                          text_col: str = "text") -> DataFrame:
@@ -1000,6 +1014,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "hash_semantic_dedup": _hash_semantic_dedup,
     "tokenizer_fertility": _tokenizer_fertility,
     "provenance_dedup": _provenance_dedup,
+    "apply_semantic_dedup": _apply_semantic_dedup,
 }
 
 

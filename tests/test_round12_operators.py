@@ -255,3 +255,17 @@ def test_fertility_and_provenance_call_doors(spark):
     ).createOrReplaceTempView("prov_docs")
     p = eng.sql("CALL provenance_dedup(docs => 'prov_docs')")
     assert p.filter("n_mirrored = 1").count() == 2
+
+
+def test_apply_semantic_dedup_prunes_and_keeps_schema(spark):
+    from puregraphdb_spark.operators.similarity import (
+        apply_semantic_dedup, semantic_dedup)
+
+    corpus = _toy_vectors(spark)
+    out = apply_semantic_dedup(corpus, threshold=0.99, k=2, iters=2,
+                               dim=4)
+    assert out.columns == corpus.columns  # original schema
+    rep = semantic_dedup(corpus, threshold=0.99, k=2, iters=2,
+                         dim=4).toPandas()
+    assert (set(r.vec_id for r in out.collect())
+            == set(rep[rep.kept == 1].vec_id))
