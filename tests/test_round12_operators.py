@@ -269,3 +269,65 @@ def test_apply_semantic_dedup_prunes_and_keeps_schema(spark):
                          dim=4).toPandas()
     assert (set(r.vec_id for r in out.collect())
             == set(rep[rep.kept == 1].vec_id))
+
+
+def test_semantic_prune_matches_bruteforce_hypothesis(spark):
+    # Property: a vector is dropped iff SOME earlier vector in the
+    # (csim asc, id asc) cluster order is within the cosine threshold
+    # — pinned against a brute-force numpy reimplementation over
+    # random small corpora (the strongest available check for the
+    # rows-only semantic_dedup declaration).
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from puregraphdb_spark.operators.similarity import hash_semantic_dedup
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(seed=st.integers(min_value=0, max_value=10_000),
+           n=st.integers(min_value=2, max_value=14),
+           t=st.sampled_from([0.2, 0.5, 0.9]))
+    def run(seed, n, t):
+        rng = np.random.default_rng(seed)
+        vecs = rng.standard_normal((n, 4))
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+            "vec_id bigint, embedding array<double>")
+        got = {r.vec_id: (r.kept, r.n_earlier_dups)
+               for r in hash_semantic_dedup(
+                   corpus, threshold=t, n_clusters=2).collect()}
+        # brute force per hash cluster
+        for cl in (0, 1):
+            ids = [i for i in range(n) if i % 2 == cl]
+            if not ids:
+                continue
+            cent = vecs[ids].mean(axis=0)
+            cent = np.round(cent, 6)  # the 6-dp centroid snap
+            def cs(a, b):
+                return float(a @ b / (np.linalg.norm(a)
+                                      * np.linalg.norm(b)))
+            order = sorted(ids, key=lambda i: (cs(vecs[i], cent), i))
+            for pos, i in enumerate(order):
+                nd = sum(
+                    1 for j in order[:pos]
+                    if cs(vecs[i], vecs[j]) >= t)
+                assert got[i][1] == nd, (seed, n, t, i)
+                assert got[i][0] == (1 if nd == 0 else 0)
+
+    run()
+
+
+def test_q153_single_corpus_scan(spark):
+    """r12: the per-hash domain count rides a window over the
+    already-aggregated (domain, hash) relation, so the scan+md5+groupBy
+    lineage exists ONCE — exactly one documents scan in the executed
+    plan (the agg+self-join shape executed it twice)."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    df = entrymod.queries()["q153_provenance_dedup"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan") == 1, plan
