@@ -896,7 +896,11 @@ def semantic_prune(scored: DataFrame, id_col: str = "vec_id",
     Per-cluster memory is the bound: b vectors × dim doubles per
     cluster row, so size k (IVF) / n_clusters (hash) to keep clusters
     ~10³-10⁴ rows; past that, feed LSH/IVF-bucketed CANDIDATE pairs to
-    this arithmetic instead (embedding_near_dup_pairs posture).
+    this arithmetic instead (embedding_near_dup_pairs posture). k also
+    sets the prune's PARALLELISM (one task per cluster row) — at web
+    scale SemDeDup runs k ≈ 10⁴-10⁵ so both bounds are satisfied
+    together; a small-k run (the sf fixtures) under-fills the cluster,
+    which is a fixture artifact, not a plan property.
     """
     packed = scored.groupBy("cluster").agg(
         F.array_sort(F.collect_list(F.struct(
