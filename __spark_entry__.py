@@ -567,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": semantic_dedup,
         "q152_tokenizer_fertility": pipeline.q152_tokenizer_fertility,
         "q153_provenance_dedup": pipeline.q153_provenance_dedup,
+        "q154_bm25_topk": llm.q154_bm25_topk,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -746,6 +747,7 @@ _FRONT_WINDOW = [
     # NEW round-12 entries (never recorded, by construction)
     "q151_hash_semantic_dedup", "semantic_dedup",
     "q152_tokenizer_fertility", "q153_provenance_dedup",
+    "q154_bm25_topk",
     # r7-stale cohort: rows-only ops recorded last in r7
     "graph_anf", "graph_ktruss", "text_profile",
     "text_quality_report", "dedup_minhash_near",
@@ -768,8 +770,7 @@ _FRONT_WINDOW = [
     "q127_asof_forward", "q128_gini_concentration",
     "q129_hhi_segments", "q130_bounce_rate",
     "q131_dup_cluster_histogram", "q132_funnel_latency",
-    "heavy_hitter_tokens", "graph_coreness",
-    "approx_quantiles_prices", "node2vec_walks",
+    "heavy_hitter_tokens", "graph_coreness", "node2vec_walks",
 ]
 
 
@@ -3723,5 +3724,70 @@ def oracle_sql() -> dict[str, str]:
                      as mirror_ratio
             from per_hash join hd using (h)
             group by domain order by domain
+        """,
+        # BM25 (rational-idf) top-20 for the fixed query
+        # (spark, join, fast). Expression shapes/association mirror
+        # the DataFrame door exactly so the doubles are identical.
+        "q154_bm25_topk": """
+            with per_doc as (
+                select doc_id,
+                       cast(len(toks) as bigint) as dl,
+                       cast(len(list_filter(toks, t -> t = 'spark'))
+                         as bigint) as tf0,
+                       cast(len(list_filter(toks, t -> t = 'join'))
+                         as bigint) as tf1,
+                       cast(len(list_filter(toks, t -> t = 'fast'))
+                         as bigint) as tf2
+                from (select doc_id,
+                             list_filter(string_split(lower(text), ' '),
+                                         t -> t <> '') as toks
+                      from documents)),
+            stats as (
+                select cast(count(*) as bigint) as n_corpus,
+                       cast(sum(dl) as bigint) as total_dl,
+                       cast(sum(case when tf0 > 0 then 1 else 0 end)
+                         as bigint) as df0,
+                       cast(sum(case when tf1 > 0 then 1 else 0 end)
+                         as bigint) as df1,
+                       cast(sum(case when tf2 > 0 then 1 else 0 end)
+                         as bigint) as df2
+                from per_doc),
+            scored as (
+                select doc_id, dl, tf0, tf1, tf2,
+                       (cast(n_corpus - df0 as double) + 0.5)
+                         / (cast(df0 as double) + 0.5)
+                         * (cast(tf0 as double) * 2.2)
+                         / (cast(tf0 as double) + 1.2
+                            * (1.0 - 0.75 + 0.75 * cast(dl as double)
+                               / (cast(total_dl as double)
+                                  / cast(n_corpus as double))))
+                     + (cast(n_corpus - df1 as double) + 0.5)
+                         / (cast(df1 as double) + 0.5)
+                         * (cast(tf1 as double) * 2.2)
+                         / (cast(tf1 as double) + 1.2
+                            * (1.0 - 0.75 + 0.75 * cast(dl as double)
+                               / (cast(total_dl as double)
+                                  / cast(n_corpus as double))))
+                     + (cast(n_corpus - df2 as double) + 0.5)
+                         / (cast(df2 as double) + 0.5)
+                         * (cast(tf2 as double) * 2.2)
+                         / (cast(tf2 as double) + 1.2
+                            * (1.0 - 0.75 + 0.75 * cast(dl as double)
+                               / (cast(total_dl as double)
+                                  / cast(n_corpus as double))))
+                       as raw
+                from per_doc, stats),
+            snapped as (
+                select doc_id, dl, tf0, tf1, tf2,
+                       cast(round(cast(raw as decimal(28,10)), 6)
+                         as double) as score
+                from scored)
+            select cast(row_number() over
+                        (order by score desc, doc_id) as bigint)
+                     as rank,
+                   doc_id, dl,
+                   tf0 as tf_0, tf1 as tf_1, tf2 as tf_2, score
+            from snapped
+            order by score desc, doc_id limit 20
         """,
     }

@@ -496,3 +496,97 @@ def q134_cross_source_shingles(spark, sf_dir: str):
     d = load_table(spark, sf_dir, "documents").select("source", "text")
     return final_sort(cross_source_shingles(d), spark, sf_dir,
                       "documents", "src_a", "src_b")
+
+
+def bm25_topk(docs: DataFrame, query_tokens: list[str],
+              id_col: str = "doc_id", text_col: str = "text",
+              k1: float = 1.2, b: float = 0.75,
+              k: int = 20) -> DataFrame:
+    """BM25-class retrieval scoring (rational-idf variant, the q70
+    discipline): rank documents against a fixed token query — the
+    retrieval-eval primitive a training-data pipeline runs to mine
+    hard negatives, sanity-check an index, or dedup a corpus against
+    eval queries. Robertson/Sparck-Jones BM25 with the log dropped
+    from the idf: idf_t = (N - df_t + 0.5)/(df_t + 0.5) — exact
+    rational arithmetic over exact integer corpus statistics, so the
+    score is a sum of quotients of identical doubles on both engines
+    (ln would pull in libm rounding differences; the monotone shape
+    per term is preserved, cross-term weighting is more aggressive
+    than log-BM25 — documented, deliberate).
+
+    score(d) = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    summed in the fixed query-token order (engine-identical fp).
+
+    Scale: per-doc tf/dl are map-side array ops (one filter per query
+    token over ONE staged token array — the r9 staged-projection
+    rule); N/avgdl/df fold to a 1-row global aggregate broadcast back
+    (the scalar-parameter pattern); top-k is TakeOrderedAndProject.
+    Query length is the plan width — fine for the 10²-token queries
+    retrieval eval uses; an inverted-index join is the path for
+    query SETS (compose q70's grain).
+    """
+    toks = F.filter(F.split(F.lower(text_col), " "),
+                    lambda t: t != "")
+
+    def tf_of(tok):
+        # one-arg lambda per token (a default-arg lambda would be
+        # 2-arity and PySpark would pass the element INDEX into it)
+        return F.size(F.filter("__toks", lambda t: t == F.lit(tok)))
+
+    per_doc = docs.select(
+        F.col(id_col), toks.alias("__toks"),
+    ).select(
+        id_col,
+        F.size("__toks").cast("long").alias("dl"),
+        *[
+            tf_of(tok).cast("long").alias(f"tf{i}")
+            for i, tok in enumerate(query_tokens)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").cast("long").alias("n_corpus"),
+        F.sum("dl").cast("long").alias("total_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(query_tokens))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    avgdl = (F.col("total_dl").cast("double")
+             / F.col("n_corpus").cast("double"))
+    score = None
+    for i in range(len(query_tokens)):
+        tf = F.col(f"tf{i}").cast("double")
+        idf = ((F.col("n_corpus") - F.col(f"df{i}")).cast("double")
+               + F.lit(0.5)) / (F.col(f"df{i}").cast("double")
+                                + F.lit(0.5))
+        den = tf + F.lit(k1) * (F.lit(1.0) - F.lit(b)
+                                + F.lit(b) * F.col("dl").cast("double")
+                                / avgdl)
+        term = idf * (tf * F.lit(k1 + 1.0)) / den
+        score = term if score is None else score + term
+    ranked = scored.select(
+        id_col, "dl",
+        *[f"tf{i}" for i in range(len(query_tokens))],
+        decimal_round(score, 6, grid=10).alias("score"),
+    )
+    return (
+        ranked.orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col(id_col))
+            ).cast("long").alias("rank"),
+            id_col, "dl",
+            *[F.col(f"tf{i}").alias(f"tf_{i}")
+              for i in range(len(query_tokens))],
+            "score",
+        )
+    )
+
+
+def q154_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (rational-idf) top-20 for a fixed 3-token query over the
+    fixture vocabulary (see ``bm25_topk``)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(d, ["spark", "join", "fast"], k=20)

@@ -893,6 +893,19 @@ def _hash_semantic_dedup(spark, embeddings: str = "embeddings",
                                n_clusters=int(n_clusters))
 
 
+def _bm25_topk(spark, docs: str = "documents",
+               query: str = "spark join fast",
+               id_col: str = "doc_id", text_col: str = "text",
+               k1: float = 1.2, b: float = 0.75,
+               k: int = 20) -> DataFrame:
+    from puregraphdb_spark.operators.llm import bm25_topk
+
+    tokens = [t for t in query.split() if t]
+    return bm25_topk(_view(spark, docs), tokens, id_col=id_col,
+                     text_col=text_col, k1=float(k1), b=float(b),
+                     k=int(k))
+
+
 def _apply_semantic_dedup(spark, embeddings: str = "embeddings",
                           id_col: str = "vec_id",
                           emb_col: str = "embedding",
@@ -1015,6 +1028,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "tokenizer_fertility": _tokenizer_fertility,
     "provenance_dedup": _provenance_dedup,
     "apply_semantic_dedup": _apply_semantic_dedup,
+    "bm25_topk": _bm25_topk,
 }
 
 

@@ -1573,4 +1573,67 @@ SPARK_SQL: dict[str, str] = {
         from per_hash join hd using (h)
         group by domain order by domain
     """,
+    # BM25 (rational-idf) twin (q154): Spark HOF spellings, identical
+    # expression association as the DataFrame door.
+    "q154_bm25_topk": """
+        with per_doc as (
+            select doc_id,
+                   cast(size(toks) as bigint) as dl,
+                   cast(size(filter(toks, t -> t = 'spark'))
+                     as bigint) as tf0,
+                   cast(size(filter(toks, t -> t = 'join'))
+                     as bigint) as tf1,
+                   cast(size(filter(toks, t -> t = 'fast'))
+                     as bigint) as tf2
+            from (select doc_id,
+                         filter(split(lower(text), ' '),
+                                t -> t != '') as toks
+                  from documents)),
+        stats as (
+            select cast(count(*) as bigint) as n_corpus,
+                   cast(sum(dl) as bigint) as total_dl,
+                   cast(sum(case when tf0 > 0 then 1 else 0 end)
+                     as bigint) as df0,
+                   cast(sum(case when tf1 > 0 then 1 else 0 end)
+                     as bigint) as df1,
+                   cast(sum(case when tf2 > 0 then 1 else 0 end)
+                     as bigint) as df2
+            from per_doc),
+        scored as (
+            select doc_id, dl, tf0, tf1, tf2,
+                   (cast(n_corpus - df0 as double) + 0.5D)
+                     / (cast(df0 as double) + 0.5D)
+                     * (cast(tf0 as double) * 2.2D)
+                     / (cast(tf0 as double) + 1.2D
+                        * (1.0D - 0.75D + 0.75D * cast(dl as double)
+                           / (cast(total_dl as double)
+                              / cast(n_corpus as double))))
+                 + (cast(n_corpus - df1 as double) + 0.5D)
+                     / (cast(df1 as double) + 0.5D)
+                     * (cast(tf1 as double) * 2.2D)
+                     / (cast(tf1 as double) + 1.2D
+                        * (1.0D - 0.75D + 0.75D * cast(dl as double)
+                           / (cast(total_dl as double)
+                              / cast(n_corpus as double))))
+                 + (cast(n_corpus - df2 as double) + 0.5D)
+                     / (cast(df2 as double) + 0.5D)
+                     * (cast(tf2 as double) * 2.2D)
+                     / (cast(tf2 as double) + 1.2D
+                        * (1.0D - 0.75D + 0.75D * cast(dl as double)
+                           / (cast(total_dl as double)
+                              / cast(n_corpus as double))))
+                   as raw
+            from per_doc cross join stats),
+        snapped as (
+            select doc_id, dl, tf0, tf1, tf2,
+                   cast(round(cast(raw as decimal(28,10)), 6)
+                     as double) as score
+            from scored)
+        select cast(row_number() over
+                    (order by score desc, doc_id) as bigint) as rank,
+               doc_id, dl,
+               tf0 as tf_0, tf1 as tf_1, tf2 as tf_2, score
+        from snapped
+        order by score desc, doc_id limit 20
+    """,
 }

@@ -331,3 +331,39 @@ def test_q153_single_corpus_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("FileScan") == 1, plan
+
+
+# ------------------------------------------------ q154 BM25 (rational idf)
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    from puregraphdb_spark.operators.llm import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(0, "spark join fast spark"),      # 2x spark + both others
+         (1, "spark slow table"),           # one query token
+         (2, "nothing relevant here"),      # zero -> score 0
+         (3, "join join join join join")],  # high tf, one token
+        "doc_id bigint, text string")
+    out = bm25_topk(docs, ["spark", "join"], k=4).collect()
+    ranks = {r.doc_id: r.rank for r in out}
+    scores = {r.doc_id: r.score for r in out}
+    assert ranks[0] == 1                  # both tokens, highest score
+    assert scores[2] == 0.0               # no query token -> 0
+    # tf saturation: five 'join's score less than 5x one 'join'
+    one_join = [r for r in out if r.doc_id == 1][0]
+    assert scores[3] < 5 * scores[0]
+    assert one_join.tf_0 == 1 and one_join.tf_1 == 0
+
+
+def test_bm25_call_door(spark):
+    from puregraphdb_spark.engine import Engine
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark, SF_DIR)
+    out = eng.sql("CALL bm25_topk(docs => 'documents', "
+                  "query => 'spark join', k => 5)")
+    assert out.count() == 5
+    rows = out.orderBy("rank").collect()
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    assert all(rows[i].score >= rows[i + 1].score for i in range(4))

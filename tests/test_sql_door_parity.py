@@ -84,6 +84,7 @@ DUCKDB_ONLY = {
     "q151_hash_semantic_dedup",  # list_cosine_similarity/list(order by)
     "q152_tokenizer_fertility",  # list_filter/string_split/len
     "q153_provenance_dedup",     # regexp_replace 'g' flag argument
+    "q154_bm25_topk",            # list_filter/string_split/len
 }
 
 ORACLES = entrymod.oracle_sql()
