@@ -568,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_tokenizer_fertility": pipeline.q152_tokenizer_fertility,
         "q153_provenance_dedup": pipeline.q153_provenance_dedup,
         "q154_bm25_topk": llm.q154_bm25_topk,
+        "q155_profile_drift": profile.q155_profile_drift,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -747,7 +748,7 @@ _FRONT_WINDOW = [
     # NEW round-12 entries (never recorded, by construction)
     "q151_hash_semantic_dedup", "semantic_dedup",
     "q152_tokenizer_fertility", "q153_provenance_dedup",
-    "q154_bm25_topk",
+    "q154_bm25_topk", "q155_profile_drift",
     # r7-stale cohort: rows-only ops recorded last in r7
     "graph_anf", "graph_ktruss", "text_profile",
     "text_quality_report", "dedup_minhash_near",
@@ -770,7 +771,7 @@ _FRONT_WINDOW = [
     "q127_asof_forward", "q128_gini_concentration",
     "q129_hhi_segments", "q130_bounce_rate",
     "q131_dup_cluster_histogram", "q132_funnel_latency",
-    "heavy_hitter_tokens", "graph_coreness", "node2vec_walks",
+    "heavy_hitter_tokens", "node2vec_walks",
 ]
 
 
@@ -3789,5 +3790,55 @@ def oracle_sql() -> dict[str, str]:
                    tf0 as tf_0, tf1 as tf_1, tf2 as tf_2, score
             from snapped
             order by score desc, doc_id limit 20
+        """,
+        # Profile drift between the two half-month event batches —
+        # shared-ANSI (also runs through the Spark SQL door verbatim).
+        "q155_profile_drift": """
+            with base as (
+                select case when ts < timestamp '2024-01-16'
+                            then 'a' else 'b' end as batch,
+                       event_id, user_id, event_type, value
+                from events),
+            s as (
+                select batch, cast(count(*) as bigint) as n_rows,
+                       cast(sum(case when event_id is null then 1
+                                else 0 end) as bigint) as nn0,
+                       cast(count(distinct event_id) as bigint) as nd0,
+                       cast(sum(case when user_id is null then 1
+                                else 0 end) as bigint) as nn1,
+                       cast(count(distinct user_id) as bigint) as nd1,
+                       cast(sum(case when event_type is null then 1
+                                else 0 end) as bigint) as nn2,
+                       cast(count(distinct event_type) as bigint)
+                         as nd2,
+                       cast(sum(case when value is null then 1
+                                else 0 end) as bigint) as nn3,
+                       cast(count(distinct value) as bigint) as nd3
+                from base group by batch),
+            cols as (
+                select batch, 'event_id' as col_name, n_rows,
+                       nn0 as n_nulls, nd0 as n_distinct from s
+                union all
+                select batch, 'user_id', n_rows, nn1, nd1 from s
+                union all
+                select batch, 'event_type', n_rows, nn2, nd2 from s
+                union all
+                select batch, 'value', n_rows, nn3, nd3 from s)
+            select a.col_name,
+                   a.n_rows as n_rows_a, b.n_rows as n_rows_b,
+                   a.n_nulls as n_nulls_a, b.n_nulls as n_nulls_b,
+                   a.n_distinct as n_distinct_a,
+                   b.n_distinct as n_distinct_b,
+                   cast(round(cast(cast(b.n_rows as double)
+                        / cast(a.n_rows as double)
+                        as decimal(28,10)), 6) as double) as rows_ratio,
+                   cast(round(cast(cast(b.n_distinct as double)
+                        / cast(a.n_distinct as double)
+                        as decimal(28,10)), 6) as double)
+                     as distinct_ratio
+            from cols a join cols b
+              on a.col_name = b.col_name
+             and a.batch = 'a' and b.batch = 'b'
+            order by a.col_name
         """,
     }

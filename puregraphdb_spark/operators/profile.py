@@ -148,3 +148,105 @@ def q118_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     res = reduce(DataFrame.unionByName, audits)
     return final_sort(res, spark, sf_dir, "lineitem", "rel")
+
+
+def grouped_profile(df: DataFrame, batch_col: str,
+                    columns: list[str]) -> DataFrame:
+    """``table_profile`` at a batch grain: one aggregate pass computes
+    every column's (n_rows, n_nulls, exact n_distinct) PER BATCH, then
+    the per-batch row explodes map-side into one row per column —
+    same single-Expand lowering as ``table_profile``, keyed shuffle on
+    the batch column instead of a global aggregate.
+    """
+    if not columns:
+        raise ValueError("grouped_profile needs at least one column")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in columns:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long").alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+    one = df.groupBy(F.col(batch_col).alias("batch")).agg(*aggs)
+    per_col = F.array(*[
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"__nn_{c}").alias("n_nulls"),
+            F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
+        )
+        for c in columns
+    ])
+    return (
+        one.select("batch", F.col("n_rows"),
+                   F.explode(per_col).alias("s"))
+        .select("batch", "s.col_name", "n_rows", "s.n_nulls",
+                "s.n_distinct")
+    )
+
+
+def profile_drift(df: DataFrame, batch_col: str,
+                  columns: list[str]) -> DataFrame:
+    """Two-batch profile-drift report — the load-monitoring check a
+    pipeline runs when a NEW batch of a feed lands: per column, the
+    old/new row, null, and distinct counts side by side plus
+    rows_ratio and distinct_ratio (a distinct_ratio far from
+    rows_ratio flags key-space collapse or explosion — e.g. an
+    upstream re-keying — before the batch is trusted). Exactly two
+    batch values are expected; the lexicographically FIRST batch is
+    the baseline ``a``.
+
+    All counts are exact integers; the two ratios are quotients of
+    exact longs (identical doubles both engines) decimal-snapped.
+
+    Scale: one grouped profile pass (single Expand + one keyed
+    shuffle); the a/b align is a conditional-aggregation pivot of the
+    tiny profile relation — NOT two filters of the same lineage joined
+    back together, which would re-execute the profile pass per side
+    (the q153/r11 lineage-dedup rule).
+    """
+    prof = grouped_profile(df, batch_col, columns)
+    from puregraphdb_spark.functions.numeric import decimal_round
+
+    # fold each column's (exactly two) batch rows into a batch-sorted
+    # struct array: element 1 is the baseline, element -1 the new
+    # batch — prof has ONE consumer, so the profile pass (and the
+    # scan under it) executes exactly once (a labels-aggregate or a
+    # filter pair would be a second consumer re-running the lineage)
+    folded = prof.groupBy("col_name").agg(
+        F.array_sort(F.collect_list(F.struct(
+            "batch", "n_rows", "n_nulls", "n_distinct"))).alias("r"))
+    a = F.element_at("r", 1)
+    bb = F.element_at("r", -1)
+    joined = folded.select(
+        "col_name",
+        a["n_rows"].alias("n_rows_a"), bb["n_rows"].alias("n_rows_b"),
+        a["n_nulls"].alias("n_nulls_a"),
+        bb["n_nulls"].alias("n_nulls_b"),
+        a["n_distinct"].alias("n_distinct_a"),
+        bb["n_distinct"].alias("n_distinct_b"),
+    )
+    return joined.select(
+        "col_name", "n_rows_a", "n_rows_b", "n_nulls_a", "n_nulls_b",
+        "n_distinct_a", "n_distinct_b",
+        decimal_round(
+            F.col("n_rows_b").cast("double")
+            / F.col("n_rows_a").cast("double"), 6, grid=10,
+        ).alias("rows_ratio"),
+        decimal_round(
+            F.col("n_distinct_b").cast("double")
+            / F.col("n_distinct_a").cast("double"), 6, grid=10,
+        ).alias("distinct_ratio"),
+    )
+
+
+def q155_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile drift between the first and second half-month of
+    `events` (fixed boundary 2024-01-16, both engines compare the
+    same µs NTZ instant) over the id/user/type/value columns."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+               F.lit("a")).otherwise(F.lit("b")).alias("batch"),
+        "event_id", "user_id", "event_type", "value",
+    )
+    res = profile_drift(
+        ev, "batch", ["event_id", "user_id", "event_type", "value"])
+    return final_sort(res, spark, sf_dir, "events", "col_name")

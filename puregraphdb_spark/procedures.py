@@ -893,6 +893,17 @@ def _hash_semantic_dedup(spark, embeddings: str = "embeddings",
                                n_clusters=int(n_clusters))
 
 
+def _profile_drift(spark, table: str = "events",
+                   batch_col: str = "batch",
+                   columns: str = "") -> DataFrame:
+    from puregraphdb_spark.operators.profile import profile_drift
+
+    df = _view(spark, table)
+    cols = ([c.strip() for c in columns.split(",") if c.strip()]
+            or [c for c in df.columns if c != batch_col])
+    return profile_drift(df, batch_col, cols)
+
+
 def _bm25_topk(spark, docs: str = "documents",
                query: str = "spark join fast",
                id_col: str = "doc_id", text_col: str = "text",
@@ -1029,6 +1040,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "provenance_dedup": _provenance_dedup,
     "apply_semantic_dedup": _apply_semantic_dedup,
     "bm25_topk": _bm25_topk,
+    "profile_drift": _profile_drift,
 }
 
 

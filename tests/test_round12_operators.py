@@ -367,3 +367,50 @@ def test_bm25_call_door(spark):
     rows = out.orderBy("rank").collect()
     assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
     assert all(rows[i].score >= rows[i + 1].score for i in range(4))
+
+
+# ----------------------------------------------- q155 profile drift
+
+
+def test_profile_drift_detects_keyspace_collapse(spark):
+    from puregraphdb_spark.operators.profile import profile_drift
+
+    rows = ([("a", i, f"k{i}") for i in range(10)]          # 10 distinct
+            + [("b", i, "k0") for i in range(10)]           # collapsed
+            + [("b", None, None)])                          # new nulls
+    df = spark.createDataFrame(rows, "batch string, v bigint, k string")
+    out = {r.col_name: r for r in profile_drift(
+        df, "batch", ["v", "k"]).collect()}
+    assert out["k"].n_distinct_a == 10 and out["k"].n_distinct_b == 1
+    assert out["k"].distinct_ratio == 0.1
+    assert out["k"].n_nulls_b == 1 and out["k"].n_nulls_a == 0
+    assert out["v"].rows_ratio == 1.1                       # 11/10
+
+
+def test_profile_drift_call_door(spark):
+    from puregraphdb_spark.engine import Engine
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark, SF_DIR)
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1), ("b", 1)],
+        "batch string, x bigint").createOrReplaceTempView("pd_t")
+    out = eng.sql("CALL profile_drift(table => 'pd_t', "
+                  "batch_col => 'batch', columns => 'x')").collect()
+    assert len(out) == 1 and out[0].n_distinct_a == 2
+    assert out[0].n_distinct_b == 1
+
+
+def test_q155_single_events_scan(spark):
+    """r12: the a/b align folds each column's two batch rows into one
+    sorted struct array, so prof has ONE consumer — exactly one events
+    FileScan in the executed plan (a filter pair or labels aggregate
+    would re-run the profile pass per consumer)."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    df = entrymod.queries()["q155_profile_drift"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan") == 1, plan
