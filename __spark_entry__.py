@@ -483,6 +483,21 @@ def q151_hash_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over part names: (brand, size)
+    blocking, edit-distance <= 4 scoring, connected-component
+    clustering, min-id survivorship (rows-only: the component fixpoint
+    is iterative; the blocked scorer's accepted set is oracled by
+    q114 and survivorship is deterministic min-id)."""
+    p = load_table(spark, sf_dir, "part")
+    return similarity.entity_resolution(
+        p.select(F.col("p_partkey"), F.col("p_name"), F.col("p_brand"),
+                 F.col("p_size")),
+        id_col="p_partkey", text_col="p_name",
+        block_cols=["p_brand", "p_size"], max_distance=4,
+    ).orderBy("p_partkey")
+
+
 def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-granularity continuous aggregate over events: one source
     scan feeds the finest level, coarser levels re-aggregate partials.
@@ -569,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_provenance_dedup": pipeline.q153_provenance_dedup,
         "q154_bm25_topk": llm.q154_bm25_topk,
         "q155_profile_drift": profile.q155_profile_drift,
+        "entity_resolution": entity_resolution_parts,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -748,7 +764,7 @@ _FRONT_WINDOW = [
     # NEW round-12 entries (never recorded, by construction)
     "q151_hash_semantic_dedup", "semantic_dedup",
     "q152_tokenizer_fertility", "q153_provenance_dedup",
-    "q154_bm25_topk", "q155_profile_drift",
+    "q154_bm25_topk", "q155_profile_drift", "entity_resolution",
     # r7-stale cohort: rows-only ops recorded last in r7
     "graph_anf", "graph_ktruss", "text_profile",
     "text_quality_report", "dedup_minhash_near",
@@ -771,7 +787,7 @@ _FRONT_WINDOW = [
     "q127_asof_forward", "q128_gini_concentration",
     "q129_hhi_segments", "q130_bounce_rate",
     "q131_dup_cluster_histogram", "q132_funnel_latency",
-    "heavy_hitter_tokens", "node2vec_walks",
+    "node2vec_walks",
 ]
 
 

@@ -1040,3 +1040,60 @@ def apply_semantic_dedup(corpus: DataFrame, id_col: str = "vec_id",
     return (
         corpus.join(kept, corpus[id_col] == F.col("__keep"), "left_semi")
     )
+
+
+def entity_resolution(df: DataFrame, id_col: str, text_col: str,
+                      block_cols: list[str], max_distance: int = 2,
+                      max_iter: int = 50) -> DataFrame:
+    """End-to-end entity resolution: blocked fuzzy matching
+    (``blocked_fuzzy_pairs``) → match-edge connected components
+    (transitive closure over the match relation, the standard ER
+    clustering step) → min-id survivorship. One row per INPUT record:
+    (id, entity_id, is_survivor, cluster_size) — records that matched
+    nothing form singleton entities of themselves.
+
+    Rows-only by nature (the component fixpoint is iterative); the
+    pieces carry their own oracles/property tests: q114 oracles the
+    blocked scorer's accepted set, the CC fixpoint is pinned by the
+    graph suite, and survivorship is deterministic min-id.
+
+    Scale: inherits the blocking guardrail (pick ``block_cols`` so
+    blocks stay ~10²-10³ rows; q97's skew profile is the pre-flight
+    check); the CC iterations run over MATCH EDGES only — a small
+    fraction of the corpus in a curated pipeline — never the full
+    record set; the final labeling is one left join of the record
+    relation against the (duplicated-records-only) component map.
+    """
+    from puregraphdb_spark.operators.graph import Graph
+
+    pairs = blocked_fuzzy_pairs(df, id_col, text_col, block_cols,
+                                max_distance=max_distance)
+    edges = pairs.select(F.col("a_id").alias("src"),
+                         F.col("b_id").alias("dst"))
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    comp = Graph(verts, edges).connected_components(max_iter=max_iter)
+    labeled = (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("entity_id"),
+        )
+    )
+    sizes = labeled.groupBy("entity_id").agg(
+        F.count("*").cast("long").alias("cluster_size"),
+        F.min(id_col).alias("__survivor"),
+    )
+    return (
+        labeled.join(sizes, "entity_id")
+        .select(
+            id_col, "entity_id",
+            (F.col(id_col) == F.col("__survivor")).cast("long")
+            .alias("is_survivor"),
+            "cluster_size",
+        )
+    )

@@ -893,6 +893,17 @@ def _hash_semantic_dedup(spark, embeddings: str = "embeddings",
                                n_clusters=int(n_clusters))
 
 
+def _entity_resolution(spark, table: str, id_col: str,
+                       text_col: str, block_cols: str,
+                       max_distance: int = 2) -> DataFrame:
+    from puregraphdb_spark.operators.similarity import entity_resolution
+
+    blocks = [c.strip() for c in block_cols.split(",") if c.strip()]
+    return entity_resolution(_view(spark, table), id_col=id_col,
+                             text_col=text_col, block_cols=blocks,
+                             max_distance=int(max_distance))
+
+
 def _profile_drift(spark, table: str = "events",
                    batch_col: str = "batch",
                    columns: str = "") -> DataFrame:
@@ -1041,6 +1052,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "apply_semantic_dedup": _apply_semantic_dedup,
     "bm25_topk": _bm25_topk,
     "profile_drift": _profile_drift,
+    "entity_resolution": _entity_resolution,
 }
 
 

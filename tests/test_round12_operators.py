@@ -414,3 +414,44 @@ def test_q155_single_events_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("FileScan") == 1, plan
+
+
+# ------------------------------------------- entity_resolution (end-to-end)
+
+
+def test_entity_resolution_transitive_clusters(spark):
+    from puregraphdb_spark.operators.similarity import entity_resolution
+
+    # block 'x': ana ~ anna ~ annna chain (transitive closure joins
+    # all three); bob matches nothing; block 'y': carl ~ karl.
+    df = spark.createDataFrame(
+        [(1, "ana", "x"), (2, "anna", "x"), (3, "annna", "x"),
+         (4, "bob", "x"), (5, "carl", "y"), (6, "karl", "y")],
+        "rid bigint, name string, blk string")
+    out = {r.rid: r for r in entity_resolution(
+        df, "rid", "name", ["blk"], max_distance=1).collect()}
+    assert len(out) == 6                       # one row per input record
+    assert (out[1].entity_id == out[2].entity_id
+            == out[3].entity_id == 1)          # transitive chain, min id
+    assert out[4].entity_id == 4 and out[4].cluster_size == 1
+    assert out[5].entity_id == out[6].entity_id == 5
+    assert [out[i].is_survivor for i in (1, 2, 3, 4, 5, 6)] \
+        == [1, 0, 0, 1, 1, 0]
+
+
+def test_entity_resolution_call_door(spark):
+    from puregraphdb_spark.engine import Engine
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark, SF_DIR)
+    spark.createDataFrame(
+        [(1, "acme corp", "us"), (2, "acme korp", "us"),
+         (3, "other", "us")],
+        "rid bigint, name string, country string",
+    ).createOrReplaceTempView("er_t")
+    out = eng.sql(
+        "CALL entity_resolution(table => 'er_t', id_col => 'rid', "
+        "text_col => 'name', block_cols => 'country', "
+        "max_distance => 1)").collect()
+    ent = {r.rid: r.entity_id for r in out}
+    assert ent[1] == ent[2] == 1 and ent[3] == 3
