@@ -585,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_bm25_topk": llm.q154_bm25_topk,
         "q155_profile_drift": profile.q155_profile_drift,
         "entity_resolution": entity_resolution_parts,
+        "q156_dedup_keepers": pipeline.q156_dedup_keepers,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -765,6 +766,7 @@ _FRONT_WINDOW = [
     "q151_hash_semantic_dedup", "semantic_dedup",
     "q152_tokenizer_fertility", "q153_provenance_dedup",
     "q154_bm25_topk", "q155_profile_drift", "entity_resolution",
+    "q156_dedup_keepers",
     # r7-stale cohort: rows-only ops recorded last in r7
     "graph_anf", "graph_ktruss", "text_profile",
     "text_quality_report", "dedup_minhash_near",
@@ -786,8 +788,7 @@ _FRONT_WINDOW = [
     "q125_sorted_neighborhood", "q126_token_diversity",
     "q127_asof_forward", "q128_gini_concentration",
     "q129_hhi_segments", "q130_bounce_rate",
-    "q131_dup_cluster_histogram", "q132_funnel_latency",
-    "node2vec_walks",
+    "q131_dup_cluster_histogram", "node2vec_walks",
 ]
 
 
@@ -3856,5 +3857,40 @@ def oracle_sql() -> dict[str, str]:
               on a.col_name = b.col_name
              and a.batch = 'a' and b.batch = 'b'
             order by a.col_name
+        """,
+        # Keep-longest dedup survivorship over the planted dup
+        # clusters (doc_id % 23; punctuation-only suffixes survive the
+        # raw token count but not the canonical hash).
+        "q156_dedup_keepers": """
+            with planted as (
+                select doc_id,
+                       case when doc_id % 23 = 0
+                            then 'boiler plate item '
+                                 || cast(doc_id % 4 as varchar)
+                                 || case when doc_id % 3 = 0
+                                         then ' !! ?? ..' else '' end
+                            else text end as text
+                from documents),
+            per_doc as (
+                select doc_id,
+                       md5(trim(regexp_replace(regexp_replace(
+                           lower(text), '[^a-z0-9 ]', '', 'g'),
+                           ' +', ' ', 'g'))) as h,
+                       cast(len(list_filter(string_split(text, ' '),
+                            t -> t <> '')) as bigint) as n_toks
+                from planted),
+            ranked as (
+                select doc_id, h, n_toks,
+                       cast(count(*) over (partition by h) as bigint)
+                         as cluster_size,
+                       row_number() over
+                         (partition by h
+                          order by n_toks desc, doc_id) as rn
+                from per_doc)
+            select doc_id, h, cluster_size, n_toks,
+                   cast(case when rn = 1 then 1 else 0 end as bigint)
+                     as kept
+            from ranked where cluster_size >= 2
+            order by doc_id
         """,
     }

@@ -2522,3 +2522,76 @@ def q153_provenance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return final_sort(provenance_dedup_report(d), spark, sf_dir,
                       "documents", "domain")
+
+
+def dedup_keepers(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Dedup survivorship policy: inside each exact-dup cluster (q77's
+    canonical md5 grain), the keeper is the member with the MOST raw
+    whitespace tokens, ties to the smallest id — the keep-longest rule
+    production dedup runs (Lee et al. 2022 keep one longest copy;
+    min-id keepers like ``dedup_minhash``'s throw away the fullest
+    variant when near-identical records differ in trailing content).
+    Returns one row per member of every cluster of size >= 2:
+    (id, cluster size, member's token count, kept flag).
+
+    Canonicalization collapses case/punctuation/whitespace, so
+    members of one cluster CAN differ in raw token count — exactly
+    the rows where keep-longest beats keep-min-id.
+
+    Scale: ONE shuffle on the uniform md5 key; keeper choice and
+    cluster size ride the same window partition.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text_col), "[^a-z0-9 ]", ""),
+            " +", " ",
+        )
+    )
+    per_doc = docs.select(
+        F.col(id_col),
+        F.md5(norm).alias("h"),
+        F.size(F.filter(F.split(F.col(text_col), " "),
+                        lambda t: t != "")).cast("long")
+        .alias("n_toks"),
+    )
+    w = Window.partitionBy("h")
+    ranked = per_doc.select(
+        id_col, "h", "n_toks",
+        F.count("*").over(w).cast("long").alias("cluster_size"),
+        F.row_number().over(
+            w.orderBy(F.col("n_toks").desc(), F.col(id_col))
+        ).alias("__rn"),
+    )
+    return (
+        ranked.filter(F.col("cluster_size") >= 2)
+        .select(
+            id_col, "h", "cluster_size", "n_toks",
+            (F.col("__rn") == 1).cast("long").alias("kept"),
+        )
+    )
+
+
+def q156_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-longest dedup survivorship over planted dup clusters (see
+    ``dedup_keepers``). The sf0.01 corpus has ZERO exact dups
+    (measured, q153 note), so a residue class is planted (q146
+    discipline): doc_id % 23 == 0 docs become one of four boilerplate
+    strings, with punctuation-only suffixes on the %3 residue — the suffix
+    survives the raw token count but NOT the canonical hash, so
+    clusters mix token lengths and the keep-longest choice is
+    exercised, not vacuous."""
+    i = F.col("doc_id")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            i % 23 == 0,
+            F.concat(
+                F.lit("boiler plate item "), (i % 4).cast("string"),
+                F.when(i % 3 == 0, F.lit(" !! ?? ..")).otherwise(
+                    F.lit("")),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return final_sort(dedup_keepers(d), spark, sf_dir,
+                      "documents", "doc_id")

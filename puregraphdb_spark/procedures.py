@@ -893,6 +893,15 @@ def _hash_semantic_dedup(spark, embeddings: str = "embeddings",
                                n_clusters=int(n_clusters))
 
 
+def _dedup_keepers(spark, docs: str = "documents",
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    from puregraphdb_spark.operators.pipeline import dedup_keepers
+
+    return dedup_keepers(_view(spark, docs), id_col=id_col,
+                         text_col=text_col)
+
+
 def _entity_resolution(spark, table: str, id_col: str,
                        text_col: str, block_cols: str,
                        max_distance: int = 2) -> DataFrame:
@@ -1053,6 +1062,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "bm25_topk": _bm25_topk,
     "profile_drift": _profile_drift,
     "entity_resolution": _entity_resolution,
+    "dedup_keepers": _dedup_keepers,
 }
 
 

@@ -1636,4 +1636,38 @@ SPARK_SQL: dict[str, str] = {
         from snapped
         order by score desc, doc_id limit 20
     """,
+    # Keep-longest survivorship twin (q156): Spark regexp_replace
+    # (implicit 'g') and HOF token count, same planted clusters.
+    "q156_dedup_keepers": """
+        with planted as (
+            select doc_id,
+                   case when doc_id % 23 = 0
+                        then concat('boiler plate item ',
+                                    cast(doc_id % 4 as string),
+                                    case when doc_id % 3 = 0
+                                         then ' !! ?? ..' else '' end)
+                        else text end as text
+            from documents),
+        per_doc as (
+            select doc_id,
+                   md5(trim(regexp_replace(regexp_replace(
+                       lower(text), '[^a-z0-9 ]', ''),
+                       ' +', ' '))) as h,
+                   cast(size(filter(split(text, ' '),
+                        t -> t != '')) as bigint) as n_toks
+            from planted),
+        ranked as (
+            select doc_id, h, n_toks,
+                   cast(count(*) over (partition by h) as bigint)
+                     as cluster_size,
+                   row_number() over
+                     (partition by h
+                      order by n_toks desc, doc_id) as rn
+            from per_doc)
+        select doc_id, h, cluster_size, n_toks,
+               cast(case when rn = 1 then 1 else 0 end as bigint)
+                 as kept
+        from ranked where cluster_size >= 2
+        order by doc_id
+    """,
 }

@@ -455,3 +455,35 @@ def test_entity_resolution_call_door(spark):
         "max_distance => 1)").collect()
     ent = {r.rid: r.entity_id for r in out}
     assert ent[1] == ent[2] == 1 and ent[3] == 3
+
+
+# ------------------------------------------ q156 keep-longest survivorship
+
+
+def test_dedup_keepers_keeps_longest(spark):
+    from puregraphdb_spark.operators.pipeline import dedup_keepers
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, world!"),            # canon 'hello world', 2 toks
+         (2, "hello !! world ?? .."),     # same canon, 5 raw tokens
+         (3, "hello world"),              # same canon, 2 toks
+         (4, "unique text here")],        # singleton -> excluded
+        "doc_id bigint, text string")
+    out = {r.doc_id: r for r in dedup_keepers(docs).collect()}
+    assert set(out) == {1, 2, 3}          # singleton filtered out
+    assert out[2].kept == 1               # most raw tokens wins
+    assert out[1].kept == 0 and out[3].kept == 0
+    assert all(out[i].cluster_size == 3 for i in (1, 2, 3))
+
+
+def test_dedup_keepers_ties_to_min_id_and_call_door(spark):
+    from puregraphdb_spark.engine import Engine
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark, SF_DIR)
+    spark.createDataFrame(
+        [(9, "same text"), (5, "same text")],
+        "doc_id bigint, text string").createOrReplaceTempView("dk_t")
+    out = {r.doc_id: r.kept for r in eng.sql(
+        "CALL dedup_keepers(docs => 'dk_t')").collect()}
+    assert out == {5: 1, 9: 0}            # equal lengths: min id kept

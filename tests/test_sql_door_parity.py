@@ -85,6 +85,7 @@ DUCKDB_ONLY = {
     "q152_tokenizer_fertility",  # list_filter/string_split/len
     "q153_provenance_dedup",     # regexp_replace 'g' flag argument
     "q154_bm25_topk",            # list_filter/string_split/len
+    "q156_dedup_keepers",        # regexp_replace 'g' flag argument
 }
 
 ORACLES = entrymod.oracle_sql()
