@@ -586,6 +586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_profile_drift": profile.q155_profile_drift,
         "entity_resolution": entity_resolution_parts,
         "q156_dedup_keepers": pipeline.q156_dedup_keepers,
+        "q157_shingle_compressibility":
+            pipeline.q157_shingle_compressibility,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -766,7 +768,7 @@ _FRONT_WINDOW = [
     "q151_hash_semantic_dedup", "semantic_dedup",
     "q152_tokenizer_fertility", "q153_provenance_dedup",
     "q154_bm25_topk", "q155_profile_drift", "entity_resolution",
-    "q156_dedup_keepers",
+    "q156_dedup_keepers", "q157_shingle_compressibility",
     # r7-stale cohort: rows-only ops recorded last in r7
     "graph_anf", "graph_ktruss", "text_profile",
     "text_quality_report", "dedup_minhash_near",
@@ -788,7 +790,7 @@ _FRONT_WINDOW = [
     "q125_sorted_neighborhood", "q126_token_diversity",
     "q127_asof_forward", "q128_gini_concentration",
     "q129_hhi_segments", "q130_bounce_rate",
-    "q131_dup_cluster_histogram", "node2vec_walks",
+    "node2vec_walks",
 ]
 
 
@@ -3892,5 +3894,31 @@ def oracle_sql() -> dict[str, str]:
                      as kept
             from ranked where cluster_size >= 2
             order by doc_id
+        """,
+        # Per-source shingle compressibility (k=8 md5 windows).
+        "q157_shingle_compressibility": """
+            with st as (
+                select source,
+                       list_filter(string_split(lower(text), ' '),
+                                   t -> t <> '') as toks
+                from documents),
+            sh as (
+                select source,
+                       md5(array_to_string(toks[i:i+7], ' ')) as sh
+                from st, unnest(generate_series(1, len(toks) - 7))
+                         as g(i)
+                where len(toks) >= 8),
+            per_sh as (
+                select source, sh, cast(count(*) as bigint) as c
+                from sh group by source, sh)
+            select source,
+                   cast(sum(c) as bigint) as total_shingles,
+                   cast(count(*) as bigint) as distinct_shingles,
+                   cast(round(cast(
+                        cast(sum(c) - count(*) as double)
+                        / cast(sum(c) as double)
+                        as decimal(28,10)), 6) as double)
+                     as dup_shingle_ratio
+            from per_sh group by source order by source
         """,
     }

@@ -2595,3 +2595,57 @@ def q156_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return final_sort(dedup_keepers(d), spark, sf_dir,
                       "documents", "doc_id")
+
+
+def shingle_compressibility(docs: DataFrame, source_col: str = "source",
+                            text_col: str = "text",
+                            k: int = 8) -> DataFrame:
+    """Per-source shingle compressibility: total vs DISTINCT k-token
+    shingles and the implied duplicated-shingle ratio — the cheap
+    upper-bound estimate of what substring-level dedup (q145) would
+    reclaim per feed, run BEFORE committing to the full span pipeline
+    (a source with dup_shingle_ratio near 0 is not worth span-cutting;
+    one near 1 is boilerplate). Exact integers + one snapped division.
+
+    Scale: shingling is a map-side explode; ONE shuffle to the
+    (source, shingle-hash) grain with map-side combine (Zipf-head
+    shingles collapse in the combiner); the per-source rollup is
+    |sources|-sized.
+    """
+    ts = _nonempty_tokens(text_col)
+    st = docs.select(F.col(source_col).alias("source"),
+                     ts.alias("toks"))
+    wg = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - F.lit(k - 1)),
+        lambda i: F.md5(F.array_join(F.slice("toks", i, k), " ")),
+    )
+    sh = (
+        st.filter(F.size("toks") >= k)
+        .select("source", F.explode(wg).alias("sh"))
+    )
+    per_sh = sh.groupBy("source", "sh").agg(
+        F.count("*").cast("long").alias("c"))
+    return (
+        per_sh.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("total_shingles"),
+            F.count("*").cast("long").alias("distinct_shingles"),
+        )
+        .select(
+            "source", "total_shingles", "distinct_shingles",
+            decimal_round(
+                (F.col("total_shingles")
+                 - F.col("distinct_shingles")).cast("double")
+                / F.col("total_shingles").cast("double"), 6, grid=10,
+            ).alias("dup_shingle_ratio"),
+        )
+    )
+
+
+def q157_shingle_compressibility(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Per-source shingle-compressibility estimate (k=8 windows, the
+    q145 grain — see ``shingle_compressibility``)."""
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    return final_sort(shingle_compressibility(d), spark, sf_dir,
+                      "documents", "source")

@@ -241,7 +241,10 @@ def profile_drift(df: DataFrame, batch_col: str,
 def q155_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profile drift between the first and second half-month of
     `events` (fixed boundary 2024-01-16, both engines compare the
-    same µs NTZ instant) over the id/user/type/value columns."""
+    same µs NTZ instant) over the id/user/type/value columns. The
+    LIVE sibling is streaming/quality.windowed_profile +
+    profile_alerts (per-window HLL profile vs a reference); this is
+    the exact batch-vs-batch comparison run at load time."""
     ev = load_table(spark, sf_dir, "events").select(
         F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
                F.lit("a")).otherwise(F.lit("b")).alias("batch"),

@@ -893,6 +893,18 @@ def _hash_semantic_dedup(spark, embeddings: str = "embeddings",
                                n_clusters=int(n_clusters))
 
 
+def _shingle_compressibility(spark, docs: str = "documents",
+                             source_col: str = "source",
+                             text_col: str = "text",
+                             k: int = 8) -> DataFrame:
+    from puregraphdb_spark.operators.pipeline import (
+        shingle_compressibility)
+
+    return shingle_compressibility(_view(spark, docs),
+                                   source_col=source_col,
+                                   text_col=text_col, k=int(k))
+
+
 def _dedup_keepers(spark, docs: str = "documents",
                    id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
@@ -1063,6 +1075,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "profile_drift": _profile_drift,
     "entity_resolution": _entity_resolution,
     "dedup_keepers": _dedup_keepers,
+    "shingle_compressibility": _shingle_compressibility,
 }
 
 

@@ -1670,4 +1670,32 @@ SPARK_SQL: dict[str, str] = {
         from ranked where cluster_size >= 2
         order by doc_id
     """,
+    # Shingle compressibility twin (q157): Spark posexplode over the
+    # same k=8 md5 windows.
+    "q157_shingle_compressibility": """
+        with st as (
+            select source,
+                   filter(split(lower(text), ' '), t -> t != '')
+                     as toks
+            from documents),
+        sh as (
+            select source,
+                   explode(transform(
+                       sequence(1, size(toks) - 7),
+                       i -> md5(array_join(slice(toks, i, 8), ' '))))
+                     as sh
+            from st where size(toks) >= 8),
+        per_sh as (
+            select source, sh, cast(count(*) as bigint) as c
+            from sh group by source, sh)
+        select source,
+               cast(sum(c) as bigint) as total_shingles,
+               cast(count(*) as bigint) as distinct_shingles,
+               cast(round(cast(
+                    cast(sum(c) - count(*) as double)
+                    / cast(sum(c) as double)
+                    as decimal(28,10)), 6) as double)
+                 as dup_shingle_ratio
+        from per_sh group by source order by source
+    """,
 }

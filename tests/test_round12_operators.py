@@ -487,3 +487,32 @@ def test_dedup_keepers_ties_to_min_id_and_call_door(spark):
     out = {r.doc_id: r.kept for r in eng.sql(
         "CALL dedup_keepers(docs => 'dk_t')").collect()}
     assert out == {5: 1, 9: 0}            # equal lengths: min id kept
+
+
+# ----------------------------------------- q157 shingle compressibility
+
+
+def test_shingle_compressibility_bounds_and_door(spark):
+    from puregraphdb_spark.engine import Engine
+    from puregraphdb_spark.operators.pipeline import (
+        shingle_compressibility)
+    from tests.conftest import SF_DIR
+
+    boiler = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [("a", boiler), ("a", boiler),                 # pure repeat
+         ("b", " ".join(f"u{i}" for i in range(10))),  # all unique
+         ("b", "too short")],                          # < k, excluded
+        "source string, text string")
+    out = {r.source: r for r in shingle_compressibility(
+        docs, k=8).collect()}
+    # a: 2 docs x 3 shingles, 3 distinct -> ratio 0.5
+    assert out["a"].total_shingles == 6
+    assert out["a"].distinct_shingles == 3
+    assert out["a"].dup_shingle_ratio == 0.5
+    assert out["b"].total_shingles == 3          # short doc excluded
+    assert out["b"].dup_shingle_ratio == 0.0
+    eng = Engine(spark, SF_DIR)
+    d = eng.sql("CALL shingle_compressibility(docs => 'documents', "
+                "k => 8)")
+    assert d.count() > 0 and "dup_shingle_ratio" in d.columns

@@ -86,6 +86,7 @@ DUCKDB_ONLY = {
     "q153_provenance_dedup",     # regexp_replace 'g' flag argument
     "q154_bm25_topk",            # list_filter/string_split/len
     "q156_dedup_keepers",        # regexp_replace 'g' flag argument
+    "q157_shingle_compressibility",  # unnest/generate_series slicing
 }
 
 ORACLES = entrymod.oracle_sql()
