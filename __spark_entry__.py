@@ -532,15 +532,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``_FRONT_WINDOW`` list below IS the rotation — the literal dict
     keeps a stable canonical order and the return reorders it.
 
-    Round-12 window (per VERDICT r11 item 1): the four NEW round-12
-    entries (q151-q153 + semantic_dedup, never recorded by
-    construction) lead, then the 34 entries whose newest driver
-    record is r7 — the stalest evidence on the board (rows-only
-    graph/text/dedup/knn ops + oracled q99-q123) — topped up to
-    exactly 50 with the oldest r9 entries (q125-q132 block + the
-    four rows-only r9 sketch/graph ops). Everything after slot 50
-    retains a driver-green row from r9-r11. Round-13 rotation: the
-    r9 remainder (q133-q136, q138-q144, q01-q24), then r10.
+    Round-12 window (per VERDICT r11 item 1): the NINE new round-12
+    entries (q151-q157, semantic_dedup, entity_resolution — never
+    recorded by construction) lead, then the FULL 34-entry cohort
+    whose newest driver record is r7 — the stalest evidence on the
+    board (rows-only graph/text/dedup/knn ops + oracled q99-q123) —
+    topped up to exactly 50 with the oldest r9 entries (q125-q130 +
+    node2vec_walks, the VERDICT-named re-record). Everything after
+    slot 50 retains a driver-green row from r9-r11. Round-13
+    rotation: the r9 remainder (q131-q136, heavy_hitter_tokens,
+    graph_coreness, approx_quantiles_prices, q138-q144, q01-q24),
+    then r10.
     """
     table = {
         # -- 14 entries needing a (re-)record: the r7 err fix first --
