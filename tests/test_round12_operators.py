@@ -516,3 +516,78 @@ def test_shingle_compressibility_bounds_and_door(spark):
     d = eng.sql("CALL shingle_compressibility(docs => 'documents', "
                 "k => 8)")
     assert d.count() > 0 and "dup_shingle_ratio" in d.columns
+
+
+# ------------------- brute-force Hypothesis pins for the new oracled ops
+
+
+def test_bm25_matches_bruteforce_hypothesis(spark):
+    # Pin bm25_topk's scores and ranking against a pure-python BM25
+    # reimplementation over random small corpora.
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from puregraphdb_spark.operators.llm import bm25_topk
+
+    VOCAB = ["a", "b", "c", "d"]
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(docs=st.lists(
+        st.lists(st.sampled_from(VOCAB), min_size=1, max_size=8),
+        min_size=1, max_size=10))
+    def run(docs):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {r.doc_id: r for r in bm25_topk(
+            sdf, ["a", "b"], k=len(docs)).collect()}
+        n = len(docs)
+        avgdl = sum(len(t) for t in docs) / n
+        k1, b = 1.2, 0.75
+        for i, toks in enumerate(docs):
+            want = 0.0
+            for q in ("a", "b"):
+                tf = toks.count(q)
+                df = sum(1 for t in docs if q in t)
+                idf = (n - df + 0.5) / (df + 0.5)
+                den = tf + k1 * (1 - b + b * len(toks) / avgdl)
+                want += idf * (tf * (k1 + 1.0)) / den
+            assert abs(got[i].score - want) < 5e-6, (docs, i)
+            assert got[i].dl == len(toks)
+
+    run()
+
+
+def test_provenance_dedup_matches_pandas_hypothesis(spark):
+    # Pin the per-domain mirror/removable arithmetic against a pandas
+    # groupby reimplementation over random (domain, text) corpora.
+    import pandas as pd  # noqa: F811
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from puregraphdb_spark.operators.pipeline import (
+        provenance_dedup_report)
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=st.lists(
+        st.tuples(st.sampled_from(["d1", "d2", "d3"]),
+                  st.sampled_from(["t one", "t two", "t three"])),
+        min_size=1, max_size=20))
+    def run(rows):
+        sdf = spark.createDataFrame(rows, "domain string, text string")
+        got = {r.domain: r for r in provenance_dedup_report(
+            sdf).collect()}
+        pdf = pd.DataFrame(rows, columns=["domain", "text"])
+        per = (pdf.groupby(["domain", "text"]).size()
+               .reset_index(name="c"))
+        nd = per.groupby("text").size().rename("nd")
+        per = per.join(nd, on="text")
+        for dom, grp in per.groupby("domain"):
+            r = got[dom]
+            assert r.n_docs == int(grp.c.sum())
+            assert r.n_unique == len(grp)
+            assert r.n_removable == int(grp.c.sum()) - len(grp)
+            assert r.n_mirrored == int((grp.nd >= 2).sum())
+
+    run()
