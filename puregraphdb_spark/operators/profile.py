@@ -214,6 +214,11 @@ def profile_drift(df: DataFrame, batch_col: str,
     folded = prof.groupBy("col_name").agg(
         F.array_sort(F.collect_list(F.struct(
             "batch", "n_rows", "n_nulls", "n_distinct"))).alias("r"))
+    # single-batch input yields NO rows rather than silently comparing
+    # a batch to itself (a vacuous "no drift" is the dangerous output
+    # for a monitor); callers see an empty report until the second
+    # batch lands
+    folded = folded.filter(F.size("r") >= 2)
     a = F.element_at("r", 1)
     bb = F.element_at("r", -1)
     joined = folded.select(

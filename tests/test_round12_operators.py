@@ -591,3 +591,70 @@ def test_provenance_dedup_matches_pandas_hypothesis(spark):
             assert r.n_mirrored == int((grp.nd >= 2).sum())
 
     run()
+
+
+# --------------------------------- edge cases for the round-12 operators
+
+
+def test_profile_drift_single_batch_yields_no_rows(spark):
+    # a monitor comparing a batch to itself would read as "no drift";
+    # with one batch the report is EMPTY until the second batch lands
+    from puregraphdb_spark.operators.profile import profile_drift
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2)], "batch string, x bigint")
+    assert profile_drift(df, "batch", ["x"]).count() == 0
+
+
+def test_entity_resolution_no_matches_all_singletons(spark):
+    from puregraphdb_spark.operators.similarity import entity_resolution
+
+    df = spark.createDataFrame(
+        [(1, "alpha", "x"), (2, "zzzzzz", "x")],
+        "rid bigint, name string, blk string")
+    out = {r.rid: r for r in entity_resolution(
+        df, "rid", "name", ["blk"], max_distance=1).collect()}
+    assert all(out[i].entity_id == i and out[i].is_survivor == 1
+               and out[i].cluster_size == 1 for i in (1, 2))
+
+
+def test_semantic_dedup_fewer_vectors_than_k(spark):
+    from puregraphdb_spark.operators.similarity import semantic_dedup
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>")
+    out = semantic_dedup(corpus, threshold=0.99, k=8, iters=1,
+                         dim=2).collect()
+    assert len(out) == 2 and all(r.kept == 1 for r in out)
+
+
+def test_bm25_query_token_absent_from_corpus(spark):
+    # df = 0: rational idf = (N+0.5)/0.5 and tf = 0 everywhere ->
+    # the absent token contributes exactly 0, no NaN/null
+    from puregraphdb_spark.operators.llm import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "b c")], "doc_id bigint, text string")
+    out = bm25_topk(docs, ["zzz", "b"], k=2).collect()
+    assert len(out) == 2
+    assert all(r.score is not None and r.score > 0 for r in out)
+
+
+def test_dedup_keepers_no_dups_empty(spark):
+    from puregraphdb_spark.operators.pipeline import dedup_keepers
+
+    docs = spark.createDataFrame(
+        [(1, "one text"), (2, "two text")],
+        "doc_id bigint, text string")
+    assert dedup_keepers(docs).count() == 0
+
+
+def test_shingle_compressibility_all_short_docs_empty(spark):
+    from puregraphdb_spark.operators.pipeline import (
+        shingle_compressibility)
+
+    docs = spark.createDataFrame(
+        [("a", "too short"), ("b", "also short")],
+        "source string, text string")
+    assert shingle_compressibility(docs, k=8).count() == 0
