@@ -185,3 +185,20 @@ def test_final_sort_emits_totally_ordered_rows(spark):
     rows = Q["q23_graph_degree"](spark, SF_DIR).collect()
     vs = [r["v"] for r in rows]
     assert vs == sorted(vs)
+
+
+def test_no_cartesian_products_across_the_full_surface(spark):
+    """Global guard (r12): EVERY declared entry's physical plan is
+    CartesianProduct-free — the crossJoin sites in the codebase are
+    all broadcasts of 1-row/k-row scalar relations, which plan as
+    BroadcastNestedLoopJoin, never a data-scale cartesian. Plans are
+    built at sf0.001 (analysis only, nothing executes)."""
+    import __spark_entry__ as entrymod
+    from puregraphdb_spark.plans import physical_plan
+
+    bad = []
+    for name, fn in entrymod.queries().items():
+        p = physical_plan(fn(spark, "/root/testdata/sf0.001"))
+        if "CartesianProduct" in p:
+            bad.append(name)
+    assert not bad, bad

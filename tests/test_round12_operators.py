@@ -658,3 +658,35 @@ def test_shingle_compressibility_all_short_docs_empty(spark):
         [("a", "too short"), ("b", "also short")],
         "source string, text string")
     assert shingle_compressibility(docs, k=8).count() == 0
+
+
+def test_tokenizer_fertility_invariants_hypothesis(spark):
+    # tokens >= words for ANY text (every whitespace word decomposes
+    # into at least one regex token), and totals match a pure-python
+    # reimplementation of the same tokenizers.
+    import re as _re
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from puregraphdb_spark.operators.pipeline import tokenizer_fertility
+
+    TXT = st.text(
+        alphabet="abc01 .,!?-", min_size=1, max_size=40).filter(
+        lambda s: s.strip() != "")
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(texts=st.lists(TXT, min_size=1, max_size=6))
+    def run(texts):
+        docs = spark.createDataFrame(
+            [("s", t) for t in texts], "source string, text string")
+        r = tokenizer_fertility(docs).collect()[0]
+        words = sum(len([w for w in t.lower().split(" ") if w])
+                    for t in texts)
+        toks = sum(len(_re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]",
+                                   t.lower())) for t in texts)
+        assert r.total_words == words and r.total_tokens == toks
+        assert r.total_tokens >= r.total_words
+
+    run()
