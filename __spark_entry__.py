@@ -498,6 +498,39 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
+def graph_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting reachability over the timestamped supply graph
+    (cust->supp and supp->cust edges at the order date, epoch days):
+    earliest-arrival journeys from sampled source customers within 4
+    hops (rows-only: iterative label-correcting fixpoint; chain
+    semantics property-tested — a static BFS overstates this reach)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    base = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+            F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1970-01-01").cast("date"))
+            .cast("double").alias("ts"),
+        )
+        .distinct()
+    )
+    edges = base.select(
+        F.col("cust").alias("src"), (F.col("supp") + F.lit(1_000_000))
+        .alias("dst"), "ts",
+    ).unionByName(base.select(
+        (F.col("supp") + F.lit(1_000_000)).alias("src"),
+        F.col("cust").alias("dst"), "ts",
+    ))
+    sources = (
+        o.select(F.col("o_custkey").alias("id"))
+        .filter(F.col("id") % 200 == 0).distinct()
+    )
+    return graph.temporal_reach(edges, sources, k=4).orderBy("id")
+
+
 def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-granularity continuous aggregate over events: one source
     scan feeds the finest level, coarser levels re-aggregate partials.
@@ -587,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_bm25_topk": llm.q154_bm25_topk,
         "q155_profile_drift": profile.q155_profile_drift,
         "entity_resolution": entity_resolution_parts,
+        "graph_temporal_reach": graph_temporal_reach,
         "q156_dedup_keepers": pipeline.q156_dedup_keepers,
         "q157_shingle_compressibility":
             pipeline.q157_shingle_compressibility,
@@ -771,6 +805,7 @@ _FRONT_WINDOW = [
     "q152_tokenizer_fertility", "q153_provenance_dedup",
     "q154_bm25_topk", "q155_profile_drift", "entity_resolution",
     "q156_dedup_keepers", "q157_shingle_compressibility",
+    "graph_temporal_reach",
     # r7-stale cohort: rows-only ops recorded last in r7
     "graph_anf", "graph_ktruss", "text_profile",
     "text_quality_report", "dedup_minhash_near",
@@ -791,7 +826,7 @@ _FRONT_WINDOW = [
     # oldest-r9 top-ups to fill the 50-window
     "q125_sorted_neighborhood", "q126_token_diversity",
     "q127_asof_forward", "q128_gini_concentration",
-    "q129_hhi_segments", "q130_bounce_rate",
+    "q129_hhi_segments",
     "node2vec_walks",
 ]
 

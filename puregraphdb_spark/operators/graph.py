@@ -2805,3 +2805,56 @@ def q111_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spark, sf_dir, "orders", "degree",
     )
+
+
+def temporal_reach(edges: DataFrame, sources: DataFrame,
+                   k: int = 3) -> DataFrame:
+    """Time-respecting (temporal) reachability: earliest-arrival BFS
+    where timestamps must be NON-DECREASING along a path — the
+    standard temporal-graph semantics (Wu et al. 2014, "Path problems
+    in temporal graphs"): an edge (u, v, t) extends a journey that
+    reached u by time <= t. A static-graph BFS over the same edges
+    OVERSTATES reach (it happily chains a Monday edge after a Friday
+    one); this is the honest reach for contagion / information-flow /
+    supply-disruption questions.
+
+    ``edges``: (src, dst, ts) with a numeric/orderable ts;
+    ``sources``: (id) — journeys start at any time (arrival -inf).
+    Returns (id, arrival): every vertex reachable within ``k`` hops
+    and the EARLIEST time any time-respecting journey arrives there
+    (sources themselves are not emitted unless re-reached by edges).
+
+    Scale: k rounds of (frontier ⋈ edges on src) + min-combine — the
+    Pregel earliest-arrival shape; the frontier carries ONE scalar per
+    vertex and messages partial-aggregate map-side. Label-correcting:
+    a later round can LOWER an arrival (multi-hop journey through an
+    early edge chain), so state merges by min each round.
+    """
+    state = sources.select(
+        F.col("id"), F.lit(None).cast("double").alias("arrival"))
+    e = edges.select("src", "dst", F.col("ts").cast("double").alias("ts"))
+    for _ in range(k):
+        msgs = (
+            e.join(state, e.src == state.id)
+            .filter(F.col("arrival").isNull()
+                    | (F.col("ts") >= F.col("arrival")))
+            .select(F.col("dst").alias("id"),
+                    F.col("ts").alias("cand"))
+            .groupBy("id")
+            .agg(F.min("cand").alias("cand"))
+        )
+        state = (
+            state.join(msgs, "id", "full_outer")
+            .select(
+                "id",
+                F.when(
+                    F.col("arrival").isNull(), F.col("cand")
+                ).when(
+                    F.col("cand").isNull(), F.col("arrival")
+                ).otherwise(
+                    F.least("arrival", "cand")
+                ).alias("arrival"),
+            )
+        )
+        state = state.localCheckpoint(eager=False)
+    return state.filter(F.col("arrival").isNotNull())

@@ -893,6 +893,14 @@ def _hash_semantic_dedup(spark, embeddings: str = "embeddings",
                                n_clusters=int(n_clusters))
 
 
+def _temporal_reach(spark, edges: str, sources: str,
+                    k: int = 3) -> DataFrame:
+    from puregraphdb_spark.operators.graph import temporal_reach
+
+    return temporal_reach(_view(spark, edges), _view(spark, sources),
+                          k=int(k))
+
+
 def _shingle_compressibility(spark, docs: str = "documents",
                              source_col: str = "source",
                              text_col: str = "text",
@@ -1076,6 +1084,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "entity_resolution": _entity_resolution,
     "dedup_keepers": _dedup_keepers,
     "shingle_compressibility": _shingle_compressibility,
+    "temporal_reach": _temporal_reach,
 }
 
 

@@ -690,3 +690,70 @@ def test_tokenizer_fertility_invariants_hypothesis(spark):
         assert r.total_tokens >= r.total_words
 
     run()
+
+
+# -------------------------------------------- temporal reachability
+
+
+def test_temporal_reach_respects_time_ordering(spark):
+    from puregraphdb_spark.operators.graph import temporal_reach
+
+    # A->B at t=5; B->C at t=3 (decreasing: C unreachable from A);
+    # B->D at t=7 (valid continuation). E isolated.
+    edges = spark.createDataFrame(
+        [(1, 2, 5.0), (2, 3, 3.0), (2, 4, 7.0)],
+        "src bigint, dst bigint, ts double")
+    src = spark.createDataFrame([(1,)], "id bigint")
+    got = {r.id: r.arrival for r in temporal_reach(
+        edges, src, k=3).collect()}
+    assert got == {2: 5.0, 4: 7.0}          # 3 is NOT time-reachable
+    # (a static BFS over the same edges WOULD reach 3 via 1->2->3 —
+    # the overstated reach this operator exists to correct)
+
+
+def test_temporal_reach_earliest_arrival_label_correcting(spark):
+    from puregraphdb_spark.operators.graph import temporal_reach
+
+    # Two journeys to C: direct at t=9, and 2-hop A->B(t=1)->C(t=2).
+    # Earliest arrival must be 2 even though the direct edge exists.
+    edges = spark.createDataFrame(
+        [(1, 3, 9.0), (1, 2, 1.0), (2, 3, 2.0)],
+        "src bigint, dst bigint, ts double")
+    src = spark.createDataFrame([(1,)], "id bigint")
+    got = {r.id: r.arrival for r in temporal_reach(
+        edges, src, k=3).collect()}
+    assert got[3] == 2.0 and got[2] == 1.0
+
+
+def test_temporal_reach_source_stays_unconstrained_round_one(spark):
+    from puregraphdb_spark.operators.graph import temporal_reach
+
+    # source re-reached by a cycle keeps expanding correctly: the
+    # unconstrained round-1 expansion already delivered every
+    # first-hop message, so a later arrival on the source loses
+    # nothing (documented merge semantics).
+    edges = spark.createDataFrame(
+        [(1, 2, 5.0), (2, 1, 6.0), (1, 4, 1.0)],
+        "src bigint, dst bigint, ts double")
+    src = spark.createDataFrame([(1,)], "id bigint")
+    got = {r.id: r.arrival for r in temporal_reach(
+        edges, src, k=4).collect()}
+    assert got[4] == 1.0                    # early edge still taken
+    assert got[1] == 6.0                    # source re-reached via cycle
+
+
+def test_temporal_reach_call_door(spark):
+    from puregraphdb_spark.engine import Engine
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark, SF_DIR)
+    spark.createDataFrame(
+        [(1, 2, 5.0), (2, 3, 3.0)],
+        "src bigint, dst bigint, ts double"
+    ).createOrReplaceTempView("tr_edges")
+    spark.createDataFrame([(1,)], "id bigint") \
+        .createOrReplaceTempView("tr_src")
+    got = {r.id: r.arrival for r in eng.sql(
+        "CALL temporal_reach(edges => 'tr_edges', "
+        "sources => 'tr_src', k => 3)").collect()}
+    assert got == {2: 5.0}
