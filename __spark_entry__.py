@@ -504,6 +504,13 @@ def graph_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     earliest-arrival journeys from sampled source customers within 4
     hops (rows-only: iterative label-correcting fixpoint; chain
     semantics property-tested — a static BFS overstates this reach)."""
+    edges, sources = _supply_temporal_edges(spark, sf_dir)
+    return graph.temporal_reach(edges, sources, k=4).orderBy("id")
+
+
+def _supply_temporal_edges(spark: SparkSession, sf_dir: str):
+    """(edges, sources) of the timestamped supply graph — shared by
+    graph_temporal_reach (k=4, rows-only) and q158 (k=2, oracled)."""
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     base = (
@@ -528,7 +535,25 @@ def graph_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(F.col("o_custkey").alias("id"))
         .filter(F.col("id") % 200 == 0).distinct()
     )
-    return graph.temporal_reach(edges, sources, k=4).orderBy("id")
+    return edges, sources
+
+
+def q158_temporal_reach2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED bounded temporal reach (k=2): the same earliest-arrival
+    arithmetic ``graph_temporal_reach`` iterates, validated exactly —
+    at bounded k the label-correcting rounds unroll to two min-joins
+    (h1 = min edge ts from sources; h2 = min continuation ts >= h1
+    arrival; arrival = per-vertex min over both), which DuckDB can run
+    verbatim. The q86/reach2 discipline applied to temporal journeys:
+    the iterative operator stays rows-only, its arithmetic is
+    hash-checked here. ts values are exact integer days in doubles,
+    so min/compare are engine-exact with no snap."""
+    edges, sources = _supply_temporal_edges(spark, sf_dir)
+    return (
+        graph.temporal_reach(edges, sources, k=2)
+        .select("id", F.col("arrival").alias("arrival_day"))
+        .orderBy("id")
+    )
 
 
 def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -621,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_profile_drift": profile.q155_profile_drift,
         "entity_resolution": entity_resolution_parts,
         "graph_temporal_reach": graph_temporal_reach,
+        "q158_temporal_reach2": q158_temporal_reach2,
         "q156_dedup_keepers": pipeline.q156_dedup_keepers,
         "q157_shingle_compressibility":
             pipeline.q157_shingle_compressibility,
@@ -805,7 +831,7 @@ _FRONT_WINDOW = [
     "q152_tokenizer_fertility", "q153_provenance_dedup",
     "q154_bm25_topk", "q155_profile_drift", "entity_resolution",
     "q156_dedup_keepers", "q157_shingle_compressibility",
-    "graph_temporal_reach",
+    "graph_temporal_reach", "q158_temporal_reach2",
     # r7-stale cohort: rows-only ops recorded last in r7
     "graph_anf", "graph_ktruss", "text_profile",
     "text_quality_report", "dedup_minhash_near",
@@ -826,7 +852,6 @@ _FRONT_WINDOW = [
     # oldest-r9 top-ups to fill the 50-window
     "q125_sorted_neighborhood", "q126_token_diversity",
     "q127_asof_forward", "q128_gini_concentration",
-    "q129_hhi_segments",
     "node2vec_walks",
 ]
 
@@ -3931,6 +3956,36 @@ def oracle_sql() -> dict[str, str]:
                      as kept
             from ranked where cluster_size >= 2
             order by doc_id
+        """,
+        # Bounded (k=2) temporal earliest-arrival reach, unrolled to
+        # two min-joins — the oracle for the iterative operator's
+        # arithmetic (exact integer-day doubles, no snap needed).
+        "q158_temporal_reach2": """
+            with base as (
+                select distinct o_custkey as cust, l_suppkey as supp,
+                       cast(date_diff('day', date '1970-01-01',
+                            cast(o_orderdate as date)) as double) as ts
+                from orders join lineitem on o_orderkey = l_orderkey),
+            edges as (
+                select cust as src, supp + 1000000 as dst, ts from base
+                union all
+                select supp + 1000000 as src, cust as dst, ts from base),
+            src as (
+                select distinct o_custkey as id from orders
+                where o_custkey % 200 = 0),
+            h1 as (
+                select e.dst as id, min(e.ts) as arr
+                from edges e join src s on e.src = s.id
+                group by e.dst),
+            h2 as (
+                select e.dst as id, min(e.ts) as arr
+                from edges e join h1 on e.src = h1.id
+                                    and e.ts >= h1.arr
+                group by e.dst),
+            allh as (
+                select * from h1 union all select * from h2)
+            select id, cast(min(arr) as double) as arrival_day
+            from allh group by id order by id
         """,
         # Per-source shingle compressibility (k=8 md5 windows).
         "q157_shingle_compressibility": """
