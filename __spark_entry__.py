@@ -459,6 +459,26 @@ def knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of BOTH bucketed ANN paths (hyperplane LSH and IVF)
+    against the exact brute-force top-10 on the vec_id < 20 query
+    sample — the tuning gate for num_planes/nprobe (rows-only: the
+    ANN sides ride seeded hyperplanes / float-iterative k-means, so
+    no cross-engine hash oracle exists by design; the recall
+    arithmetic itself is property-tested, incl. recall == 1 when the
+    ANN path is made exhaustive)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    lsh = similarity.ann_cosine_topk(q, emb, k=10, dim=64, num_planes=6)
+    cents = similarity.kmeans_centroids(emb, k=8, iters=2, dim=64)
+    ivf = similarity.ivf_cosine_topk(q, emb, cents, k=10, nprobe=2)
+    rep_lsh = similarity.ann_recall_report(q, emb, lsh, k=10,
+                                           method="lsh_planes6")
+    rep_ivf = similarity.ann_recall_report(q, emb, ivf, k=10,
+                                           method="ivf_nprobe2")
+    return rep_lsh.unionByName(rep_ivf).orderBy("method")
+
+
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over IVF (seeded k-means) clusters (rows-only: the
     k-means centroids are deterministic given the hash-ordered seeds
@@ -650,6 +670,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_dedup_keepers": pipeline.q156_dedup_keepers,
         "q157_shingle_compressibility":
             pipeline.q157_shingle_compressibility,
+        # -- round-12 continuation entries --
+        "q159_cusum_changepoint": events.q159_cusum_changepoint,
+        "q160_lm_transition_score": pipeline.q160_lm_transition_score,
+        "q161_k_anonymity": profile.q161_k_anonymity,
+        "q162_gopher_rules": pipeline.q162_gopher_rules,
+        "ann_recall_report": ann_recall_eval,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -849,10 +875,12 @@ _FRONT_WINDOW = [
     "q117_table_profile", "q118_fk_integrity", "q119_decile_gains",
     "q120_scd2_intervals", "q121_autocorr", "q122_weighted_median",
     "q123_interval_union",
-    # oldest-r9 top-ups to fill the 50-window
-    "q125_sorted_neighborhood", "q126_token_diversity",
-    "q127_asof_forward", "q128_gini_concentration",
-    "node2vec_walks",
+    # round-12 continuation entries (never recorded, by construction)
+    # — these displace the r9 top-ups (q125-q128, node2vec_walks),
+    # which already hold r9-green driver records: a never-recorded
+    # entry outranks a re-record on evidence value.
+    "q159_cusum_changepoint", "q160_lm_transition_score",
+    "q161_k_anonymity", "q162_gopher_rules", "ann_recall_report",
 ]
 
 
@@ -4012,5 +4040,196 @@ def oracle_sql() -> dict[str, str]:
                         as decimal(28,10)), 6) as double)
                      as dup_shingle_ratio
             from per_sh group by source order by source
+        """,
+        # CUSUM changepoint (q159): scaled-integer CUSUM — the exact
+        # decimal arithmetic (n·P_k − k·T) mirrors the DataFrame door
+        # operand-for-operand so the argmax row is identical.
+        "q159_cusum_changepoint": """
+            with planted as (
+                select ts, event_type,
+                       value + case when event_type in ('view','purchase')
+                                     and dayofyear(ts) > 15
+                                    then 2.5 else 0.0 end as value
+                from events),
+            daily as (
+                select event_type, date_trunc('day', ts) as day,
+                       cast(sum(cast(value as decimal(24,3)))
+                         as decimal(24,3)) as x
+                from planted group by 1, 2),
+            pre as (
+                select event_type, day,
+                       cast(sum(x) over (partition by event_type
+                            order by day rows between unbounded preceding
+                            and current row) as decimal(24,3)) as p,
+                       row_number() over (partition by event_type
+                            order by day) as k,
+                       cast(sum(x) over (partition by event_type)
+                         as decimal(24,3)) as t,
+                       count(*) over (partition by event_type) as n
+                from daily),
+            cand as (
+                select event_type, day, k, n, p, t,
+                       cast(n as decimal(12,0)) * p
+                         - cast(k as decimal(12,0)) * t as s
+                from pre where k < n),
+            top as (
+                select *, row_number() over (partition by event_type
+                            order by abs(s) desc, day asc) as rn
+                from cand)
+            select event_type, day as cp_day,
+                   cast(n as bigint) as n_days,
+                   cast(round(cast(cast(s as double)
+                        / cast(n as double) as decimal(28,6)), 4)
+                     as double) as cusum_peak,
+                   cast(round(cast(cast(p as double)
+                        / cast(k as double) as decimal(28,6)), 4)
+                     as double) as pre_mean,
+                   cast(round(cast(cast(t - p as double)
+                        / cast(n - k as double) as decimal(28,6)), 4)
+                     as double) as post_mean
+            from top where rn = 1 order by event_type
+        """,
+        # LM transition score (q160): same rational arithmetic — the
+        # only divisions are final snapped quotients of exact bigints.
+        "q160_lm_transition_score": """
+            with planted as (
+                select doc_id, source,
+                       case when doc_id % 41 = 0
+                            then concat(text, ' zq',
+                                        cast(doc_id % 7 as string),
+                                        ' xv',
+                                        cast(doc_id % 5 as string))
+                            else text end as text
+                from documents),
+            tok as (
+                select doc_id, source,
+                       list_filter(string_split(lower(text), ' '),
+                                   t -> t <> '') as toks
+                from planted),
+            bg as (
+                select doc_id, source, toks[i] as w1, toks[i+1] as w2
+                from tok, unnest(generate_series(1, len(toks) - 1))
+                          as g(i)
+                where len(toks) >= 2),
+            per_doc_bg as (
+                select doc_id, source, w1, w2,
+                       cast(count(*) as bigint) as m
+                from bg group by 1, 2, 3, 4),
+            model as (
+                select w1, w2, cast(sum(m) as bigint) as cb,
+                       cast(sum(sum(m)) over (partition by w1)
+                         as bigint) as cu
+                from per_doc_bg group by w1, w2),
+            scored as (
+                select doc_id, source,
+                       cast(sum(m * cb) as bigint) as num,
+                       cast(sum(m * cu) as bigint) as den,
+                       cast(sum(m) as bigint) as n_trans,
+                       cast(sum(m * cb) as double)
+                         / cast(sum(m * cu) as double) as score
+                from per_doc_bg join model using (w1, w2)
+                group by 1, 2)
+            select source,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(n_trans) as bigint) as n_transitions,
+                   cast(round(cast(cast(sum(num) as double)
+                        / cast(sum(den) as double)
+                        as decimal(28,10)), 6) as double)
+                     as micro_score,
+                   cast(round(cast(min(score) as decimal(28,10)), 6)
+                     as double) as min_score,
+                   cast(round(cast(max(score) as decimal(28,10)), 6)
+                     as double) as max_score
+            from scored group by source order by source
+        """,
+        # k-anonymity audit (q161): exact bigint counts; floor (not a
+        # double→bigint cast, which DuckDB rounds but Spark truncates)
+        "q161_k_anonymity": """
+            with d as (
+                select lang, source,
+                       cast(floor(n_chars / 10) as bigint) as len_band
+                from documents),
+            classes as (
+                select lang, source, len_band,
+                       cast(count(*) as bigint) as sz
+                from d group by 1, 2, 3)
+            select lang,
+                   cast(sum(sz) as bigint) as n_rows,
+                   cast(count(*) as bigint) as n_classes,
+                   cast(sum(case when sz < 5 then 1 else 0 end)
+                     as bigint) as n_small_classes,
+                   cast(sum(case when sz < 5 then sz else 0 end)
+                     as bigint) as n_rows_at_risk,
+                   cast(min(sz) as bigint) as min_class_size,
+                   cast(round(cast(
+                        cast(sum(case when sz < 5 then sz else 0 end)
+                             as double)
+                        / cast(sum(sz) as double)
+                        as decimal(28,10)), 6) as double) as risk_ratio
+            from classes group by lang order by lang
+        """,
+        # Gopher-rule attribution (q162): all four rules are exact
+        # integer predicates (cross-multiplied thresholds, no division)
+        "q162_gopher_rules": """
+            with planted as (
+                select source,
+                       case when doc_id % 29 = 0
+                            then concat('zzq',
+                                        cast(doc_id % 13 as string),
+                                        ' qxv wvx zzq kjq pqz mvz nbq')
+                            when doc_id % 23 = 0
+                            then concat(text, ' ## -- !! ##')
+                            else text end as text
+                from documents),
+            feat as (
+                select source,
+                       cast(len(toks) as bigint) as n_words,
+                       cast(list_sum(list_transform(toks,
+                            t -> length(t))) as bigint) as sum_len,
+                       cast(len(list_filter(toks,
+                            t -> regexp_full_match(t, '[^a-z0-9]+')))
+                         as bigint) as n_symbol,
+                       cast(len(list_distinct(list_intersect(toks,
+                            ['the','a','of','and','with','that',
+                             'to','be']))) as bigint) as n_stop
+                from (select source,
+                             list_filter(string_split(lower(text), ' '),
+                                         t -> t <> '') as toks
+                      from planted)),
+            flags as (
+                select source,
+                       (n_words < 20 or n_words > 1000) as f_wc,
+                       (sum_len < 3 * n_words
+                        or sum_len > 10 * n_words) as f_ml,
+                       (n_symbol * 100 > 10 * n_words) as f_sym,
+                       (n_stop < 2) as f_stop
+                from feat)
+            select source,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(case when f_wc then 1 else 0 end)
+                     as bigint) as n_fail_wordcount,
+                   cast(sum(case when f_ml then 1 else 0 end)
+                     as bigint) as n_fail_meanlen,
+                   cast(sum(case when f_sym then 1 else 0 end)
+                     as bigint) as n_fail_symbol,
+                   cast(sum(case when f_stop then 1 else 0 end)
+                     as bigint) as n_fail_stopword,
+                   cast(sum(case when f_wc or f_ml or f_sym or f_stop
+                                 then 1 else 0 end) as bigint)
+                     as n_fail_any,
+                   cast(sum(case when
+                        (case when f_wc then 1 else 0 end)
+                        + (case when f_ml then 1 else 0 end)
+                        + (case when f_sym then 1 else 0 end)
+                        + (case when f_stop then 1 else 0 end) >= 2
+                        then 1 else 0 end) as bigint) as n_fail_multi,
+                   cast(round(cast(
+                        cast(sum(case when f_wc or f_ml or f_sym
+                                       or f_stop then 1 else 0 end)
+                             as double)
+                        / cast(count(*) as double)
+                        as decimal(28,10)), 6) as double)
+                     as reject_ratio
+            from flags group by source order by source
         """,
     }

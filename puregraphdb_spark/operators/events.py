@@ -1099,3 +1099,102 @@ def q143_seasonal_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
     return final_sort(seasonal_burst_detection(ev), spark, sf_dir,
                       "events", "event_type", "bucket")
+
+
+def cusum_changepoint(events: DataFrame, ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      value_col: str = "value") -> DataFrame:
+    """Single-changepoint estimate per event type over the DAILY value
+    series — the classic CUSUM location statistic: the day k maximizing
+    |Σ_{i<=k}(x_i − mean)| splits the series at the most likely mean
+    shift (Page 1954; the standard first pass before a full
+    PELT/binary-segmentation sweep). Emits one row per type with the
+    estimated changepoint day, the peak CUSUM deviation, and the
+    pre/post segment means — the level-shift report that catches
+    logging changes, deploy regressions and seasonality breaks that
+    the pointwise detectors (q135 MAD, q140/q143 z-bursts) cannot,
+    because a level SHIFT moves every subsequent point a little
+    instead of one point a lot.
+
+    Determinism (cross-engine exact): daily sums are exact decimals
+    (3-dp fixture values), and the CUSUM is kept in the SCALED integer
+    form ``S_k·n = n·P_k − k·T`` (P_k = prefix sum, T = total) — pure
+    decimal arithmetic with explicitly sized operands
+    (decimal(12,0)·decimal(24,3) → 37 digits, inside Spark's 38-digit
+    cap: the q150 ADVICE overflow class is designed out, not hoped
+    away). The argmax is selected on that exact quantity with an
+    earliest-day tiebreak, so both engines pick the identical row;
+    the reported means/CUSUM are single snapped divisions of exact
+    operands.
+
+    Scale: ONE shuffle to the (type, day) grain with map-side combine;
+    every window after that runs over the per-type DAYS relation —
+    calendar-bounded (≤ 365 rows/type/year) at ANY event volume, so
+    the per-type window partition never grows with data size. The
+    argmax is a rank-1 filter, not a sort of the full relation.
+    """
+    daily = (
+        events.groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+        )
+        .agg(F.sum(F.col(value_col).cast("decimal(24,3)"))
+             .cast("decimal(24,3)").alias("x"))
+    )
+    wt = Window.partitionBy("event_type")
+    wp = (Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pre = daily.select(
+        "event_type", "day",
+        F.sum("x").over(wp).cast("decimal(24,3)").alias("p"),
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("day")).alias("k"),
+        F.sum("x").over(wt).cast("decimal(24,3)").alias("t"),
+        F.count("*").over(wt).alias("n"),
+    ).filter(F.col("k") < F.col("n"))  # k = n has S = 0 by identity
+    # scaled CUSUM: S_k·n = n·P_k − k·T  (exact decimal(38,3))
+    s = (F.col("n").cast("decimal(12,0)") * F.col("p")
+         - F.col("k").cast("decimal(12,0)") * F.col("t"))
+    cand = pre.select(
+        "event_type", "day", "k", "n", "p", "t", s.alias("s"),
+        F.row_number().over(
+            Window.partitionBy("event_type")
+            .orderBy(F.abs(s).desc(), F.col("day").asc())
+        ).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return cand.select(
+        "event_type",
+        F.col("day").alias("cp_day"),
+        F.col("n").cast("long").alias("n_days"),
+        decimal_round(
+            F.col("s").cast("double") / F.col("n").cast("double"),
+            4, grid=6).alias("cusum_peak"),
+        decimal_round(
+            F.col("p").cast("double") / F.col("k").cast("double"),
+            4, grid=6).alias("pre_mean"),
+        decimal_round(
+            (F.col("t") - F.col("p")).cast("double")
+            / (F.col("n") - F.col("k")).cast("double"),
+            4, grid=6).alias("post_mean"),
+    )
+
+
+def q159_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily level-shift changepoint (see
+    ``cusum_changepoint``). The fixture value column is stationary by
+    construction, so a deterministic level shift is planted from
+    event_id arithmetic (the q146/q152 synthetic-plant discipline):
+    events after day 15 of the 30-day fixture calendar get +2.5 added
+    for two of the five types — the CUSUM argmax then lands on a real
+    shift boundary for those types and on noise-scale peaks for the
+    rest, exercising both regimes cross-engine."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type",
+        (F.col("value")
+         + F.when(
+             F.col("event_type").isin("view", "purchase")
+             & (F.dayofyear("ts") > 15), F.lit(2.5))
+         .otherwise(F.lit(0.0))).alias("value"),
+    )
+    return final_sort(cusum_changepoint(ev), spark, sf_dir, "events",
+                      "event_type")

@@ -2649,3 +2649,231 @@ def q157_shingle_compressibility(spark: SparkSession,
     d = load_table(spark, sf_dir, "documents").select("source", "text")
     return final_sort(shingle_compressibility(d), spark, sf_dir,
                       "documents", "source")
+
+
+def lm_transition_score(docs: DataFrame, id_col: str = "doc_id",
+                        group_col: str = "source",
+                        text_col: str = "text") -> DataFrame:
+    """Corpus-LM fluency score per group — the CCNet-class quality
+    signal (Wenzek et al. 2020 score docs by LM perplexity; here the
+    LM is the corpus's own word-bigram model) expressed log-free so
+    it hash-matches cross-engine: each document's score is its
+    micro-averaged transition probability
+
+        score(doc) = Σ_i c(w_i, w_{i+1}) / Σ_i c(w_i, ·)
+
+    — the ratio of two exact bigint sums (bigram count over
+    prefix-continuation count, summed over the doc's transitions).
+    1.0 = every transition is its prefix's only continuation
+    (perfectly predictable text); low = transitions that are rare
+    given their prefix (disfluent / shuffled / OCR-garbled text).
+    Rational arithmetic end-to-end: the ONE division per doc (and per
+    group for the micro aggregate) happens on exact integers and is
+    snapped — no ln/exp, per this module's exactness strategy.
+
+    Emits per group: docs scored (≥ 2 tokens), total transitions, the
+    group micro score (ratio of group-total sums — NOT a mean of
+    ratios, so it is length-weighted and associativity-free), and the
+    min/max doc scores.
+
+    Scale: bigram formation is a map-side HOF (slice+transform —
+    tokens never explode row-per-token); ONE shuffle to the
+    (doc, w1, w2) grain, a vocab-sized model relation derived from it
+    (c(w1,w2) and its w1 rollup via window sum), joined back on the
+    SAME (w1, w2) key — co-partitioned, no second key. Per-doc sums
+    reuse the doc-grain partitioning; the group report is a final
+    tiny-key rollup.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                    lambda t: t != "")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        toks.alias("toks"),
+    ).filter(F.size("toks") >= 2)
+    pairs = F.expr(
+        "transform(slice(toks, 1, size(toks) - 1),"
+        " (w, i) -> struct(w as w1, toks[i + 1] as w2))"
+    )
+    # (doc, w1, w2) grain with multiplicity — the single big shuffle
+    per_doc_bg = (
+        d.select("doc_id", "grp", F.explode(pairs).alias("bg"))
+        .groupBy("doc_id", "grp", F.col("bg.w1").alias("w1"),
+                 F.col("bg.w2").alias("w2"))
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+    # corpus model on the same grain: c(w1,w2), and c(w1,·) as a
+    # window rollup over the model relation (vocab-sized, no rescan)
+    model = (
+        per_doc_bg.groupBy("w1", "w2")
+        .agg(F.sum("m").cast("long").alias("cb"))
+        .withColumn(
+            "cu", F.sum("cb").over(Window.partitionBy("w1"))
+            .cast("long"))
+    )
+    scored = (
+        per_doc_bg.join(model, ["w1", "w2"])
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.sum(F.col("m") * F.col("cb")).cast("long").alias("num"),
+            F.sum(F.col("m") * F.col("cu")).cast("long").alias("den"),
+            F.sum("m").cast("long").alias("n_trans"),
+        )
+        .withColumn(
+            "score",
+            F.col("num").cast("double") / F.col("den").cast("double"))
+    )
+    return (
+        scored.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_trans").cast("long").alias("n_transitions"),
+            F.sum("num").cast("long").alias("sum_num"),
+            F.sum("den").cast("long").alias("sum_den"),
+            F.min("score").alias("min_raw"),
+            F.max("score").alias("max_raw"),
+        )
+        .select(
+            group_col, "n_docs", "n_transitions",
+            decimal_round(
+                F.col("sum_num").cast("double")
+                / F.col("sum_den").cast("double"), 6, grid=10,
+            ).alias("micro_score"),
+            decimal_round(F.col("min_raw"), 6, grid=10)
+            .alias("min_score"),
+            decimal_round(F.col("max_raw"), 6, grid=10)
+            .alias("max_score"),
+        )
+    )
+
+
+def q160_lm_transition_score(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Per-source corpus-LM fluency report (see
+    ``lm_transition_score``). A disfluency plant (the q146/q159
+    synthetic-plant discipline): docs with doc_id % 41 == 0 get their
+    text suffixed with a deterministic rare-transition tail
+    ("zq<doc_id%7> xv<doc_id%5>" — vocabulary the fixture corpus
+    never produces), so the min_score column reflects genuinely rare
+    transitions instead of whatever the random fixture happens to
+    bottom out at."""
+    i = F.col("doc_id")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.when(
+            i % 41 == 0,
+            F.concat(F.col("text"), F.lit(" zq"),
+                     (i % 7).cast("string"), F.lit(" xv"),
+                     (i % 5).cast("string")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return final_sort(lm_transition_score(d), spark, sf_dir,
+                      "documents", "source")
+
+
+def gopher_rules_report(docs: DataFrame, group_col: str = "source",
+                        text_col: str = "text",
+                        min_words: int = 20, max_words: int = 1000,
+                        min_mean_len: int = 3, max_mean_len: int = 10,
+                        max_symbol_pct: int = 10,
+                        min_stopwords: int = 2) -> DataFrame:
+    """Gopher-class rule-attribution report (Rae et al. 2021 §A1.1
+    quality heuristics): per group, how many documents each hygiene
+    rule rejects and how the failures stack — the report a pipeline
+    reads BEFORE committing to a filter config, because it shows
+    which rule does the cutting (q71 applies ONE composite filter;
+    this attributes the cut rule-by-rule and counts multi-rule
+    failures, the high-confidence rejects).
+
+    Four rules, all exact-integer tests (rational thresholds are
+    compared via cross-multiplication — ``Σlen < 3·n`` instead of
+    ``mean < 3`` — so no division ever happens in a predicate):
+
+    - word count outside [min_words, max_words]
+    - mean word length outside [min_mean_len, max_mean_len]
+    - symbol tokens (no alphanumerics at all) above max_symbol_pct%
+    - fewer than min_stopwords distinct common-word hits
+
+    Scale: every rule is a map-side HOF over the token array (no
+    explode — tokens never become rows); ONE shuffle to the group
+    grain. Counts are exact bigints; the single ratio is snapped.
+    """
+    stop = ["the", "a", "of", "and", "with", "that", "to", "be"]
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                    lambda t: t != "")
+    d = docs.select(
+        F.col(group_col).alias("grp"), toks.alias("toks"),
+    ).select(
+        "grp",
+        F.size("toks").cast("long").alias("n_words"),
+        F.aggregate(
+            "toks", F.lit(0).cast("long"),
+            lambda acc, t: acc + F.length(t),
+        ).alias("sum_len"),
+        F.size(F.filter(
+            "toks", lambda t: t.rlike("^[^a-z0-9]+$"),
+        )).cast("long").alias("n_symbol"),
+        F.size(F.array_intersect(
+            "toks", F.array(*[F.lit(s) for s in stop]),
+        )).cast("long").alias("n_stop"),
+    )
+    fail_wc = ((F.col("n_words") < min_words)
+               | (F.col("n_words") > max_words))
+    fail_ml = ((F.col("sum_len") < min_mean_len * F.col("n_words"))
+               | (F.col("sum_len") > max_mean_len * F.col("n_words")))
+    fail_sym = (F.col("n_symbol") * 100
+                > F.lit(max_symbol_pct) * F.col("n_words"))
+    fail_stop = F.col("n_stop") < min_stopwords
+    nfails = (fail_wc.cast("int") + fail_ml.cast("int")
+              + fail_sym.cast("int") + fail_stop.cast("int"))
+    flagged = d.select(
+        "grp", fail_wc.alias("f_wc"), fail_ml.alias("f_ml"),
+        fail_sym.alias("f_sym"), fail_stop.alias("f_stop"),
+        nfails.alias("nf"),
+    )
+    cnt = lambda c: F.sum(F.col(c).cast("int")).cast("long")  # noqa: E731
+    return (
+        flagged.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            cnt("f_wc").alias("n_fail_wordcount"),
+            cnt("f_ml").alias("n_fail_meanlen"),
+            cnt("f_sym").alias("n_fail_symbol"),
+            cnt("f_stop").alias("n_fail_stopword"),
+            F.sum(F.when(F.col("nf") >= 1, 1).otherwise(0))
+            .cast("long").alias("n_fail_any"),
+            F.sum(F.when(F.col("nf") >= 2, 1).otherwise(0))
+            .cast("long").alias("n_fail_multi"),
+        )
+        .select(
+            group_col, "n_docs", "n_fail_wordcount", "n_fail_meanlen",
+            "n_fail_symbol", "n_fail_stopword", "n_fail_any",
+            "n_fail_multi",
+            decimal_round(
+                F.col("n_fail_any").cast("double")
+                / F.col("n_docs").cast("double"), 6, grid=10,
+            ).alias("reject_ratio"),
+        )
+    )
+
+
+def q162_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher-rule attribution (see ``gopher_rules_report``).
+    The fixture corpus is clean lowercase words, so two deterministic
+    defect plants (q146/q159 discipline) exercise the symbol and
+    stopword rules for real: doc_id % 23 == 0 docs get a symbol-only
+    tail (" ## -- !! ##"), and doc_id % 29 == 0 docs are REPLACED by
+    a stopword-free word salad of their own rotated tokens — both
+    identical integer arithmetic on either engine."""
+    i = F.col("doc_id")
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.when(i % 29 == 0,
+               F.concat(F.lit("zzq"), (i % 13).cast("string"),
+                        F.lit(" qxv wvx zzq kjq pqz mvz nbq")))
+        .when(i % 23 == 0,
+              F.concat(F.col("text"), F.lit(" ## -- !! ##")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return final_sort(gopher_rules_report(d), spark, sf_dir,
+                      "documents", "source")

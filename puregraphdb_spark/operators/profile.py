@@ -15,6 +15,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from puregraphdb_spark.functions.numeric import decimal_round
 from puregraphdb_spark.sources.registry import final_sort, load_table
 
 
@@ -258,3 +259,71 @@ def q155_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = profile_drift(
         ev, "batch", ["event_id", "user_id", "event_type", "value"])
     return final_sort(res, spark, sf_dir, "events", "col_name")
+
+
+def k_anonymity_report(df: DataFrame, quasi_cols: list[str],
+                       k: int = 5, report_col: str | None = None)\
+        -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (Sweeney 2002):
+    every row whose quasi-identifier equivalence class holds fewer
+    than ``k`` rows is re-identifiable by linking those attributes —
+    the release-gate check a curation pipeline runs on metadata
+    columns BEFORE publishing a corpus, the tabular complement of the
+    q146 PII content scan. Emits, per ``report_col`` (default: first
+    quasi column): equivalence-class count, classes below k, rows at
+    risk (members of small classes), the risk ratio, and the smallest
+    class size observed.
+
+    Exact end-to-end: every emitted number except the final snapped
+    ratio is a bigint count.
+
+    Scale: ONE shuffle to the equivalence-class grain with map-side
+    combine (the class relation is |distinct quasi tuples|, ≪ rows),
+    then a tiny-key rollup. No windows, no joins, no row collect.
+    """
+    if not quasi_cols:
+        raise ValueError("k_anonymity_report needs quasi columns")
+    rc = report_col or quasi_cols[0]
+    classes = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").cast("long").alias("sz"))
+    )
+    return (
+        classes.groupBy(rc)
+        .agg(
+            F.sum("sz").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_classes"),
+            F.sum(F.when(F.col("sz") < k, 1).otherwise(0))
+            .cast("long").alias("n_small_classes"),
+            F.sum(F.when(F.col("sz") < k, F.col("sz")).otherwise(0))
+            .cast("long").alias("n_rows_at_risk"),
+            F.min("sz").cast("long").alias("min_class_size"),
+        )
+        .select(
+            rc, "n_rows", "n_classes", "n_small_classes",
+            "n_rows_at_risk", "min_class_size",
+            decimal_round(
+                F.col("n_rows_at_risk").cast("double")
+                / F.col("n_rows").cast("double"), 6, grid=10,
+            ).alias("risk_ratio"),
+        )
+    )
+
+
+def q161_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=5 anonymity audit of the documents metadata release
+    (lang × source × 10-char length band — see
+    ``k_anonymity_report``), reported per lang. The length band is
+    integer floor division, identical on both engines; no plant is
+    needed — the natural (lang, source, band) classes already span
+    both regimes (singleton long-doc bands and dense mid-bands)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "source",
+        # floor, not a double→long cast: Spark's cast truncates while
+        # DuckDB's ROUNDS — explicit floor is the only spelling both
+        # engines agree on.
+        F.floor(F.col("n_chars") / F.lit(10)).cast("long")
+        .alias("len_band"),
+    )
+    res = k_anonymity_report(d, ["lang", "source", "len_band"], k=5)
+    return final_sort(res, spark, sf_dir, "documents", "lang")

@@ -1097,3 +1097,90 @@ def entity_resolution(df: DataFrame, id_col: str, text_col: str,
             "cluster_size",
         )
     )
+
+
+def exact_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                      id_col: str = "vec_id",
+                      emb_col: str = "embedding") -> DataFrame:
+    """Brute-force exact cosine top-k per query — the recall baseline
+    for the bucketed ANN paths (and the q29/q30 shape as a reusable
+    library call). The query side MUST be a small (sampled) relation:
+    it broadcasts against ONE corpus scan, so cost is |Q|·|corpus| —
+    the standard eval protocol, never run with Q = corpus.
+
+    Ties break identically to ``ann_cosine_topk``/``ivf_cosine_topk``
+    (cos desc, id asc), so set-level comparisons are well-defined.
+    """
+    q = queries.select(F.col(id_col).alias("src"),
+                       F.col(emb_col).alias("q_emb"))
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), id_col)
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("src"))
+        .select(
+            "src", id_col,
+            cosine_similarity("q_emb", emb_col).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def ann_recall_report(queries: DataFrame, corpus: DataFrame,
+                      ann_results: DataFrame, k: int = 10,
+                      method: str = "ann", id_col: str = "vec_id",
+                      emb_col: str = "embedding") -> DataFrame:
+    """Recall@k of an ANN result set against the exact brute-force
+    top-k on the same sampled query set — the measurement that turns
+    "we have an IVF/LSH path" into "we know what it trades away",
+    and the gate for tuning num_planes/nprobe before a production
+    corpus swap. One row per report:
+
+    (method, n_queries, k, micro_recall, min_recall, max_recall,
+     n_perfect)
+
+    micro_recall is Σ hits / Σ exact-neighbors (length-weighted, the
+    associativity-free aggregate this repo uses for every ratio);
+    min/max are the per-query extremes; n_perfect counts queries with
+    full recall. Deterministic end-to-end: both sides break cosine
+    ties (cos desc, id asc), hyperplanes/centroids are seeded, and
+    every emitted number except the snapped ratios is a bigint.
+
+    Scale: the exact baseline is |Q|·|corpus| with Q broadcast — the
+    eval protocol runs on a hash-sampled Q (hundreds), so this is one
+    corpus scan; the set intersection joins on (src, id) — ANN and
+    exact relations are both ≤ |Q|·k rows, trivially co-partitioned.
+    """
+    from puregraphdb_spark.functions.numeric import decimal_round
+
+    exact = exact_cosine_topk(queries, corpus, k=k, id_col=id_col,
+                              emb_col=emb_col)
+    hits = (
+        exact.select("src", id_col)
+        .join(ann_results.select("src", id_col), ["src", id_col])
+        .groupBy("src")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    per_q = (
+        exact.groupBy("src")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+        .join(hits, "src", "left")
+        .na.fill(0, ["n_hit"])
+        .withColumn(
+            "recall",
+            F.col("n_hit").cast("double")
+            / F.col("n_exact").cast("double"))
+    )
+    return per_q.agg(
+        F.lit(method).alias("method"),
+        F.count("*").cast("long").alias("n_queries"),
+        F.lit(k).cast("long").alias("k"),
+        decimal_round(
+            F.sum("n_hit").cast("double")
+            / F.sum("n_exact").cast("double"), 6, grid=10,
+        ).alias("micro_recall"),
+        decimal_round(F.min("recall"), 6, grid=10).alias("min_recall"),
+        decimal_round(F.max("recall"), 6, grid=10).alias("max_recall"),
+        F.sum(F.when(F.col("n_hit") == F.col("n_exact"), 1)
+              .otherwise(0)).cast("long").alias("n_perfect"),
+    )

@@ -991,6 +991,71 @@ def _provenance_dedup(spark, docs: str = "documents",
                                    text_col=text_col)
 
 
+def _cusum_changepoint(spark, events: str = "events",
+                       ts_col: str = "ts",
+                       type_col: str = "event_type",
+                       value_col: str = "value") -> DataFrame:
+    from puregraphdb_spark.operators.events import cusum_changepoint
+
+    return cusum_changepoint(_view(spark, events), ts_col=ts_col,
+                             type_col=type_col, value_col=value_col)
+
+
+def _lm_transition_score(spark, docs: str = "documents",
+                         id_col: str = "doc_id",
+                         group_col: str = "source",
+                         text_col: str = "text") -> DataFrame:
+    from puregraphdb_spark.operators.pipeline import lm_transition_score
+
+    return lm_transition_score(_view(spark, docs), id_col=id_col,
+                               group_col=group_col, text_col=text_col)
+
+
+def _k_anonymity(spark, table: str, quasi_cols: str,
+                 k: int = 5, report_col: str = "") -> DataFrame:
+    from puregraphdb_spark.operators.profile import k_anonymity_report
+
+    quasi = [c.strip() for c in quasi_cols.split(",") if c.strip()]
+    return k_anonymity_report(_view(spark, table), quasi, k=int(k),
+                              report_col=report_col or None)
+
+
+def _gopher_rules(spark, docs: str = "documents",
+                  group_col: str = "source",
+                  text_col: str = "text") -> DataFrame:
+    from puregraphdb_spark.operators.pipeline import gopher_rules_report
+
+    return gopher_rules_report(_view(spark, docs), group_col=group_col,
+                               text_col=text_col)
+
+
+def _ann_recall(spark, queries: str, corpus: str = "embeddings",
+                method: str = "lsh", k: int = 10, dim: int = 64,
+                num_planes: int = 6, n_clusters: int = 8,
+                nprobe: int = 2, id_col: str = "vec_id",
+                emb_col: str = "embedding") -> DataFrame:
+    from puregraphdb_spark.operators import similarity
+
+    q = _view(spark, queries)
+    c = _view(spark, corpus)
+    if method == "ivf":
+        cents = similarity.kmeans_centroids(
+            c, k=int(n_clusters), iters=2, dim=int(dim),
+            emb_col=emb_col)
+        ann = similarity.ivf_cosine_topk(
+            q, c, cents, k=int(k), nprobe=int(nprobe), id_col=id_col,
+            emb_col=emb_col)
+        label = f"ivf_nprobe{int(nprobe)}"
+    else:
+        ann = similarity.ann_cosine_topk(
+            q, c, k=int(k), dim=int(dim), num_planes=int(num_planes),
+            id_col=id_col, emb_col=emb_col)
+        label = f"lsh_planes{int(num_planes)}"
+    return similarity.ann_recall_report(q, c, ann, k=int(k),
+                                        method=label, id_col=id_col,
+                                        emb_col=emb_col)
+
+
 PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "pagerank": _pagerank,
     "hits": _hits,
@@ -1085,6 +1150,12 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "dedup_keepers": _dedup_keepers,
     "shingle_compressibility": _shingle_compressibility,
     "temporal_reach": _temporal_reach,
+    # round-12 continuation operators
+    "cusum_changepoint": _cusum_changepoint,
+    "lm_transition_score": _lm_transition_score,
+    "k_anonymity": _k_anonymity,
+    "gopher_rules": _gopher_rules,
+    "ann_recall": _ann_recall,
 }
 
 

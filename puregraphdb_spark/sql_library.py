@@ -1698,4 +1698,120 @@ SPARK_SQL: dict[str, str] = {
                  as dup_shingle_ratio
         from per_sh group by source order by source
     """,
+    # LM transition score (q160): Spark HOF bigram formation, same
+    # rational arithmetic as the DataFrame door.
+    "q160_lm_transition_score": """
+        with planted as (
+            select doc_id, source,
+                   case when doc_id % 41 = 0
+                        then concat(text, ' zq',
+                                    cast(doc_id % 7 as string),
+                                    ' xv', cast(doc_id % 5 as string))
+                        else text end as text
+            from documents),
+        tok as (
+            select doc_id, source,
+                   filter(split(lower(text), ' '), t -> t != '')
+                     as toks
+            from planted),
+        bg as (
+            select doc_id, source, bgs.w1 as w1, bgs.w2 as w2
+            from (select doc_id, source,
+                         explode(transform(
+                             slice(toks, 1, size(toks) - 1),
+                             (w, i) -> struct(w as w1,
+                                              toks[i + 1] as w2)))
+                           as bgs
+                  from tok where size(toks) >= 2)),
+        per_doc_bg as (
+            select doc_id, source, w1, w2,
+                   cast(count(*) as bigint) as m
+            from bg group by 1, 2, 3, 4),
+        model as (
+            select w1, w2, cast(sum(m) as bigint) as cb,
+                   cast(sum(sum(m)) over (partition by w1)
+                     as bigint) as cu
+            from per_doc_bg group by w1, w2),
+        scored as (
+            select doc_id, source,
+                   cast(sum(m * cb) as bigint) as num,
+                   cast(sum(m * cu) as bigint) as den,
+                   cast(sum(m) as bigint) as n_trans,
+                   cast(sum(m * cb) as double)
+                     / cast(sum(m * cu) as double) as score
+            from per_doc_bg join model using (w1, w2)
+            group by 1, 2)
+        select source,
+               cast(count(*) as bigint) as n_docs,
+               cast(sum(n_trans) as bigint) as n_transitions,
+               cast(round(cast(cast(sum(num) as double)
+                    / cast(sum(den) as double)
+                    as decimal(28,10)), 6) as double) as micro_score,
+               cast(round(cast(min(score) as decimal(28,10)), 6)
+                 as double) as min_score,
+               cast(round(cast(max(score) as decimal(28,10)), 6)
+                 as double) as max_score
+        from scored group by source order by source
+    """,
+    # Gopher-rule attribution (q162): Spark HOF spellings of the four
+    # exact-integer rules.
+    "q162_gopher_rules": """
+        with planted as (
+            select source,
+                   case when doc_id % 29 = 0
+                        then concat('zzq', cast(doc_id % 13 as string),
+                                    ' qxv wvx zzq kjq pqz mvz nbq')
+                        when doc_id % 23 = 0
+                        then concat(text, ' ## -- !! ##')
+                        else text end as text
+            from documents),
+        feat as (
+            select source,
+                   cast(size(toks) as bigint) as n_words,
+                   aggregate(toks, cast(0 as bigint),
+                             (acc, t) -> acc + length(t)) as sum_len,
+                   cast(size(filter(toks,
+                        t -> t rlike '^[^a-z0-9]+$')) as bigint)
+                     as n_symbol,
+                   cast(size(array_intersect(toks,
+                        array('the','a','of','and','with','that',
+                              'to','be'))) as bigint) as n_stop
+            from (select source,
+                         filter(split(lower(text), ' '), t -> t != '')
+                           as toks
+                  from planted)),
+        flags as (
+            select source,
+                   (n_words < 20 or n_words > 1000) as f_wc,
+                   (sum_len < 3 * n_words
+                    or sum_len > 10 * n_words) as f_ml,
+                   (n_symbol * 100 > 10 * n_words) as f_sym,
+                   (n_stop < 2) as f_stop
+            from feat)
+        select source,
+               cast(count(*) as bigint) as n_docs,
+               cast(sum(case when f_wc then 1 else 0 end) as bigint)
+                 as n_fail_wordcount,
+               cast(sum(case when f_ml then 1 else 0 end) as bigint)
+                 as n_fail_meanlen,
+               cast(sum(case when f_sym then 1 else 0 end) as bigint)
+                 as n_fail_symbol,
+               cast(sum(case when f_stop then 1 else 0 end) as bigint)
+                 as n_fail_stopword,
+               cast(sum(case when f_wc or f_ml or f_sym or f_stop
+                             then 1 else 0 end) as bigint)
+                 as n_fail_any,
+               cast(sum(case when
+                    (case when f_wc then 1 else 0 end)
+                    + (case when f_ml then 1 else 0 end)
+                    + (case when f_sym then 1 else 0 end)
+                    + (case when f_stop then 1 else 0 end) >= 2
+                    then 1 else 0 end) as bigint) as n_fail_multi,
+               cast(round(cast(
+                    cast(sum(case when f_wc or f_ml or f_sym or f_stop
+                                  then 1 else 0 end) as double)
+                    / cast(count(*) as double)
+                    as decimal(28,10)), 6) as double) as reject_ratio
+        from flags group by source order by source
+    """,
 }

@@ -1,0 +1,338 @@
+"""Round-12 continuation operator pins: CUSUM changepoint (q159),
+corpus-LM transition score (q160), k-anonymity audit (q161),
+Gopher-rule attribution (q162), and the ANN recall evaluator.
+
+Each operator gets (a) hand-computable fixtures pinning the exact
+arithmetic, (b) edge-regime cases, and (c) its CALL door.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- CUSUM
+
+def _ts(day: int, hour: int = 0):
+    return datetime.datetime(2024, 1, day, hour, 0, 0)
+
+
+def test_cusum_finds_planted_level_shift(spark):
+    from puregraphdb_spark.operators.events import cusum_changepoint
+
+    # 10 days at 1.0/day, then 10 days at 5.0/day → the CUSUM argmax
+    # must sit exactly on day 10 (the last pre-shift day).
+    rows = [( _ts(d), "t", 1.0) for d in range(1, 11)]
+    rows += [(_ts(d), "t", 5.0) for d in range(11, 21)]
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double")
+    out = cusum_changepoint(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["cp_day"] == _ts(10)
+    assert r["n_days"] == 20
+    assert r["pre_mean"] == 1.0
+    assert r["post_mean"] == 5.0
+    # S_10 = 10·(sum_pre) − 10·mean·10 … scaled form: |S|/n =
+    # |P_k − k·T/n| = |10 − 10·60/20| = 20 → peak −20 (pre below mean)
+    assert r["cusum_peak"] == -20.0
+
+
+def test_cusum_flat_series_zero_peak_earliest_day(spark):
+    from puregraphdb_spark.operators.events import cusum_changepoint
+
+    ev = spark.createDataFrame(
+        [(_ts(d), "t", 2.5) for d in range(1, 6)],
+        "ts timestamp, event_type string, value double")
+    r = cusum_changepoint(ev).collect()[0]
+    # every S_k = 0 → tiebreak picks the EARLIEST day
+    assert r["cusum_peak"] == 0.0 and r["cp_day"] == _ts(1)
+    assert r["pre_mean"] == 2.5 and r["post_mean"] == 2.5
+
+
+def test_cusum_single_day_type_emits_nothing(spark):
+    from puregraphdb_spark.operators.events import cusum_changepoint
+
+    ev = spark.createDataFrame(
+        [(_ts(1), "solo", 1.0), (_ts(1, 5), "solo", 2.0)],
+        "ts timestamp, event_type string, value double")
+    # n = 1 day → k < n never holds → no changepoint row (correct:
+    # a one-point series has no interior split)
+    assert cusum_changepoint(ev).count() == 0
+
+
+def test_cusum_intraday_events_aggregate_to_daily_grain(spark):
+    from puregraphdb_spark.operators.events import cusum_changepoint
+
+    rows = [(_ts(d, h), "t", 1.0) for d in (1, 2, 3) for h in (0, 12)]
+    rows += [(_ts(d, h), "t", 3.0) for d in (4, 5, 6) for h in (0, 12)]
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double")
+    r = cusum_changepoint(ev).collect()[0]
+    assert r["cp_day"] == _ts(3)
+    assert r["pre_mean"] == 2.0 and r["post_mean"] == 6.0
+
+
+# -------------------------------------------------- LM transition score
+
+def test_lm_transition_score_hand_counts(spark):
+    from puregraphdb_spark.operators.pipeline import lm_transition_score
+
+    docs = spark.createDataFrame(
+        [(1, "s", "a b"), (2, "s", "a b"), (3, "s", "a c")],
+        "doc_id long, source string, text string")
+    r = lm_transition_score(docs).collect()[0]
+    # model: c(a,b)=2, c(a,c)=1, c(a,·)=3
+    # docs 1,2: num=2 den=3 score=2/3; doc 3: num=1 den=3 score=1/3
+    assert r["n_docs"] == 3 and r["n_transitions"] == 3
+    assert r["micro_score"] == round(5 / 9, 6)
+    assert r["min_score"] == round(1 / 3, 6)
+    assert r["max_score"] == round(2 / 3, 6)
+
+
+def test_lm_transition_score_repeated_bigram_multiplicity(spark):
+    from puregraphdb_spark.operators.pipeline import lm_transition_score
+
+    # "a b a b" has transitions (a,b)×2, (b,a)×1 — multiplicity m
+    # must weight both the model counts and the doc sums.
+    docs = spark.createDataFrame(
+        [(1, "s", "a b a b")], "doc_id long, source string, text string")
+    r = lm_transition_score(docs).collect()[0]
+    # c(a,b)=2 cu(a)=2 ; c(b,a)=1 cu(b)=1
+    # num = 2·2 + 1·1 = 5 ; den = 2·2 + 1·1 = 5 → score 1.0
+    assert r["n_transitions"] == 3
+    assert r["micro_score"] == 1.0
+    assert r["min_score"] == 1.0 and r["max_score"] == 1.0
+
+
+def test_lm_transition_score_short_docs_excluded(spark):
+    from puregraphdb_spark.operators.pipeline import lm_transition_score
+
+    docs = spark.createDataFrame(
+        [(1, "s", "single"), (2, "s", ""), (3, "s", "a b")],
+        "doc_id long, source string, text string")
+    r = lm_transition_score(docs).collect()[0]
+    assert r["n_docs"] == 1  # only the 2-token doc scores
+
+
+def test_lm_transition_score_perfect_predictability_is_one(spark):
+    from puregraphdb_spark.operators.pipeline import lm_transition_score
+
+    # every prefix has exactly one continuation corpus-wide → 1.0
+    docs = spark.createDataFrame(
+        [(1, "s", "x y z"), (2, "s", "x y z"), (3, "t", "x y")],
+        "doc_id long, source string, text string")
+    out = {r["source"]: r for r in lm_transition_score(docs).collect()}
+    assert out["s"]["micro_score"] == 1.0
+    assert out["t"]["micro_score"] == 1.0
+
+
+# ---------------------------------------------------------- k-anonymity
+
+def test_k_anonymity_hand_classes(spark):
+    from puregraphdb_spark.operators.profile import k_anonymity_report
+
+    rows = ([("en", "a")] * 7          # class of 7 — safe at k=5
+            + [("en", "b")] * 2        # class of 2 — at risk
+            + [("fr", "a")] * 1)       # class of 1 — at risk
+    df = spark.createDataFrame(rows, "lang string, src string")
+    out = {r["lang"]: r for r in
+           k_anonymity_report(df, ["lang", "src"], k=5).collect()}
+    en = out["en"]
+    assert en["n_rows"] == 9 and en["n_classes"] == 2
+    assert en["n_small_classes"] == 1 and en["n_rows_at_risk"] == 2
+    assert en["min_class_size"] == 2
+    assert en["risk_ratio"] == round(2 / 9, 6)
+    fr = out["fr"]
+    assert fr["n_rows_at_risk"] == 1 and fr["min_class_size"] == 1
+    assert fr["risk_ratio"] == 1.0
+
+
+def test_k_anonymity_all_safe_zero_risk(spark):
+    from puregraphdb_spark.operators.profile import k_anonymity_report
+
+    df = spark.createDataFrame([("en", "a")] * 5, "lang string, src string")
+    r = k_anonymity_report(df, ["lang", "src"], k=5).collect()[0]
+    assert r["n_small_classes"] == 0 and r["risk_ratio"] == 0.0
+
+
+def test_k_anonymity_requires_quasi_cols(spark):
+    from puregraphdb_spark.operators.profile import k_anonymity_report
+
+    df = spark.createDataFrame([("en",)], "lang string")
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, [], k=5)
+
+
+def test_k_anonymity_report_col_override(spark):
+    from puregraphdb_spark.operators.profile import k_anonymity_report
+
+    df = spark.createDataFrame(
+        [("en", "a"), ("en", "b"), ("fr", "a")], "lang string, src string")
+    out = k_anonymity_report(df, ["lang", "src"], k=2,
+                             report_col="src").collect()
+    assert {r["src"] for r in out} == {"a", "b"}
+
+
+# --------------------------------------------------------- Gopher rules
+
+def _gopher(spark, rows):
+    from puregraphdb_spark.operators.pipeline import gopher_rules_report
+
+    df = spark.createDataFrame(rows, "source string, text string")
+    return {r["source"]: r for r in gopher_rules_report(
+        df, min_words=3, max_words=6).collect()}
+
+
+def test_gopher_rules_attribute_each_rule(spark):
+    ok_text = "the cat and dog sat"          # 5 words, all rules pass
+    out = _gopher(spark, [
+        ("s", ok_text),
+        ("s", "the cat"),                    # < 3 words → wordcount
+        ("s", "the extraordinarily magnificent hippopotamus conservation"),
+        # mean word len (2+15+11+12+12)/5 = 10.4 > 10 → meanlen
+        ("s", "the and ## !! -- sitting"),   # 3 symbol / 6 words → symbol
+        # (sumlen 19 ≥ 3·6 keeps meanlen green; 'the','and' keep the
+        # stopword rule green — the symbol rule fails ALONE)
+        ("s", "cat dog bird fish"),          # 0 stopwords → stopword
+    ])
+    r = out["s"]
+    assert r["n_docs"] == 5
+    assert r["n_fail_wordcount"] == 1
+    assert r["n_fail_meanlen"] == 1
+    assert r["n_fail_symbol"] == 1
+    # "the cat" (2 stop-hits? 'the' only → 1 < 2 → also fails stopword)
+    # and "cat dog bird fish" → 2 docs fail the stopword rule; the
+    # meanlen doc has only 'the' → also a stopword fail
+    assert r["n_fail_stopword"] == 3
+    assert r["n_fail_any"] == 4
+    assert r["n_fail_multi"] == 2  # wordcount+stop, meanlen+stop
+    assert r["reject_ratio"] == round(4 / 5, 6)
+
+
+def test_gopher_rules_exact_boundaries_pass(spark):
+    # mean word length exactly 3 and exactly 10 must PASS (closed
+    # interval), pinned via cross-multiplied integer comparison
+    out = _gopher(spark, [
+        ("lo", "the aaa bbb ccc"),   # 4 words sumlen 12 → mean exactly 3
+        ("hi", "the aaaaaaaaaaaaaaa abcdefghijkl"),
+        # 3 words sumlen 3+15+12 = 30 → mean exactly 10
+    ])
+    assert out["lo"]["n_fail_meanlen"] == 0
+    assert out["hi"]["n_fail_meanlen"] == 0
+
+
+def test_gopher_symbol_rule_integer_threshold(spark):
+    # exactly 10% symbols must PASS (strict >), 1 of 10 words
+    text_pass = "the of and cat dog bird fish cow pig ##"
+    # 2 of 10 words = 20% must FAIL
+    text_fail = "the of and cat dog bird fish cow ## ##"
+    out = _gopher(spark, [("p", text_pass), ("f", text_fail)])
+    assert out["p"]["n_fail_symbol"] == 0
+    assert out["f"]["n_fail_symbol"] == 1
+
+
+# ----------------------------------------------------------- ANN recall
+
+def _vec_corpus(spark, n=40, dim=8):
+    import random
+
+    rng = random.Random(1212)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+
+
+def test_ann_recall_exact_results_give_recall_one(spark):
+    from puregraphdb_spark.operators.similarity import (
+        ann_recall_report, exact_cosine_topk)
+
+    corpus = _vec_corpus(spark)
+    q = corpus.filter(F.col("vec_id") < 5)
+    exact = exact_cosine_topk(q, corpus, k=5)
+    r = ann_recall_report(q, corpus, exact, k=5,
+                          method="self").collect()[0]
+    assert r["micro_recall"] == 1.0
+    assert r["min_recall"] == 1.0 and r["max_recall"] == 1.0
+    assert r["n_perfect"] == r["n_queries"] == 5
+
+
+def test_ann_recall_empty_ann_results_zero(spark):
+    from puregraphdb_spark.operators.similarity import (
+        ann_recall_report, exact_cosine_topk)
+
+    corpus = _vec_corpus(spark)
+    q = corpus.filter(F.col("vec_id") < 3)
+    empty = exact_cosine_topk(q, corpus, k=5).filter(F.lit(False))
+    r = ann_recall_report(q, corpus, empty, k=5).collect()[0]
+    assert r["micro_recall"] == 0.0 and r["n_perfect"] == 0
+    assert r["min_recall"] == 0.0 and r["max_recall"] == 0.0
+
+
+def test_ann_recall_exhaustive_ivf_is_perfect(spark):
+    from puregraphdb_spark.operators import similarity
+
+    corpus = _vec_corpus(spark, n=30)
+    q = corpus.filter(F.col("vec_id") < 4)
+    cents = similarity.kmeans_centroids(corpus, k=3, iters=1, dim=8)
+    # nprobe == n_clusters → every candidate is searched → exact
+    ann = similarity.ivf_cosine_topk(q, corpus, cents, k=5, nprobe=3)
+    r = similarity.ann_recall_report(q, corpus, ann, k=5).collect()[0]
+    assert r["micro_recall"] == 1.0 and r["n_perfect"] == 4
+
+
+def test_ann_recall_nprobe_monotone(spark):
+    from puregraphdb_spark.operators import similarity
+
+    corpus = _vec_corpus(spark, n=60)
+    q = corpus.filter(F.col("vec_id") < 6)
+    cents = similarity.kmeans_centroids(corpus, k=4, iters=2, dim=8)
+
+    def recall(nprobe):
+        ann = similarity.ivf_cosine_topk(q, corpus, cents, k=5,
+                                         nprobe=nprobe)
+        return similarity.ann_recall_report(
+            q, corpus, ann, k=5).collect()[0]["micro_recall"]
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4 == 1.0
+
+
+# ------------------------------------------------------------ CALL doors
+
+def test_round12b_call_doors(spark):
+    from puregraphdb_spark.engine import Engine
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark, SF_DIR)
+    c = eng.sql("CALL cusum_changepoint(events => 'events')")
+    assert {"event_type", "cp_day", "cusum_peak"} <= set(c.columns)
+    assert c.count() > 0
+
+    lm = eng.sql("CALL lm_transition_score(docs => 'documents')")
+    assert "micro_score" in lm.columns and lm.count() > 0
+
+    ka = eng.sql(
+        "CALL k_anonymity(table => 'documents',"
+        " quasi_cols => 'lang,source', k => 5)")
+    assert "risk_ratio" in ka.columns and ka.count() > 0
+
+    gr = eng.sql("CALL gopher_rules(docs => 'documents')")
+    assert "n_fail_any" in gr.columns and gr.count() > 0
+
+    spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0, 0.5]) for i in range(25)],
+        "vec_id long, embedding array<float>",
+    ).createOrReplaceTempView("ann_q")
+    ar = eng.sql(
+        "CALL ann_recall(queries => 'ann_q', corpus => 'ann_q',"
+        " method => 'ivf', k => 3, dim => 4, n_clusters => 2,"
+        " nprobe => 2)")
+    row = ar.collect()[0]
+    assert row["method"] == "ivf_nprobe2"
+    assert row["micro_recall"] == 1.0  # nprobe == n_clusters

@@ -87,6 +87,8 @@ DUCKDB_ONLY = {
     "q154_bm25_topk",            # list_filter/string_split/len
     "q156_dedup_keepers",        # regexp_replace 'g' flag argument
     "q157_shingle_compressibility",  # unnest/generate_series slicing
+    "q160_lm_transition_score",  # string_split/list_filter/unnest
+    "q162_gopher_rules",  # list_sum/list_transform/regexp_full_match
 }
 
 ORACLES = entrymod.oracle_sql()
