@@ -676,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_k_anonymity": profile.q161_k_anonymity,
         "q162_gopher_rules": pipeline.q162_gopher_rules,
         "ann_recall_report": ann_recall_eval,
+        "q163_selection_curve": pipeline.q163_selection_curve,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -858,8 +859,11 @@ _FRONT_WINDOW = [
     "q154_bm25_topk", "q155_profile_drift", "entity_resolution",
     "q156_dedup_keepers", "q157_shingle_compressibility",
     "graph_temporal_reach", "q158_temporal_reach2",
-    # r7-stale cohort: rows-only ops recorded last in r7
-    "graph_anf", "graph_ktruss", "text_profile",
+    # r7-stale cohort: rows-only ops recorded last in r7.
+    # (text_profile rotated OUT to make room for q163 — it keeps its
+    # r7-green record + dense property coverage; a never-recorded
+    # entry outranks a re-record. It leads the round-13 window.)
+    "graph_anf", "graph_ktruss",
     "text_quality_report", "dedup_minhash_near",
     "dedup_embedding_near", "knn_ann_lsh", "knn_ann_ivf",
     "approx_distinct_parts",
@@ -881,6 +885,7 @@ _FRONT_WINDOW = [
     # entry outranks a re-record on evidence value.
     "q159_cusum_changepoint", "q160_lm_transition_score",
     "q161_k_anonymity", "q162_gopher_rules", "ann_recall_report",
+    "q163_selection_curve",
 ]
 
 
@@ -4231,5 +4236,64 @@ def oracle_sql() -> dict[str, str]:
                         as decimal(28,10)), 6) as double)
                      as reject_ratio
             from flags group by source order by source
+        """,
+        # Selection curve (q163): q160's scored relation swept over a
+        # fixed cutoff grid — identical double literals both engines.
+        "q163_selection_curve": """
+            with planted as (
+                select doc_id, source,
+                       case when doc_id % 41 = 0
+                            then concat(text, ' zq',
+                                        cast(doc_id % 7 as string),
+                                        ' xv',
+                                        cast(doc_id % 5 as string))
+                            else text end as text
+                from documents),
+            tok as (
+                select doc_id, source,
+                       list_filter(string_split(lower(text), ' '),
+                                   t -> t <> '') as toks
+                from planted),
+            bg as (
+                select doc_id, source, toks[i] as w1, toks[i+1] as w2
+                from tok, unnest(generate_series(1, len(toks) - 1))
+                          as g(i)
+                where len(toks) >= 2),
+            per_doc_bg as (
+                select doc_id, source, w1, w2,
+                       cast(count(*) as bigint) as m
+                from bg group by 1, 2, 3, 4),
+            model as (
+                select w1, w2, cast(sum(m) as bigint) as cb,
+                       cast(sum(sum(m)) over (partition by w1)
+                         as bigint) as cu
+                from per_doc_bg group by w1, w2),
+            scored as (
+                select doc_id, source,
+                       cast(sum(m) as bigint) as n_trans,
+                       cast(sum(m * cb) as double)
+                         / cast(sum(m * cu) as double) as score
+                from per_doc_bg join model using (w1, w2)
+                group by 1, 2),
+            thr as (
+                select unnest([cast(0.02 as double),
+                               cast(0.03 as double),
+                               cast(0.035 as double),
+                               cast(0.04 as double)]) as thr)
+            select source, thr,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(case when score >= thr then 1 else 0 end)
+                     as bigint) as n_docs_kept,
+                   cast(sum(case when score >= thr then n_trans
+                                 else 0 end) as bigint)
+                     as n_trans_kept,
+                   cast(round(cast(
+                        cast(sum(case when score >= thr then 1
+                                      else 0 end) as double)
+                        / cast(count(*) as double)
+                        as decimal(28,10)), 6) as double)
+                     as kept_ratio
+            from scored cross join thr
+            group by source, thr order by source, thr
         """,
     }

@@ -2651,6 +2651,58 @@ def q157_shingle_compressibility(spark: SparkSession,
                       "documents", "source")
 
 
+def lm_doc_scores(docs: DataFrame, id_col: str = "doc_id",
+                  group_col: str = "source",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document corpus-LM transition scores — the shared core of
+    ``lm_transition_score`` (group report) and ``selection_curve``
+    (threshold sweep). Returns one row per ≥2-token document:
+    (doc_id, grp, num, den, n_trans, score) where num/den are the
+    exact bigint transition sums and score is their single IEEE
+    quotient (deterministic cross-engine). See
+    ``lm_transition_score`` for semantics and the scale notes.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                    lambda t: t != "")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        toks.alias("toks"),
+    ).filter(F.size("toks") >= 2)
+    pairs = F.expr(
+        "transform(slice(toks, 1, size(toks) - 1),"
+        " (w, i) -> struct(w as w1, toks[i + 1] as w2))"
+    )
+    # (doc, w1, w2) grain with multiplicity — the single big shuffle
+    per_doc_bg = (
+        d.select("doc_id", "grp", F.explode(pairs).alias("bg"))
+        .groupBy("doc_id", "grp", F.col("bg.w1").alias("w1"),
+                 F.col("bg.w2").alias("w2"))
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+    # corpus model on the same grain: c(w1,w2), and c(w1,·) as a
+    # window rollup over the model relation (vocab-sized, no rescan)
+    model = (
+        per_doc_bg.groupBy("w1", "w2")
+        .agg(F.sum("m").cast("long").alias("cb"))
+        .withColumn(
+            "cu", F.sum("cb").over(Window.partitionBy("w1"))
+            .cast("long"))
+    )
+    return (
+        per_doc_bg.join(model, ["w1", "w2"])
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.sum(F.col("m") * F.col("cb")).cast("long").alias("num"),
+            F.sum(F.col("m") * F.col("cu")).cast("long").alias("den"),
+            F.sum("m").cast("long").alias("n_trans"),
+        )
+        .withColumn(
+            "score",
+            F.col("num").cast("double") / F.col("den").cast("double"))
+    )
+
+
 def lm_transition_score(docs: DataFrame, id_col: str = "doc_id",
                         group_col: str = "source",
                         text_col: str = "text") -> DataFrame:
@@ -2684,45 +2736,8 @@ def lm_transition_score(docs: DataFrame, id_col: str = "doc_id",
     reuse the doc-grain partitioning; the group report is a final
     tiny-key rollup.
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
-                    lambda t: t != "")
-    d = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(group_col).alias("grp"),
-        toks.alias("toks"),
-    ).filter(F.size("toks") >= 2)
-    pairs = F.expr(
-        "transform(slice(toks, 1, size(toks) - 1),"
-        " (w, i) -> struct(w as w1, toks[i + 1] as w2))"
-    )
-    # (doc, w1, w2) grain with multiplicity — the single big shuffle
-    per_doc_bg = (
-        d.select("doc_id", "grp", F.explode(pairs).alias("bg"))
-        .groupBy("doc_id", "grp", F.col("bg.w1").alias("w1"),
-                 F.col("bg.w2").alias("w2"))
-        .agg(F.count("*").cast("long").alias("m"))
-    )
-    # corpus model on the same grain: c(w1,w2), and c(w1,·) as a
-    # window rollup over the model relation (vocab-sized, no rescan)
-    model = (
-        per_doc_bg.groupBy("w1", "w2")
-        .agg(F.sum("m").cast("long").alias("cb"))
-        .withColumn(
-            "cu", F.sum("cb").over(Window.partitionBy("w1"))
-            .cast("long"))
-    )
-    scored = (
-        per_doc_bg.join(model, ["w1", "w2"])
-        .groupBy("doc_id", "grp")
-        .agg(
-            F.sum(F.col("m") * F.col("cb")).cast("long").alias("num"),
-            F.sum(F.col("m") * F.col("cu")).cast("long").alias("den"),
-            F.sum("m").cast("long").alias("n_trans"),
-        )
-        .withColumn(
-            "score",
-            F.col("num").cast("double") / F.col("den").cast("double"))
-    )
+    scored = lm_doc_scores(docs, id_col=id_col, group_col=group_col,
+                           text_col=text_col)
     return (
         scored.groupBy(F.col("grp").alias(group_col))
         .agg(
@@ -2769,6 +2784,80 @@ def q160_lm_transition_score(spark: SparkSession,
     )
     return final_sort(lm_transition_score(d), spark, sf_dir,
                       "documents", "source")
+
+
+def selection_curve(docs: DataFrame, thresholds: list[float],
+                    id_col: str = "doc_id", group_col: str = "source",
+                    text_col: str = "text") -> DataFrame:
+    """Quality-threshold selection curve: for each cutoff in
+    ``thresholds``, how many documents (and how much transition mass)
+    each group keeps if the corpus is filtered at fluency ≥ cutoff —
+    the DataComp-style sweep a pipeline reads to PICK the filter
+    threshold (q160 reports the score distribution; this prices each
+    candidate cutoff in kept volume BEFORE committing the filter).
+    One row per (group, threshold).
+
+    Thresholds are caller-fixed absolutes (production: derive the
+    grid from a first stats pass — e.g. q160's micro score — then
+    sweep; two jobs, which is how a threshold is actually chosen at
+    scale, not a same-job self-join of the scored lineage against
+    its own aggregate — the r11 lineage-dedup antipattern).
+
+    Determinism: per-doc score is the single IEEE quotient of exact
+    bigints (see ``lm_doc_scores``); each threshold is the same
+    double literal on both engines, so every comparison is exact.
+    All emitted counts are bigints; the one ratio is snapped.
+
+    Scale: the scored doc relation is computed ONCE; the threshold
+    explode is a map-side |thresholds|× row multiplication of the
+    doc-grain relation followed by ONE (group, thr) shuffle with
+    map-side combine.
+    """
+    if not thresholds:
+        raise ValueError("selection_curve needs at least one threshold")
+    scored = lm_doc_scores(docs, id_col=id_col, group_col=group_col,
+                           text_col=text_col)
+    thr = F.explode(F.array(*[F.lit(float(t)).cast("double")
+                              for t in thresholds])).alias("thr")
+    swept = scored.select("grp", "n_trans", "score", thr)
+    return (
+        swept.groupBy(F.col("grp").alias(group_col), "thr")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("score") >= F.col("thr"), 1)
+                  .otherwise(0)).cast("long").alias("n_docs_kept"),
+            F.sum(F.when(F.col("score") >= F.col("thr"),
+                         F.col("n_trans")).otherwise(0))
+            .cast("long").alias("n_trans_kept"),
+        )
+        .select(
+            group_col, "thr", "n_docs", "n_docs_kept", "n_trans_kept",
+            decimal_round(
+                F.col("n_docs_kept").cast("double")
+                / F.col("n_docs").cast("double"), 6, grid=10,
+            ).alias("kept_ratio"),
+        )
+    )
+
+
+def q163_selection_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source fluency selection curve at four fixed cutoffs (see
+    ``selection_curve``), over the SAME planted corpus as q160 — the
+    %41 disfluent docs fall below the inner cutoffs, so the curve has
+    real steps instead of 0%/100% plateaus. The grid brackets the
+    fixture's measured score band (0.030–0.039 at sf0.01)."""
+    i = F.col("doc_id")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.when(
+            i % 41 == 0,
+            F.concat(F.col("text"), F.lit(" zq"),
+                     (i % 7).cast("string"), F.lit(" xv"),
+                     (i % 5).cast("string")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    res = selection_curve(d, [0.02, 0.03, 0.035, 0.04])
+    return final_sort(res, spark, sf_dir, "documents", "source", "thr")
 
 
 def gopher_rules_report(docs: DataFrame, group_col: str = "source",

@@ -1029,6 +1029,18 @@ def _gopher_rules(spark, docs: str = "documents",
                                text_col=text_col)
 
 
+def _selection_curve(spark, docs: str = "documents",
+                     thresholds: str = "0.02,0.03,0.035,0.04",
+                     id_col: str = "doc_id",
+                     group_col: str = "source",
+                     text_col: str = "text") -> DataFrame:
+    from puregraphdb_spark.operators.pipeline import selection_curve
+
+    grid = [float(t) for t in thresholds.split(",") if t.strip()]
+    return selection_curve(_view(spark, docs), grid, id_col=id_col,
+                           group_col=group_col, text_col=text_col)
+
+
 def _ann_recall(spark, queries: str, corpus: str = "embeddings",
                 method: str = "lsh", k: int = 10, dim: int = 64,
                 num_planes: int = 6, n_clusters: int = 8,
@@ -1156,6 +1168,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "k_anonymity": _k_anonymity,
     "gopher_rules": _gopher_rules,
     "ann_recall": _ann_recall,
+    "selection_curve": _selection_curve,
 }
 
 

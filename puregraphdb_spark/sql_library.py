@@ -1814,4 +1814,64 @@ SPARK_SQL: dict[str, str] = {
                     as decimal(28,10)), 6) as double) as reject_ratio
         from flags group by source order by source
     """,
+    # Selection curve (q163): q160's Spark-dialect scored relation
+    # swept over the explode()d cutoff grid.
+    "q163_selection_curve": """
+        with planted as (
+            select doc_id, source,
+                   case when doc_id % 41 = 0
+                        then concat(text, ' zq',
+                                    cast(doc_id % 7 as string),
+                                    ' xv', cast(doc_id % 5 as string))
+                        else text end as text
+            from documents),
+        tok as (
+            select doc_id, source,
+                   filter(split(lower(text), ' '), t -> t != '')
+                     as toks
+            from planted),
+        bg as (
+            select doc_id, source, bgs.w1 as w1, bgs.w2 as w2
+            from (select doc_id, source,
+                         explode(transform(
+                             slice(toks, 1, size(toks) - 1),
+                             (w, i) -> struct(w as w1,
+                                              toks[i + 1] as w2)))
+                           as bgs
+                  from tok where size(toks) >= 2)),
+        per_doc_bg as (
+            select doc_id, source, w1, w2,
+                   cast(count(*) as bigint) as m
+            from bg group by 1, 2, 3, 4),
+        model as (
+            select w1, w2, cast(sum(m) as bigint) as cb,
+                   cast(sum(sum(m)) over (partition by w1)
+                     as bigint) as cu
+            from per_doc_bg group by w1, w2),
+        scored as (
+            select doc_id, source,
+                   cast(sum(m) as bigint) as n_trans,
+                   cast(sum(m * cb) as double)
+                     / cast(sum(m * cu) as double) as score
+            from per_doc_bg join model using (w1, w2)
+            group by 1, 2),
+        thr as (
+            select explode(array(cast(0.02 as double),
+                                 cast(0.03 as double),
+                                 cast(0.035 as double),
+                                 cast(0.04 as double))) as thr)
+        select source, thr,
+               cast(count(*) as bigint) as n_docs,
+               cast(sum(case when score >= thr then 1 else 0 end)
+                 as bigint) as n_docs_kept,
+               cast(sum(case when score >= thr then n_trans
+                             else 0 end) as bigint) as n_trans_kept,
+               cast(round(cast(
+                    cast(sum(case when score >= thr then 1 else 0 end)
+                         as double)
+                    / cast(count(*) as double)
+                    as decimal(28,10)), 6) as double) as kept_ratio
+        from scored cross join thr
+        group by source, thr order by source, thr
+    """,
 }

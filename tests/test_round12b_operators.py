@@ -336,3 +336,59 @@ def test_round12b_call_doors(spark):
     row = ar.collect()[0]
     assert row["method"] == "ivf_nprobe2"
     assert row["micro_recall"] == 1.0  # nprobe == n_clusters
+
+
+# ------------------------------------------------------ selection curve
+
+def test_selection_curve_monotone_and_exact(spark):
+    from puregraphdb_spark.operators.pipeline import selection_curve
+
+    docs = spark.createDataFrame(
+        [(1, "s", "a b"), (2, "s", "a b"), (3, "s", "a c")],
+        "doc_id long, source string, text string")
+    # doc scores: 2/3, 2/3, 1/3 (q160 hand fixture)
+    out = {r["thr"]: r for r in
+           selection_curve(docs, [0.2, 0.5, 0.9]).collect()}
+    assert out[0.2]["n_docs_kept"] == 3
+    assert out[0.5]["n_docs_kept"] == 2
+    assert out[0.5]["n_trans_kept"] == 2
+    assert out[0.9]["n_docs_kept"] == 0
+    # kept counts are monotone non-increasing in the threshold
+    kept = [out[t]["n_docs_kept"] for t in (0.2, 0.5, 0.9)]
+    assert kept == sorted(kept, reverse=True)
+    assert out[0.5]["kept_ratio"] == round(2 / 3, 6)
+
+
+def test_selection_curve_boundary_is_inclusive(spark):
+    from puregraphdb_spark.operators.pipeline import selection_curve
+
+    docs = spark.createDataFrame(
+        [(1, "s", "a b"), (2, "s", "a b"), (3, "s", "a c")],
+        "doc_id long, source string, text string")
+    # threshold exactly equal to a doc score (1/3) keeps that doc
+    r = selection_curve(docs, [1 / 3]).collect()[0]
+    assert r["n_docs_kept"] == 3
+
+
+def test_selection_curve_requires_thresholds(spark):
+    from puregraphdb_spark.operators.pipeline import selection_curve
+
+    docs = spark.createDataFrame(
+        [(1, "s", "a b")], "doc_id long, source string, text string")
+    with pytest.raises(ValueError):
+        selection_curve(docs, [])
+
+
+def test_selection_curve_call_door(spark):
+    from puregraphdb_spark.engine import Engine
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark, SF_DIR)
+    out = eng.sql(
+        "CALL selection_curve(docs => 'documents',"
+        " thresholds => '0.0,1.1')")
+    rows = out.collect()
+    lo = [r for r in rows if r["thr"] == 0.0]
+    hi = [r for r in rows if r["thr"] == 1.1]
+    assert all(r["kept_ratio"] == 1.0 for r in lo)   # keep everything
+    assert all(r["n_docs_kept"] == 0 for r in hi)    # keep nothing

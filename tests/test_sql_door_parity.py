@@ -89,6 +89,7 @@ DUCKDB_ONLY = {
     "q157_shingle_compressibility",  # unnest/generate_series slicing
     "q160_lm_transition_score",  # string_split/list_filter/unnest
     "q162_gopher_rules",  # list_sum/list_transform/regexp_full_match
+    "q163_selection_curve",  # string_split/unnest([..]) threshold grid
 }
 
 ORACLES = entrymod.oracle_sql()
