@@ -1184,3 +1184,29 @@ def ann_recall_report(queries: DataFrame, corpus: DataFrame,
         F.sum(F.when(F.col("n_hit") == F.col("n_exact"), 1)
               .otherwise(0)).cast("long").alias("n_perfect"),
     )
+
+
+def apply_entity_resolution(df: DataFrame, id_col: str, text_col: str,
+                            block_cols: list[str],
+                            max_distance: int = 2,
+                            max_iter: int = 50) -> DataFrame:
+    """Apply side of ``entity_resolution`` — records in, RESOLVED
+    records out (the ``apply_dedup`` pattern): one surviving record
+    per entity, carrying the original schema plus ``entity_id`` and
+    ``cluster_size`` so downstream joins can fan back out to the
+    absorbed duplicates. Survivor choice is the deterministic min-id
+    rule the report side declares.
+
+    Scale: the label relation is four scalar columns per record; the
+    id-key join co-partitions with the record relation (broadcast
+    when small — the planner decides, no hint).
+    """
+    labels = entity_resolution(df, id_col, text_col, block_cols,
+                               max_distance=max_distance,
+                               max_iter=max_iter)
+    return (
+        df.join(labels.select(id_col, "entity_id", "is_survivor",
+                              "cluster_size"), id_col)
+        .filter(F.col("is_survivor") == 1)
+        .drop("is_survivor")
+    )

@@ -933,6 +933,19 @@ def _entity_resolution(spark, table: str, id_col: str,
                              max_distance=int(max_distance))
 
 
+def _apply_entity_resolution(spark, table: str, id_col: str,
+                             text_col: str, block_cols: str,
+                             max_distance: int = 2) -> DataFrame:
+    from puregraphdb_spark.operators.similarity import (
+        apply_entity_resolution)
+
+    blocks = [c.strip() for c in block_cols.split(",") if c.strip()]
+    return apply_entity_resolution(_view(spark, table), id_col=id_col,
+                                   text_col=text_col,
+                                   block_cols=blocks,
+                                   max_distance=int(max_distance))
+
+
 def _profile_drift(spark, table: str = "events",
                    batch_col: str = "batch",
                    columns: str = "") -> DataFrame:
@@ -1169,6 +1182,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "gopher_rules": _gopher_rules,
     "ann_recall": _ann_recall,
     "selection_curve": _selection_curve,
+    "apply_entity_resolution": _apply_entity_resolution,
 }
 
 

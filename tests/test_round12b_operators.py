@@ -392,3 +392,44 @@ def test_selection_curve_call_door(spark):
     hi = [r for r in rows if r["thr"] == 1.1]
     assert all(r["kept_ratio"] == 1.0 for r in lo)   # keep everything
     assert all(r["n_docs_kept"] == 0 for r in hi)    # keep nothing
+
+
+# -------------------------------------------- entity resolution (apply)
+
+def _er_records(spark):
+    return spark.createDataFrame(
+        [(1, "acme corp", "us"), (2, "acme corp.", "us"),
+         (3, "acme inc", "us"), (4, "zenith ltd", "us"),
+         (5, "acme corp", "eu")],
+        "rec_id long, name string, region string")
+
+
+def test_apply_entity_resolution_keeps_one_per_entity(spark):
+    from puregraphdb_spark.operators.similarity import (
+        apply_entity_resolution, entity_resolution)
+
+    df = _er_records(spark)
+    out = apply_entity_resolution(df, "rec_id", "name", ["region"],
+                                  max_distance=2)
+    rep = entity_resolution(df, "rec_id", "name", ["region"],
+                            max_distance=2).toPandas()
+    survivors = set(rep[rep.is_survivor == 1].rec_id)
+    got = out.collect()
+    assert {r["rec_id"] for r in got} == survivors
+    # original schema + entity metadata, one row per entity
+    assert {"rec_id", "name", "region", "entity_id",
+            "cluster_size"} == set(out.columns)
+    assert len(got) == rep.entity_id.nunique()
+
+
+def test_apply_entity_resolution_call_door(spark):
+    from puregraphdb_spark.engine import Engine
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark, SF_DIR)
+    _er_records(spark).createOrReplaceTempView("er_recs")
+    out = eng.sql(
+        "CALL apply_entity_resolution(table => 'er_recs',"
+        " id_col => 'rec_id', text_col => 'name',"
+        " block_cols => 'region', max_distance => 2)")
+    assert out.count() >= 2  # ≥ the zenith singleton + one acme
