@@ -433,3 +433,89 @@ def test_apply_entity_resolution_call_door(spark):
         " id_col => 'rec_id', text_col => 'name',"
         " block_cols => 'region', max_distance => 2)")
     assert out.count() >= 2  # ≥ the zenith singleton + one acme
+
+
+# ------------------------------------------- brute-force Hypothesis pins
+
+def test_cusum_matches_bruteforce_hypothesis(spark):
+    # Pin the changepoint argmax + reported stats against a pure-python
+    # CUSUM over random small daily series (values on the 3-dp grid).
+    from fractions import Fraction
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from puregraphdb_spark.operators.events import cusum_changepoint
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(vals=st.lists(
+        st.integers(min_value=-2000, max_value=9000).map(
+            lambda v: v / 1000.0),
+        min_size=2, max_size=12))
+    def run(vals):
+        rows = [(datetime.datetime(2024, 1, d + 1), "t", v)
+                for d, v in enumerate(vals)]
+        ev = spark.createDataFrame(
+            rows, "ts timestamp, event_type string, value double")
+        r = cusum_changepoint(ev).collect()[0]
+        # exact rational reference
+        xs = [Fraction(round(v * 1000), 1000) for v in vals]
+        n, tot = len(xs), sum(xs)
+        best_k, best_s = None, None
+        for k in range(1, n):
+            p = sum(xs[:k])
+            s = n * p - k * tot
+            if best_s is None or abs(s) > abs(best_s):
+                best_k, best_s = k, s
+        assert r["cp_day"] == datetime.datetime(2024, 1, best_k)
+        assert r["n_days"] == n
+        pre = sum(xs[:best_k]) / best_k
+        post = (tot - sum(xs[:best_k])) / (n - best_k)
+        assert abs(r["pre_mean"] - float(pre)) < 5e-4, vals
+        assert abs(r["post_mean"] - float(post)) < 5e-4, vals
+        assert abs(r["cusum_peak"] - float(Fraction(best_s, n))) < 5e-4
+
+    run()
+
+
+def test_lm_score_matches_bruteforce_hypothesis(spark):
+    # Pin per-source micro/min/max against a pure-python bigram model
+    # over random small corpora.
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from puregraphdb_spark.operators.pipeline import lm_transition_score
+
+    VOCAB = ["a", "b", "c"]
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(docs=st.lists(
+        st.lists(st.sampled_from(VOCAB), min_size=2, max_size=6),
+        min_size=1, max_size=8))
+    def run(docs):
+        rows = [(i, "s", " ".join(toks)) for i, toks in enumerate(docs)]
+        sdf = spark.createDataFrame(
+            rows, "doc_id long, source string, text string")
+        r = lm_transition_score(sdf).collect()[0]
+        # reference model
+        cb, cu = {}, {}
+        for toks in docs:
+            for w1, w2 in zip(toks, toks[1:]):
+                cb[(w1, w2)] = cb.get((w1, w2), 0) + 1
+                cu[w1] = cu.get(w1, 0) + 1
+        nums, dens, scores = 0, 0, []
+        for toks in docs:
+            num = sum(cb[(w1, w2)] for w1, w2 in zip(toks, toks[1:]))
+            den = sum(cu[w1] for w1, _ in zip(toks, toks[1:]))
+            nums += num
+            dens += den
+            scores.append(num / den)
+        assert r["n_docs"] == len(docs)
+        assert r["n_transitions"] == sum(len(t) - 1 for t in docs)
+        assert abs(r["micro_score"] - nums / dens) < 5e-6, docs
+        assert abs(r["min_score"] - min(scores)) < 5e-6
+        assert abs(r["max_score"] - max(scores)) < 5e-6
+
+    run()
