@@ -21,8 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from puregraphdb_spark.operators import (
-    community, events, extras, graph, llm, pii, pipeline, profile,
-    relational, similarity, sketch, skew, text,
+    community, events, extras, graph, incremental, llm, pii, pipeline,
+    profile, relational, similarity, sketch, skew, text,
 )
 from puregraphdb_spark.sources.registry import load_table
 
@@ -677,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q162_gopher_rules": pipeline.q162_gopher_rules,
         "ann_recall_report": ann_recall_eval,
         "q163_selection_curve": pipeline.q163_selection_curve,
+        "q164_incremental_agg": incremental.q164_incremental_agg,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -860,11 +861,12 @@ _FRONT_WINDOW = [
     "q156_dedup_keepers", "q157_shingle_compressibility",
     "graph_temporal_reach", "q158_temporal_reach2",
     # r7-stale cohort: rows-only ops recorded last in r7.
-    # (text_profile rotated OUT to make room for q163 — it keeps its
-    # r7-green record + dense property coverage; a never-recorded
-    # entry outranks a re-record. It leads the round-13 window.)
+    # (text_profile and text_quality_report rotated OUT to make room
+    # for q163/q164 — both keep r7-green records + dense property
+    # coverage; a never-recorded entry outranks a re-record. They
+    # lead the round-13 window.)
     "graph_anf", "graph_ktruss",
-    "text_quality_report", "dedup_minhash_near",
+    "dedup_minhash_near",
     "dedup_embedding_near", "knn_ann_lsh", "knn_ann_ivf",
     "approx_distinct_parts",
     # r7-stale cohort: oracled q99-q123
@@ -885,7 +887,7 @@ _FRONT_WINDOW = [
     # entry outranks a re-record on evidence value.
     "q159_cusum_changepoint", "q160_lm_transition_score",
     "q161_k_anonymity", "q162_gopher_rules", "ann_recall_report",
-    "q163_selection_curve",
+    "q163_selection_curve", "q164_incremental_agg",
 ]
 
 
@@ -4295,5 +4297,21 @@ def oracle_sql() -> dict[str, str]:
                      as kept_ratio
             from scored cross join thr
             group by source, thr order by source, thr
+        """,
+        # Incremental aggregate maintenance (q164): the oracle is the
+        # FULL RECOMPUTE over the final CDC state — the hash-match IS
+        # the maintenance identity refresh(agg(base), ins, del) ==
+        # agg(base \ del ∪ ins).
+        "q164_incremental_agg": """
+            select l_returnflag, l_linestatus,
+                   cast(count(*) as bigint) as n,
+                   cast(round(sum(cast(l_quantity as decimal(24,2))), 2)
+                     as double) as sum_qty,
+                   cast(round(sum(cast(l_extendedprice
+                        as decimal(24,2))), 2) as double) as sum_price
+            from lineitem
+            where l_orderkey % 7 = 0 or l_orderkey % 5 <> 0
+            group by l_returnflag, l_linestatus
+            order by l_returnflag, l_linestatus
         """,
     }

@@ -1,0 +1,148 @@
+"""Incremental aggregate maintenance — materialized-view delta
+refresh: given a maintained aggregate and a CDC batch (inserts +
+deletes), produce the refreshed aggregate WITHOUT rescanning the
+base table. The warehouse-engine feature that turns q113's CDC
+snapshot diff into cheap continuously-maintained rollups (the
+relational sibling of rollup.py's time-bucketed incremental refresh,
+which maintains a time grain under a watermark; this maintains an
+ARBITRARY group-by under explicit insert/delete deltas).
+
+Correctness rests on the repo's exactness discipline: every measure
+is summed in EXACT decimal, so addition is associative and
+commutative — (old + Σinserts − Σdeletes) is bit-identical to a full
+recompute over the final state, at any merge order. That identity is
+what q164 hash-checks cross-engine (the maintained path on Spark vs
+a full recompute in DuckDB) and what the Hypothesis pin replays on
+random CDC batches. Counts ride signed longs the same way.
+
+Scale: the delta aggregate shuffles ONLY the CDC batch (map-side
+combine on the group keys); the merge is a keyed full-outer join of
+two aggregate relations (|groups|-sized, ≪ base), broadcast when
+small — the base table is never touched. This is the whole point:
+refresh cost is O(|batch| + |groups|), not O(|base|).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: measure spec: output name -> (source column, decimal scale).
+#: Sums are carried as decimal(24, scale) — exact, order-immune.
+MeasureSpec = dict[str, tuple[str, int]]
+
+
+def _sum_type(scale: int) -> str:
+    return f"decimal(24,{scale})"
+
+
+def snapshot_aggregate(df: DataFrame, keys: list[str],
+                       measures: MeasureSpec) -> DataFrame:
+    """Full aggregate of a snapshot: per key tuple, the exact row
+    count ``n`` and one exact decimal sum per measure. This is the
+    relation ``incremental_agg_refresh`` maintains."""
+    if not keys:
+        raise ValueError("snapshot_aggregate needs group keys")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for name, (col, scale) in measures.items():
+        aggs.append(
+            F.sum(F.col(col).cast(_sum_type(scale)))
+            .cast(_sum_type(scale)).alias(name))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def delta_aggregate(inserts: DataFrame, deletes: DataFrame,
+                    keys: list[str],
+                    measures: MeasureSpec) -> DataFrame:
+    """Signed aggregate of a CDC batch: inserts weigh +1, deletes −1.
+    One shuffle over the BATCH only (map-side combine)."""
+    signed = (
+        inserts.withColumn("__w", F.lit(1))
+        .unionByName(deletes.withColumn("__w", F.lit(-1)))
+    )
+    aggs = [F.sum("__w").cast("long").alias("n")]
+    for name, (col, scale) in measures.items():
+        aggs.append(
+            F.sum(F.col("__w") * F.col(col).cast(_sum_type(scale)))
+            .cast(_sum_type(scale)).alias(name))
+    return signed.groupBy(*keys).agg(*aggs)
+
+
+def incremental_agg_refresh(old_agg: DataFrame, inserts: DataFrame,
+                            deletes: DataFrame, keys: list[str],
+                            measures: MeasureSpec) -> DataFrame:
+    """Refresh a maintained aggregate from a CDC batch: exact-decimal
+    identity ``refresh(agg(S), ins, del) == agg(S \\ del ∪ ins)``.
+
+    Groups whose refreshed count reaches 0 are dropped (fully deleted);
+    groups born in this batch appear with their delta values. Callers
+    must pass deletes that are actual members of the maintained
+    snapshot — CDC streams guarantee this; a delete for an absent row
+    would drive ``n`` negative, which fails loudly downstream rather
+    than silently corrupting sums.
+    """
+    d = delta_aggregate(inserts, deletes, keys, measures)
+    names = ["n"] + list(measures)
+
+    def pick(side: DataFrame, tag: str) -> DataFrame:
+        ren = side
+        for c in names:
+            ren = ren.withColumnRenamed(c, f"{c}_{tag}")
+        return ren
+
+    merged = pick(old_agg, "o").join(pick(d, "d"), keys, "full_outer")
+    out_cols = list(keys)
+    zero = F.lit(0)
+    out_cols.append(
+        (F.coalesce(F.col("n_o"), zero) + F.coalesce(F.col("n_d"), zero))
+        .cast("long").alias("n"))
+    for name, (_, scale) in measures.items():
+        z = F.lit(0).cast(_sum_type(scale))
+        out_cols.append(
+            (F.coalesce(F.col(f"{name}_o"), z)
+             + F.coalesce(F.col(f"{name}_d"), z))
+            .cast(_sum_type(scale)).alias(name))
+    return merged.select(*out_cols).filter(F.col("n") > 0)
+
+
+def q164_incremental_agg(spark, sf_dir: str) -> DataFrame:
+    """ORACLED maintenance identity: a pricing summary maintained
+    through a CDC batch must equal the full recompute over the final
+    state — the DuckDB oracle IS that recompute, so the hash-match
+    proves ``refresh(agg(base), ins, del) == agg(base \\ del ∪ ins)``
+    cross-engine on real data.
+
+    Deterministic CDC split of lineitem (q69 hash-split discipline):
+    base = orderkey % 7 != 0 (the maintained snapshot), inserts =
+    orderkey % 7 == 0, deletes = base rows with orderkey % 5 == 0.
+    Final state = (% 7 == 0) ∪ (% 5 != 0).
+
+    This wrapper scans lineitem for the base aggregate AND the deltas
+    because the fixture has no persisted rollup; in deployment the
+    old aggregate is the stored materialization and ONLY the CDC
+    batch is read — the refresh plan here (delta shuffle + |groups|
+    merge join) is exactly the deployed one.
+    """
+    from puregraphdb_spark.sources.registry import final_sort, load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    ok = F.col("l_orderkey")
+    base = l.filter(ok % 7 != 0)
+    inserts = l.filter(ok % 7 == 0)
+    deletes = base.filter(ok % 5 == 0)
+    keys = ["l_returnflag", "l_linestatus"]
+    measures: MeasureSpec = {
+        "sum_qty": ("l_quantity", 2),
+        "sum_price": ("l_extendedprice", 2),
+    }
+    old = snapshot_aggregate(base, keys, measures)
+    res = incremental_agg_refresh(old, inserts, deletes, keys, measures)
+    return final_sort(
+        res.select(
+            *keys, "n",
+            F.round(F.col("sum_qty"), 2).cast("double").alias("sum_qty"),
+            F.round(F.col("sum_price"), 2).cast("double")
+            .alias("sum_price"),
+        ),
+        spark, sf_dir, "lineitem", *keys,
+    )

@@ -933,6 +933,26 @@ def _entity_resolution(spark, table: str, id_col: str,
                              max_distance=int(max_distance))
 
 
+def _incremental_agg_refresh(spark, old_agg: str, inserts: str,
+                             deletes: str, keys: str,
+                             measures: str) -> DataFrame:
+    """measures syntax: 'out_name:src_col:scale,...' (e.g.
+    'sum_qty:l_quantity:2')."""
+    from puregraphdb_spark.operators.incremental import (
+        incremental_agg_refresh)
+
+    key_list = [k.strip() for k in keys.split(",") if k.strip()]
+    spec = {}
+    for part in measures.split(","):
+        if not part.strip():
+            continue
+        name, col, scale = part.strip().split(":")
+        spec[name] = (col, int(scale))
+    return incremental_agg_refresh(
+        _view(spark, old_agg), _view(spark, inserts),
+        _view(spark, deletes), key_list, spec)
+
+
 def _apply_entity_resolution(spark, table: str, id_col: str,
                              text_col: str, block_cols: str,
                              max_distance: int = 2) -> DataFrame:
@@ -1183,6 +1203,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "ann_recall": _ann_recall,
     "selection_curve": _selection_curve,
     "apply_entity_resolution": _apply_entity_resolution,
+    "incremental_agg_refresh": _incremental_agg_refresh,
 }
 
 

@@ -519,3 +519,87 @@ def test_lm_score_matches_bruteforce_hypothesis(spark):
         assert abs(r["max_score"] - max(scores)) < 5e-6
 
     run()
+
+
+# -------------------------------------- incremental aggregate refresh
+
+def test_incremental_refresh_equals_recompute_hypothesis(spark):
+    # The maintenance identity on random CDC batches: refresh of the
+    # base aggregate through (inserts, deletes) equals the snapshot
+    # aggregate of the final state — including groups that die (fully
+    # deleted) and groups born in the batch.
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from puregraphdb_spark.operators.incremental import (
+        incremental_agg_refresh, snapshot_aggregate)
+
+    KEYS = ["a", "b"]
+    MEAS = {"s": ("v", 2)}
+    row = st.tuples(st.sampled_from(["a", "b"]),
+                    st.integers(min_value=-500, max_value=500).map(
+                        lambda v: v / 100.0))
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(base=st.lists(row, min_size=0, max_size=12),
+           ins=st.lists(row, min_size=0, max_size=6),
+           n_del=st.integers(min_value=0, max_value=12))
+    def run(base, ins, n_del):
+        dels = base[:n_del]          # deletes must exist in base
+        final = base[n_del:] + ins
+        schema = "k string, v double"
+
+        def df(rows):
+            return spark.createDataFrame(rows, schema) if rows else \
+                spark.createDataFrame([], schema)
+
+        old = snapshot_aggregate(df(base), ["k"], MEAS)
+        got = sorted(
+            (r["k"], r["n"], float(r["s"])) for r in
+            incremental_agg_refresh(old, df(ins), df(dels), ["k"],
+                                    MEAS).collect())
+        want = sorted(
+            (r["k"], r["n"], float(r["s"])) for r in
+            snapshot_aggregate(df(final), ["k"], MEAS).collect()
+            if r["n"] > 0)
+        assert got == want, (base, ins, n_del)
+
+    run()
+
+
+def test_incremental_refresh_drops_dead_and_births_new(spark):
+    from puregraphdb_spark.operators.incremental import (
+        incremental_agg_refresh, snapshot_aggregate)
+
+    schema = "k string, v double"
+    base = spark.createDataFrame([("dies", 1.5), ("stays", 2.0)], schema)
+    ins = spark.createDataFrame([("born", 3.25)], schema)
+    dels = spark.createDataFrame([("dies", 1.5)], schema)
+    old = snapshot_aggregate(base, ["k"], {"s": ("v", 2)})
+    out = {r["k"]: (r["n"], float(r["s"])) for r in
+           incremental_agg_refresh(old, ins, dels, ["k"],
+                                   {"s": ("v", 2)}).collect()}
+    assert out == {"stays": (1, 2.0), "born": (1, 3.25)}
+
+
+def test_incremental_refresh_call_door(spark):
+    from puregraphdb_spark.engine import Engine
+    from puregraphdb_spark.operators.incremental import (
+        snapshot_aggregate)
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark, SF_DIR)
+    schema = "k string, v double"
+    base = spark.createDataFrame([("x", 1.0), ("y", 2.0)], schema)
+    snapshot_aggregate(base, ["k"], {"s": ("v", 2)})\
+        .createOrReplaceTempView("ia_old")
+    spark.createDataFrame([("x", 0.5)], schema)\
+        .createOrReplaceTempView("ia_ins")
+    spark.createDataFrame([("y", 2.0)], schema)\
+        .createOrReplaceTempView("ia_del")
+    out = {r["k"]: (r["n"], float(r["s"])) for r in eng.sql(
+        "CALL incremental_agg_refresh(old_agg => 'ia_old',"
+        " inserts => 'ia_ins', deletes => 'ia_del',"
+        " keys => 'k', measures => 's:v:2')").collect()}
+    assert out == {"x": (2, 1.5)}
