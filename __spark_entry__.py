@@ -678,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report": ann_recall_eval,
         "q163_selection_curve": pipeline.q163_selection_curve,
         "q164_incremental_agg": incremental.q164_incremental_agg,
+        "q165_join_cardinality": skew.q165_join_cardinality,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -864,7 +865,10 @@ _FRONT_WINDOW = [
     # (text_profile and text_quality_report rotated OUT to make room
     # for q163/q164 — both keep r7-green records + dense property
     # coverage; a never-recorded entry outranks a re-record. They
-    # lead the round-13 window.)
+    # lead the round-13 window TOGETHER WITH q165_join_cardinality,
+    # which stays out of this window so the remaining r7 cohort is
+    # not eroded further — q165 carries this session's own 4-scale
+    # hash-green evidence meanwhile.)
     "graph_anf", "graph_ktruss",
     "dedup_minhash_near",
     "dedup_embedding_near", "knn_ann_lsh", "knn_ann_ivf",
@@ -4313,5 +4317,34 @@ def oracle_sql() -> dict[str, str]:
             where l_orderkey % 7 = 0 or l_orderkey % 5 <> 0
             group by l_returnflag, l_linestatus
             order by l_returnflag, l_linestatus
+        """,
+        # Join-cardinality pre-flight (q165): per-key count products —
+        # exact |A ⋈ B| contribution — top-10 with total share.
+        "q165_join_cardinality": """
+            with ca as (
+                select l_suppkey as jk,
+                       cast(count(*) as bigint) as c_left
+                from lineitem group by 1),
+            cb as (
+                select l_suppkey as jk,
+                       cast(count(*) as bigint) as c_right
+                from lineitem where l_returnflag = 'R' group by 1),
+            per_key as (
+                select jk, c_left, c_right,
+                       cast(c_left * c_right as bigint) as out_rows
+                from ca join cb using (jk)),
+            tot as (
+                select cast(sum(out_rows) as bigint)
+                         as total_out_rows
+                from per_key)
+            select jk, c_left, c_right, out_rows, total_out_rows,
+                   cast(round(cast(
+                        cast(out_rows as double)
+                        / cast(total_out_rows as double)
+                        as decimal(28,10)), 6) as double) as out_share
+            from (select * from per_key
+                  order by out_rows desc, jk limit 10)
+                 cross join tot
+            order by out_rows desc, jk
         """,
     }

@@ -122,3 +122,76 @@ def q97_skew_profile(spark, sf_dir: str):
         decimal_round(F.col("top10_share"), 6, grid=10)
         .alias("top10_share"),
     )
+
+
+def join_cardinality_profile(left: DataFrame, right: DataFrame,
+                             key: str, topk: int = 10) -> DataFrame:
+    """Pre-flight EXACT join-output profile: before running
+    ``left ⋈ right`` on ``key``, compute per-key count products — the
+    join's output contribution per key — and emit the ``topk``
+    heaviest contributors (key, left count, right count, product,
+    share of total output). The companion of ``key_skew_profile``
+    for two-sided blowup: a key holding 1% of each side produces
+    0.01% of a uniform join but can dominate the output when hot on
+    BOTH sides; this is the measurement that picks plain shuffle vs
+    AQE skew split vs ``salted_join`` vs dropping the key outright.
+
+    Exact, not estimated: |A ⋈_k B| = Σ_k cA(k)·cB(k), computed by
+    joining the two COUNT relations — |keys|-sized inputs, so the
+    cost is two map-side-combined aggregates plus a tiny join, never
+    the join itself. At 100 TB this runs in the time of two scans
+    while the real join might not finish at all — that asymmetry is
+    the point of a pre-flight.
+
+    Output-size share is a snapped division of exact bigints; the
+    total is a 1-row reduction of the per-key relation crossed back
+    as a broadcast scalar (the q97 shape — both consumers reference
+    the IDENTICAL aggregate subplan, so the exchange is reused, not
+    re-executed; a whole-relation window here would funnel the
+    |keys|-row relation through one partition, which does not scale).
+    """
+    from puregraphdb_spark.functions.numeric import decimal_round
+
+    ca = left.groupBy(F.col(key)).agg(
+        F.count("*").cast("long").alias("c_left"))
+    cb = right.groupBy(F.col(key)).agg(
+        F.count("*").cast("long").alias("c_right"))
+    per_key = (
+        ca.join(cb, key)
+        .select(
+            key, "c_left", "c_right",
+            (F.col("c_left") * F.col("c_right")).cast("long")
+            .alias("out_rows"),
+        )
+    )
+    tot = per_key.agg(
+        F.sum("out_rows").cast("long").alias("total_out_rows"))
+    return (
+        per_key.orderBy(F.desc("out_rows"), key).limit(topk)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            key, "c_left", "c_right", "out_rows", "total_out_rows",
+            decimal_round(
+                F.col("out_rows").cast("double")
+                / F.col("total_out_rows").cast("double"), 6, grid=10,
+            ).alias("out_share"),
+        )
+    )
+
+
+def q165_join_cardinality(spark, sf_dir: str):
+    """Exact pre-flight profile of the supplier-key self-join
+    "all lineitem lines ⋈ returned lines on l_suppkey" (see
+    ``join_cardinality_profile``) — the two-sided-blowup shape this
+    repo's co-occurrence graphs actually shuffle: both sides hold
+    hundreds of rows per supplier, so per-key products dominate the
+    output and the top-10 table is the salting decision input."""
+    from puregraphdb_spark.sources.registry import final_sort, load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    lines = l.select(F.col("l_suppkey").alias("jk"))
+    returns = l.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_suppkey").alias("jk"))
+    res = join_cardinality_profile(lines, returns, "jk", topk=10)
+    return final_sort(res, spark, sf_dir, "lineitem",
+                      F.desc("out_rows"), "jk")

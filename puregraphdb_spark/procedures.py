@@ -933,6 +933,15 @@ def _entity_resolution(spark, table: str, id_col: str,
                              max_distance=int(max_distance))
 
 
+def _join_cardinality(spark, left: str, right: str, key: str,
+                      topk: int = 10) -> DataFrame:
+    from puregraphdb_spark.operators.skew import join_cardinality_profile
+
+    return join_cardinality_profile(_view(spark, left),
+                                    _view(spark, right), key,
+                                    topk=int(topk))
+
+
 def _incremental_agg_refresh(spark, old_agg: str, inserts: str,
                              deletes: str, keys: str,
                              measures: str) -> DataFrame:
@@ -1204,6 +1213,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "selection_curve": _selection_curve,
     "apply_entity_resolution": _apply_entity_resolution,
     "incremental_agg_refresh": _incremental_agg_refresh,
+    "join_cardinality": _join_cardinality,
 }
 
 

@@ -603,3 +603,51 @@ def test_incremental_refresh_call_door(spark):
         " inserts => 'ia_ins', deletes => 'ia_del',"
         " keys => 'k', measures => 's:v:2')").collect()}
     assert out == {"x": (2, 1.5)}
+
+
+# ---------------------------------------------- join cardinality profile
+
+def test_join_cardinality_exact_products(spark):
+    from puregraphdb_spark.operators.skew import join_cardinality_profile
+
+    left = spark.createDataFrame(
+        [("k1",)] * 3 + [("k2",)] * 2 + [("only_left",)], "jk string")
+    right = spark.createDataFrame(
+        [("k1",)] * 4 + [("k2",)] * 1 + [("only_right",)], "jk string")
+    out = {r["jk"]: r for r in
+           join_cardinality_profile(left, right, "jk").collect()}
+    # keys on one side only contribute nothing and never appear
+    assert set(out) == {"k1", "k2"}
+    assert (out["k1"]["c_left"], out["k1"]["c_right"],
+            out["k1"]["out_rows"]) == (3, 4, 12)
+    assert out["k2"]["out_rows"] == 2
+    assert out["k1"]["total_out_rows"] == 14
+    assert out["k1"]["out_share"] == round(12 / 14, 6)
+    # the profile equals the materialized join's true size
+    assert left.join(right, "jk").count() == 14
+
+
+def test_join_cardinality_topk_orders_by_product(spark):
+    from puregraphdb_spark.operators.skew import join_cardinality_profile
+
+    rows_l = [(f"k{i}",) for i in range(20) for _ in range(i + 1)]
+    left = spark.createDataFrame(rows_l, "jk string")
+    out = join_cardinality_profile(left, left, "jk", topk=3).collect()
+    assert [r["jk"] for r in out] == ["k19", "k18", "k17"]
+    assert out[0]["out_rows"] == 20 * 20
+
+
+def test_join_cardinality_call_door(spark):
+    from puregraphdb_spark.engine import Engine
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark, SF_DIR)
+    spark.createDataFrame([("a",)] * 3 + [("b",)], "jk string")\
+        .createOrReplaceTempView("jc_l")
+    spark.createDataFrame([("a",)] * 2, "jk string")\
+        .createOrReplaceTempView("jc_r")
+    out = eng.sql(
+        "CALL join_cardinality(left => 'jc_l', right => 'jc_r',"
+        " key => 'jk', topk => 5)").collect()
+    assert len(out) == 1
+    assert out[0]["out_rows"] == 6 and out[0]["out_share"] == 1.0
