@@ -679,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q163_selection_curve": pipeline.q163_selection_curve,
         "q164_incremental_agg": incremental.q164_incremental_agg,
         "q165_join_cardinality": skew.q165_join_cardinality,
+        "q166_arrival_regularity": events.q166_arrival_regularity,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -4346,5 +4347,43 @@ def oracle_sql() -> dict[str, str]:
                   order by out_rows desc, jk limit 10)
                  cross join tot
             order by out_rows desc, jk
+        """,
+        # Arrival regularity (q166): lag deltas in exact epoch µs,
+        # decimal moments, cv² as one snapped division.
+        "q166_arrival_regularity": """
+            with d as (
+                select user_id, epoch_us(ts) as us from events),
+            lagd as (
+                select user_id,
+                       us - lag(us) over (partition by user_id
+                                          order by us) as dd
+                from d),
+            per_user as (
+                select user_id,
+                       cast(count(*) + 1 as bigint) as n_events,
+                       cast(count(*) as bigint) as n_deltas,
+                       cast(sum(cast(dd as decimal(19,0)))
+                         as decimal(38,0)) as s,
+                       cast(sum(cast(dd as decimal(19,0))
+                                * cast(dd as decimal(19,0)))
+                         as decimal(38,0)) as ss
+                from lagd where dd is not null
+                group by user_id
+                having count(*) + 1 >= 5 and sum(dd) > 0
+                   and count(*) >= 2)
+            select user_id, n_events,
+                   cast(round(cast(cast(s as double)
+                        / cast(n_deltas as double)
+                        as decimal(28,4)), 1) as double)
+                     as mean_delta_us,
+                   cast(round(cast(
+                        cast(cast(n_deltas as decimal(38,0))
+                             * (cast(n_deltas as decimal(38,0)) * ss
+                                - s * s) as double)
+                        / cast((cast(n_deltas as decimal(38,0)) - 1)
+                               * s * s as double)
+                        as decimal(28,10)), 6) as double) as cv2
+            from per_user
+            order by cv2 asc, user_id limit 10
         """,
     }

@@ -1198,3 +1198,77 @@ def q159_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return final_sort(cusum_changepoint(ev), spark, sf_dir, "events",
                       "event_type")
+
+
+def arrival_regularity(events: DataFrame, ts_col: str = "ts",
+                       user_col: str = "user_id",
+                       min_events: int = 5, topk: int = 10) -> DataFrame:
+    """Inter-arrival regularity profile — the bot/scripted-traffic
+    signal: humans arrive with high inter-event variance (cv² ≈ 1 for
+    Poisson-ish browsing), schedulers and scrapers arrive on a clock
+    (cv² → 0). Emits the ``topk`` MOST regular users with at least
+    ``min_events`` events: (user, event count, mean inter-arrival µs,
+    cv² = variance/mean²) ordered by cv² ascending — the review queue
+    for rate-limiting, not a hard verdict.
+
+    Exactness: deltas are exact epoch-microsecond longs from a lag
+    window; Σd rides decimal sums and Σd² squares decimal(18,0)
+    operands (product 37 digits — inside the 38 cap per the q159
+    sizing discipline; a µs delta needs 18 digits only past ~31,000
+    years). cv² = n·(n·Σd² − S²) / ((n−1)·S²) is ONE division of
+    exact decimals, snapped.
+
+    Scale: one shuffle to the user partition for the lag window
+    (each user's events sort within their partition — bounded by
+    per-user activity, the natural grain), one map-side-combined
+    aggregate to the user grain, then TakeOrderedAndProject for the
+    top-k. No whole-relation windows.
+    """
+    # lag orders by the epoch value alone: with ties the SORTED delta
+    # multiset is identical under any tie order, so the moments are
+    # deterministic without an id tiebreaker.
+    d = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.unix_micros(F.col(ts_col)).alias("__us"),
+        )
+        .withColumn("__d", F.col("__us") - F.lag("__us").over(
+            Window.partitionBy("user_id").orderBy("__us")))
+        .filter(F.col("__d").isNotNull())
+    )
+    dd = F.col("__d").cast("decimal(18,0)")
+    per_user = (
+        d.groupBy("user_id")
+        .agg(
+            (F.count("*") + 1).cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_deltas"),
+            F.sum(dd).cast("decimal(38,0)").alias("s"),
+            F.sum(dd * dd).cast("decimal(38,0)").alias("ss"),
+        )
+        .filter((F.col("n_events") >= min_events) & (F.col("s") > 0)
+                & (F.col("n_deltas") >= 2))
+    )
+    n = F.col("n_deltas").cast("decimal(38,0)")
+    cv2 = (
+        (n * (n * F.col("ss") - F.col("s") * F.col("s"))).cast("double")
+        / ((n - 1) * F.col("s") * F.col("s")).cast("double")
+    )
+    from puregraphdb_spark.functions.numeric import decimal_round
+    scored = per_user.select(
+        "user_id", "n_events",
+        decimal_round(F.col("s").cast("double")
+                      / F.col("n_deltas").cast("double"), 1, grid=4)
+        .alias("mean_delta_us"),
+        decimal_round(cv2, 6, grid=10).alias("cv2"),
+    )
+    return scored.orderBy(F.asc("cv2"), "user_id").limit(topk)
+
+
+def q166_arrival_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most clock-regular users (see ``arrival_regularity``).
+    The fixture's arrivals are Poisson-ish for every user, so the
+    report surfaces the natural low-variance tail — the ordering and
+    all four stats are exact/snapped, so the cross-engine hash pins
+    the full arithmetic chain (lag deltas, decimal moments, cv²)."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    return arrival_regularity(ev)

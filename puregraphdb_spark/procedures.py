@@ -933,6 +933,17 @@ def _entity_resolution(spark, table: str, id_col: str,
                              max_distance=int(max_distance))
 
 
+def _arrival_regularity(spark, events: str = "events",
+                        ts_col: str = "ts", user_col: str = "user_id",
+                        min_events: int = 5, topk: int = 10) -> DataFrame:
+    from puregraphdb_spark.operators.events import arrival_regularity
+
+    return arrival_regularity(_view(spark, events), ts_col=ts_col,
+                              user_col=user_col,
+                              min_events=int(min_events),
+                              topk=int(topk))
+
+
 def _join_cardinality(spark, left: str, right: str, key: str,
                       topk: int = 10) -> DataFrame:
     from puregraphdb_spark.operators.skew import join_cardinality_profile
@@ -1214,6 +1225,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "apply_entity_resolution": _apply_entity_resolution,
     "incremental_agg_refresh": _incremental_agg_refresh,
     "join_cardinality": _join_cardinality,
+    "arrival_regularity": _arrival_regularity,
 }
 
 

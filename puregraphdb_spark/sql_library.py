@@ -1874,4 +1874,40 @@ SPARK_SQL: dict[str, str] = {
         from scored cross join thr
         group by source, thr order by source, thr
     """,
+    # Arrival regularity (q166): unix_micros spelling of epoch_us.
+    "q166_arrival_regularity": """
+        with d as (
+            select user_id, unix_micros(ts) as us from events),
+        lagd as (
+            select user_id,
+                   us - lag(us) over (partition by user_id
+                                      order by us) as dd
+            from d),
+        per_user as (
+            select user_id,
+                   cast(count(*) + 1 as bigint) as n_events,
+                   cast(count(*) as bigint) as n_deltas,
+                   cast(sum(cast(dd as decimal(19,0)))
+                     as decimal(38,0)) as s,
+                   cast(sum(cast(dd as decimal(19,0))
+                            * cast(dd as decimal(19,0)))
+                     as decimal(38,0)) as ss
+            from lagd where dd is not null
+            group by user_id
+            having count(*) + 1 >= 5 and sum(dd) > 0
+               and count(*) >= 2)
+        select user_id, n_events,
+               cast(round(cast(cast(s as double)
+                    / cast(n_deltas as double)
+                    as decimal(28,4)), 1) as double) as mean_delta_us,
+               cast(round(cast(
+                    cast(cast(n_deltas as decimal(38,0))
+                         * (cast(n_deltas as decimal(38,0)) * ss
+                            - s * s) as double)
+                    / cast((cast(n_deltas as decimal(38,0)) - 1)
+                           * s * s as double)
+                    as decimal(28,10)), 6) as double) as cv2
+        from per_user
+        order by cv2 asc, user_id limit 10
+    """,
 }

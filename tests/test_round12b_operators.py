@@ -651,3 +651,67 @@ def test_join_cardinality_call_door(spark):
         " key => 'jk', topk => 5)").collect()
     assert len(out) == 1
     assert out[0]["out_rows"] == 6 and out[0]["out_share"] == 1.0
+
+
+# ------------------------------------------------- arrival regularity
+
+def test_arrival_regularity_bot_ranks_first(spark):
+    from puregraphdb_spark.operators.events import arrival_regularity
+
+    base = datetime.datetime(2024, 1, 1)
+    # bot: perfectly regular 60s clock → cv2 == 0
+    rows = [(base + datetime.timedelta(seconds=60 * i), 1)
+            for i in range(10)]
+    # human: irregular gaps (10s, 300s, 45s, ...)
+    gaps = [10, 300, 45, 700, 5, 120, 80, 400, 33]
+    t = base
+    rows.append((t, 2))
+    for g in gaps:
+        t = t + datetime.timedelta(seconds=g)
+        rows.append((t, 2))
+    ev = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    out = arrival_regularity(ev, min_events=5, topk=10).collect()
+    assert [r["user_id"] for r in out] == [1, 2]
+    assert out[0]["cv2"] == 0.0
+    assert out[0]["mean_delta_us"] == 60_000_000.0
+    assert out[1]["cv2"] > 0.5  # irregular human far from the clock
+
+
+def test_arrival_regularity_hand_cv2(spark):
+    from puregraphdb_spark.operators.events import arrival_regularity
+
+    base = datetime.datetime(2024, 1, 1)
+    # deltas: 1s, 3s, 2s, 2s  (n=4, S=8e6, mean=2e6)
+    offs = [0, 1, 4, 6, 8]
+    ev = spark.createDataFrame(
+        [(base + datetime.timedelta(seconds=o), 7) for o in offs],
+        "ts timestamp, user_id long")
+    r = arrival_regularity(ev, min_events=5).collect()[0]
+    # var = (4*Σd²−S²)/(4·3); Σd²=(1+9+4+4)e12=18e12
+    # cv2 = 4*(4*18e12−64e12)/((4−1)*64e12) = 4*8e12/192e12 = 1/6
+    assert r["n_events"] == 5
+    assert r["mean_delta_us"] == 2_000_000.0
+    assert r["cv2"] == round(1 / 6, 6)
+
+
+def test_arrival_regularity_filters_thin_users(spark):
+    from puregraphdb_spark.operators.events import arrival_regularity
+
+    base = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(base + datetime.timedelta(seconds=i), 1) for i in range(3)],
+        "ts timestamp, user_id long")
+    assert arrival_regularity(ev, min_events=5).count() == 0
+
+
+def test_arrival_regularity_call_door(spark):
+    from puregraphdb_spark.engine import Engine
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark, SF_DIR)
+    out = eng.sql("CALL arrival_regularity(events => 'events',"
+                  " topk => 3)")
+    rows = out.collect()
+    assert len(rows) == 3
+    cvs = [r["cv2"] for r in rows]
+    assert cvs == sorted(cvs)

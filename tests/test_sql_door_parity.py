@@ -90,6 +90,7 @@ DUCKDB_ONLY = {
     "q160_lm_transition_score",  # string_split/list_filter/unnest
     "q162_gopher_rules",  # list_sum/list_transform/regexp_full_match
     "q163_selection_curve",  # string_split/unnest([..]) threshold grid
+    "q166_arrival_regularity",  # epoch_us
 }
 
 ORACLES = entrymod.oracle_sql()
