@@ -680,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_incremental_agg": incremental.q164_incremental_agg,
         "q165_join_cardinality": skew.q165_join_cardinality,
         "q166_arrival_regularity": events.q166_arrival_regularity,
+        "q167_scd1_upsert": incremental.q167_scd1_upsert,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -867,9 +868,10 @@ _FRONT_WINDOW = [
     # for q163/q164 — both keep r7-green records + dense property
     # coverage; a never-recorded entry outranks a re-record. They
     # lead the round-13 window TOGETHER WITH q165_join_cardinality,
-    # which stays out of this window so the remaining r7 cohort is
-    # not eroded further — q165 carries this session's own 4-scale
-    # hash-green evidence meanwhile.)
+    # q166_arrival_regularity and q167_scd1_upsert, which stay out of
+    # this window so the remaining r7 cohort is not eroded further —
+    # all three carry this session's own 4-scale hash-green evidence
+    # meanwhile.)
     "graph_anf", "graph_ktruss",
     "dedup_minhash_near",
     "dedup_embedding_near", "knn_ann_lsh", "knn_ann_ivf",
@@ -4385,5 +4387,39 @@ def oracle_sql() -> dict[str, str]:
                         as decimal(28,10)), 6) as double) as cv2
             from per_user
             order by cv2 asc, user_id limit 10
+        """,
+        # SCD1 upsert identity (q167): the oracle is the NAIVE
+        # recompute — latest version per key over the full union —
+        # against the maintained anti-join + batch-latest plan.
+        "q167_scd1_upsert": """
+            with dim as (
+                select o_orderkey as k, o_orderstatus as status,
+                       o_totalprice as price,
+                       cast(0 as bigint) as version
+                from orders),
+            u1 as (
+                select o_orderkey as k, 'U1' as status,
+                       o_totalprice + 10.0 as price,
+                       cast(1 as bigint) as version
+                from orders where o_orderkey % 11 = 0),
+            u2 as (
+                select o_orderkey as k, 'U2' as status,
+                       o_totalprice + 20.0 as price,
+                       cast(2 as bigint) as version
+                from orders where o_orderkey % 22 = 0),
+            unioned as (
+                select * from dim union all
+                select * from u1 union all
+                select * from u2),
+            latest as (
+                select k, status, price,
+                       row_number() over (partition by k
+                            order by version desc) as rn
+                from unioned)
+            select status, cast(count(*) as bigint) as n,
+                   cast(round(sum(cast(price as decimal(24,2))), 2)
+                     as double) as sum_price
+            from latest where rn = 1
+            group by status order by status
         """,
     }

@@ -146,3 +146,85 @@ def q164_incremental_agg(spark, sf_dir: str) -> DataFrame:
         ),
         spark, sf_dir, "lineitem", *keys,
     )
+
+
+def apply_cdc_upsert(dim: DataFrame, updates: DataFrame, key: str,
+                     version_col: str) -> DataFrame:
+    """SCD1 merge (upsert) of a CDC update batch into a dimension:
+    any update for a key REPLACES the dimension row (update wins);
+    within the batch the highest ``version_col`` wins. New keys
+    insert. Returns the maintained dimension in the updates' schema.
+
+    ``version_col`` must be unique per key WITHIN the batch (CDC
+    streams carry an LSN/sequence that guarantees this); equal
+    versions would make the winner undefined, so the row_number
+    tiebreak orders by the version alone on purpose — a silent
+    arbitrary winner is worse than a loud review of the batch.
+
+    Scale: the untouched side is ONE left-anti join of the dimension
+    against the batch's distinct keys (broadcast when the batch is
+    small — the common case); the batch dedup windows over the BATCH
+    only. The dimension is never sorted or windowed whole — that
+    asymmetry vs the naive union+window-over-everything recompute is
+    the point, and q167 hash-checks the two against each other
+    cross-engine.
+    """
+    from pyspark.sql import Window
+
+    latest = (
+        updates.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(key)
+                .orderBy(F.col(version_col).desc())),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    untouched = dim.join(updates.select(key).distinct(), key,
+                         "left_anti")
+    return untouched.unionByName(latest)
+
+
+def q167_scd1_upsert(spark, sf_dir: str) -> DataFrame:
+    """ORACLED upsert identity: the maintained dimension (anti-join +
+    batch-latest union — the plan that never windows the dimension)
+    must equal the naive recompute (latest version per key over the
+    FULL union), which is what the DuckDB oracle runs. Plants a
+    deterministic CDC batch over orders: every %11 key gets a
+    version-1 update (+10.00, status 'U1'); every %22 key also a
+    version-2 update (+20.00, 'U2') — exercising update-wins,
+    latest-of-batch, and untouched rows in one relation. The result
+    is rolled up per status (count + exact decimal price sum) so the
+    compared frame stays bounded at any scale while still pinning
+    every maintained row's membership and values."""
+    from puregraphdb_spark.sources.registry import final_sort, load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    dim = o.select(
+        ok.alias("k"), F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(0).cast("long").alias("version"),
+    )
+    u1 = o.filter(ok % 11 == 0).select(
+        ok.alias("k"), F.lit("U1").alias("status"),
+        (F.col("o_totalprice") + 10.0).alias("price"),
+        F.lit(1).cast("long").alias("version"),
+    )
+    u2 = o.filter(ok % 22 == 0).select(
+        ok.alias("k"), F.lit("U2").alias("status"),
+        (F.col("o_totalprice") + 20.0).alias("price"),
+        F.lit(2).cast("long").alias("version"),
+    )
+    maintained = apply_cdc_upsert(dim, u1.unionByName(u2), "k",
+                                  "version")
+    res = (
+        maintained.groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum(F.col("price").cast("decimal(24,2)")), 2)
+            .cast("double").alias("sum_price"),
+        )
+    )
+    return final_sort(res, spark, sf_dir, "orders", "status")

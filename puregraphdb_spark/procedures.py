@@ -933,6 +933,14 @@ def _entity_resolution(spark, table: str, id_col: str,
                              max_distance=int(max_distance))
 
 
+def _apply_cdc_upsert(spark, dim: str, updates: str, key: str,
+                      version_col: str) -> DataFrame:
+    from puregraphdb_spark.operators.incremental import apply_cdc_upsert
+
+    return apply_cdc_upsert(_view(spark, dim), _view(spark, updates),
+                            key, version_col)
+
+
 def _arrival_regularity(spark, events: str = "events",
                         ts_col: str = "ts", user_col: str = "user_id",
                         min_events: int = 5, topk: int = 10) -> DataFrame:
@@ -1226,6 +1234,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "incremental_agg_refresh": _incremental_agg_refresh,
     "join_cardinality": _join_cardinality,
     "arrival_regularity": _arrival_regularity,
+    "apply_cdc_upsert": _apply_cdc_upsert,
 }
 
 

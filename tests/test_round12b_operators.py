@@ -715,3 +715,65 @@ def test_arrival_regularity_call_door(spark):
     assert len(rows) == 3
     cvs = [r["cv2"] for r in rows]
     assert cvs == sorted(cvs)
+
+
+# ---------------------------------------------------- SCD1 upsert apply
+
+def test_apply_cdc_upsert_semantics(spark):
+    from puregraphdb_spark.operators.incremental import apply_cdc_upsert
+
+    schema = "k long, val string, version long"
+    dim = spark.createDataFrame(
+        [(1, "old1", 0), (2, "old2", 0), (3, "old3", 0)], schema)
+    updates = spark.createDataFrame(
+        [(1, "upd1a", 1), (1, "upd1b", 2),   # latest-of-batch wins
+         (4, "new4", 1)], schema)            # new key inserts
+    out = {r["k"]: r["val"] for r in
+           apply_cdc_upsert(dim, updates, "k", "version").collect()}
+    assert out == {1: "upd1b", 2: "old2", 3: "old3", 4: "new4"}
+
+
+def test_apply_cdc_upsert_matches_naive_recompute_hypothesis(spark):
+    # maintained (anti-join + batch-latest) == naive latest-per-key
+    # over the full union, on random dims/batches.
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from puregraphdb_spark.operators.incremental import apply_cdc_upsert
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(dim_keys=st.lists(st.integers(0, 6), min_size=0, max_size=6,
+                             unique=True),
+           upd=st.lists(st.integers(0, 6), min_size=0, max_size=6,
+                        unique=True))
+    def run(dim_keys, upd):
+        schema = "k long, val string, version long"
+        dim = spark.createDataFrame(
+            [(k, f"d{k}", 0) for k in dim_keys], schema)
+        # two versioned updates per key — versions unique per key
+        ups = spark.createDataFrame(
+            [(k, f"u{k}v{v}", v) for k in upd for v in (1, 2)], schema)
+        got = {(r["k"], r["val"]) for r in
+               apply_cdc_upsert(dim, ups, "k", "version").collect()}
+        want = {(k, f"d{k}") for k in dim_keys if k not in upd}
+        want |= {(k, f"u{k}v2") for k in upd}
+        assert got == want, (dim_keys, upd)
+
+    run()
+
+
+def test_apply_cdc_upsert_call_door(spark):
+    from puregraphdb_spark.engine import Engine
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark, SF_DIR)
+    schema = "k long, val string, version long"
+    spark.createDataFrame([(1, "old", 0)], schema)\
+        .createOrReplaceTempView("up_dim")
+    spark.createDataFrame([(1, "new", 1)], schema)\
+        .createOrReplaceTempView("up_upd")
+    out = eng.sql("CALL apply_cdc_upsert(dim => 'up_dim',"
+                  " updates => 'up_upd', key => 'k',"
+                  " version_col => 'version')").collect()
+    assert [(r["k"], r["val"]) for r in out] == [(1, "new")]
