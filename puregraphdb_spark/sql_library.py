@@ -1910,4 +1910,33 @@ SPARK_SQL: dict[str, str] = {
         from per_user
         order by cv2 asc, user_id limit 10
     """,
+    # Bounded temporal reach (q158): Spark datediff(end, start)
+    # spelling of DuckDB's 3-arg date_diff('day', ...).
+    "q158_temporal_reach2": """
+        with base as (
+            select distinct o_custkey as cust, l_suppkey as supp,
+                   cast(datediff(cast(o_orderdate as date),
+                                 date '1970-01-01') as double) as ts
+            from orders join lineitem on o_orderkey = l_orderkey),
+        edges as (
+            select cust as src, supp + 1000000 as dst, ts from base
+            union all
+            select supp + 1000000 as src, cust as dst, ts from base),
+        src as (
+            select distinct o_custkey as id from orders
+            where o_custkey % 200 = 0),
+        h1 as (
+            select e.dst as id, min(e.ts) as arr
+            from edges e join src s on e.src = s.id
+            group by e.dst),
+        h2 as (
+            select e.dst as id, min(e.ts) as arr
+            from edges e join h1 on e.src = h1.id
+                                and e.ts >= h1.arr
+            group by e.dst),
+        allh as (
+            select * from h1 union all select * from h2)
+        select id, cast(min(arr) as double) as arrival_day
+        from allh group by id order by id
+    """,
 }

@@ -91,6 +91,7 @@ DUCKDB_ONLY = {
     "q162_gopher_rules",  # list_sum/list_transform/regexp_full_match
     "q163_selection_curve",  # string_split/unnest([..]) threshold grid
     "q166_arrival_regularity",  # epoch_us
+    "q158_temporal_reach2",  # date_diff('day', ...) 3-arg signature
 }
 
 ORACLES = entrymod.oracle_sql()
