@@ -21,8 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from puregraphdb_spark.operators import (
-    community, events, extras, graph, incremental, llm, pii, pipeline,
-    profile, relational, similarity, sketch, skew, text,
+    community, events, extras, graph, incremental, llm, multimodal,
+    pii, pipeline, profile, relational, similarity, sketch, skew, text,
 )
 from puregraphdb_spark.sources.registry import load_table
 
@@ -681,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q165_join_cardinality": skew.q165_join_cardinality,
         "q166_arrival_regularity": events.q166_arrival_regularity,
         "q167_scd1_upsert": incremental.q167_scd1_upsert,
+        "q168_asset_profile": multimodal.q168_asset_profile,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -4421,5 +4422,49 @@ def oracle_sql() -> dict[str, str]:
                      as double) as sum_price
             from latest where rn = 1
             group by status order by status
+        """,
+        # Multimodal asset inventory (q168): payload = UTF-8 bytes of
+        # text on both engines; DuckDB 1.0 lacks md5(BLOB), so the
+        # oracle hashes the VARCHAR (same UTF-8 bytes) and measures
+        # bytes via octet_length(encode(...)).
+        "q168_asset_profile": """
+            with manifest as (
+                select (['image','audio','video'])[doc_id % 3 + 1]
+                         as modality,
+                       (['image/png','audio/wav','video/mp4'])
+                         [doc_id % 3 + 1] as media_type,
+                       case when doc_id % 13 = 0 then null
+                            when doc_id % 37 = 0
+                            then concat('shared-asset-',
+                                        cast(doc_id % 3 as string))
+                            else text end as payload_text
+                from documents),
+            per_payload as (
+                select modality, media_type,
+                       md5(payload_text) as h,
+                       cast(count(*) as bigint) as c,
+                       cast(sum(coalesce(octet_length(
+                            encode(payload_text)), 0)) as bigint) as b
+                from manifest
+                group by modality, media_type, md5(payload_text))
+            select modality, media_type,
+                   cast(sum(c) as bigint) as n_assets,
+                   cast(sum(b) as bigint) as total_bytes,
+                   cast(sum(case when h is not null then 1 else 0 end)
+                     as bigint) as n_distinct_payloads,
+                   cast(sum(case when h is null then c else 0 end)
+                     as bigint) as n_missing,
+                   cast(sum(case when h is not null then c else 0 end)
+                        - sum(case when h is not null then 1
+                              else 0 end) as bigint) as n_removable,
+                   cast(round(cast(
+                        cast(sum(case when h is not null then c
+                                 else 0 end)
+                             - sum(case when h is not null then 1
+                                   else 0 end) as double)
+                        / cast(sum(c) as double)
+                        as decimal(28,10)), 6) as double) as dup_ratio
+            from per_payload group by modality, media_type
+            order by modality, media_type
         """,
     }

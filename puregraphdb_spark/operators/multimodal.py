@@ -331,3 +331,92 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
             (i % 7) * 1500 if modality != "image" else None,
         ))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def asset_profile(assets: DataFrame,
+                  modality_col: str = "modality",
+                  type_col: str = "media_type",
+                  payload_col: str = "payload") -> DataFrame:
+    """Per-(modality, media type) asset inventory — the profile a
+    multimodal ingest runs BEFORE any decode pass: asset and byte
+    volumes (what the decode fleet will cost), exact distinct payload
+    count via md5 over the raw bytes (exact-dup rate per container —
+    re-crawled images/clips are the cheapest multimodal dedup win),
+    and missing-payload counts (manifest rows whose bytes never
+    landed). Everything is exact bigints on the opaque BINARY column;
+    no decode, no Python — this is the rare multimodal operator that
+    is pure JVM expression, and therefore the family's ORACLED member
+    (q168; the decode/feature ops stay suite-tested behind the codec
+    seam by design).
+
+    Scale: md5 + byte length are map-side projections; ONE shuffle to
+    the (modality, type, md5) grain with map-side combine, then a
+    tiny-key rollup. Payload bytes never move twice.
+    """
+    from puregraphdb_spark.functions.numeric import decimal_round
+
+    per_payload = (
+        assets.select(
+            F.col(modality_col).alias("modality"),
+            F.col(type_col).alias("media_type"),
+            F.md5(F.col(payload_col)).alias("h"),  # null stays null
+            F.coalesce(F.length(F.col(payload_col)),
+                       F.lit(0)).cast("long").alias("nb"),
+        )
+        .groupBy("modality", "media_type", "h")
+        .agg(F.count("*").cast("long").alias("c"),
+             F.sum("nb").cast("long").alias("b"))
+    )
+    return (
+        per_payload.groupBy("modality", "media_type")
+        .agg(
+            F.sum("c").cast("long").alias("n_assets"),
+            F.sum("b").cast("long").alias("total_bytes"),
+            F.sum(F.when(F.col("h").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_distinct_payloads"),
+            F.sum(F.when(F.col("h").isNull(), F.col("c")).otherwise(0))
+            .cast("long").alias("n_missing"),
+            (F.sum(F.when(F.col("h").isNotNull(), F.col("c"))
+                   .otherwise(0))
+             - F.sum(F.when(F.col("h").isNotNull(), 1).otherwise(0)))
+            .cast("long").alias("n_removable"),
+        )
+        .select(
+            "modality", "media_type", "n_assets", "total_bytes",
+            "n_distinct_payloads", "n_missing", "n_removable",
+            decimal_round(
+                F.col("n_removable").cast("double")
+                / F.col("n_assets").cast("double"), 6, grid=10,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def q168_asset_profile(spark, sf_dir: str) -> DataFrame:
+    """ORACLED multimodal asset inventory (see ``asset_profile``) over
+    a manifest synthesized deterministically from documents (binary
+    payload = UTF-8 bytes of text — identical bytes on both engines,
+    so Spark's md5(binary) equals DuckDB's md5(varchar) which hashes
+    UTF-8; DuckDB 1.0 has no md5(BLOB), found at the gate). Plants:
+    %13 docs lose their payload (missing bytes), %37 docs share one
+    of three boilerplate payloads (exact-dup clusters), modality and
+    media type derive from doc_id arithmetic."""
+    from puregraphdb_spark.sources.registry import final_sort, load_table
+
+    i = F.col("doc_id")
+    d = load_table(spark, sf_dir, "documents").select(
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (i % 3 + 1).cast("int")).alias("modality"),
+        F.element_at(
+            F.array(F.lit("image/png"), F.lit("audio/wav"),
+                    F.lit("video/mp4")),
+            (i % 3 + 1).cast("int")).alias("media_type"),
+        F.when(i % 13 == 0, F.lit(None).cast("string"))
+        .when(i % 37 == 0,
+              F.concat(F.lit("shared-asset-"),
+                       (i % 3).cast("string")))
+        .otherwise(F.col("text")).cast("binary").alias("payload"),
+    )
+    return final_sort(asset_profile(d), spark, sf_dir, "documents",
+                      "modality", "media_type")

@@ -933,6 +933,17 @@ def _entity_resolution(spark, table: str, id_col: str,
                              max_distance=int(max_distance))
 
 
+def _asset_profile(spark, assets: str,
+                   modality_col: str = "modality",
+                   type_col: str = "media_type",
+                   payload_col: str = "payload") -> DataFrame:
+    from puregraphdb_spark.operators.multimodal import asset_profile
+
+    return asset_profile(_view(spark, assets),
+                         modality_col=modality_col,
+                         type_col=type_col, payload_col=payload_col)
+
+
 def _apply_cdc_upsert(spark, dim: str, updates: str, key: str,
                       version_col: str) -> DataFrame:
     from puregraphdb_spark.operators.incremental import apply_cdc_upsert
@@ -1235,6 +1246,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "join_cardinality": _join_cardinality,
     "arrival_regularity": _arrival_regularity,
     "apply_cdc_upsert": _apply_cdc_upsert,
+    "asset_profile": _asset_profile,
 }
 
 

@@ -1939,4 +1939,47 @@ SPARK_SQL: dict[str, str] = {
         select id, cast(min(arr) as double) as arrival_day
         from allh group by id order by id
     """,
+    # Multimodal asset inventory (q168): Spark spellings — binary
+    # cast for payload bytes, element_at for the modality tables.
+    "q168_asset_profile": """
+        with manifest as (
+            select element_at(array('image','audio','video'),
+                              cast(doc_id % 3 + 1 as int)) as modality,
+                   element_at(array('image/png','audio/wav',
+                                    'video/mp4'),
+                              cast(doc_id % 3 + 1 as int))
+                     as media_type,
+                   cast(case when doc_id % 13 = 0 then null
+                             when doc_id % 37 = 0
+                             then concat('shared-asset-',
+                                         cast(doc_id % 3 as string))
+                             else text end as binary) as payload
+            from documents),
+        per_payload as (
+            select modality, media_type, md5(payload) as h,
+                   cast(count(*) as bigint) as c,
+                   cast(sum(coalesce(length(payload), 0)) as bigint)
+                     as b
+            from manifest
+            group by modality, media_type, md5(payload))
+        select modality, media_type,
+               cast(sum(c) as bigint) as n_assets,
+               cast(sum(b) as bigint) as total_bytes,
+               cast(sum(case when h is not null then 1 else 0 end)
+                 as bigint) as n_distinct_payloads,
+               cast(sum(case when h is null then c else 0 end)
+                 as bigint) as n_missing,
+               cast(sum(case when h is not null then c else 0 end)
+                    - sum(case when h is not null then 1 else 0 end)
+                 as bigint) as n_removable,
+               cast(round(cast(
+                    cast(sum(case when h is not null then c
+                             else 0 end)
+                         - sum(case when h is not null then 1
+                               else 0 end) as double)
+                    / cast(sum(c) as double)
+                    as decimal(28,10)), 6) as double) as dup_ratio
+        from per_payload group by modality, media_type
+        order by modality, media_type
+    """,
 }

@@ -777,3 +777,45 @@ def test_apply_cdc_upsert_call_door(spark):
                   " updates => 'up_upd', key => 'k',"
                   " version_col => 'version')").collect()
     assert [(r["k"], r["val"]) for r in out] == [(1, "new")]
+
+
+# ------------------------------------------------ multimodal inventory
+
+def test_asset_profile_exact_counts(spark):
+    from puregraphdb_spark.operators.multimodal import asset_profile
+
+    rows = [
+        (1, "image", "image/png", bytearray(b"aaa")),
+        (2, "image", "image/png", bytearray(b"aaa")),   # exact dup
+        (3, "image", "image/png", bytearray(b"bbbb")),
+        (4, "image", "image/png", None),                # missing
+        (5, "audio", "audio/wav", bytearray(b"cc")),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, modality string, media_type string,"
+              " payload binary")
+    out = {(r["modality"], r["media_type"]): r for r in
+           asset_profile(df).collect()}
+    img = out[("image", "image/png")]
+    assert img["n_assets"] == 4
+    assert img["total_bytes"] == 3 + 3 + 4
+    assert img["n_distinct_payloads"] == 2
+    assert img["n_missing"] == 1
+    assert img["n_removable"] == 1            # one of the two 'aaa'
+    assert img["dup_ratio"] == 0.25
+    aud = out[("audio", "audio/wav")]
+    assert (aud["n_assets"], aud["n_removable"]) == (1, 0)
+
+
+def test_asset_profile_call_door(spark):
+    from puregraphdb_spark.engine import Engine
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark, SF_DIR)
+    spark.createDataFrame(
+        [(1, "image", "image/png", bytearray(b"x"))],
+        "asset_id long, modality string, media_type string,"
+        " payload binary",
+    ).createOrReplaceTempView("ap_assets")
+    out = eng.sql("CALL asset_profile(assets => 'ap_assets')").collect()
+    assert out[0]["n_assets"] == 1 and out[0]["total_bytes"] == 1

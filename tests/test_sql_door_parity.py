@@ -92,6 +92,7 @@ DUCKDB_ONLY = {
     "q163_selection_curve",  # string_split/unnest([..]) threshold grid
     "q166_arrival_regularity",  # epoch_us
     "q158_temporal_reach2",  # date_diff('day', ...) 3-arg signature
+    "q168_asset_profile",  # encode()/['a','b'][i] list indexing
 }
 
 ORACLES = entrymod.oracle_sql()
