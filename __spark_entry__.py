@@ -869,10 +869,10 @@ _FRONT_WINDOW = [
     # for q163/q164 — both keep r7-green records + dense property
     # coverage; a never-recorded entry outranks a re-record. They
     # lead the round-13 window TOGETHER WITH q165_join_cardinality,
-    # q166_arrival_regularity and q167_scd1_upsert, which stay out of
-    # this window so the remaining r7 cohort is not eroded further —
-    # all three carry this session's own 4-scale hash-green evidence
-    # meanwhile.)
+    # q166_arrival_regularity, q167_scd1_upsert and
+    # q168_asset_profile, which stay out of this window so the
+    # remaining r7 cohort is not eroded further — all four carry this
+    # session's own 4-scale hash-green evidence meanwhile.)
     "graph_anf", "graph_ktruss",
     "dedup_minhash_near",
     "dedup_embedding_near", "knn_ann_lsh", "knn_ann_ivf",
