@@ -682,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_arrival_regularity": events.q166_arrival_regularity,
         "q167_scd1_upsert": incremental.q167_scd1_upsert,
         "q168_asset_profile": multimodal.q168_asset_profile,
+        "q169_vector_hygiene": similarity.q169_vector_hygiene,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -4466,5 +4467,52 @@ def oracle_sql() -> dict[str, str]:
                         as decimal(28,10)), 6) as double) as dup_ratio
             from per_payload group by modality, media_type
             order by modality, media_type
+        """,
+        # Vector hygiene (q169): per-label defect census + healthy
+        # norm² extremes (list_inner_product ≡ the Spark double fold
+        # per the q80 discipline; NaN rows excluded BEFORE min/max).
+        "q169_vector_hygiene": """
+            with planted as (
+                select label,
+                       case when vec_id % 17 = 0
+                            then list_transform(embedding::DOUBLE[],
+                                                x -> 0.0)
+                            when vec_id % 23 = 0
+                            then (embedding::DOUBLE[])[1:32]
+                            when vec_id % 29 = 0
+                            then list_transform(embedding::DOUBLE[],
+                                 (x, i) -> case when i = 1
+                                           then 'NaN'::DOUBLE
+                                           else x end)
+                            else embedding::DOUBLE[] end as e
+                from embeddings),
+            feat as (
+                select label,
+                       (len(e) <> 64) as f_dim,
+                       (len(list_filter(e, x -> isnan(x)
+                                              or isinf(x))) > 0)
+                         as f_fin,
+                       list_inner_product(e, e) as n2
+                from planted),
+            flagged as (
+                select label, f_dim, f_fin,
+                       (not f_dim and not f_fin and n2 = 0.0)
+                         as f_zero,
+                       case when not f_dim and not f_fin and n2 > 0.0
+                            then n2 end as h_n2
+                from feat)
+            select label,
+                   cast(count(*) as bigint) as n_vecs,
+                   cast(sum(case when f_dim then 1 else 0 end)
+                     as bigint) as n_bad_dim,
+                   cast(sum(case when f_fin then 1 else 0 end)
+                     as bigint) as n_nonfinite,
+                   cast(sum(case when f_zero then 1 else 0 end)
+                     as bigint) as n_zero,
+                   cast(round(cast(min(h_n2) as decimal(28,8)), 6)
+                     as double) as min_norm2,
+                   cast(round(cast(max(h_n2) as decimal(28,8)), 6)
+                     as double) as max_norm2
+            from flagged group by label order by label
         """,
     }

@@ -1210,3 +1210,95 @@ def apply_entity_resolution(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("is_survivor") == 1)
         .drop("is_survivor")
     )
+
+
+def vector_hygiene_report(corpus: DataFrame, dim: int,
+                          emb_col: str = "embedding",
+                          label_col: str = "label") -> DataFrame:
+    """Vector-index pre-flight: per label, how many vectors would
+    corrupt an IVF/LSH build — wrong dimensionality (zip_with against
+    the hyperplane/centroid tables silently truncates to the shorter
+    side), non-finite elements (one NaN poisons every cosine it
+    touches), and zero vectors (cosine undefined; they land in
+    arbitrary buckets). Norm² extremes over the HEALTHY vectors close
+    the report — the quantization-range input for q76-style int8
+    scaling. Run this BEFORE kmeans_centroids/write_ivf_index; it is
+    the vector-column sibling of q117's table profile.
+
+    Determinism: per-vector norm² is the sequential double fold both
+    engines share (functions.vector discipline); min/max over rows
+    are order-independent; every count is exact. NaN never reaches a
+    min/max (Spark orders NaN greatest, DuckDB differs — the healthy
+    filter excludes non-finite vectors from the norm stats entirely,
+    which is also the semantically right report).
+
+    Scale: one map-side projection per vector + ONE shuffle to the
+    label grain with map-side combine. Vectors never cross engines,
+    never explode per-element.
+    """
+    from puregraphdb_spark.functions.numeric import decimal_round
+    from puregraphdb_spark.functions.vector import dot
+
+    e = F.col(emb_col).cast("array<double>")
+    bad_dim = F.size(emb_col) != dim
+    nonfinite = F.exists(
+        e, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))))
+    n2 = dot(emb_col, emb_col)
+    healthy = ~bad_dim & ~nonfinite
+    zero = healthy & (n2 == 0.0)
+    per = corpus.select(
+        F.col(label_col).alias("label"),
+        bad_dim.alias("f_dim"), nonfinite.alias("f_fin"),
+        zero.alias("f_zero"),
+        F.when(healthy & (n2 > 0.0), n2).alias("h_n2"),
+    )
+    cnt = lambda c: F.sum(F.col(c).cast("int")).cast("long")  # noqa: E731
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            cnt("f_dim").alias("n_bad_dim"),
+            cnt("f_fin").alias("n_nonfinite"),
+            cnt("f_zero").alias("n_zero"),
+            F.min("h_n2").alias("min_raw"),
+            F.max("h_n2").alias("max_raw"),
+        )
+        .select(
+            "label", "n_vecs", "n_bad_dim", "n_nonfinite", "n_zero",
+            decimal_round(F.col("min_raw"), 6, grid=8)
+            .alias("min_norm2"),
+            decimal_round(F.col("max_raw"), 6, grid=8)
+            .alias("max_norm2"),
+        )
+    )
+
+
+def q169_vector_hygiene(spark, sf_dir: str) -> DataFrame:
+    """ORACLED vector hygiene report at dim=64 (see
+    ``vector_hygiene_report``) with the three defect classes planted
+    deterministically (the fixture vectors are uniformly healthy):
+    %17 vectors zeroed, %23 truncated to 32 dims, %29 given a NaN
+    first element — each rule exercised for real, and each vector
+    carries at most one plant (first matching rule wins) so the
+    counts partition cleanly."""
+    from puregraphdb_spark.sources.registry import final_sort, load_table
+
+    i = F.col("vec_id")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.when(i % 17 == 0,
+               F.transform(F.col("embedding"),
+                           lambda x: F.lit(0.0)))
+        .when(i % 23 == 0, F.slice(F.col("embedding"), 1, 32)
+              .cast("array<double>"))
+        .when(i % 29 == 0,
+              F.transform(
+                  F.col("embedding").cast("array<double>"),
+                  lambda x, j: F.when(j == 0,
+                                      F.lit(float("nan")))
+                  .otherwise(x)))
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("embedding"),
+    )
+    return final_sort(vector_hygiene_report(e, dim=64), spark, sf_dir,
+                      "embeddings", "label")

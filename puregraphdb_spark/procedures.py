@@ -933,6 +933,17 @@ def _entity_resolution(spark, table: str, id_col: str,
                              max_distance=int(max_distance))
 
 
+def _vector_hygiene(spark, embeddings: str = "embeddings",
+                    dim: int = 64, emb_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    from puregraphdb_spark.operators.similarity import (
+        vector_hygiene_report)
+
+    return vector_hygiene_report(_view(spark, embeddings),
+                                 dim=int(dim), emb_col=emb_col,
+                                 label_col=label_col)
+
+
 def _asset_profile(spark, assets: str,
                    modality_col: str = "modality",
                    type_col: str = "media_type",
@@ -1247,6 +1258,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "arrival_regularity": _arrival_regularity,
     "apply_cdc_upsert": _apply_cdc_upsert,
     "asset_profile": _asset_profile,
+    "vector_hygiene": _vector_hygiene,
 }
 
 

@@ -1982,4 +1982,54 @@ SPARK_SQL: dict[str, str] = {
         from per_payload group by modality, media_type
         order by modality, media_type
     """,
+    # Vector hygiene (q169): Spark HOF spellings; same fold order.
+    "q169_vector_hygiene": """
+        with planted as (
+            select label,
+                   case when vec_id % 17 = 0
+                        then transform(cast(embedding
+                             as array<double>), x -> cast(0.0
+                             as double))
+                        when vec_id % 23 = 0
+                        then cast(slice(embedding, 1, 32)
+                             as array<double>)
+                        when vec_id % 29 = 0
+                        then transform(cast(embedding
+                             as array<double>),
+                             (x, i) -> case when i = 0
+                                       then cast('NaN' as double)
+                                       else x end)
+                        else cast(embedding as array<double>) end as e
+            from embeddings),
+        feat as (
+            select label,
+                   (size(e) <> 64) as f_dim,
+                   (size(filter(e, x -> isnan(x)
+                                    or abs(x) = cast('Infinity'
+                                                 as double))) > 0)
+                     as f_fin,
+                   aggregate(zip_with(e, e, (x, y) -> x * y),
+                             cast(0.0 as double),
+                             (acc, x) -> acc + x) as n2
+            from planted),
+        flagged as (
+            select label, f_dim, f_fin,
+                   (not f_dim and not f_fin and n2 = 0.0) as f_zero,
+                   case when not f_dim and not f_fin and n2 > 0.0
+                        then n2 end as h_n2
+            from feat)
+        select label,
+               cast(count(*) as bigint) as n_vecs,
+               cast(sum(case when f_dim then 1 else 0 end) as bigint)
+                 as n_bad_dim,
+               cast(sum(case when f_fin then 1 else 0 end) as bigint)
+                 as n_nonfinite,
+               cast(sum(case when f_zero then 1 else 0 end)
+                 as bigint) as n_zero,
+               cast(round(cast(min(h_n2) as decimal(28,8)), 6)
+                 as double) as min_norm2,
+               cast(round(cast(max(h_n2) as decimal(28,8)), 6)
+                 as double) as max_norm2
+        from flagged group by label order by label
+    """,
 }

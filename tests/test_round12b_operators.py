@@ -819,3 +819,55 @@ def test_asset_profile_call_door(spark):
     ).createOrReplaceTempView("ap_assets")
     out = eng.sql("CALL asset_profile(assets => 'ap_assets')").collect()
     assert out[0]["n_assets"] == 1 and out[0]["total_bytes"] == 1
+
+
+# ---------------------------------------------------- vector hygiene
+
+def test_vector_hygiene_defect_classes(spark):
+    from puregraphdb_spark.operators.similarity import (
+        vector_hygiene_report)
+
+    rows = [
+        (1, [3.0, 4.0], 0),              # healthy, norm2 = 25
+        (2, [0.0, 0.0], 0),              # zero vector
+        (3, [1.0, float("nan")], 0),     # non-finite
+        (4, [1.0, 2.0, 3.0], 0),         # wrong dim
+        (5, [1.0, 0.0], 0),              # healthy, norm2 = 1
+        (6, [float("inf"), 0.0], 1),     # non-finite (inf)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    out = {r["label"]: r for r in
+           vector_hygiene_report(df, dim=2).collect()}
+    r0 = out[0]
+    assert r0["n_vecs"] == 5
+    assert r0["n_bad_dim"] == 1
+    assert r0["n_nonfinite"] == 1
+    assert r0["n_zero"] == 1
+    assert r0["min_norm2"] == 1.0 and r0["max_norm2"] == 25.0
+    r1 = out[1]
+    assert r1["n_nonfinite"] == 1
+    assert r1["min_norm2"] is None  # no healthy vectors in label 1
+
+
+def test_vector_hygiene_clean_corpus_all_healthy(spark):
+    from puregraphdb_spark.operators.similarity import (
+        vector_hygiene_report)
+    from puregraphdb_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = vector_hygiene_report(emb, dim=64).collect()
+    assert all(r["n_bad_dim"] == 0 and r["n_nonfinite"] == 0
+               and r["n_zero"] == 0 for r in out)
+    assert all(r["min_norm2"] > 0 for r in out)
+
+
+def test_vector_hygiene_call_door(spark):
+    from puregraphdb_spark.engine import Engine
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark, SF_DIR)
+    out = eng.sql("CALL vector_hygiene(embeddings => 'embeddings',"
+                  " dim => 64)")
+    assert out.count() > 0 and "n_nonfinite" in out.columns

@@ -93,6 +93,7 @@ DUCKDB_ONLY = {
     "q166_arrival_regularity",  # epoch_us
     "q158_temporal_reach2",  # date_diff('day', ...) 3-arg signature
     "q168_asset_profile",  # encode()/['a','b'][i] list indexing
+    "q169_vector_hygiene",  # ::DOUBLE[]/list_inner_product/isinf
 }
 
 ORACLES = entrymod.oracle_sql()
