@@ -870,9 +870,9 @@ _FRONT_WINDOW = [
     # for q163/q164 — both keep r7-green records + dense property
     # coverage; a never-recorded entry outranks a re-record. They
     # lead the round-13 window TOGETHER WITH q165_join_cardinality,
-    # q166_arrival_regularity, q167_scd1_upsert and
-    # q168_asset_profile, which stay out of this window so the
-    # remaining r7 cohort is not eroded further — all four carry this
+    # q166_arrival_regularity, q167_scd1_upsert, q168_asset_profile
+    # and q169_vector_hygiene, which stay out of this window so the
+    # remaining r7 cohort is not eroded further — all five carry this
     # session's own 4-scale hash-green evidence meanwhile.)
     "graph_anf", "graph_ktruss",
     "dedup_minhash_near",
