@@ -610,17 +610,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``_FRONT_WINDOW`` list below IS the rotation — the literal dict
     keeps a stable canonical order and the return reorders it.
 
-    Round-12 window (per VERDICT r11 item 1): the NINE new round-12
-    entries (q151-q157, semantic_dedup, entity_resolution — never
-    recorded by construction) lead, then the FULL 34-entry cohort
-    whose newest driver record is r7 — the stalest evidence on the
-    board (rows-only graph/text/dedup/knn ops + oracled q99-q123) —
-    topped up to exactly 50 with the oldest r9 entries (q125-q130 +
-    node2vec_walks, the VERDICT-named re-record). Everything after
-    slot 50 retains a driver-green row from r9-r11. Round-13
-    rotation: the r9 remainder (q131-q136, heavy_hitter_tokens,
-    graph_coreness, approx_quantiles_prices, q138-q144, q01-q24),
-    then r10.
+    Round-13 window (per VERDICT r12 item 1): the five entries that
+    landed after the r12 driver pass (q165-q169, never recorded by
+    construction) lead, then the last two r7-stale records
+    (text_profile / text_quality_report), then the oldest-r9 cohort
+    topped to exactly 50. New round-13 entries slot in after the
+    seven leaders, displacing tail r9 fill (which keeps r9-green
+    records). Everything after slot 50 retains a driver-green row
+    from r9-r12. Round-14 rotation: the r9 remainder (q21-q24 + any
+    displaced this round), then the r10 cohort.
     """
     table = {
         # -- 14 entries needing a (re-)record: the r7 err fix first --
@@ -852,51 +850,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-#: Round-12 driver window (first 50 entries the driver records).
-#: Per VERDICT r11 item 1: the 34 entries whose newest driver record
-#: is r7 (now the stalest evidence on the board), topped up to exactly
-#: 50 with the oldest r9 entries. NEW round-12 entries go at the very
-#: front (never recorded, by construction) and displace the tail r9
-#: top-ups, which already hold r9-green records.
+#: Round-13 driver window (first 50 entries the driver records).
+#: Per VERDICT r12 item 1: the five round-12-continuation entries
+#: that landed after the r12 driver pass (q165-q169 — never recorded,
+#: by construction), then the last two r7-stale entries
+#: (text_profile / text_quality_report, displaced from the r12
+#: window by late-landing q163/q164), then the oldest-r9 cohort
+#: topped to exactly 50. NEW round-13 entries are inserted right
+#: after the seven leaders and displace the TAIL r9 fill (q2x), which
+#: already holds r9-green records — a never-recorded entry outranks
+#: a re-record on evidence value. After this round no entry's newest
+#: driver record predates r9.
 _FRONT_WINDOW = [
-    # NEW round-12 entries (never recorded, by construction)
-    "q151_hash_semantic_dedup", "semantic_dedup",
-    "q152_tokenizer_fertility", "q153_provenance_dedup",
-    "q154_bm25_topk", "q155_profile_drift", "entity_resolution",
-    "q156_dedup_keepers", "q157_shingle_compressibility",
-    "graph_temporal_reach", "q158_temporal_reach2",
-    # r7-stale cohort: rows-only ops recorded last in r7.
-    # (text_profile and text_quality_report rotated OUT to make room
-    # for q163/q164 — both keep r7-green records + dense property
-    # coverage; a never-recorded entry outranks a re-record. They
-    # lead the round-13 window TOGETHER WITH q165_join_cardinality,
-    # q166_arrival_regularity, q167_scd1_upsert, q168_asset_profile
-    # and q169_vector_hygiene, which stay out of this window so the
-    # remaining r7 cohort is not eroded further — all five carry this
-    # session's own 4-scale hash-green evidence meanwhile.)
-    "graph_anf", "graph_ktruss",
-    "dedup_minhash_near",
-    "dedup_embedding_near", "knn_ann_lsh", "knn_ann_ivf",
-    "approx_distinct_parts",
-    # r7-stale cohort: oracled q99-q123
-    "q99_modularity", "q100_link_prediction", "q101_attribution",
-    "q102_boilerplate_shingles", "q103_graph_growth",
-    "q104_markov_transitions", "q105_rfm_segments",
-    "q106_cooccur_lift", "q107_session_paths",
-    "q108_reorder_intervals", "q109_cohort_ltv", "q110_mad_outliers",
-    "q111_degree_histogram", "q112_weighted_sample",
-    "q113_snapshot_diff", "q114_fuzzy_name_pairs",
-    "q115_rolling_actives", "q116_ab_split_conversion",
-    "q117_table_profile", "q118_fk_integrity", "q119_decile_gains",
-    "q120_scd2_intervals", "q121_autocorr", "q122_weighted_median",
-    "q123_interval_union",
-    # round-12 continuation entries (never recorded, by construction)
-    # — these displace the r9 top-ups (q125-q128, node2vec_walks),
-    # which already hold r9-green driver records: a never-recorded
-    # entry outranks a re-record on evidence value.
-    "q159_cusum_changepoint", "q160_lm_transition_score",
-    "q161_k_anonymity", "q162_gopher_rules", "ann_recall_report",
-    "q163_selection_curve", "q164_incremental_agg",
+    # never recorded (landed after the r12 driver pass)
+    "q165_join_cardinality", "q166_arrival_regularity",
+    "q167_scd1_upsert", "q168_asset_profile", "q169_vector_hygiene",
+    # the last two r7 records on the board
+    "text_profile", "text_quality_report",
+    # NEW round-13 entries slot HERE as they land.
+    # oldest-r9 fill: VERDICT-named singles first, then the r8/r9
+    # pipeline cohort, then q01-q24 (tail = displacement zone; the
+    # four r9 entries that do not fit this window — q21-q24 — roll
+    # to round 14 with their r9-green records intact).
+    "heavy_hitter_tokens", "graph_coreness",
+    "approx_quantiles_prices", "node2vec_walks",
+    "q125_sorted_neighborhood", "q126_token_diversity",
+    "q127_asof_forward", "q128_gini_concentration",
+    "q129_hhi_segments", "q130_bounce_rate",
+    "q131_dup_cluster_histogram", "q132_funnel_latency",
+    "q133_chi_square", "q134_cross_source_shingles",
+    "q135_anomaly_mad_ts", "q136_winsorized_stats",
+    "q138_seasonal_dow", "q139_class_balance_plan",
+    "q140_burst_detection", "q141_split_contamination",
+    "q142_vocab_growth", "q143_seasonal_burst", "q144_dedup_impact",
+    "q01_filter_project", "q02_agg_pricing_summary",
+    "q03_distinct_count", "q04_rollup", "q05_join_topk_revenue",
+    "q06_join_5way", "q07_anti_join", "q08_semi_join",
+    "q09_left_outer", "q10_range_join", "q11_window_rank",
+    "q12_window_running", "q13_window_lag_delta", "q14_setops",
+    "q15_union_except", "q16_topk_parts", "q17_percentile",
+    "q18_string_date_funcs", "q19_case_math", "q20_tumbling_window",
 ]
 
 
