@@ -25,6 +25,7 @@ from puregraphdb_spark.operators import (
     pii, pipeline, profile, relational, similarity, sketch, skew, text,
 )
 from puregraphdb_spark.sources.registry import load_table
+from puregraphdb_spark.sql_fragments import LM_SCORED_CTES_DUCKDB
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4057,7 +4058,7 @@ def oracle_sql() -> dict[str, str]:
             with planted as (
                 select ts, event_type,
                        value + case when event_type in ('view','purchase')
-                                     and dayofyear(ts) > 15
+                                     and ts >= timestamp '2024-01-16'
                                     then 2.5 else 0.0 end as value
                 from events),
             daily as (
@@ -4100,44 +4101,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # LM transition score (q160): same rational arithmetic — the
         # only divisions are final snapped quotients of exact bigints.
-        "q160_lm_transition_score": """
-            with planted as (
-                select doc_id, source,
-                       case when doc_id % 41 = 0
-                            then concat(text, ' zq',
-                                        cast(doc_id % 7 as string),
-                                        ' xv',
-                                        cast(doc_id % 5 as string))
-                            else text end as text
-                from documents),
-            tok as (
-                select doc_id, source,
-                       list_filter(string_split(lower(text), ' '),
-                                   t -> t <> '') as toks
-                from planted),
-            bg as (
-                select doc_id, source, toks[i] as w1, toks[i+1] as w2
-                from tok, unnest(generate_series(1, len(toks) - 1))
-                          as g(i)
-                where len(toks) >= 2),
-            per_doc_bg as (
-                select doc_id, source, w1, w2,
-                       cast(count(*) as bigint) as m
-                from bg group by 1, 2, 3, 4),
-            model as (
-                select w1, w2, cast(sum(m) as bigint) as cb,
-                       cast(sum(sum(m)) over (partition by w1)
-                         as bigint) as cu
-                from per_doc_bg group by w1, w2),
-            scored as (
-                select doc_id, source,
-                       cast(sum(m * cb) as bigint) as num,
-                       cast(sum(m * cu) as bigint) as den,
-                       cast(sum(m) as bigint) as n_trans,
-                       cast(sum(m * cb) as double)
-                         / cast(sum(m * cu) as double) as score
-                from per_doc_bg join model using (w1, w2)
-                group by 1, 2)
+        # LM transition score (q160): the scored-relation CTE chain
+        # is the SHARED fragment (sql_fragments.py) composed into
+        # q160 AND q163 in both dialects — edit it once, everywhere.
+        "q160_lm_transition_score": LM_SCORED_CTES_DUCKDB + """
             select source,
                    cast(count(*) as bigint) as n_docs,
                    cast(sum(n_trans) as bigint) as n_transitions,
@@ -4241,44 +4208,10 @@ def oracle_sql() -> dict[str, str]:
                      as reject_ratio
             from flags group by source order by source
         """,
-        # Selection curve (q163): q160's scored relation swept over a
-        # fixed cutoff grid — identical double literals both engines.
-        "q163_selection_curve": """
-            with planted as (
-                select doc_id, source,
-                       case when doc_id % 41 = 0
-                            then concat(text, ' zq',
-                                        cast(doc_id % 7 as string),
-                                        ' xv',
-                                        cast(doc_id % 5 as string))
-                            else text end as text
-                from documents),
-            tok as (
-                select doc_id, source,
-                       list_filter(string_split(lower(text), ' '),
-                                   t -> t <> '') as toks
-                from planted),
-            bg as (
-                select doc_id, source, toks[i] as w1, toks[i+1] as w2
-                from tok, unnest(generate_series(1, len(toks) - 1))
-                          as g(i)
-                where len(toks) >= 2),
-            per_doc_bg as (
-                select doc_id, source, w1, w2,
-                       cast(count(*) as bigint) as m
-                from bg group by 1, 2, 3, 4),
-            model as (
-                select w1, w2, cast(sum(m) as bigint) as cb,
-                       cast(sum(sum(m)) over (partition by w1)
-                         as bigint) as cu
-                from per_doc_bg group by w1, w2),
-            scored as (
-                select doc_id, source,
-                       cast(sum(m) as bigint) as n_trans,
-                       cast(sum(m * cb) as double)
-                         / cast(sum(m * cu) as double) as score
-                from per_doc_bg join model using (w1, w2)
-                group by 1, 2),
+        # Selection curve (q163): q160's SHARED scored relation
+        # (sql_fragments.py) swept over a fixed cutoff grid —
+        # identical double literals both engines.
+        "q163_selection_curve": LM_SCORED_CTES_DUCKDB + """,
             thr as (
                 select unnest([cast(0.02 as double),
                                cast(0.03 as double),
@@ -4463,7 +4396,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Vector hygiene (q169): per-label defect census + healthy
         # norm² extremes (list_inner_product ≡ the Spark double fold
-        # per the q80 discipline; NaN rows excluded BEFORE min/max).
+        # per the q80 discipline; NaN rows excluded BEFORE min/max;
+        # NULL vectors are their own class per ADVICE r12).
         "q169_vector_hygiene": """
             with planted as (
                 select label,
@@ -4477,25 +4411,32 @@ def oracle_sql() -> dict[str, str]:
                                  (x, i) -> case when i = 1
                                            then 'NaN'::DOUBLE
                                            else x end)
+                            when vec_id % 31 = 0
+                            then NULL
                             else embedding::DOUBLE[] end as e
                 from embeddings),
             feat as (
                 select label,
-                       (len(e) <> 64) as f_dim,
-                       (len(list_filter(e, x -> isnan(x)
+                       (e is null) as f_null,
+                       (e is not null and len(e) <> 64) as f_dim,
+                       (e is not null
+                        and len(list_filter(e, x -> isnan(x)
                                               or isinf(x))) > 0)
                          as f_fin,
                        list_inner_product(e, e) as n2
                 from planted),
             flagged as (
-                select label, f_dim, f_fin,
-                       (not f_dim and not f_fin and n2 = 0.0)
-                         as f_zero,
-                       case when not f_dim and not f_fin and n2 > 0.0
+                select label, f_null, f_dim, f_fin,
+                       (not f_null and not f_dim and not f_fin
+                        and n2 = 0.0) as f_zero,
+                       case when not f_null and not f_dim
+                                 and not f_fin and n2 > 0.0
                             then n2 end as h_n2
                 from feat)
             select label,
                    cast(count(*) as bigint) as n_vecs,
+                   cast(sum(case when f_null then 1 else 0 end)
+                     as bigint) as n_null,
                    cast(sum(case when f_dim then 1 else 0 end)
                      as bigint) as n_bad_dim,
                    cast(sum(case when f_fin then 1 else 0 end)

@@ -1184,16 +1184,21 @@ def q159_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cusum_changepoint``). The fixture value column is stationary by
     construction, so a deterministic level shift is planted from
     event_id arithmetic (the q146/q152 synthetic-plant discipline):
-    events after day 15 of the 30-day fixture calendar get +2.5 added
-    for two of the five types — the CUSUM argmax then lands on a real
-    shift boundary for those types and on noise-scale peaks for the
-    rest, exercising both regimes cross-engine."""
+    events from 2024-01-16 on (a FIXED boundary literal, the q155
+    discipline — ADVICE r12: dayofyear(ts) > 15 was only a mid-series
+    split because the fixture happens to span January; a calendar
+    move would silently turn the plant all-or-nothing with the oracle
+    still matching) get +2.5 added for two of the five types — the
+    CUSUM argmax then lands on a real shift boundary for those types
+    and on noise-scale peaks for the rest, exercising both regimes
+    cross-engine."""
     ev = load_table(spark, sf_dir, "events").select(
         "ts", "event_type",
         (F.col("value")
          + F.when(
              F.col("event_type").isin("view", "purchase")
-             & (F.dayofyear("ts") > 15), F.lit(2.5))
+             & (F.col("ts") >= F.lit("2024-01-16").cast("timestamp")),
+             F.lit(2.5))
          .otherwise(F.lit(0.0))).alias("value"),
     )
     return final_sort(cusum_changepoint(ev), spark, sf_dir, "events",

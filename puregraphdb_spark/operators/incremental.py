@@ -77,9 +77,12 @@ def incremental_agg_refresh(old_agg: DataFrame, inserts: DataFrame,
     Groups whose refreshed count reaches 0 are dropped (fully deleted);
     groups born in this batch appear with their delta values. Callers
     must pass deletes that are actual members of the maintained
-    snapshot — CDC streams guarantee this; a delete for an absent row
-    would drive ``n`` negative, which fails loudly downstream rather
-    than silently corrupting sums.
+    snapshot — CDC streams guarantee this. A delete for an absent row
+    would drive ``n`` negative; the refresh RAISES on any negative
+    refreshed count (ADVICE r12: the previous ``n > 0`` filter let a
+    lone bad delete vanish and partial over-deletes silently
+    undercount — a contract violation must stop the refresh, not
+    shrink the rollup).
     """
     d = delta_aggregate(inserts, deletes, keys, measures)
     names = ["n"] + list(measures)
@@ -93,9 +96,17 @@ def incremental_agg_refresh(old_agg: DataFrame, inserts: DataFrame,
     merged = pick(old_agg, "o").join(pick(d, "d"), keys, "full_outer")
     out_cols = list(keys)
     zero = F.lit(0)
+    n_new = (F.coalesce(F.col("n_o"), zero)
+             + F.coalesce(F.col("n_d"), zero)).cast("long")
+    # The guard is folded into the kept/filtered column so Catalyst
+    # cannot prune it away; it costs one branch per group row.
     out_cols.append(
-        (F.coalesce(F.col("n_o"), zero) + F.coalesce(F.col("n_d"), zero))
-        .cast("long").alias("n"))
+        F.when(n_new < 0, F.raise_error(F.concat(
+            F.lit("incremental_agg_refresh: refreshed count went "
+                  "negative (delete for a row absent from the "
+                  "snapshot) for group "),
+            F.to_json(F.struct(*keys)))).cast("long"))
+        .otherwise(n_new).alias("n"))
     for name, (_, scale) in measures.items():
         z = F.lit(0).cast(_sum_type(scale))
         out_cols.append(
@@ -157,9 +168,11 @@ def apply_cdc_upsert(dim: DataFrame, updates: DataFrame, key: str,
 
     ``version_col`` must be unique per key WITHIN the batch (CDC
     streams carry an LSN/sequence that guarantees this); equal
-    versions would make the winner undefined, so the row_number
-    tiebreak orders by the version alone on purpose — a silent
-    arbitrary winner is worse than a loud review of the batch.
+    versions make the winner undefined, so a tie AT THE WINNING
+    POSITION raises (ADVICE r12: ordering by version alone used to
+    pick a nondeterministic winner silently — the loud review of the
+    batch the contract promises actually happens now). The check is
+    a ``lead`` over the same window — same shuffle, no extra pass.
 
     Scale: the untouched side is ONE left-anti join of the dimension
     against the batch's distinct keys (broadcast when the batch is
@@ -171,15 +184,27 @@ def apply_cdc_upsert(dim: DataFrame, updates: DataFrame, key: str,
     """
     from pyspark.sql import Window
 
+    w = Window.partitionBy(key).orderBy(F.col(version_col).desc())
+    # Fold the duplicate-version guard into the KEPT key column so
+    # Catalyst cannot prune the check away: if the winning row's
+    # version equals the runner-up's, the winner is arbitrary — raise.
     latest = (
-        updates.withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(key)
-                .orderBy(F.col(version_col).desc())),
-        )
+        updates.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__next_v", F.lead(version_col).over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .withColumn(
+            key,
+            F.when(
+                F.col("__next_v").isNotNull()
+                & (F.col("__next_v") == F.col(version_col)),
+                F.raise_error(F.concat(
+                    F.lit("apply_cdc_upsert: duplicate "),
+                    F.lit(f"({key}, {version_col})"),
+                    F.lit(" pair in batch for key "),
+                    F.col(key).cast("string"),
+                    F.lit(" — winner would be nondeterministic"))))
+            .otherwise(F.col(key)))
+        .drop("__rn", "__next_v")
     )
     untouched = dim.join(updates.select(key).distinct(), key,
                          "left_anti")

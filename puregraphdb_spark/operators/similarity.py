@@ -1232,6 +1232,14 @@ def vector_hygiene_report(corpus: DataFrame, dim: int,
     filter excludes non-finite vectors from the norm stats entirely,
     which is also the semantically right report).
 
+    NULL vectors are their own defect class (``n_null``): size(NULL),
+    exists(NULL) and dot(NULL) all yield NULL, so without the
+    explicit flag a NULL embedding would increment ``n_vecs`` yet
+    land in NO bucket and the pre-flight would report clean while an
+    IVF/LSH build over the column still breaks (ADVICE r12). Every
+    flag below is guarded by ``~is_null`` so the classes stay a
+    partition of the defect space.
+
     Scale: one map-side projection per vector + ONE shuffle to the
     label grain with map-side combine. Vectors never cross engines,
     never explode per-element.
@@ -1240,14 +1248,16 @@ def vector_hygiene_report(corpus: DataFrame, dim: int,
     from puregraphdb_spark.functions.vector import dot
 
     e = F.col(emb_col).cast("array<double>")
-    bad_dim = F.size(emb_col) != dim
-    nonfinite = F.exists(
+    is_null = F.col(emb_col).isNull()
+    bad_dim = ~is_null & (F.size(emb_col) != dim)
+    nonfinite = ~is_null & F.exists(
         e, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))))
     n2 = dot(emb_col, emb_col)
-    healthy = ~bad_dim & ~nonfinite
+    healthy = ~is_null & ~bad_dim & ~nonfinite
     zero = healthy & (n2 == 0.0)
     per = corpus.select(
         F.col(label_col).alias("label"),
+        is_null.alias("f_null"),
         bad_dim.alias("f_dim"), nonfinite.alias("f_fin"),
         zero.alias("f_zero"),
         F.when(healthy & (n2 > 0.0), n2).alias("h_n2"),
@@ -1257,6 +1267,7 @@ def vector_hygiene_report(corpus: DataFrame, dim: int,
         per.groupBy("label")
         .agg(
             F.count("*").cast("long").alias("n_vecs"),
+            cnt("f_null").alias("n_null"),
             cnt("f_dim").alias("n_bad_dim"),
             cnt("f_fin").alias("n_nonfinite"),
             cnt("f_zero").alias("n_zero"),
@@ -1264,7 +1275,8 @@ def vector_hygiene_report(corpus: DataFrame, dim: int,
             F.max("h_n2").alias("max_raw"),
         )
         .select(
-            "label", "n_vecs", "n_bad_dim", "n_nonfinite", "n_zero",
+            "label", "n_vecs", "n_null", "n_bad_dim", "n_nonfinite",
+            "n_zero",
             decimal_round(F.col("min_raw"), 6, grid=8)
             .alias("min_norm2"),
             decimal_round(F.col("max_raw"), 6, grid=8)
@@ -1275,12 +1287,12 @@ def vector_hygiene_report(corpus: DataFrame, dim: int,
 
 def q169_vector_hygiene(spark, sf_dir: str) -> DataFrame:
     """ORACLED vector hygiene report at dim=64 (see
-    ``vector_hygiene_report``) with the three defect classes planted
+    ``vector_hygiene_report``) with the four defect classes planted
     deterministically (the fixture vectors are uniformly healthy):
     %17 vectors zeroed, %23 truncated to 32 dims, %29 given a NaN
-    first element — each rule exercised for real, and each vector
-    carries at most one plant (first matching rule wins) so the
-    counts partition cleanly."""
+    first element, %31 nulled outright — each rule exercised for
+    real, and each vector carries at most one plant (first matching
+    rule wins) so the counts partition cleanly."""
     from puregraphdb_spark.sources.registry import final_sort, load_table
 
     i = F.col("vec_id")
@@ -1297,6 +1309,7 @@ def q169_vector_hygiene(spark, sf_dir: str) -> DataFrame:
                   lambda x, j: F.when(j == 0,
                                       F.lit(float("nan")))
                   .otherwise(x)))
+        .when(i % 31 == 0, F.lit(None).cast("array<double>"))
         .otherwise(F.col("embedding").cast("array<double>"))
         .alias("embedding"),
     )

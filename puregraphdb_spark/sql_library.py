@@ -15,6 +15,8 @@ those with the shared text.
 
 from __future__ import annotations
 
+from puregraphdb_spark.sql_fragments import LM_SCORED_CTES_SPARKSQL
+
 #: name -> Spark SQL (run over the Engine's registered temp views)
 SPARK_SQL: dict[str, str] = {
     "q20_tumbling_window": """
@@ -1699,48 +1701,10 @@ SPARK_SQL: dict[str, str] = {
         from per_sh group by source order by source
     """,
     # LM transition score (q160): Spark HOF bigram formation, same
-    # rational arithmetic as the DataFrame door.
-    "q160_lm_transition_score": """
-        with planted as (
-            select doc_id, source,
-                   case when doc_id % 41 = 0
-                        then concat(text, ' zq',
-                                    cast(doc_id % 7 as string),
-                                    ' xv', cast(doc_id % 5 as string))
-                        else text end as text
-            from documents),
-        tok as (
-            select doc_id, source,
-                   filter(split(lower(text), ' '), t -> t != '')
-                     as toks
-            from planted),
-        bg as (
-            select doc_id, source, bgs.w1 as w1, bgs.w2 as w2
-            from (select doc_id, source,
-                         explode(transform(
-                             slice(toks, 1, size(toks) - 1),
-                             (w, i) -> struct(w as w1,
-                                              toks[i + 1] as w2)))
-                           as bgs
-                  from tok where size(toks) >= 2)),
-        per_doc_bg as (
-            select doc_id, source, w1, w2,
-                   cast(count(*) as bigint) as m
-            from bg group by 1, 2, 3, 4),
-        model as (
-            select w1, w2, cast(sum(m) as bigint) as cb,
-                   cast(sum(sum(m)) over (partition by w1)
-                     as bigint) as cu
-            from per_doc_bg group by w1, w2),
-        scored as (
-            select doc_id, source,
-                   cast(sum(m * cb) as bigint) as num,
-                   cast(sum(m * cu) as bigint) as den,
-                   cast(sum(m) as bigint) as n_trans,
-                   cast(sum(m * cb) as double)
-                     / cast(sum(m * cu) as double) as score
-            from per_doc_bg join model using (w1, w2)
-            group by 1, 2)
+    # rational arithmetic as the DataFrame door. The scored-relation
+    # CTE chain is the SHARED fragment (sql_fragments.py) composed
+    # into q160 AND q163 — edit it once, everywhere.
+    "q160_lm_transition_score": LM_SCORED_CTES_SPARKSQL + """
         select source,
                cast(count(*) as bigint) as n_docs,
                cast(sum(n_trans) as bigint) as n_transitions,
@@ -1814,47 +1778,9 @@ SPARK_SQL: dict[str, str] = {
                     as decimal(28,10)), 6) as double) as reject_ratio
         from flags group by source order by source
     """,
-    # Selection curve (q163): q160's Spark-dialect scored relation
-    # swept over the explode()d cutoff grid.
-    "q163_selection_curve": """
-        with planted as (
-            select doc_id, source,
-                   case when doc_id % 41 = 0
-                        then concat(text, ' zq',
-                                    cast(doc_id % 7 as string),
-                                    ' xv', cast(doc_id % 5 as string))
-                        else text end as text
-            from documents),
-        tok as (
-            select doc_id, source,
-                   filter(split(lower(text), ' '), t -> t != '')
-                     as toks
-            from planted),
-        bg as (
-            select doc_id, source, bgs.w1 as w1, bgs.w2 as w2
-            from (select doc_id, source,
-                         explode(transform(
-                             slice(toks, 1, size(toks) - 1),
-                             (w, i) -> struct(w as w1,
-                                              toks[i + 1] as w2)))
-                           as bgs
-                  from tok where size(toks) >= 2)),
-        per_doc_bg as (
-            select doc_id, source, w1, w2,
-                   cast(count(*) as bigint) as m
-            from bg group by 1, 2, 3, 4),
-        model as (
-            select w1, w2, cast(sum(m) as bigint) as cb,
-                   cast(sum(sum(m)) over (partition by w1)
-                     as bigint) as cu
-            from per_doc_bg group by w1, w2),
-        scored as (
-            select doc_id, source,
-                   cast(sum(m) as bigint) as n_trans,
-                   cast(sum(m * cb) as double)
-                     / cast(sum(m * cu) as double) as score
-            from per_doc_bg join model using (w1, w2)
-            group by 1, 2),
+    # Selection curve (q163): q160's SHARED Spark-dialect scored
+    # relation (sql_fragments.py) swept over the explode()d grid.
+    "q163_selection_curve": LM_SCORED_CTES_SPARKSQL + """,
         thr as (
             select explode(array(cast(0.02 as double),
                                  cast(0.03 as double),
@@ -1983,6 +1909,7 @@ SPARK_SQL: dict[str, str] = {
         order by modality, media_type
     """,
     # Vector hygiene (q169): Spark HOF spellings; same fold order.
+    # NULL vectors are their own defect class (ADVICE r12).
     "q169_vector_hygiene": """
         with planted as (
             select label,
@@ -1999,12 +1926,16 @@ SPARK_SQL: dict[str, str] = {
                              (x, i) -> case when i = 0
                                        then cast('NaN' as double)
                                        else x end)
+                        when vec_id % 31 = 0
+                        then cast(NULL as array<double>)
                         else cast(embedding as array<double>) end as e
             from embeddings),
         feat as (
             select label,
-                   (size(e) <> 64) as f_dim,
-                   (size(filter(e, x -> isnan(x)
+                   (e is null) as f_null,
+                   (e is not null and size(e) <> 64) as f_dim,
+                   (e is not null
+                    and size(filter(e, x -> isnan(x)
                                     or abs(x) = cast('Infinity'
                                                  as double))) > 0)
                      as f_fin,
@@ -2013,13 +1944,17 @@ SPARK_SQL: dict[str, str] = {
                              (acc, x) -> acc + x) as n2
             from planted),
         flagged as (
-            select label, f_dim, f_fin,
-                   (not f_dim and not f_fin and n2 = 0.0) as f_zero,
-                   case when not f_dim and not f_fin and n2 > 0.0
+            select label, f_null, f_dim, f_fin,
+                   (not f_null and not f_dim and not f_fin
+                    and n2 = 0.0) as f_zero,
+                   case when not f_null and not f_dim and not f_fin
+                             and n2 > 0.0
                         then n2 end as h_n2
             from feat)
         select label,
                cast(count(*) as bigint) as n_vecs,
+               cast(sum(case when f_null then 1 else 0 end)
+                 as bigint) as n_null,
                cast(sum(case when f_dim then 1 else 0 end) as bigint)
                  as n_bad_dim,
                cast(sum(case when f_fin then 1 else 0 end) as bigint)

@@ -583,6 +583,24 @@ def test_incremental_refresh_drops_dead_and_births_new(spark):
     assert out == {"stays": (1, 2.0), "born": (1, 3.25)}
 
 
+def test_incremental_refresh_raises_on_negative_count(spark):
+    # ADVICE r12: a delete for an absent row must stop the refresh
+    # loudly, not vanish through the n > 0 filter.
+    import pytest
+
+    from puregraphdb_spark.operators.incremental import (
+        incremental_agg_refresh, snapshot_aggregate)
+
+    schema = "k string, v double"
+    base = spark.createDataFrame([("x", 1.0)], schema)
+    ins = spark.createDataFrame([], schema)
+    dels = spark.createDataFrame([("ghost", 9.0)], schema)  # not in base
+    old = snapshot_aggregate(base, ["k"], {"s": ("v", 2)})
+    with pytest.raises(Exception, match="negative"):
+        incremental_agg_refresh(old, ins, dels, ["k"],
+                                {"s": ("v", 2)}).collect()
+
+
 def test_incremental_refresh_call_door(spark):
     from puregraphdb_spark.engine import Engine
     from puregraphdb_spark.operators.incremental import (
@@ -763,6 +781,27 @@ def test_apply_cdc_upsert_matches_naive_recompute_hypothesis(spark):
     run()
 
 
+def test_apply_cdc_upsert_raises_on_tied_winner(spark):
+    # ADVICE r12: equal versions at the winning position used to pick
+    # a nondeterministic winner silently — now the batch is rejected.
+    import pytest
+
+    from puregraphdb_spark.operators.incremental import apply_cdc_upsert
+
+    schema = "k long, val string, version long"
+    dim = spark.createDataFrame([(1, "old", 0)], schema)
+    tied = spark.createDataFrame(
+        [(1, "a", 5), (1, "b", 5)], schema)  # duplicate (key, version)
+    with pytest.raises(Exception, match="nondeterministic"):
+        apply_cdc_upsert(dim, tied, "k", "version").collect()
+    # a tie BELOW the winner does not corrupt the result: versions
+    # (1, 1, 2) have a unique maximum and must pass.
+    ok = spark.createDataFrame(
+        [(1, "l1a", 1), (1, "l1b", 1), (1, "top", 2)], schema)
+    out = apply_cdc_upsert(dim, ok, "k", "version").collect()
+    assert [(r["k"], r["val"]) for r in out] == [(1, "top")]
+
+
 def test_apply_cdc_upsert_call_door(spark):
     from puregraphdb_spark.engine import Engine
     from tests.conftest import SF_DIR
@@ -833,20 +872,26 @@ def test_vector_hygiene_defect_classes(spark):
         (3, [1.0, float("nan")], 0),     # non-finite
         (4, [1.0, 2.0, 3.0], 0),         # wrong dim
         (5, [1.0, 0.0], 0),              # healthy, norm2 = 1
-        (6, [float("inf"), 0.0], 1),     # non-finite (inf)
+        (6, None, 0),                    # NULL vector (ADVICE r12)
+        (7, [float("inf"), 0.0], 1),     # non-finite (inf)
     ]
     df = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>, label int")
     out = {r["label"]: r for r in
            vector_hygiene_report(df, dim=2).collect()}
     r0 = out[0]
-    assert r0["n_vecs"] == 5
+    assert r0["n_vecs"] == 6
+    assert r0["n_null"] == 1
     assert r0["n_bad_dim"] == 1
     assert r0["n_nonfinite"] == 1
     assert r0["n_zero"] == 1
+    # the defect classes + healthy partition n_vecs exactly: a NULL
+    # vector may not vanish from the census (ADVICE r12).
+    assert (r0["n_null"] + r0["n_bad_dim"] + r0["n_nonfinite"]
+            + r0["n_zero"]) == 4   # 6 vecs - 2 healthy
     assert r0["min_norm2"] == 1.0 and r0["max_norm2"] == 25.0
     r1 = out[1]
-    assert r1["n_nonfinite"] == 1
+    assert r1["n_nonfinite"] == 1 and r1["n_null"] == 0
     assert r1["min_norm2"] is None  # no healthy vectors in label 1
 
 
@@ -859,7 +904,7 @@ def test_vector_hygiene_clean_corpus_all_healthy(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     out = vector_hygiene_report(emb, dim=64).collect()
     assert all(r["n_bad_dim"] == 0 and r["n_nonfinite"] == 0
-               and r["n_zero"] == 0 for r in out)
+               and r["n_zero"] == 0 and r["n_null"] == 0 for r in out)
     assert all(r["min_norm2"] > 0 for r in out)
 
 
