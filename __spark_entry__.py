@@ -25,7 +25,10 @@ from puregraphdb_spark.operators import (
     pii, pipeline, profile, relational, similarity, sketch, skew, text,
 )
 from puregraphdb_spark.sources.registry import load_table
-from puregraphdb_spark.sql_fragments import LM_SCORED_CTES_DUCKDB
+from puregraphdb_spark.sql_fragments import (
+    LM_SCORED_CTES_DUCKDB,
+    TEXT_PROFILE_CTES_DUCKDB,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -387,17 +390,42 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.k_core(5).orderBy("id")
 
 
-def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc language-ID / token counts / quality / fingerprint
-    (rows-only: xxhash64-based features have no DuckDB equivalent)."""
+def _planted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with a deterministic punctuation plant (q146/q152
+    discipline): the fixture text is pure space-separated words, so
+    without a plant the BPE tokenizer's punctuation splitting and the
+    quality score's punct/alpha ratios would be dead paths in the
+    cross-engine check. %13 docs get a punctuated suffix — exercised
+    for real in BOTH engines."""
     docs = load_table(spark, sf_dir, "documents")
-    return text.profile_documents(docs).orderBy("doc_id")
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 13 == 0,
+               F.concat(F.col("text"), F.lit(" zq9! wv, 7a.")))
+        .otherwise(F.col("text")))
+
+
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED (since r13) per-doc language-ID / token counts /
+    quality / fingerprint. The portable profile: min-md5 fingerprint
+    (the q84 twin pattern at window 8) and decimal-snapped quality —
+    every column engine-independent. The xxhash64 fast path stays
+    available as ``profile_documents(portable=False)``."""
+    from puregraphdb_spark.sources.registry import final_sort
+
+    return final_sort(
+        text.profile_documents(_planted_documents(spark, sf_dir)),
+        spark, sf_dir, "documents", "doc_id")
 
 
 def text_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source corpus curation report (rows-only)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return text.corpus_quality_report(docs)
+    """ORACLED (since r13) per-source corpus curation report over the
+    portable profile (see ``text_profile``)."""
+    from puregraphdb_spark.sources.registry import final_sort
+
+    return final_sort(
+        text.corpus_quality_report(_planted_documents(spark, sf_dir)),
+        spark, sf_dir, "documents", "source")
 
 
 def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4448,5 +4476,27 @@ def oracle_sql() -> dict[str, str]:
                    cast(round(cast(max(h_n2) as decimal(28,8)), 6)
                      as double) as max_norm2
             from flagged group by label order by label
+        """,
+        # Portable text profile (oracled since r13 — VERDICT r12 item
+        # 3): the per-doc CTE chain is the SHARED fragment
+        # (sql_fragments.py) composed into BOTH text oracles.
+        "text_profile": TEXT_PROFILE_CTES_DUCKDB + """
+            select doc_id, lang_detected,
+                   n_tokens_ws, n_tokens_bpe, quality, fingerprint
+            from prof order by doc_id
+        """,
+        "text_quality_report": TEXT_PROFILE_CTES_DUCKDB + """
+            select source,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(round(cast(avg(quality) as decimal(28,8)), 4)
+                     as double) as avg_quality,
+                   cast(round(cast(avg(n_tokens_bpe)
+                        as decimal(28,6)), 2) as double)
+                     as avg_tokens_bpe,
+                   cast(count(distinct lang_detected) as bigint)
+                     as n_langs,
+                   cast(count(distinct fingerprint) as bigint)
+                     as n_distinct_fp
+            from prof group by source order by source
         """,
     }

@@ -93,6 +93,19 @@ def quality_score(text_col: str | F.Column, *,
     arrays — inlined, the split tree evaluates ~3x (size + two
     distinct-intersect uses) per row."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.round(
+        quality_score_raw(c, toks_col=toks_col, dtoks_col=dtoks_col), 4)
+
+
+def quality_score_raw(text_col: str | F.Column, *,
+                      toks_col: F.Column | None = None,
+                      dtoks_col: F.Column | None = None) -> F.Column:
+    """Unrounded ``quality_score`` product — every factor is an exact
+    integer ratio in IEEE double with a FIXED operand order, so the
+    raw double is bit-identical cross-engine when the oracle spells
+    the same expression tree; callers pick their rounding (F.round
+    for the Spark-only path, decimal_round for oracled surfaces)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = tokens(c) if toks_col is None else toks_col
     n_tok = F.size(toks)
     n_chars = F.length(c)
@@ -110,10 +123,9 @@ def quality_score(text_col: str | F.Column, *,
         F.size(dtoks), F.lit(1)
     )
     len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(1.0)).otherwise(0.3)
-    return F.round(
+    return (
         len_ok * (F.lit(1.0) - punct_ratio) * (F.lit(0.5) + F.lit(0.5) * alpha_ratio)
-        * (F.lit(0.7) + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))),
-        4,
+        * (F.lit(0.7) + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0)))
     )
 
 
@@ -135,6 +147,26 @@ def fingerprint(text_col: str | F.Column | None = None,
         lambda i: F.xxhash64(F.array_join(F.slice(hashes, i + 1, window), ",")),
     )
     return F.coalesce(F.array_min(windows_arr), F.lit(0).cast("long"))
+
+
+def fingerprint_md5(toks_col: F.Column, window: int = 8) -> F.Column:
+    """Portable winnowing fingerprint: minimum md5 hex string over the
+    space-joined token windows — the q84 cross-engine discipline at
+    the profile's window size (md5 + lexicographic string min are
+    engine-independent; ``fingerprint`` is the same family over
+    Spark-only xxhash64). Documents with fewer than ``window`` tokens
+    hash their full token run once (slice truncates past the end), so
+    every non-empty doc fingerprints somewhere; an empty token array
+    hashes the empty string — still deterministic cross-engine.
+
+    Takes a PRE-STAGED token array column (the round-9 staging rule:
+    inlined, a split tree would re-evaluate per window)."""
+    n = F.size(toks_col)
+    windows_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
+        lambda i: F.md5(F.array_join(F.slice(toks_col, i + 1, window), " ")),
+    )
+    return F.array_min(windows_arr)
 
 
 def word_ngram_array(ts: F.Column, n: int = 5) -> F.Column:
@@ -306,49 +338,87 @@ def benchmark_attribution(corpus: DataFrame, benchmarks: DataFrame,
 # -- corpus-level operators (rows-only queries() entries) --------------------
 
 
-def profile_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def profile_documents(docs: DataFrame, text_col: str = "text", *,
+                      portable: bool = True) -> DataFrame:
     """Per-document analysis record: detected language, token counts,
     quality, fingerprint. Pure map — 0 shuffles at any scale.
 
-    The token array, its distinct set, and the token-hash array are
-    STAGED once per row; inlined, the split tree was re-evaluated
-    ~10x per document across the five profile columns (once per
-    language profile, twice in the quality ratios, per-window in the
-    fingerprint) — the round-9 staged-projection discipline.
+    ``portable=True`` (default, the ORACLED surface since r13):
+    fingerprint = min-md5 hex string (``fingerprint_md5``) and
+    quality snaps to the exact decimal grid — both bit-identical
+    cross-engine. ``portable=False`` is the Spark-only fast path
+    (xxhash64 long fingerprints — ~3× cheaper per window than md5 —
+    and plain F.round quality) for 100-TB runs that don't need an
+    external oracle to reproduce the hashes.
+
+    The token array and its distinct set (plus, on the fast path, the
+    token-hash array) are STAGED once per row; inlined, the split
+    tree was re-evaluated ~10x per document across the five profile
+    columns (once per language profile, twice in the quality ratios,
+    per-window in the fingerprint) — the round-9 staged-projection
+    discipline.
     """
+    from puregraphdb_spark.functions.numeric import decimal_round
+
     staged = docs.select(
         "doc_id", F.col(text_col).alias("__text"),
         tokens(text_col).alias("__toks"),
-    ).select(
-        "doc_id", "__text", "__toks",
-        F.array_distinct("__toks").alias("__dtoks"),
-        F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th"),
     )
+    if portable:
+        staged = staged.select(
+            "doc_id", "__text", "__toks",
+            F.array_distinct("__toks").alias("__dtoks"),
+        )
+        fp = fingerprint_md5(F.col("__toks"))
+        quality = decimal_round(
+            quality_score_raw("__text", toks_col=F.col("__toks"),
+                              dtoks_col=F.col("__dtoks")), 4, grid=8)
+    else:
+        staged = staged.select(
+            "doc_id", "__text", "__toks",
+            F.array_distinct("__toks").alias("__dtoks"),
+            F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th"),
+        )
+        fp = fingerprint(hashes_col=F.col("__th"))
+        quality = quality_score("__text", toks_col=F.col("__toks"),
+                                dtoks_col=F.col("__dtoks"))
     return staged.select(
         "doc_id",
         detect_language(dtoks_col=F.col("__dtoks"))
         .alias("lang_detected"),
-        F.size("__toks").alias("n_tokens_ws"),
-        token_count_bpe("__text").alias("n_tokens_bpe"),
-        quality_score("__text", toks_col=F.col("__toks"),
-                      dtoks_col=F.col("__dtoks")).alias("quality"),
-        fingerprint(hashes_col=F.col("__th")).alias("fingerprint"),
+        F.size("__toks").cast("long").alias("n_tokens_ws"),
+        token_count_bpe("__text").cast("long").alias("n_tokens_bpe"),
+        quality.alias("quality"),
+        fp.alias("fingerprint"),
     )
 
 
-def corpus_quality_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def corpus_quality_report(docs: DataFrame, text_col: str = "text", *,
+                          portable: bool = True) -> DataFrame:
     """Aggregate quality/language report per declared source — the
-    dataset-curation dashboard query. 1 shuffle."""
-    p = profile_documents(docs, text_col)
+    dataset-curation dashboard query. 1 shuffle; the per-doc profile
+    is map-side. ``portable`` (default): decimal-grid averages over
+    the portable profile — hash-oracled cross-engine; the grid snap
+    absorbs partial-aggregation FP summation order (q51 discipline).
+    """
+    from puregraphdb_spark.functions.numeric import decimal_round
+
+    p = profile_documents(docs, text_col, portable=portable)
+    rnd_q = (decimal_round(F.avg("quality"), 4, grid=8) if portable
+             else F.round(F.avg("quality"), 4))
+    rnd_t = (decimal_round(F.avg("n_tokens_bpe"), 2, grid=6) if portable
+             else F.round(F.avg("n_tokens_bpe"), 2))
     return (
         docs.join(p, "doc_id")
         .groupBy("source")
         .agg(
-            F.count("*").alias("n_docs"),
-            F.round(F.avg("quality"), 4).alias("avg_quality"),
-            F.round(F.avg("n_tokens_bpe"), 2).alias("avg_tokens_bpe"),
-            F.countDistinct("lang_detected").alias("n_langs"),
-            F.countDistinct("fingerprint").alias("n_distinct_fp"),
+            F.count("*").cast("long").alias("n_docs"),
+            rnd_q.alias("avg_quality"),
+            rnd_t.alias("avg_tokens_bpe"),
+            F.countDistinct("lang_detected").cast("long")
+            .alias("n_langs"),
+            F.countDistinct("fingerprint").cast("long")
+            .alias("n_distinct_fp"),
         )
         .orderBy("source")
     )

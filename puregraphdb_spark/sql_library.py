@@ -15,7 +15,10 @@ those with the shared text.
 
 from __future__ import annotations
 
-from puregraphdb_spark.sql_fragments import LM_SCORED_CTES_SPARKSQL
+from puregraphdb_spark.sql_fragments import (
+    LM_SCORED_CTES_SPARKSQL,
+    TEXT_PROFILE_CTES_SPARKSQL,
+)
 
 #: name -> Spark SQL (run over the Engine's registered temp views)
 SPARK_SQL: dict[str, str] = {
@@ -1966,5 +1969,25 @@ SPARK_SQL: dict[str, str] = {
                cast(round(cast(max(h_n2) as decimal(28,8)), 6)
                  as double) as max_norm2
         from flagged group by label order by label
+    """,
+    # Portable text profile (oracled r13): Spark-dialect spelling of
+    # the SHARED per-doc CTE chain (sql_fragments.py).
+    "text_profile": TEXT_PROFILE_CTES_SPARKSQL + """
+        select doc_id, lang_detected,
+               n_tokens_ws, n_tokens_bpe, quality, fingerprint
+        from prof order by doc_id
+    """,
+    "text_quality_report": TEXT_PROFILE_CTES_SPARKSQL + """
+        select source,
+               cast(count(*) as bigint) as n_docs,
+               cast(round(cast(avg(quality) as decimal(28,8)), 4)
+                 as double) as avg_quality,
+               cast(round(cast(avg(n_tokens_bpe) as decimal(28,6)), 2)
+                 as double) as avg_tokens_bpe,
+               cast(count(distinct lang_detected) as bigint)
+                 as n_langs,
+               cast(count(distinct fingerprint) as bigint)
+                 as n_distinct_fp
+        from prof group by source order by source
     """,
 }

@@ -262,6 +262,54 @@ def test_profile_documents_runs_on_fixture(spark):
     assert report.count() > 0
 
 
+def test_profile_portable_and_fast_paths_agree(spark):
+    """The xxhash64 fast path and the md5 portable path must agree on
+    every column EXCEPT the fingerprint representation (long vs hex
+    string) — and both must cluster identical docs identically."""
+    from puregraphdb_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    p = {r["doc_id"]: r for r in
+         txt.profile_documents(docs, portable=True).collect()}
+    f = {r["doc_id"]: r for r in
+         txt.profile_documents(docs, portable=False).collect()}
+    assert p.keys() == f.keys()
+    for k in p:
+        assert p[k]["lang_detected"] == f[k]["lang_detected"]
+        assert p[k]["n_tokens_ws"] == f[k]["n_tokens_ws"]
+        assert p[k]["n_tokens_bpe"] == f[k]["n_tokens_bpe"]
+        # quality: decimal snap vs F.round — equal to the 4dp they
+        # both round to (the snap only guards ties)
+        assert abs(p[k]["quality"] - f[k]["quality"]) < 1e-9
+        assert isinstance(p[k]["fingerprint"], str)
+        assert isinstance(f[k]["fingerprint"], int)
+    # fingerprint equality classes coincide across hash families
+    from collections import defaultdict
+    cp, cf = defaultdict(set), defaultdict(set)
+    for k in p:
+        cp[p[k]["fingerprint"]].add(k)
+        cf[f[k]["fingerprint"]].add(k)
+    assert sorted(map(sorted, cp.values())) == \
+        sorted(map(sorted, cf.values()))
+
+
+def test_fingerprint_md5_stability_and_edge_cases(spark):
+    long_a = " ".join(f"tok{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, long_a), (2, long_a), (3, "short text"), (4, "")],
+        ["doc_id", "text"])
+    staged = df.select(
+        "doc_id", txt.tokens("text").alias("toks"))
+    fps = {r["doc_id"]: r["fp"] for r in staged.select(
+        "doc_id", txt.fingerprint_md5(F.col("toks")).alias("fp"))
+        .collect()}
+    assert fps[1] == fps[2]                    # identical docs agree
+    assert len(fps[3]) == 32                   # <8 tokens: one window
+    # empty text fingerprints md5('') — defined, deterministic
+    assert fps[4] == "d41d8cd98f00b204e9800998ecf8427e"
+
+
 def test_apply_dedup_returns_cleaned_corpus(corpus):
     """End-to-end dedup: one keeper per duplicate cluster, all
     unclustered docs untouched, schema preserved."""

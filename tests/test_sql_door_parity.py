@@ -94,6 +94,8 @@ DUCKDB_ONLY = {
     "q158_temporal_reach2",  # date_diff('day', ...) 3-arg signature
     "q168_asset_profile",  # encode()/['a','b'][i] list indexing
     "q169_vector_hygiene",  # ::DOUBLE[]/list_inner_product/isinf
+    "text_profile",  # list_filter/regexp_split_to_array/list_min
+    "text_quality_report",  # same shared profile CTE chain
 }
 
 ORACLES = entrymod.oracle_sql()
