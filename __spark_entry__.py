@@ -26,6 +26,7 @@ from puregraphdb_spark.operators import (
 )
 from puregraphdb_spark.sources.registry import load_table
 from puregraphdb_spark.sql_fragments import (
+    ASSET_MANIFEST_CTE_DUCKDB,
     LM_SCORED_CTES_DUCKDB,
     TEXT_PROFILE_CTES_DUCKDB,
 )
@@ -710,6 +711,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_scd1_upsert": incremental.q167_scd1_upsert,
         "q168_asset_profile": multimodal.q168_asset_profile,
         "q169_vector_hygiene": similarity.q169_vector_hygiene,
+        # -- round-13 entries --
+        "q170_payload_dedup": multimodal.q170_payload_dedup,
+        "image_near_dup": multimodal.image_near_dup,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -896,7 +900,8 @@ _FRONT_WINDOW = [
     "q167_scd1_upsert", "q168_asset_profile", "q169_vector_hygiene",
     # the last two r7 records on the board
     "text_profile", "text_quality_report",
-    # NEW round-13 entries slot HERE as they land.
+    # NEW round-13 entries (never recorded, by construction)
+    "q170_payload_dedup", "image_near_dup",
     # oldest-r9 fill: VERDICT-named singles first, then the r8/r9
     # pipeline cohort, then q01-q24 (tail = displacement zone; the
     # four r9 entries that do not fit this window — q21-q24 — roll
@@ -918,7 +923,7 @@ _FRONT_WINDOW = [
     "q09_left_outer", "q10_range_join", "q11_window_rank",
     "q12_window_running", "q13_window_lag_delta", "q14_setops",
     "q15_union_except", "q16_topk_parts", "q17_percentile",
-    "q18_string_date_funcs", "q19_case_math", "q20_tumbling_window",
+    "q18_string_date_funcs",
 ]
 
 
@@ -4382,18 +4387,9 @@ def oracle_sql() -> dict[str, str]:
         # text on both engines; DuckDB 1.0 lacks md5(BLOB), so the
         # oracle hashes the VARCHAR (same UTF-8 bytes) and measures
         # bytes via octet_length(encode(...)).
-        "q168_asset_profile": """
-            with manifest as (
-                select (['image','audio','video'])[doc_id % 3 + 1]
-                         as modality,
-                       (['image/png','audio/wav','video/mp4'])
-                         [doc_id % 3 + 1] as media_type,
-                       case when doc_id % 13 = 0 then null
-                            when doc_id % 37 = 0
-                            then concat('shared-asset-',
-                                        cast(doc_id % 3 as string))
-                            else text end as payload_text
-                from documents),
+        # Asset inventory (q168): the manifest CTE is the SHARED
+        # fragment (sql_fragments.py) composed into q168 AND q170.
+        "q168_asset_profile": ASSET_MANIFEST_CTE_DUCKDB + """,
             per_payload as (
                 select modality, media_type,
                        md5(payload_text) as h,
@@ -4498,5 +4494,25 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(distinct fingerprint) as bigint)
                      as n_distinct_fp
             from prof group by source order by source
+        """,
+        # Payload dedup decisions (q170): per-(modality, md5) cluster
+        # size + min-id keeper over the SHARED manifest fragment;
+        # missing payloads are not dedupable (size 0, keeper 0).
+        "q170_payload_dedup": ASSET_MANIFEST_CTE_DUCKDB + """,
+            h as (
+                select asset_id, modality,
+                       md5(payload_text) as payload_hash
+                from manifest)
+            select asset_id, modality, payload_hash,
+                   cast(case when payload_hash is not null
+                        then count(*) over (partition by modality,
+                                            payload_hash)
+                        else 0 end as bigint) as cluster_size,
+                   cast(case when payload_hash is not null
+                             and asset_id = min(asset_id)
+                                 over (partition by modality,
+                                       payload_hash)
+                        then 1 else 0 end as bigint) as is_keeper
+            from h order by asset_id
         """,
     }

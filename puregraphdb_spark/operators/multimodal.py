@@ -392,19 +392,21 @@ def asset_profile(assets: DataFrame,
     )
 
 
-def q168_asset_profile(spark, sf_dir: str) -> DataFrame:
-    """ORACLED multimodal asset inventory (see ``asset_profile``) over
-    a manifest synthesized deterministically from documents (binary
-    payload = UTF-8 bytes of text — identical bytes on both engines,
-    so Spark's md5(binary) equals DuckDB's md5(varchar) which hashes
-    UTF-8; DuckDB 1.0 has no md5(BLOB), found at the gate). Plants:
-    %13 docs lose their payload (missing bytes), %37 docs share one
-    of three boilerplate payloads (exact-dup clusters), modality and
-    media type derive from doc_id arithmetic."""
-    from puregraphdb_spark.sources.registry import final_sort, load_table
+def _doc_asset_manifest(spark, sf_dir: str) -> DataFrame:
+    """Deterministic multimodal manifest synthesized from documents —
+    the SHARED input of the oracled multimodal entries (q168, q170):
+    binary payload = UTF-8 bytes of text (identical bytes on both
+    engines, so Spark's md5(binary) equals DuckDB's md5(varchar)
+    which hashes UTF-8; DuckDB 1.0 has no md5(BLOB), found at the
+    q168 gate). Plants: %13 docs lose their payload (missing bytes),
+    %37 docs share one of three boilerplate payloads (exact-dup
+    clusters), modality and media type derive from doc_id
+    arithmetic. Single-sourced so the two oracles can never drift."""
+    from puregraphdb_spark.sources.registry import load_table
 
     i = F.col("doc_id")
-    d = load_table(spark, sf_dir, "documents").select(
+    return load_table(spark, sf_dir, "documents").select(
+        i.alias("asset_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
             (i % 3 + 1).cast("int")).alias("modality"),
@@ -418,5 +420,197 @@ def q168_asset_profile(spark, sf_dir: str) -> DataFrame:
                        (i % 3).cast("string")))
         .otherwise(F.col("text")).cast("binary").alias("payload"),
     )
-    return final_sort(asset_profile(d), spark, sf_dir, "documents",
-                      "modality", "media_type")
+
+
+def q168_asset_profile(spark, sf_dir: str) -> DataFrame:
+    """ORACLED multimodal asset inventory (see ``asset_profile``) over
+    the shared synthesized manifest (``_doc_asset_manifest``)."""
+    from puregraphdb_spark.sources.registry import final_sort
+
+    return final_sort(
+        asset_profile(_doc_asset_manifest(spark, sf_dir)),
+        spark, sf_dir, "documents", "modality", "media_type")
+
+
+def asset_payload_dedup(assets: DataFrame,
+                        id_col: str = "asset_id",
+                        modality_col: str = "modality",
+                        payload_col: str = "payload") -> DataFrame:
+    """Per-modality exact payload dedup decisions — the q77
+    content-hash discipline lifted to the opaque BINARY column: every
+    asset annotated with its payload md5, its (modality, hash)
+    cluster size, and the keeper decision (min asset id per cluster).
+    Assets with a MISSING payload are not dedupable: they get a NULL
+    hash, cluster_size 0 and is_keeper 0 (grouping them into one
+    "cluster" would crown an arbitrary keeper of nothing).
+
+    This is the decision table q168's inventory summarizes
+    (n_removable = Σ per-cluster (size-1)); downstream joins fan the
+    keeper's payload back to the absorbed duplicates.
+
+    Scale: md5 is a map-side projection over bytes that never move
+    twice; ONE shuffle on the (modality, hash) window key — md5 keys
+    are uniform, no skew by construction. Pure JVM (the multimodal
+    family's second oracled member).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(modality_col, "payload_hash")
+    ann = assets.select(
+        F.col(id_col), F.col(modality_col),
+        F.md5(F.col(payload_col)).alias("payload_hash"),
+    )
+    has = F.col("payload_hash").isNotNull()
+    return ann.select(
+        id_col, modality_col, "payload_hash",
+        F.when(has, F.count("*").over(w)).otherwise(0)
+        .cast("long").alias("cluster_size"),
+        F.when(has & (F.col(id_col) == F.min(id_col).over(w)), 1)
+        .otherwise(0).cast("long").alias("is_keeper"),
+    )
+
+
+def q170_payload_dedup(spark, sf_dir: str) -> DataFrame:
+    """ORACLED per-modality payload dedup decisions (see
+    ``asset_payload_dedup``) over the shared synthesized manifest —
+    the %37 boilerplate plant produces real multi-member clusters and
+    the %13 missing-payload plant exercises the not-dedupable rule."""
+    from puregraphdb_spark.sources.registry import final_sort
+
+    return final_sort(
+        asset_payload_dedup(_doc_asset_manifest(spark, sf_dir)),
+        spark, sf_dir, "documents", "asset_id")
+
+
+def image_near_dup_pairs(assets: DataFrame, threshold: float = 0.92,
+                         feature_dim: int = 16, num_planes: int = 8,
+                         seed: int = 7) -> DataFrame:
+    """Image near-duplicate pairs: decode → block-mean grayscale
+    features → EXACT-collapse identical feature vectors → hyperplane
+    LSH near-dup pairs over the distinct representatives.
+
+    The exact-collapse stage (md5 of the feature array, keeper = min
+    asset id) is load-bearing at scale: re-crawled byte-identical and
+    pixel-identical images otherwise form Θ(k²) intra-cluster pairs
+    in the LSH buckets — the lineage-dedup sweep discipline applied
+    to pixels. The pair join then runs over DISTINCT images only,
+    with cluster sizes carried so a_members·b_members recovers the
+    full pair multiplicity.
+
+    Rows-only by design: the PNG decode (functions/codecs.decode_png)
+    and xxhash-free but float-formatted feature signature have no
+    DuckDB twin. Scale: decode is mapInPandas (Arrow, zero shuffle);
+    collapse is ONE uniform-hash shuffle; the LSH bucket join is the
+    embedding_near_dup_pairs core (similarity.py) on dim=feature_dim.
+    """
+    from puregraphdb_spark.operators.similarity import (
+        embedding_near_dup_pairs)
+
+    feats = decode_images(assets, feature_dim)
+    sig = feats.filter(F.col("features").isNotNull()).select(
+        "asset_id",
+        F.col("features").cast("array<double>").alias("features"),
+    ).select(
+        "asset_id", "features",
+        F.md5(F.to_json(F.col("features"))).alias("sig"),
+    )
+    reps = (
+        sig.groupBy("sig")
+        .agg(F.min("asset_id").alias("rep_id"),
+             F.count("*").cast("long").alias("n_members"),
+             F.first("features").alias("features"))
+    )
+    pairs = embedding_near_dup_pairs(
+        reps, threshold=threshold, dim=feature_dim,
+        num_planes=num_planes, seed=seed,
+        id_col="rep_id", emb_col="features",
+    )
+    na = reps.select(F.col("rep_id").alias("a"),
+                     F.col("n_members").alias("a_members"))
+    nb = reps.select(F.col("rep_id").alias("b"),
+                     F.col("n_members").alias("b_members"))
+    return (
+        pairs.join(na, "a").join(nb, "b")
+        .select("a", "b", "cos_sim", "a_members", "b_members")
+    )
+
+
+#: 8×8 base patterns for the deterministic PNG manifest (one per
+#: pattern class); perturbation index shifts one channel of one pixel
+#: so images within a class are NEAR-duplicates, not exact ones.
+_PNG_PATTERNS = 5
+_PNG_PERTURBS = 17
+
+
+def _png_pixels(pattern: int, perturb: int):
+    """Deterministic 8×8 RGB uint8 image for (pattern, perturb)."""
+    import numpy as np
+
+    idx = np.arange(64, dtype=np.int64).reshape(8, 8)
+    px = np.stack([
+        (pattern * 40 + idx * 3) % 256,
+        (pattern * 80 + idx * 7) % 256,
+        (pattern * 160 + idx * 11) % 256,
+    ], axis=2).astype(np.uint8)
+    r, c = perturb % 8, (perturb * 3) % 8
+    px[r, c, 2] = (int(px[r, c, 2]) + 16 + perturb) % 256
+    return px
+
+
+def png_manifest(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-PNG asset table derived from doc ids: each
+    doc becomes an 8×8 RGB PNG whose pixels are a pure function of
+    (doc_id % patterns, doc_id % perturbs) — so the DISTINCT image
+    count is bounded at patterns·perturbs regardless of corpus size,
+    images within a pattern class are near-duplicates (one perturbed
+    pixel), and across classes they are far apart. Encoded with the
+    in-repo codec (functions/codecs.encode_png), decoded back by
+    decode_images — the full plumbing is real.
+
+    Scale: pure mapInPandas over doc ids (Arrow batches, zero
+    shuffles); payload bytes are born distributed, never collected.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from puregraphdb_spark.functions.codecs import encode_png
+
+        cache: dict[tuple[int, int], bytes] = {}
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                key = (int(i) % _PNG_PATTERNS, int(i) % _PNG_PERTURBS)
+                if key not in cache:
+                    cache[key] = encode_png(_png_pixels(*key))
+                payloads.append(cache[key])
+            yield pd.DataFrame({
+                "asset_id": pdf["doc_id"],
+                "modality": "image",
+                "media_type": "image/png",
+                "payload": payloads,
+                "width": pd.array([8] * len(pdf), dtype="Int32"),
+                "height": pd.array([8] * len(pdf), dtype="Int32"),
+                "duration_ms": pd.array([None] * len(pdf),
+                                        dtype="Int64"),
+            })
+
+    return docs.select("doc_id").mapInPandas(gen, ASSET_SCHEMA)
+
+
+def image_near_dup(spark, sf_dir: str) -> DataFrame:
+    """Rows-only image near-dup entry: REAL 8×8 PNGs (one per doc,
+    ``png_manifest``) are encoded AND decoded by the in-repo codec,
+    block-mean features extracted, exact-duplicate images collapsed,
+    and near-dup pairs found via the hyperplane-LSH core — the whole
+    image pipeline end-to-end with zero fake seams. The %4 doc sample
+    bounds the Python decode fleet; the distinct-image bound
+    (patterns·perturbs = 85) keeps the pair relation tiny at every
+    scale while the per-class perturbation makes the found pairs
+    REAL near-duplicates, not exact ones."""
+    from puregraphdb_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 0)
+    return (
+        image_near_dup_pairs(png_manifest(docs), threshold=0.995)
+        .orderBy("a", "b")
+    )

@@ -955,6 +955,31 @@ def _asset_profile(spark, assets: str,
                          type_col=type_col, payload_col=payload_col)
 
 
+def _asset_payload_dedup(spark, assets: str,
+                         id_col: str = "asset_id",
+                         modality_col: str = "modality",
+                         payload_col: str = "payload") -> DataFrame:
+    from puregraphdb_spark.operators.multimodal import (
+        asset_payload_dedup)
+
+    return asset_payload_dedup(_view(spark, assets), id_col=id_col,
+                               modality_col=modality_col,
+                               payload_col=payload_col)
+
+
+def _image_near_dup(spark, assets: str, threshold: float = 0.92,
+                    feature_dim: int = 16, num_planes: int = 8,
+                    seed: int = 7) -> DataFrame:
+    from puregraphdb_spark.operators.multimodal import (
+        image_near_dup_pairs)
+
+    return image_near_dup_pairs(_view(spark, assets),
+                                threshold=float(threshold),
+                                feature_dim=int(feature_dim),
+                                num_planes=int(num_planes),
+                                seed=int(seed))
+
+
 def _apply_cdc_upsert(spark, dim: str, updates: str, key: str,
                       version_col: str) -> DataFrame:
     from puregraphdb_spark.operators.incremental import apply_cdc_upsert
@@ -1258,6 +1283,8 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "arrival_regularity": _arrival_regularity,
     "apply_cdc_upsert": _apply_cdc_upsert,
     "asset_profile": _asset_profile,
+    "asset_payload_dedup": _asset_payload_dedup,
+    "image_near_dup": _image_near_dup,
     "vector_hygiene": _vector_hygiene,
 }
 

@@ -15,6 +15,47 @@ appends its final `select`; q163 appends `, thr as (...) select`.
 """
 
 # ----------------------------------------------------------------- #
+# Synthesized multimodal manifest (q168 asset inventory + q170
+# payload dedup): the CTE mirror of operators/multimodal.py
+# _doc_asset_manifest — one copy per dialect, composed into both
+# oracles so the plant can never drift between family members.
+# DuckDB has no md5(BLOB) (found at the q168 gate), so the payload
+# stays VARCHAR there (same UTF-8 bytes; Spark hashes the cast
+# binary) — consumers call md5(payload_text) / octet_length(encode()).
+# ----------------------------------------------------------------- #
+
+ASSET_MANIFEST_CTE_DUCKDB = """\
+with manifest as (
+                select doc_id as asset_id,
+                       (['image','audio','video'])[doc_id % 3 + 1]
+                         as modality,
+                       (['image/png','audio/wav','video/mp4'])
+                         [doc_id % 3 + 1] as media_type,
+                       case when doc_id % 13 = 0 then null
+                            when doc_id % 37 = 0
+                            then concat('shared-asset-',
+                                        cast(doc_id % 3 as string))
+                            else text end as payload_text
+                from documents)"""
+
+ASSET_MANIFEST_CTE_SPARKSQL = """\
+with manifest as (
+            select doc_id as asset_id,
+                   element_at(array('image','audio','video'),
+                              cast(doc_id % 3 + 1 as int)) as modality,
+                   element_at(array('image/png','audio/wav',
+                                    'video/mp4'),
+                              cast(doc_id % 3 + 1 as int))
+                     as media_type,
+                   case when doc_id % 13 = 0 then null
+                        when doc_id % 37 = 0
+                        then concat('shared-asset-',
+                                    cast(doc_id % 3 as string))
+                        else text end as payload_text
+            from documents)"""
+
+
+# ----------------------------------------------------------------- #
 # Portable per-doc text profile (text_profile / text_quality_report,
 # oracled since r13): CTE chain ending in `prof` = (doc_id, source,
 # lang_detected, n_tokens_ws, n_tokens_bpe, quality, fingerprint).

@@ -16,6 +16,7 @@ those with the shared text.
 from __future__ import annotations
 
 from puregraphdb_spark.sql_fragments import (
+    ASSET_MANIFEST_CTE_SPARKSQL,
     LM_SCORED_CTES_SPARKSQL,
     TEXT_PROFILE_CTES_SPARKSQL,
 )
@@ -1870,27 +1871,20 @@ SPARK_SQL: dict[str, str] = {
     """,
     # Multimodal asset inventory (q168): Spark spellings — binary
     # cast for payload bytes, element_at for the modality tables.
-    "q168_asset_profile": """
-        with manifest as (
-            select element_at(array('image','audio','video'),
-                              cast(doc_id % 3 + 1 as int)) as modality,
-                   element_at(array('image/png','audio/wav',
-                                    'video/mp4'),
-                              cast(doc_id % 3 + 1 as int))
-                     as media_type,
-                   cast(case when doc_id % 13 = 0 then null
-                             when doc_id % 37 = 0
-                             then concat('shared-asset-',
-                                         cast(doc_id % 3 as string))
-                             else text end as binary) as payload
-            from documents),
+    # Asset inventory (q168): the manifest CTE is the SHARED fragment
+    # (sql_fragments.py) composed into q168 AND q170; the binary cast
+    # happens at the consumer (fragment carries payload_text).
+    "q168_asset_profile": ASSET_MANIFEST_CTE_SPARKSQL + """,
         per_payload as (
-            select modality, media_type, md5(payload) as h,
+            select modality, media_type,
+                   md5(cast(payload_text as binary)) as h,
                    cast(count(*) as bigint) as c,
-                   cast(sum(coalesce(length(payload), 0)) as bigint)
+                   cast(sum(coalesce(octet_length(
+                        cast(payload_text as binary)), 0)) as bigint)
                      as b
             from manifest
-            group by modality, media_type, md5(payload))
+            group by modality, media_type,
+                     md5(cast(payload_text as binary)))
         select modality, media_type,
                cast(sum(c) as bigint) as n_assets,
                cast(sum(b) as bigint) as total_bytes,
@@ -1989,5 +1983,24 @@ SPARK_SQL: dict[str, str] = {
                cast(count(distinct fingerprint) as bigint)
                  as n_distinct_fp
         from prof group by source order by source
+    """,
+    # Payload dedup (q170): shared manifest fragment; the window key
+    # is (modality, md5) exactly as the DataFrame door.
+    "q170_payload_dedup": ASSET_MANIFEST_CTE_SPARKSQL + """,
+        h as (
+            select asset_id, modality,
+                   md5(cast(payload_text as binary)) as payload_hash
+            from manifest)
+        select asset_id, modality, payload_hash,
+               cast(case when payload_hash is not null
+                    then count(*) over (partition by modality,
+                                        payload_hash)
+                    else 0 end as bigint) as cluster_size,
+               cast(case when payload_hash is not null
+                         and asset_id = min(asset_id)
+                             over (partition by modality,
+                                   payload_hash)
+                    then 1 else 0 end as bigint) as is_keeper
+        from h order by asset_id
     """,
 }

@@ -96,6 +96,7 @@ DUCKDB_ONLY = {
     "q169_vector_hygiene",  # ::DOUBLE[]/list_inner_product/isinf
     "text_profile",  # list_filter/regexp_split_to_array/list_min
     "text_quality_report",  # same shared profile CTE chain
+    "q170_payload_dedup",  # ['a','b'][i] list indexing (q168 family)
 }
 
 ORACLES = entrymod.oracle_sql()

@@ -301,3 +301,88 @@ def test_resize_image_payloads_real(spark):
     out = codecs.decode_png(bytes(rows[1]["payload"]))
     assert out.shape == (6, 4, 3)
     assert rows[2]["resized"] == "false" and rows[2]["width"] == 7
+
+
+# ------------------------------------------------ payload dedup (r13)
+
+def test_asset_payload_dedup_decisions(spark):
+    rows = [
+        (1, "image", "image/png", bytearray(b"aaa"), None, None, None),
+        (2, "image", "image/png", bytearray(b"aaa"), None, None, None),
+        (3, "image", "image/png", bytearray(b"bbb"), None, None, None),
+        (4, "audio", "audio/wav", bytearray(b"aaa"), None, None, None),
+        (5, "image", "image/png", None, None, None, None),  # missing
+    ]
+    df = spark.createDataFrame(rows, mm.ASSET_SCHEMA)
+    out = {r["asset_id"]: r
+           for r in mm.asset_payload_dedup(df).collect()}
+    # (image, aaa) cluster: ids 1,2 — keeper is min id
+    assert out[1]["cluster_size"] == 2 and out[1]["is_keeper"] == 1
+    assert out[2]["cluster_size"] == 2 and out[2]["is_keeper"] == 0
+    assert out[1]["payload_hash"] == out[2]["payload_hash"]
+    # same bytes, different modality → SEPARATE cluster
+    assert out[4]["cluster_size"] == 1 and out[4]["is_keeper"] == 1
+    assert out[3]["cluster_size"] == 1 and out[3]["is_keeper"] == 1
+    # missing payload: not dedupable — never a keeper of nothing
+    assert out[5]["payload_hash"] is None
+    assert out[5]["cluster_size"] == 0 and out[5]["is_keeper"] == 0
+
+
+def test_asset_payload_dedup_call_door(spark):
+    from puregraphdb_spark.engine import Engine
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark, SF_DIR)
+    spark.createDataFrame(
+        [(1, "image", "image/png", bytearray(b"x"), None, None, None),
+         (2, "image", "image/png", bytearray(b"x"), None, None, None)],
+        mm.ASSET_SCHEMA).createOrReplaceTempView("apd_assets")
+    out = {r["asset_id"]: r for r in eng.sql(
+        "CALL asset_payload_dedup(assets => 'apd_assets')").collect()}
+    assert out[1]["is_keeper"] == 1 and out[2]["is_keeper"] == 0
+
+
+# -------------------------------------------- image near-dup (r13)
+
+def test_png_manifest_real_roundtrip(spark):
+    from puregraphdb_spark.functions import codecs
+
+    docs = spark.createDataFrame([(i,) for i in range(10)],
+                                 "doc_id long")
+    assets = mm.png_manifest(docs).collect()
+    assert len(assets) == 10
+    px = codecs.decode_png(bytes(assets[0]["payload"]))
+    assert px.shape == (8, 8, 3)  # REAL PNGs, not digest fakes
+
+
+def test_image_near_dup_finds_intra_pattern_pairs_only(spark):
+    # 85 distinct (pattern, perturb) images; intra-pattern cosine
+    # ≥ 0.998, cross-pattern ≤ 0.95 (measured) — 0.995 separates.
+    docs = spark.createDataFrame([(i,) for i in range(85)],
+                                 "doc_id long")
+    pairs = mm.image_near_dup_pairs(mm.png_manifest(docs),
+                                    threshold=0.995,
+                                    num_planes=0).collect()
+    assert pairs, "near-duplicates must be found"
+    assert all(p["a"] % 5 == p["b"] % 5 for p in pairs), \
+        "cross-pattern images are NOT near-duplicates"
+    # every image distinct here → exact-collapse keeps them all
+    assert all(p["a_members"] == 1 and p["b_members"] == 1
+               for p in pairs)
+
+
+def test_image_near_dup_exact_collapse_carries_multiplicity(spark):
+    # ids 0 and 85·k share (pattern, perturb) → byte-identical PNGs
+    # collapse to ONE representative with n_members > 1.
+    docs = spark.createDataFrame(
+        [(0,), (85,), (170,), (1,)], "doc_id long")
+    pairs = mm.image_near_dup_pairs(mm.png_manifest(docs),
+                                    threshold=0.0,
+                                    num_planes=0).collect()
+    members = {}
+    for p in pairs:
+        members[p["a"]] = p["a_members"]
+        members[p["b"]] = p["b_members"]
+    assert members[0] == 3  # 0, 85, 170 collapsed, rep = min id
+    assert members[1] == 1
+    assert 85 not in members and 170 not in members
