@@ -714,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-13 entries --
         "q170_payload_dedup": multimodal.q170_payload_dedup,
         "image_near_dup": multimodal.image_near_dup,
+        "q171_resource_allocation": graph.q171_resource_allocation,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -901,7 +902,7 @@ _FRONT_WINDOW = [
     # the last two r7 records on the board
     "text_profile", "text_quality_report",
     # NEW round-13 entries (never recorded, by construction)
-    "q170_payload_dedup", "image_near_dup",
+    "q170_payload_dedup", "image_near_dup", "q171_resource_allocation",
     # oldest-r9 fill: VERDICT-named singles first, then the r8/r9
     # pipeline cohort, then q01-q24 (tail = displacement zone; the
     # four r9 entries that do not fit this window — q21-q24 — roll
@@ -923,7 +924,6 @@ _FRONT_WINDOW = [
     "q09_left_outer", "q10_range_join", "q11_window_rank",
     "q12_window_running", "q13_window_lag_delta", "q14_setops",
     "q15_union_except", "q16_topk_parts", "q17_percentile",
-    "q18_string_date_funcs",
 ]
 
 
@@ -4494,6 +4494,32 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(distinct fingerprint) as bigint)
                      as n_distinct_fp
             from prof group by source order by source
+        """,
+        # Resource-allocation link prediction (q171): rational
+        # neighbor weights as exact integer 10^12 // deg — no libm,
+        # no FP sums; the top-50 orders by the bigint sum itself.
+        "q171_resource_allocation": """
+            with pairs as (
+                select distinct o.o_custkey as c, l.l_suppkey as s
+                from orders o join lineitem l
+                  on l.l_orderkey = o.o_orderkey),
+            cdeg as (select c, count(*) as dz from pairs group by c),
+            wp as (
+                select p.c, p.s,
+                       cast(1000000000000 // dz as bigint) as w
+                from pairs p join cdeg using (c)),
+            scored as (
+                select a.s as s1, b.s as s2,
+                       cast(count(*) as bigint) as cn,
+                       cast(sum(a.w) as bigint) as ra_w
+                from wp a join wp b on a.c = b.c and a.s < b.s
+                group by 1, 2)
+            select s1, s2, cn,
+                   cast(round(cast(cast(ra_w as double) / 1e12
+                        as decimal(28,10)), 6) as double) as ra_score
+            from scored
+            order by ra_w desc, s1, s2
+            limit 50
         """,
         # Payload dedup decisions (q170): per-(modality, md5) cluster
         # size + min-id keeper over the SHARED manifest fragment;

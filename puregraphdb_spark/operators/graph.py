@@ -2637,6 +2637,42 @@ def q86_reach2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _co_supply_pairs(spark: SparkSession, sf_dir: str,
+                     max_neighborhood: int | None,
+                     skew_cap_bytes: int) -> DataFrame:
+    """Distinct (customer, supplier) co-supply pairs with the q100
+    hub cap: hash-selected neighborhood subsample per customer behind
+    the O(1) footer-byte size gate (measured alternatives recorded in
+    q100's docstring). Shared by the link-prediction family (q100
+    Jaccard, q171 resource allocation) so the gate/cap semantics
+    cannot drift between scores."""
+    from puregraphdb_spark.sources.registry import (
+        broadcast_if_small, table_bytes,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey")
+    pairs = (
+        l.join(broadcast_if_small(o, spark, sf_dir, "orders"),
+               o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("c"),
+                F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    if max_neighborhood is not None and (
+        table_bytes(spark, sf_dir, "lineitem") > skew_cap_bytes
+    ):
+        wcap = Window.partitionBy("c").orderBy(
+            F.xxhash64(F.lit(42), "s"), "s")
+        pairs = (
+            pairs.withColumn("_rk", F.row_number().over(wcap))
+            .filter(F.col("_rk") <= max_neighborhood)
+            .drop("_rk")
+        )
+    return pairs
+
+
 def q100_link_prediction(spark: SparkSession, sf_dir: str,
                          max_neighborhood: int = 512,
                          skew_cap_bytes: int = 2 << 30) -> DataFrame:
@@ -2672,30 +2708,9 @@ def q100_link_prediction(spark: SparkSession, sf_dir: str,
     the top-k is TakeOrderedAndProject — no full sort.
     """
     from puregraphdb_spark.functions.numeric import decimal_round
-    from puregraphdb_spark.sources.registry import (
-        broadcast_if_small, table_bytes,
-    )
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    l = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey")
-    pairs = (
-        l.join(broadcast_if_small(o, spark, sf_dir, "orders"),
-               o.o_orderkey == l.l_orderkey)
-        .select(F.col("o_custkey").alias("c"),
-                F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    if max_neighborhood is not None and (
-        table_bytes(spark, sf_dir, "lineitem") > skew_cap_bytes
-    ):
-        wcap = Window.partitionBy("c").orderBy(
-            F.xxhash64(F.lit(42), "s"), "s")
-        pairs = (
-            pairs.withColumn("_rk", F.row_number().over(wcap))
-            .filter(F.col("_rk") <= max_neighborhood)
-            .drop("_rk")
-        )
+    pairs = _co_supply_pairs(spark, sf_dir, max_neighborhood,
+                             skew_cap_bytes)
     a = pairs.select("c", F.col("s").alias("s1"))
     b = pairs.select("c", F.col("s").alias("s2"))
     cn = (
@@ -2721,6 +2736,62 @@ def q100_link_prediction(spark: SparkSession, sf_dir: str,
     )
     return scored.orderBy(
         F.desc("jaccard"), "s1", "s2").limit(50)
+
+
+def q171_resource_allocation(spark: SparkSession, sf_dir: str,
+                             max_neighborhood: int = 512,
+                             skew_cap_bytes: int = 2 << 30) -> DataFrame:
+    """Resource-allocation link prediction over the q100 co-supply
+    core: supplier pairs scored Σ_{z ∈ N(a)∩N(b)} 1/deg(z) — common
+    neighbors weighted INVERSELY by how promiscuous they are (a
+    customer buying from everyone is weak evidence; a two-supplier
+    customer is strong). The family's degree-penalized member
+    (Adamic-Adar is the same shape with 1/log deg — its log weight is
+    libm territory, while RA's rational weights stay exact, the q70
+    no-libm discipline; on graphs with hub degrees in the hundreds
+    the two rankings are near-identical anyway).
+
+    Exactness: each neighbor weight is the exact integer
+    10¹² div deg(z) (pure long division, no FP), summed in bigint —
+    order-immune — and divided once for display. The top-50 ORDERS BY
+    the integer sum itself, so the ranking has no FP tie hazards.
+
+    Scale: identical shape to q100 (shared ``_co_supply_pairs`` with
+    the measured hub gate); the weight attaches map-side to the
+    customer rows BEFORE the pair expansion (one broadcastable
+    |customers|-row join), so the quadratic stage carries one extra
+    long. Top-k is TakeOrderedAndProject.
+    """
+    from puregraphdb_spark.functions.numeric import decimal_round
+
+    pairs = _co_supply_pairs(spark, sf_dir, max_neighborhood,
+                             skew_cap_bytes)
+    cdeg = pairs.groupBy("c").agg(F.count("*").alias("dz"))
+    # true integer division (SQL `div`): a double 1e12/dz cast long
+    # truncates differently than floor once dz > ~4k (ulp(1e12) =
+    # 2.4e-4 > 1/dz) — the no-FP rule applied to the weight itself
+    wp = pairs.join(cdeg, "c").select(
+        "c", "s",
+        F.expr("1000000000000L div dz").cast("long").alias("w"),
+    )
+    a = wp.select("c", F.col("s").alias("s1"), "w")
+    b = wp.select("c", F.col("s").alias("s2"))
+    scored = (
+        a.join(b, "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").cast("long").alias("cn"),
+             F.sum("w").cast("long").alias("ra_w"))
+    )
+    return (
+        scored.orderBy(F.desc("ra_w"), "s1", "s2").limit(50)
+        .select(
+            "s1", "s2", "cn",
+            decimal_round(
+                F.col("ra_w").cast("double") / F.lit(1e12), 6,
+                grid=10).alias("ra_score"),
+        )
+    )
 
 
 def q103_graph_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
