@@ -323,7 +323,18 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     n/k scale keeps it the standard unbiased estimator of full
     betweenness; the source-id collect is 32 longs of parameter
     traffic, not data movement. Closed-form-verified on
-    path/star/cycle/diamond graphs (tests/test_graph_properties.py)."""
+    path/star/cycle/diamond graphs (tests/test_graph_properties.py).
+
+    Past a measured 512 MiB of lineitem (the O(1) footer-byte gate),
+    the 32 sources run in sequential batches of 8 (r13 sf10 finding:
+    unbatched k=32 over the ~60M-edge graph spilled past the 80 GB
+    single-node temp budget mid-BFS; batching caps peak spill at the
+    batch's share while the summed result is unchanged — see
+    ``Graph.betweenness_centrality``). Under the gate (sf1's 114 MiB
+    included, matching the r12 evidence) the single-pass plan runs
+    untouched."""
+    from puregraphdb_spark.sources.registry import table_bytes
+
     g = _order_graph(spark, sf_dir)
     und = graph.Graph(
         g.vertices,
@@ -344,7 +355,10 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in g.vertices.orderBy("id").limit(32).collect()
         ]
     n = und.vertices.count()
-    bc = und.betweenness_centrality(srcs, scale=n / len(srcs))
+    batch = (8 if table_bytes(spark, sf_dir, "lineitem") > (512 << 20)
+             else None)
+    bc = und.betweenness_centrality(srcs, scale=n / len(srcs),
+                                    source_batch=batch)
     return (
         bc.filter(F.col("betweenness") > 0)
         .select("id", F.round("betweenness", 6).alias("betweenness"))
@@ -715,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_payload_dedup": multimodal.q170_payload_dedup,
         "image_near_dup": multimodal.image_near_dup,
         "q171_resource_allocation": graph.q171_resource_allocation,
+        "q172_dedup_threshold_curve": llm.q172_dedup_threshold_curve,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -903,6 +918,7 @@ _FRONT_WINDOW = [
     "text_profile", "text_quality_report",
     # NEW round-13 entries (never recorded, by construction)
     "q170_payload_dedup", "image_near_dup", "q171_resource_allocation",
+    "q172_dedup_threshold_curve",
     # oldest-r9 fill: VERDICT-named singles first, then the r8/r9
     # pipeline cohort, then q01-q24 (tail = displacement zone; the
     # four r9 entries that do not fit this window — q21-q24 — roll
@@ -923,7 +939,7 @@ _FRONT_WINDOW = [
     "q06_join_5way", "q07_anti_join", "q08_semi_join",
     "q09_left_outer", "q10_range_join", "q11_window_rank",
     "q12_window_running", "q13_window_lag_delta", "q14_setops",
-    "q15_union_except", "q16_topk_parts", "q17_percentile",
+    "q15_union_except", "q16_topk_parts",
 ]
 
 
@@ -4494,6 +4510,55 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(distinct fingerprint) as bigint)
                      as n_distinct_fp
             from prof group by source order by source
+        """,
+        # Dedup threshold curve (q172): the q63 inverted-index
+        # arithmetic restricted to reference(sample) × new docs, then
+        # swept over the shared threshold grid. Zero-pair thresholds
+        # are absent on BOTH engines by construction.
+        "q172_dedup_threshold_curve": """
+            with sh as (
+              select doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(length(text)-2, 0)),
+                       i -> substring(lower(text), i, 3))) as sh
+              from documents),
+            sz as (select doc_id, len(sh) as n from sh),
+            ex as (select doc_id, unnest(sh) as g from sh),
+            exa as (select doc_id as src, g from ex
+                    where doc_id % 100 = 0),
+            exb as (select doc_id as dst, g from ex
+                    where doc_id % 100 <> 0),
+            inter as (select a.src, b.dst, count(*) as i
+                      from exa a join exb b on b.g = a.g
+                      group by 1, 2),
+            j as (select i.src, i.dst,
+                         cast(i.i as double)
+                         / cast(sa.n + sb.n - i.i as double) as jac
+                  from inter i
+                  join sz sa on sa.doc_id = i.src
+                  join sz sb on sb.doc_id = i.dst
+                  where least(sa.n, sb.n) * 2 >= greatest(sa.n, sb.n)),
+            p as (select src, dst, jac from j where jac >= 0.5),
+            g as (select unnest([cast(0.5 as double),
+                                 cast(0.6 as double),
+                                 cast(0.7 as double),
+                                 cast(0.8 as double),
+                                 cast(0.9 as double)]) as threshold),
+            nn as (select cast(count(*) as bigint) as n_new
+                   from documents where doc_id % 100 <> 0)
+            select threshold,
+                   cast(count(*) as bigint) as n_pairs,
+                   cast(count(distinct dst) as bigint)
+                     as n_docs_removed,
+                   cast(round(cast(
+                        cast(count(distinct dst) as double)
+                        / cast(max(n_new) as double)
+                        as decimal(28,10)), 6) as double)
+                     as removal_ratio
+            from p cross join g cross join nn
+            where jac >= threshold
+            group by threshold
+            order by threshold
         """,
         # Resource-allocation link prediction (q171): rational
         # neighbor weights as exact integer 10^12 // deg — no libm,

@@ -1453,7 +1453,9 @@ class Graph:
 
     def betweenness_centrality(self, sources: list[int],
                                max_depth: int = 20,
-                               scale: float = 1.0) -> DataFrame:
+                               scale: float = 1.0,
+                               source_batch: int | None = None
+                               ) -> DataFrame:
         """Brandes betweenness centrality from a sampled source set →
         (id, betweenness) over ALL vertices (zeros included).
 
@@ -1489,9 +1491,36 @@ class Graph:
         collect — the only driver traffic is the per-level emptiness
         probe. Path counts σ are doubles (exact for counts < 2⁵³;
         betweenness is conventionally a double-valued score).
+
+        ``source_batch``: run the sources in sequential batches of
+        this size and SUM the per-batch dependency vectors — the sum
+        over sources commutes, so the result is bit-identical up to
+        FP summation grouping. This trades wall-clock for PEAK
+        footprint: per-level message volume and checkpoint/spill
+        state scale with the batch size, not |S| (found at the r13
+        sf10 spot-run: k=32 over the 60M-edge order graph spilled
+        past an 80 GB single-node temp budget mid-BFS — the same
+        job in batches of 8 peaks 4× lower; on a multi-node cluster
+        with real aggregate shuffle capacity, leave it None).
         """
         if not sources:
             raise ValueError("betweenness needs at least one source")
+        if source_batch is not None and source_batch < len(sources):
+            parts: DataFrame | None = None
+            for i in range(0, len(sources), source_batch):
+                bc = self.betweenness_centrality(
+                    sources[i:i + source_batch], max_depth=max_depth,
+                    scale=1.0).localCheckpoint(eager=True)
+                parts = bc if parts is None else (
+                    parts.unionByName(bc)
+                    .groupBy("id")
+                    .agg(F.sum("betweenness").alias("betweenness"))
+                    .localCheckpoint(eager=True)
+                )
+            return parts.select(
+                "id",
+                (F.col("betweenness") * F.lit(scale))
+                .alias("betweenness"))
         e = self.edges.select("src", "dst").distinct().persist()
         init = (
             self.vertices.select("id")

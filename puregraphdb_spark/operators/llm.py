@@ -266,6 +266,92 @@ def q63_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q172_dedup_threshold_curve(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Reference-corpus dedup threshold curve — the knob-tuning query
+    run BEFORE committing a near-dup threshold: incoming docs are
+    compared against a reference set (here the doc_id % 100 sample,
+    the q63 grain) by exact char-3-gram Jaccard, and for each
+    candidate threshold the curve reports how many pairs fire and how
+    many non-reference docs would be removed. Pick the knee, then run
+    the dedup once at the chosen threshold (q63 / the MinHash band
+    path are the execution half; this is the calibration half —
+    the dedup sibling of q163's quality-selection curve).
+
+    Exactness: Jaccard is one division of exact integer cardinalities
+    (identical doubles both engines); thresholds are shared literals;
+    counts are bigints; removal is pure integer id logic (a non-
+    reference doc with ANY pair ≥ t is removed — the keep-reference
+    rule, no transitive closure needed).
+
+    Scale: the q63 posture verbatim (map-side shingle sets, bounded
+    reference side broadcast under the measured gate, probe widened
+    to core width, EXACT integer length prefilter 2·min ≥ max sound
+    for the 0.5 grid floor, intersect staged once); the curve then
+    costs one grid explode over the BOUNDED pair relation (pairs
+    survive a 0.5 floor — orders of magnitude smaller than the
+    candidate stream) + one 5-group aggregate.
+    """
+    from puregraphdb_spark.sources.registry import (
+        broadcast_if_small, table_bytes,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    n_new = d.filter(F.col("doc_id") % 100 != 0).agg(
+        F.count("*").alias("n_new"))
+    sh = d.select("doc_id", char_ngram_set(F.col("text")).alias("sh"))
+    a = (
+        sh.filter(F.col("doc_id") % 100 == 0)
+        .select(F.col("doc_id").alias("src"),
+                F.col("sh").alias("sh_a"), F.size("sh").alias("na"))
+    )
+    b = (
+        sh.filter(F.col("doc_id") % 100 != 0)
+        .select(F.col("doc_id").alias("dst"),
+                F.col("sh").alias("sh_b"), F.size("sh").alias("nb"))
+    )
+    if table_bytes(spark, sf_dir, "documents") < (2 << 30):
+        b = b.repartition(spark.sparkContext.defaultParallelism)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    prefilter = F.least("na", "nb") * 2 >= F.greatest("na", "nb")
+    # dst != src is vacuously true (disjoint % classes) but keeps the
+    # q63 join shape: BroadcastNestedLoopJoin under the gate, never a
+    # bare CartesianProduct (the full-surface guard forbids those)
+    pairs = (
+        b.join(broadcast_if_small(a, spark, sf_dir, "documents"),
+               F.col("dst") != F.col("src"))
+        .filter(prefilter)
+        .select("src", "dst", "na", "nb", inter.alias("__i"))
+        .select(
+            "src", "dst",
+            (F.col("__i").cast("double")
+             / (F.col("na") + F.col("nb") - F.col("__i"))
+             .cast("double")).alias("jac"),
+        )
+        .filter(F.col("jac") >= 0.5)
+    )
+    grid = F.array(*[F.lit(t) for t in (0.5, 0.6, 0.7, 0.8, 0.9)])
+    curve = (
+        pairs.select("src", "dst", "jac",
+                     F.explode(grid).alias("threshold"))
+        .filter(F.col("jac") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.countDistinct("dst").cast("long").alias("n_docs_removed"),
+        )
+        .crossJoin(F.broadcast(n_new))
+        .select(
+            "threshold", "n_pairs", "n_docs_removed",
+            decimal_round(
+                F.col("n_docs_removed").cast("double")
+                / F.col("n_new").cast("double"), 6, grid=10,
+            ).alias("removal_ratio"),
+        )
+    )
+    return final_sort(curve, spark, sf_dir, "documents", "threshold")
+
+
 def q64_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex tokenization profile per language: alpha runs,
     digit runs, and single punctuation marks as separate tokens

@@ -63,3 +63,71 @@ def test_q171_tiny_cap_bounds_expansion(spark):
 
     assert q171_resource_allocation(
         spark, SF, max_neighborhood=1, skew_cap_bytes=0).count() == 0
+
+
+def test_q172_curve_is_monotone_and_matches_pair_recompute(spark):
+    """The threshold curve must be monotone non-increasing in pairs
+    and removals, and agree with a driver-side recompute from the
+    exact q63-style pair relation at sf0.001."""
+    from collections import defaultdict
+
+    from puregraphdb_spark.operators.llm import (
+        char_ngram_set, q172_dedup_threshold_curve)
+    from puregraphdb_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    rows = q172_dedup_threshold_curve(spark, SF).collect()
+    n_pairs = [r["n_pairs"] for r in rows]
+    n_rm = [r["n_docs_removed"] for r in rows]
+    assert n_pairs == sorted(n_pairs, reverse=True)
+    assert n_rm == sorted(n_rm, reverse=True)
+    assert all(r["n_docs_removed"] <= r["n_pairs"] for r in rows)
+
+    # independent recompute: collect shingle sets, python set math
+    d = load_table(spark, SF, "documents").select(
+        "doc_id", char_ngram_set(F.col("text")).alias("sh")).collect()
+    ref = {r["doc_id"]: set(r["sh"]) for r in d if r["doc_id"] % 100 == 0}
+    new = {r["doc_id"]: set(r["sh"]) for r in d if r["doc_id"] % 100 != 0}
+    want = defaultdict(lambda: [0, set()])
+    for t in (0.5, 0.6, 0.7, 0.8, 0.9):
+        for s, sa in ref.items():
+            for dd, sb in new.items():
+                i = len(sa & sb)
+                u = len(sa | sb)
+                if u and i / u >= t:
+                    want[t][0] += 1
+                    want[t][1].add(dd)
+    got = {r["threshold"]: (r["n_pairs"], r["n_docs_removed"])
+           for r in rows}
+    assert got == {t: (c, len(ds)) for t, (c, ds) in want.items()}
+
+
+def test_betweenness_source_batching_matches_unbatched(spark):
+    """Source batching is a pure peak-footprint knob: batched runs
+    must reproduce the unbatched scores (up to FP summation grouping
+    — dependency sums are doubles)."""
+    from puregraphdb_spark.operators import graph as G
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in
+         [(1, 2), (2, 3), (3, 4), (4, 5), (2, 5), (5, 6), (1, 6)]],
+        "src long, dst long")
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    verts = und.select(F.col("src").alias("id")).distinct()
+    g = G.Graph(verts, und)
+    srcs = [1, 2, 3, 4, 5, 6]
+    full = {r["id"]: r["betweenness"] for r in
+            g.betweenness_centrality(srcs).collect()}
+    batched = {r["id"]: r["betweenness"] for r in
+               g.betweenness_centrality(srcs, source_batch=2).collect()}
+    assert full.keys() == batched.keys()
+    for k in full:
+        assert abs(full[k] - batched[k]) < 1e-9, (k, full[k], batched[k])
+    # scale multiplies through the batch sum exactly once
+    scaled = {r["id"]: r["betweenness"] for r in
+              g.betweenness_centrality(
+                  srcs, scale=3.0, source_batch=4).collect()}
+    for k in full:
+        assert abs(scaled[k] - 3.0 * full[k]) < 1e-9
