@@ -730,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup": multimodal.image_near_dup,
         "q171_resource_allocation": graph.q171_resource_allocation,
         "q172_dedup_threshold_curve": llm.q172_dedup_threshold_curve,
+        "q173_embedding_dim_profile": pipeline.q173_embedding_dim_profile,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -918,7 +919,7 @@ _FRONT_WINDOW = [
     "text_profile", "text_quality_report",
     # NEW round-13 entries (never recorded, by construction)
     "q170_payload_dedup", "image_near_dup", "q171_resource_allocation",
-    "q172_dedup_threshold_curve",
+    "q172_dedup_threshold_curve", "q173_embedding_dim_profile",
     # oldest-r9 fill: VERDICT-named singles first, then the r8/r9
     # pipeline cohort, then q01-q24 (tail = displacement zone; the
     # four r9 entries that do not fit this window — q21-q24 — roll
@@ -939,7 +940,7 @@ _FRONT_WINDOW = [
     "q06_join_5way", "q07_anti_join", "q08_semi_join",
     "q09_left_outer", "q10_range_join", "q11_window_rank",
     "q12_window_running", "q13_window_lag_delta", "q14_setops",
-    "q15_union_except", "q16_topk_parts",
+    "q15_union_except",
 ]
 
 
@@ -4559,6 +4560,39 @@ def oracle_sql() -> dict[str, str]:
             where jac >= threshold
             group by threshold
             order by threshold
+        """,
+        # Per-dim embedding profile (q173): moments from exact
+        # decimal sums, IEEE mean/var on identical doubles (q78
+        # discipline), operand order mirrored exactly.
+        "q173_embedding_dim_profile": """
+            with px as (
+                select r.range as d,
+                       cast(embedding[r.range + 1] as double) as x
+                from embeddings, range(64) r),
+            agg as (
+                select d, cast(count(*) as bigint) as n,
+                       cast(sum(cast(x as decimal(28,12)))
+                         as double) as sx,
+                       cast(sum(cast(x * x as decimal(28,16)))
+                         as double) as sxx,
+                       min(x) as vmin_raw, max(x) as vmax_raw
+                from px group by d)
+            select cast(d as int) as dim, n,
+                   cast(round(cast(sx / cast(n as double)
+                        as decimal(28,10)), 6) as double) as mean,
+                   cast(round(cast(
+                        (sxx - sx * sx / cast(n as double))
+                        / cast(n as double)
+                        as decimal(28,12)), 8) as double) as var,
+                   cast(round(cast(vmin_raw as decimal(28,10)), 6)
+                     as double) as vmin,
+                   cast(round(cast(vmax_raw as decimal(28,10)), 6)
+                     as double) as vmax,
+                   cast(round(cast(
+                        (vmax_raw - vmin_raw) / 255.0
+                        as decimal(28,12)), 8) as double)
+                     as int8_scale
+            from agg order by dim
         """,
         # Resource-allocation link prediction (q171): rational
         # neighbor weights as exact integer 10^12 // deg — no libm,

@@ -588,6 +588,63 @@ def q75_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_dim_profile(emb: DataFrame, dim: int = 64,
+                          emb_col: str = "embedding") -> DataFrame:
+    """Per-DIMENSION profile of an embedding column: n / mean / var /
+    min / max / int8 scale for each of the ``dim`` coordinates — the
+    per-dim calibration table for affine int8 quantization (q76 sizes
+    the per-VECTOR symmetric scale; real PQ/SQ indexes quantize per
+    dimension, which needs exactly this table) and the drift
+    reference for q150-style embedding monitoring.
+
+    Exactness: per-dim moments ride EXACT decimal sums (Σx at 12dp,
+    Σx² at 16dp — order-immune, the q78 discipline), then mean/var
+    are IEEE arithmetic on those identical doubles, snapped. min/max
+    are exact doubles; the int8 scale (max−min)/255 is one IEEE
+    division, snapped. No sqrt — var, not std (q70 no-libm rule).
+
+    Scale: posexplode is a map-side Generate (rows × dim, but only
+    (pos, value) pairs — the vector itself is not duplicated);
+    partial aggregation collapses each map partition to ``dim``
+    rows before the ONE tiny shuffle to ``dim`` groups.
+    """
+    from puregraphdb_spark.functions.numeric import decimal_round
+
+    x = F.col("x").cast("double")
+    per = emb.select(
+        F.posexplode(F.col(emb_col)).alias("d", "x")
+    ).groupBy("d").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x.cast("decimal(28,12)")).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(28,16)")).cast("double")
+        .alias("sxx"),
+        F.min(x).alias("vmin_raw"),
+        F.max(x).alias("vmax_raw"),
+    )
+    nn = F.col("n").cast("double")
+    mean = F.col("sx") / nn
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / nn) / nn
+    return per.filter(F.col("d") < dim).select(
+        F.col("d").cast("int").alias("dim"), "n",
+        decimal_round(mean, 6, grid=10).alias("mean"),
+        decimal_round(var, 8, grid=12).alias("var"),
+        decimal_round(F.col("vmin_raw"), 6, grid=10).alias("vmin"),
+        decimal_round(F.col("vmax_raw"), 6, grid=10).alias("vmax"),
+        decimal_round(
+            (F.col("vmax_raw") - F.col("vmin_raw")) / F.lit(255.0),
+            8, grid=12).alias("int8_scale"),
+    )
+
+
+def q173_embedding_dim_profile(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """ORACLED per-dimension embedding profile (see
+    ``embedding_dim_profile``) over the fixture embeddings."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return final_sort(embedding_dim_profile(e), spark, sf_dir,
+                      "embeddings", "dim")
+
+
 def q76_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantization report per label: max-abs symmetric
     scale per vector, worst per-dimension reconstruction error — the

@@ -1984,6 +1984,37 @@ SPARK_SQL: dict[str, str] = {
                  as n_distinct_fp
         from prof group by source order by source
     """,
+    # Per-dim embedding profile (q173): posexplode ordinality in the
+    # Spark dialect; same decimal sums and IEEE operand order.
+    "q173_embedding_dim_profile": """
+        with px as (
+            select d, cast(x as double) as x
+            from embeddings
+            lateral view posexplode(embedding) t as d, x),
+        agg as (
+            select d, cast(count(*) as bigint) as n,
+                   cast(sum(cast(x as decimal(28,12))) as double)
+                     as sx,
+                   cast(sum(cast(x * x as decimal(28,16))) as double)
+                     as sxx,
+                   min(x) as vmin_raw, max(x) as vmax_raw
+            from px group by d)
+        select cast(d as int) as dim, n,
+               cast(round(cast(sx / cast(n as double)
+                    as decimal(28,10)), 6) as double) as mean,
+               cast(round(cast(
+                    (sxx - sx * sx / cast(n as double))
+                    / cast(n as double)
+                    as decimal(28,12)), 8) as double) as var,
+               cast(round(cast(vmin_raw as decimal(28,10)), 6)
+                 as double) as vmin,
+               cast(round(cast(vmax_raw as decimal(28,10)), 6)
+                 as double) as vmax,
+               cast(round(cast(
+                    (vmax_raw - vmin_raw) / cast(255.0 as double)
+                    as decimal(28,12)), 8) as double) as int8_scale
+        from agg order by dim
+    """,
     # Payload dedup (q170): shared manifest fragment; the window key
     # is (modality, md5) exactly as the DataFrame door.
     "q170_payload_dedup": ASSET_MANIFEST_CTE_SPARKSQL + """,

@@ -131,3 +131,21 @@ def test_betweenness_source_batching_matches_unbatched(spark):
                   srcs, scale=3.0, source_batch=4).collect()}
     for k in full:
         assert abs(scaled[k] - 3.0 * full[k]) < 1e-9
+
+
+def test_embedding_dim_profile_hand_case(spark):
+    from puregraphdb_spark.operators.pipeline import (
+        embedding_dim_profile)
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 2.0]), (2, [1.0, 4.0]), (3, [2.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    out = {r["dim"]: r for r in
+           embedding_dim_profile(df, dim=2).collect()}
+    d0, d1 = out[0], out[1]
+    assert d0["n"] == 3 and d0["mean"] == 1.0
+    # population variance: ((0-1)^2+(1-1)^2+(2-1)^2)/3 = 2/3
+    assert abs(d0["var"] - 2.0 / 3.0) < 1e-7
+    assert d0["vmin"] == 0.0 and d0["vmax"] == 2.0
+    assert abs(d0["int8_scale"] - 2.0 / 255.0) < 1e-8
+    assert d1["mean"] == 2.0 and d1["vmax"] == 4.0

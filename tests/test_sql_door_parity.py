@@ -97,6 +97,7 @@ DUCKDB_ONLY = {
     "text_profile",  # list_filter/regexp_split_to_array/list_min
     "text_quality_report",  # same shared profile CTE chain
     "q170_payload_dedup",  # ['a','b'][i] list indexing (q168 family)
+    "q173_embedding_dim_profile",  # range(64) + 1-based list indexing
 }
 
 ORACLES = entrymod.oracle_sql()
