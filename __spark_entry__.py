@@ -731,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q171_resource_allocation": graph.q171_resource_allocation,
         "q172_dedup_threshold_curve": llm.q172_dedup_threshold_curve,
         "q173_embedding_dim_profile": pipeline.q173_embedding_dim_profile,
+        "q174_m4_downsample": events.q174_m4_downsample,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -920,6 +921,7 @@ _FRONT_WINDOW = [
     # NEW round-13 entries (never recorded, by construction)
     "q170_payload_dedup", "image_near_dup", "q171_resource_allocation",
     "q172_dedup_threshold_curve", "q173_embedding_dim_profile",
+    "q174_m4_downsample",
     # oldest-r9 fill: VERDICT-named singles first, then the r8/r9
     # pipeline cohort, then q01-q24 (tail = displacement zone; the
     # four r9 entries that do not fit this window — q21-q24 — roll
@@ -940,7 +942,6 @@ _FRONT_WINDOW = [
     "q06_join_5way", "q07_anti_join", "q08_semi_join",
     "q09_left_outer", "q10_range_join", "q11_window_rank",
     "q12_window_running", "q13_window_lag_delta", "q14_setops",
-    "q15_union_except",
 ]
 
 
@@ -4560,6 +4561,38 @@ def oracle_sql() -> dict[str, str]:
             where jac >= threshold
             group by threshold
             order by threshold
+        """,
+        # M4 downsample (q174): every output value is PICKED by a
+        # row_number over a total order — no arithmetic, no rounding.
+        "q174_m4_downsample": """
+            with base as (
+                select event_type as series,
+                       date_trunc('day', ts) as bucket,
+                       ts, value as v, event_id as eid
+                from events),
+            ann as (
+                select series, bucket, ts, v,
+                       row_number() over (partition by series, bucket
+                           order by ts, eid) as r_f,
+                       row_number() over (partition by series, bucket
+                           order by ts desc, eid desc) as r_l,
+                       row_number() over (partition by series, bucket
+                           order by v, ts, eid) as r_n,
+                       row_number() over (partition by series, bucket
+                           order by v desc, ts, eid) as r_x
+                from base)
+            select series, bucket,
+                   cast(count(*) as bigint) as n_points,
+                   max(case when r_f = 1 then ts end) as ts_first,
+                   max(case when r_f = 1 then v end) as v_first,
+                   max(case when r_l = 1 then ts end) as ts_last,
+                   max(case when r_l = 1 then v end) as v_last,
+                   max(case when r_n = 1 then ts end) as ts_min,
+                   max(case when r_n = 1 then v end) as v_min,
+                   max(case when r_x = 1 then ts end) as ts_max,
+                   max(case when r_x = 1 then v end) as v_max
+            from ann group by series, bucket
+            order by series, bucket
         """,
         # Per-dim embedding profile (q173): moments from exact
         # decimal sums, IEEE mean/var on identical doubles (q78

@@ -1205,6 +1205,73 @@ def q159_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "event_type")
 
 
+def m4_downsample(events: DataFrame, series_col: str = "event_type",
+                  ts_col: str = "ts", val_col: str = "value",
+                  bucket: str = "day") -> DataFrame:
+    """M4 time-series downsampling: per (series, time bucket) the
+    FOUR extreme points — first, last, min-value, max-value, each
+    with its timestamp — the aggregation that renders an arbitrarily
+    large series at pixel resolution with zero visual aliasing
+    (Jugel et al., VLDB'14; what Grafana/TimescaleDB ship as the
+    default raw-data rollup). A line chart drawn through the M4
+    points is pixel-identical to one drawn through ALL points.
+
+    Determinism: every point is picked by a row_number over a TOTAL
+    order ((ts, event_id) for first/last, (value, ts, event_id) for
+    min/max) — arg_min/max_by would tie-break arbitrarily, and the
+    four windows share ONE partition key so they plan onto a single
+    shuffle with four in-partition sorts (bucket populations are
+    bounded by the bucket width — the natural grain).
+
+    Scale: 1 shuffle on (series, bucket); output is 4-points-per-
+    bucket regardless of input volume — the 100 TB render query.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    base = events.select(
+        F.col(series_col).alias("series"), b,
+        F.col(ts_col).alias("ts"), F.col(val_col).alias("v"),
+        F.col("event_id").alias("eid"),
+    )
+    pk = ["series", "bucket"]
+    w_first = Window.partitionBy(*pk).orderBy("ts", "eid")
+    w_last = Window.partitionBy(*pk).orderBy(F.desc("ts"),
+                                             F.desc("eid"))
+    w_min = Window.partitionBy(*pk).orderBy("v", "ts", "eid")
+    w_max = Window.partitionBy(*pk).orderBy(F.desc("v"), "ts", "eid")
+    ann = base.select(
+        *pk, "ts", "v",
+        F.row_number().over(w_first).alias("r_f"),
+        F.row_number().over(w_last).alias("r_l"),
+        F.row_number().over(w_min).alias("r_n"),
+        F.row_number().over(w_max).alias("r_x"),
+    )
+    pick = lambda r, c: F.max(F.when(F.col(r) == 1, F.col(c)))  # noqa: E731
+    return (
+        ann.groupBy(*pk)
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            pick("r_f", "ts").alias("ts_first"),
+            pick("r_f", "v").alias("v_first"),
+            pick("r_l", "ts").alias("ts_last"),
+            pick("r_l", "v").alias("v_last"),
+            pick("r_n", "ts").alias("ts_min"),
+            pick("r_n", "v").alias("v_min"),
+            pick("r_x", "ts").alias("ts_max"),
+            pick("r_x", "v").alias("v_max"),
+        )
+    )
+
+
+def q174_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED M4 downsample of the events fixture at day grain (see
+    ``m4_downsample``). No rounding anywhere: the output values are
+    PICKED (not computed), so the identical input doubles hash equal
+    across engines as-is."""
+    ev = load_table(spark, sf_dir, "events")
+    return final_sort(m4_downsample(ev), spark, sf_dir, "events",
+                      "series", "bucket")
+
+
 def arrival_regularity(events: DataFrame, ts_col: str = "ts",
                        user_col: str = "user_id",
                        min_events: int = 5, topk: int = 10) -> DataFrame:

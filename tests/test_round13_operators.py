@@ -149,3 +149,47 @@ def test_embedding_dim_profile_hand_case(spark):
     assert d0["vmin"] == 0.0 and d0["vmax"] == 2.0
     assert abs(d0["int8_scale"] - 2.0 / 255.0) < 1e-8
     assert d1["mean"] == 2.0 and d1["vmax"] == 4.0
+
+
+def test_m4_downsample_picks_deterministic_extremes(spark):
+    from puregraphdb_spark.operators.events import m4_downsample
+
+    rows = [
+        # one series, one day; crafted ties everywhere
+        (1, "a", "2024-01-01 00:00:00", 5.0),
+        (2, "a", "2024-01-01 01:00:00", 1.0),   # min (first of tie)
+        (3, "a", "2024-01-01 02:00:00", 1.0),   # min tie, later ts
+        (4, "a", "2024-01-01 03:00:00", 9.0),   # max
+        (5, "a", "2024-01-01 23:00:00", 7.0),   # last
+        (6, "b", "2024-01-01 12:00:00", 2.0),   # singleton series
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["series"]: r for r in m4_downsample(df).collect()}
+    a = out["a"]
+    assert a["n_points"] == 5
+    assert a["v_first"] == 5.0 and a["v_last"] == 7.0
+    assert a["v_min"] == 1.0 and str(a["ts_min"]).startswith(
+        "2024-01-01 01:")          # tie broken to the EARLIER point
+    assert a["v_max"] == 9.0
+    b = out["b"]
+    # a singleton is simultaneously first/last/min/max
+    assert (b["v_first"] == b["v_last"] == b["v_min"]
+            == b["v_max"] == 2.0)
+    assert b["n_points"] == 1
+
+
+def test_m4_single_shuffle_plan(spark):
+    """The four windows share one partition key → ONE exchange."""
+    from puregraphdb_spark.operators.events import m4_downsample
+    from puregraphdb_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    plan = m4_downsample(
+        load_table(spark, SF_DIR, "events"))._jdf.queryExecution() \
+        .executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2  # window exchange + final agg reuse
