@@ -732,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q172_dedup_threshold_curve": llm.q172_dedup_threshold_curve,
         "q173_embedding_dim_profile": pipeline.q173_embedding_dim_profile,
         "q174_m4_downsample": events.q174_m4_downsample,
+        "q175_l_diversity": profile.q175_l_diversity,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -921,7 +922,7 @@ _FRONT_WINDOW = [
     # NEW round-13 entries (never recorded, by construction)
     "q170_payload_dedup", "image_near_dup", "q171_resource_allocation",
     "q172_dedup_threshold_curve", "q173_embedding_dim_profile",
-    "q174_m4_downsample",
+    "q174_m4_downsample", "q175_l_diversity",
     # oldest-r9 fill: VERDICT-named singles first, then the r8/r9
     # pipeline cohort, then q01-q24 (tail = displacement zone; the
     # four r9 entries that do not fit this window — q21-q24 — roll
@@ -941,7 +942,7 @@ _FRONT_WINDOW = [
     "q03_distinct_count", "q04_rollup", "q05_join_topk_revenue",
     "q06_join_5way", "q07_anti_join", "q08_semi_join",
     "q09_left_outer", "q10_range_join", "q11_window_rank",
-    "q12_window_running", "q13_window_lag_delta", "q14_setops",
+    "q12_window_running", "q13_window_lag_delta",
 ]
 
 
@@ -4561,6 +4562,34 @@ def oracle_sql() -> dict[str, str]:
             where jac >= threshold
             group by threshold
             order by threshold
+        """,
+        # l-diversity audit (q175): exact bigint counts; the q161
+        # banding discipline (explicit floor).
+        "q175_l_diversity": """
+            with d as (
+                select lang, source,
+                       cast(floor(n_chars / 10) as bigint) as len_band
+                from documents),
+            classes as (
+                select lang, len_band,
+                       cast(count(*) as bigint) as sz,
+                       cast(count(distinct source) as bigint) as lv
+                from d group by 1, 2)
+            select lang,
+                   cast(sum(sz) as bigint) as n_rows,
+                   cast(count(*) as bigint) as n_classes,
+                   cast(sum(case when lv < 2 then 1 else 0 end)
+                     as bigint) as n_low_diversity,
+                   cast(sum(case when lv < 2 then sz else 0 end)
+                     as bigint) as n_rows_exposed,
+                   cast(min(lv) as bigint) as min_diversity,
+                   cast(round(cast(
+                        cast(sum(case when lv < 2 then sz else 0 end)
+                             as double)
+                        / cast(sum(sz) as double)
+                        as decimal(28,10)), 6) as double)
+                     as exposure_ratio
+            from classes group by lang order by lang
         """,
         # M4 downsample (q174): every output value is PICKED by a
         # row_number over a total order — no arithmetic, no rounding.

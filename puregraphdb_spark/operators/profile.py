@@ -310,6 +310,68 @@ def k_anonymity_report(df: DataFrame, quasi_cols: list[str],
     )
 
 
+def l_diversity_report(df: DataFrame, quasi_cols: list[str],
+                       sensitive_col: str, l: int = 2,
+                       report_col: str | None = None) -> DataFrame:
+    """l-diversity audit (Machanavajjhala 2007) — the attribute-
+    disclosure sibling of ``k_anonymity_report``: a quasi-identifier
+    class can be large (k-anonymous) yet reveal everyone's sensitive
+    value if all its members SHARE that value. Emits, per
+    ``report_col``: classes, classes with fewer than ``l`` distinct
+    sensitive values, rows inside those low-diversity classes, the
+    worst (minimum) diversity observed, and the exposure ratio —
+    run together with the k-report as the release gate.
+
+    Exact end-to-end: distinct counts and class sizes are bigints;
+    ONE shuffle to the (quasi, —) grain with map-side combine (the
+    countDistinct plans as two-phase partial aggregation), then a
+    tiny-key rollup — the q161 plan shape with one extra grain.
+    """
+    if not quasi_cols:
+        raise ValueError("l_diversity_report needs quasi columns")
+    rc = report_col or quasi_cols[0]
+    classes = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").cast("long").alias("sz"),
+             F.countDistinct(sensitive_col).cast("long").alias("lv"))
+    )
+    return (
+        classes.groupBy(rc)
+        .agg(
+            F.sum("sz").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_classes"),
+            F.sum(F.when(F.col("lv") < l, 1).otherwise(0))
+            .cast("long").alias("n_low_diversity"),
+            F.sum(F.when(F.col("lv") < l, F.col("sz")).otherwise(0))
+            .cast("long").alias("n_rows_exposed"),
+            F.min("lv").cast("long").alias("min_diversity"),
+        )
+        .select(
+            rc, "n_rows", "n_classes", "n_low_diversity",
+            "n_rows_exposed", "min_diversity",
+            decimal_round(
+                F.col("n_rows_exposed").cast("double")
+                / F.col("n_rows").cast("double"), 6, grid=10,
+            ).alias("exposure_ratio"),
+        )
+    )
+
+
+def q175_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l=2 diversity audit of the documents metadata release: quasi
+    identifiers (lang, length band) — sensitive attribute = source
+    (see ``l_diversity_report``), reported per lang. Uses the q161
+    banding (explicit floor: Spark's double→long cast truncates,
+    DuckDB's rounds)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "source",
+        F.floor(F.col("n_chars") / F.lit(10)).cast("long")
+        .alias("len_band"),
+    )
+    res = l_diversity_report(d, ["lang", "len_band"], "source", l=2)
+    return final_sort(res, spark, sf_dir, "documents", "lang")
+
+
 def q161_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=5 anonymity audit of the documents metadata release
     (lang × source × 10-char length band — see

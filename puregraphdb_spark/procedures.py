@@ -1128,6 +1128,38 @@ def _k_anonymity(spark, table: str, quasi_cols: str,
                               report_col=report_col or None)
 
 
+def _l_diversity(spark, table: str, quasi_cols: str,
+                 sensitive_col: str, l: int = 2,
+                 report_col: str = "") -> DataFrame:
+    from puregraphdb_spark.operators.profile import l_diversity_report
+
+    quasi = [c.strip() for c in quasi_cols.split(",") if c.strip()]
+    return l_diversity_report(_view(spark, table), quasi,
+                              sensitive_col, l=int(l),
+                              report_col=report_col or None)
+
+
+def _m4_downsample(spark, events: str = "events",
+                   series_col: str = "event_type",
+                   ts_col: str = "ts", val_col: str = "value",
+                   bucket: str = "day") -> DataFrame:
+    from puregraphdb_spark.operators.events import m4_downsample
+
+    return m4_downsample(_view(spark, events), series_col=series_col,
+                         ts_col=ts_col, val_col=val_col,
+                         bucket=bucket)
+
+
+def _embedding_dim_profile(spark, embeddings: str = "embeddings",
+                           dim: int = 64,
+                           emb_col: str = "embedding") -> DataFrame:
+    from puregraphdb_spark.operators.pipeline import (
+        embedding_dim_profile)
+
+    return embedding_dim_profile(_view(spark, embeddings),
+                                 dim=int(dim), emb_col=emb_col)
+
+
 def _gopher_rules(spark, docs: str = "documents",
                   group_col: str = "source",
                   text_col: str = "text") -> DataFrame:
@@ -1274,6 +1306,9 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "cusum_changepoint": _cusum_changepoint,
     "lm_transition_score": _lm_transition_score,
     "k_anonymity": _k_anonymity,
+    "l_diversity": _l_diversity,
+    "m4_downsample": _m4_downsample,
+    "embedding_dim_profile": _embedding_dim_profile,
     "gopher_rules": _gopher_rules,
     "ann_recall": _ann_recall,
     "selection_curve": _selection_curve,

@@ -193,3 +193,40 @@ def test_m4_single_shuffle_plan(spark):
         .executedPlan().toString()
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2  # window exchange + final agg reuse
+
+
+def test_l_diversity_hand_case(spark):
+    from puregraphdb_spark.operators.profile import l_diversity_report
+
+    rows = [
+        # class (a, 1): 3 rows, all same sensitive value → exposed
+        ("a", 1, "s1"), ("a", 1, "s1"), ("a", 1, "s1"),
+        # class (a, 2): 2 rows, 2 distinct values → diverse
+        ("a", 2, "s1"), ("a", 2, "s2"),
+        # class (b, 1): singleton → trivially low diversity
+        ("b", 1, "s9"),
+    ]
+    df = spark.createDataFrame(rows, "g string, band int, sens string")
+    out = {r["g"]: r for r in l_diversity_report(
+        df, ["g", "band"], "sens", l=2).collect()}
+    a = out["a"]
+    assert a["n_classes"] == 2 and a["n_low_diversity"] == 1
+    assert a["n_rows_exposed"] == 3 and a["min_diversity"] == 1
+    assert abs(a["exposure_ratio"] - 0.6) < 1e-9
+    b = out["b"]
+    assert b["n_low_diversity"] == 1 and b["n_rows_exposed"] == 1
+
+
+def test_round13_call_doors(spark):
+    from puregraphdb_spark.engine import Engine
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark, SF_DIR)
+    ld = eng.sql("CALL l_diversity(table => 'documents',"
+                 " quasi_cols => 'lang,source',"
+                 " sensitive_col => 'doc_id', l => 2)")
+    assert ld.count() > 0 and "exposure_ratio" in ld.columns
+    m4 = eng.sql("CALL m4_downsample(events => 'events')")
+    assert m4.count() > 0 and "v_max" in m4.columns
+    ep = eng.sql("CALL embedding_dim_profile(dim => 64)")
+    assert ep.count() == 64 and "int8_scale" in ep.columns
