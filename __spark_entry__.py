@@ -733,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_embedding_dim_profile": pipeline.q173_embedding_dim_profile,
         "q174_m4_downsample": events.q174_m4_downsample,
         "q175_l_diversity": profile.q175_l_diversity,
+        "q176_allpairs_jaccard": similarity.q176_allpairs_jaccard,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -923,6 +924,7 @@ _FRONT_WINDOW = [
     "q170_payload_dedup", "image_near_dup", "q171_resource_allocation",
     "q172_dedup_threshold_curve", "q173_embedding_dim_profile",
     "q174_m4_downsample", "q175_l_diversity",
+    "q176_allpairs_jaccard",
     # oldest-r9 fill: VERDICT-named singles first, then the r8/r9
     # pipeline cohort, then q01-q24 (tail = displacement zone; the
     # four r9 entries that do not fit this window — q21-q24 — roll
@@ -942,7 +944,7 @@ _FRONT_WINDOW = [
     "q03_distinct_count", "q04_rollup", "q05_join_topk_revenue",
     "q06_join_5way", "q07_anti_join", "q08_semi_join",
     "q09_left_outer", "q10_range_join", "q11_window_rank",
-    "q12_window_running", "q13_window_lag_delta",
+    "q12_window_running",
 ]
 
 
@@ -4562,6 +4564,35 @@ def oracle_sql() -> dict[str, str]:
             where jac >= threshold
             group by threshold
             order by threshold
+        """,
+        # All-pairs Jaccard (q176): NAIVE inverted-index all-pairs —
+        # deliberately independent of the Spark door's prefix filter,
+        # so the hash-match proves the filter lossless on real data.
+        "q176_allpairs_jaccard": """
+            with sh as (
+              select doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(length(text)-2, 0)),
+                       i -> substring(lower(text), i, 3))) as sh
+              from documents where doc_id % 20 = 0),
+            sz as (select doc_id, len(sh) as n from sh where len(sh) > 0),
+            ex as (select doc_id, unnest(sh) as g from sh),
+            inter as (select a.doc_id as a, b.doc_id as b,
+                             count(*) as i
+                      from ex a join ex b
+                        on b.g = a.g and a.doc_id < b.doc_id
+                      group by 1, 2),
+            j as (select i.a, i.b, i.i,
+                         sa.n + sb.n - i.i as u
+                  from inter i
+                  join sz sa on sa.doc_id = i.a
+                  join sz sb on sb.doc_id = i.b)
+            select a, b,
+                   cast(round(cast(cast(i as double)
+                        / cast(u as double)
+                        as decimal(28,10)), 6) as double) as jac
+            from j where i * 5 >= u * 3
+            order by a, b
         """,
         # l-diversity audit (q175): exact bigint counts; the q161
         # banding discipline (explicit floor).

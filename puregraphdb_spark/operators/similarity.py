@@ -123,6 +123,104 @@ def lsh_bands(sigs: DataFrame, bands: int = 16, rows_per_band: int = 4) -> DataF
     )
 
 
+def allpairs_jaccard_join(shingled: DataFrame,
+                          threshold_num: int = 3,
+                          threshold_den: int = 5,
+                          id_col: str = "doc_id",
+                          set_col: str = "sh") -> DataFrame:
+    """EXACT all-pairs set-similarity join via prefix filtering — the
+    Bayardo et al. (WWW'07) / PPJoin family, Spark-first: every pair
+    with Jaccard ≥ num/den, WITHOUT the O(n²) pair enumeration and
+    WITHOUT MinHash's false negatives.
+
+    Prefix lemma: order every token set by a GLOBAL total order
+    (document frequency ascending, token ascending — rare tokens
+    first). If J(a,b) ≥ t then |a∩b| ≥ ⌈t·max(|a|,|b|)⌉, and two
+    sets whose (|s| − ⌈t·|s|⌉ + 1)-prefixes are disjoint can share
+    at most ⌈t·|s|⌉ − 1 tokens — contradiction. So joining PREFIX
+    tokens only is lossless, and the rare-first order makes prefix
+    collisions scarce. ⌈t·n⌉ is exact integer arithmetic
+    ((n·num + den − 1) div den); the final threshold test is the
+    cross-multiplication i·den ≥ u·num on bigints — no float
+    appears anywhere in candidate generation or selection.
+
+    Scale: df-rank the vocabulary once (one token-grain aggregate;
+    the vocab relation is |distinct tokens| — for char-3-grams a
+    bounded alphabet³, broadcastable at any corpus size); per-doc
+    prefix extraction is one window on the id key; candidates come
+    from ONE equi-join on prefix tokens (the token grain is the
+    natural skew guard: a token this frequent is by construction
+    NOT in many prefixes); verification joins the two set arrays
+    back and pays one array_intersect per SURVIVING candidate. The
+    oracle for q176 runs the naive inverted-index all-pairs — the
+    hash-match PROVES the prefix filter loses nothing.
+    """
+    t_num, t_den = threshold_num, threshold_den
+    sh = shingled.select(
+        F.col(id_col).alias("id"), F.col(set_col).alias("sh"),
+        F.size(set_col).alias("n"),
+    ).filter(F.col("n") > 0)
+    tok = sh.select("id", "n", F.explode("sh").alias("g"))
+    df_rank = (
+        tok.groupBy("g").agg(F.count("*").alias("df"))
+    )
+    ranked = tok.join(F.broadcast(df_rank), "g")
+    w = Window.partitionBy("id").orderBy("df", "g")
+    # L = n − ceil(t·n) + 1, ceil in exact integers
+    L = (F.col("n")
+         - F.expr(f"(n * {t_num} + {t_den} - 1) div {t_den}")
+         + F.lit(1))
+    prefix = (
+        ranked.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= L)
+        .select("id", "g")
+    )
+    cand = (
+        prefix.select(F.col("id").alias("a"), "g")
+        .join(prefix.select(F.col("id").alias("b"), "g"), "g")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"),
+                   F.col("n").alias("na"))
+    sb = sh.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"),
+                   F.col("n").alias("nb"))
+    i = F.size(F.array_intersect("sh_a", "sh_b"))
+    verified = (
+        cand.join(sa, "a").join(sb, "b")
+        .select("a", "b", "na", "nb", i.alias("i"))
+        .select("a", "b", "i",
+                (F.col("na") + F.col("nb") - F.col("i")).alias("u"))
+        .filter(F.col("i") * t_den >= F.col("u") * t_num)
+    )
+    from puregraphdb_spark.functions.numeric import decimal_round
+
+    return verified.select(
+        "a", "b",
+        decimal_round(
+            F.col("i").cast("double") / F.col("u").cast("double"),
+            6, grid=10).alias("jac"),
+    )
+
+
+def q176_allpairs_jaccard(spark, sf_dir: str) -> DataFrame:
+    """ORACLED prefix-filtered all-pairs Jaccard ≥ 0.6 over the
+    doc_id % 20 sample (see ``allpairs_jaccard_join``; char-3-gram
+    sets, the q63 shingle grain). The DuckDB oracle computes the
+    NAIVE inverted-index all-pairs join — the hash-match is a proof
+    on real data that prefix filtering drops no qualifying pair."""
+    from puregraphdb_spark.operators.llm import char_ngram_set
+    from puregraphdb_spark.sources.registry import final_sort, load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0)
+    sh = d.select("doc_id", char_ngram_set(F.col("text")).alias("sh"))
+    return final_sort(
+        allpairs_jaccard_join(sh), spark, sf_dir, "documents",
+        "a", "b")
+
+
 def near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", num_hashes: int = 64,
                    bands: int = 16, k: int = 3,

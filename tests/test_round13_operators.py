@@ -230,3 +230,39 @@ def test_round13_call_doors(spark):
     assert m4.count() > 0 and "v_max" in m4.columns
     ep = eng.sql("CALL embedding_dim_profile(dim => 64)")
     assert ep.count() == 64 and "int8_scale" in ep.columns
+
+
+def test_allpairs_jaccard_prefix_filter_is_lossless(spark):
+    """Brute-force all-pairs on random-ish sets == prefix-filtered
+    result, pair for pair (the WWW'07 lemma checked in code)."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from puregraphdb_spark.operators.similarity import (
+        allpairs_jaccard_join)
+
+    # crafted universe: overlapping token sets of varied sizes,
+    # including exact dups, near-dups, disjoint and tiny sets
+    sets = {
+        1: ["a", "b", "c", "d", "e"],
+        2: ["a", "b", "c", "d", "f"],          # J=4/6 vs 1
+        3: ["a", "b", "c", "d", "e"],          # dup of 1
+        4: ["x", "y"],                          # tiny, disjoint
+        5: ["x", "y", "z"],                     # J=2/3 vs 4
+        6: ["q"],                               # singleton
+        7: ["a", "m", "n", "o", "p", "r"],      # weak overlap
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in sets.items()], "doc_id long, sh array<string>")
+    got = {(r["a"], r["b"]): r["jac"] for r in
+           allpairs_jaccard_join(df).collect()}
+    want = {}
+    for x, y in combinations(sorted(sets), 2):
+        i = len(set(sets[x]) & set(sets[y]))
+        u = len(set(sets[x]) | set(sets[y]))
+        if i * 5 >= u * 3:
+            want[(x, y)] = round(i / u, 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
