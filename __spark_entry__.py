@@ -734,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_m4_downsample": events.q174_m4_downsample,
         "q175_l_diversity": profile.q175_l_diversity,
         "q176_allpairs_jaccard": similarity.q176_allpairs_jaccard,
+        "q177_negative_sampling": graph.q177_negative_sampling,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -924,7 +925,7 @@ _FRONT_WINDOW = [
     "q170_payload_dedup", "image_near_dup", "q171_resource_allocation",
     "q172_dedup_threshold_curve", "q173_embedding_dim_profile",
     "q174_m4_downsample", "q175_l_diversity",
-    "q176_allpairs_jaccard",
+    "q176_allpairs_jaccard", "q177_negative_sampling",
     # oldest-r9 fill: VERDICT-named singles first, then the r8/r9
     # pipeline cohort, then q01-q24 (tail = displacement zone; the
     # four r9 entries that do not fit this window — q21-q24 — roll
@@ -944,7 +945,6 @@ _FRONT_WINDOW = [
     "q03_distinct_count", "q04_rollup", "q05_join_topk_revenue",
     "q06_join_5way", "q07_anti_join", "q08_semi_join",
     "q09_left_outer", "q10_range_join", "q11_window_rank",
-    "q12_window_running",
 ]
 
 
@@ -4564,6 +4564,28 @@ def oracle_sql() -> dict[str, str]:
             where jac >= threshold
             group by threshold
             order by threshold
+        """,
+        # Negative sampling (q177): pure bigint hash probing + exact
+        # membership join — no RNG, byte-identical training rows.
+        "q177_negative_sampling": """
+            with edges as (
+                select distinct o.o_custkey as c, l.l_suppkey as s
+                from orders o join lineitem l
+                  on l.l_orderkey = o.o_orderkey),
+            ns as (select count(*) as n_supp from supplier),
+            cand as (
+                select c, s as s_pos, r.rank,
+                       cast(1 + (s - 1 + r.rank * 2654435761)
+                            % n_supp as bigint) as s_neg
+                from edges, ns,
+                     (select unnest([1, 2, 3]) as rank) r
+                where c % 50 = 0)
+            select cand.c, cand.s_pos, cand.rank, cand.s_neg,
+                   cast(case when e2.s is null then 0 else 1 end
+                     as bigint) as is_true_edge
+            from cand left join edges e2
+              on e2.c = cand.c and e2.s = cand.s_neg
+            order by cand.c, cand.s_pos, cand.rank
         """,
         # All-pairs Jaccard (q176): NAIVE inverted-index all-pairs —
         # deliberately independent of the Spark door's prefix filter,

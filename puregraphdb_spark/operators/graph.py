@@ -2823,6 +2823,76 @@ def q171_resource_allocation(spark: SparkSession, sf_dir: str,
     )
 
 
+def q177_negative_sampling(spark: SparkSession, sf_dir: str,
+                           k: int = 3) -> DataFrame:
+    """Training-data negative sampling for link prediction: for each
+    observed co-supply edge (customer %50 sample), ``k`` DETERMINISTIC
+    negative supplier candidates from integer multiplicative-hash
+    probing over the supplier keyspace, each flagged by a membership
+    check against the true edge set — the (positive, negatives)
+    triple generator every graph-ML trainer needs, with the
+    "filtered sampling" decision (is the candidate secretly a true
+    edge?) made exact by an edge-set join instead of hoped-away.
+
+    Determinism & oracle-ability: candidate s'ᵢ = 1 + (s−1 + i·P)
+    mod n_supp with P = 2654435761 (Knuth's multiplicative constant)
+    — pure bigint arithmetic both engines share; the flag is an
+    exact membership join. No RNG: re-runs and cross-engine runs
+    produce byte-identical training rows (seeded-hash discipline of
+    q69/q112).
+
+    Scale: the edge relation builds once (q100's pair grain); the
+    candidate explode is k rows per edge map-side; the membership
+    check is ONE left join on the (c, s') key against the edge set
+    co-partitioned by the same key. n_supp is a 1-row broadcast.
+    """
+    from puregraphdb_spark.sources.registry import (
+        broadcast_if_small, final_sort,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey")
+    edges = (
+        l.join(broadcast_if_small(o, spark, sf_dir, "orders"),
+               o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("c"),
+                F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    n_supp = load_table(spark, sf_dir, "supplier").agg(
+        F.count("*").alias("n_supp"))
+    P = 2654435761
+    cand = (
+        edges.filter(F.col("c") % 50 == 0)
+        .crossJoin(F.broadcast(n_supp))
+        .select(
+            "c", F.col("s").alias("s_pos"),
+            F.explode(F.array(*[F.lit(i) for i in range(1, k + 1)]))
+            .alias("rank"),
+            "n_supp",
+        )
+        .select(
+            "c", "s_pos", "rank",
+            (F.lit(1) + (F.col("s_pos") - 1
+                         + F.col("rank") * F.lit(P)) % F.col("n_supp"))
+            .cast("long").alias("s_neg"),
+        )
+    )
+    hits = edges.select(F.col("c"), F.col("s").alias("s_neg"),
+                        F.lit(1).alias("hit"))
+    out = (
+        cand.join(hits, ["c", "s_neg"], "left")
+        .select(
+            "c", "s_pos", "rank", "s_neg",
+            F.coalesce("hit", F.lit(0)).cast("long")
+            .alias("is_true_edge"),
+        )
+    )
+    return final_sort(out, spark, sf_dir, "lineitem",
+                      "c", "s_pos", "rank")
+
+
 def q103_graph_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal graph growth: per month, the number of NEW distinct
     customer→supplier edges (first order that realizes the pair) and

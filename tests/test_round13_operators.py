@@ -266,3 +266,25 @@ def test_allpairs_jaccard_prefix_filter_is_lossless(spark):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_negative_sampling_determinism_and_flags(spark):
+    from puregraphdb_spark.operators.graph import q177_negative_sampling
+
+    a = q177_negative_sampling(spark, SF).collect()
+    b = q177_negative_sampling(spark, SF).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]  # no RNG
+    assert len(a) > 0 and len(a) % 3 == 0   # k=3 per sampled edge
+    # candidates stay inside the supplier keyspace
+    from puregraphdb_spark.sources.registry import load_table
+    n_supp = load_table(spark, SF, "supplier").count()
+    assert all(1 <= r["s_neg"] <= n_supp for r in a)
+    # the flag is the exact membership answer
+    from pyspark.sql import functions as F
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = {(r["o_custkey"], r["l_suppkey"]) for r in
+             o.join(l, o.o_orderkey == l.l_orderkey)
+             .select("o_custkey", "l_suppkey").distinct().collect()}
+    for r in a:
+        assert r["is_true_edge"] == int((r["c"], r["s_neg"]) in edges)
