@@ -735,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_l_diversity": profile.q175_l_diversity,
         "q176_allpairs_jaccard": similarity.q176_allpairs_jaccard,
         "q177_negative_sampling": graph.q177_negative_sampling,
+        "q178_bitemporal_asof": incremental.q178_bitemporal_asof,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -926,6 +927,7 @@ _FRONT_WINDOW = [
     "q172_dedup_threshold_curve", "q173_embedding_dim_profile",
     "q174_m4_downsample", "q175_l_diversity",
     "q176_allpairs_jaccard", "q177_negative_sampling",
+    "q178_bitemporal_asof",
     # oldest-r9 fill: VERDICT-named singles first, then the r8/r9
     # pipeline cohort, then q01-q24 (tail = displacement zone; the
     # four r9 entries that do not fit this window — q21-q24 — roll
@@ -944,7 +946,7 @@ _FRONT_WINDOW = [
     "q01_filter_project", "q02_agg_pricing_summary",
     "q03_distinct_count", "q04_rollup", "q05_join_topk_revenue",
     "q06_join_5way", "q07_anti_join", "q08_semi_join",
-    "q09_left_outer", "q10_range_join", "q11_window_rank",
+    "q09_left_outer", "q10_range_join",
 ]
 
 
@@ -4564,6 +4566,34 @@ def oracle_sql() -> dict[str, str]:
             where jac >= threshold
             group by threshold
             order by threshold
+        """,
+        # Bitemporal as-of (q178): row_number over (valid, txn)
+        # total order after the two time-axis filters.
+        "q178_bitemporal_asof": """
+            with o as (
+                select o_orderkey as k, o_orderdate as d,
+                       o_totalprice as p
+                from orders where o_orderkey % 10 = 0),
+            v as (
+                select k, d as valid_from, d as txn_ts, p as price
+                from o
+                union all
+                select k, d, d + interval 20 day, p + 50.0
+                from o where k % 30 = 0
+                union all
+                select k, d + interval 10 day, d + interval 10 day,
+                       p + 100.0
+                from o where k % 20 = 0),
+            f as (
+                select k, valid_from, txn_ts, price,
+                       row_number() over (partition by k
+                           order by valid_from desc, txn_ts desc)
+                         as rn
+                from v
+                where valid_from <= timestamp '1996-07-01'
+                  and txn_ts <= timestamp '1996-07-15')
+            select k, valid_from, txn_ts, price
+            from f where rn = 1 order by k
         """,
         # Negative sampling (q177): pure bigint hash probing + exact
         # membership join — no RNG, byte-identical training rows.

@@ -211,6 +211,74 @@ def apply_cdc_upsert(dim: DataFrame, updates: DataFrame, key: str,
     return untouched.unionByName(latest)
 
 
+def bitemporal_asof(versions: DataFrame, key_col: str,
+                    valid_col: str, txn_col: str,
+                    valid_as_of, txn_as_of) -> DataFrame:
+    """Bitemporal point query: the state of each key AS OF a VALID
+    time, AS KNOWN AT a transaction time — the two-axis lookup that
+    separates "what was true on June 1" from "what we believed on
+    June 1" and makes retroactive corrections auditable (the SQL:2011
+    bitemporal-table semantics, reconstructed over a plain version
+    relation).
+
+    Selection rule: among versions with valid_from ≤ V and
+    txn_ts ≤ T, the winner has the greatest valid_from, ties broken
+    by the greatest txn_ts (the latest recorded belief about the
+    governing validity period). (valid_from, txn_ts) must be unique
+    per key — CDC version streams guarantee it.
+
+    Scale: one filter (pushed to the scan) + one window on the key —
+    the q54 dedup-latest shape; no joins, no state.
+    """
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col(valid_col).desc(), F.col(txn_col).desc()))
+    return (
+        versions.filter((F.col(valid_col) <= F.lit(valid_as_of))
+                        & (F.col(txn_col) <= F.lit(txn_as_of)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def q178_bitemporal_asof(spark, sf_dir: str) -> DataFrame:
+    """ORACLED bitemporal point query (see ``bitemporal_asof``) over
+    a version relation synthesized deterministically from sampled
+    orders: every %10 order gets its original record (txn = valid =
+    o_orderdate); %30 orders ALSO get a retroactive price correction
+    (same valid_from, txn 20 days later — visible only to queries
+    whose T passes it); %20 orders get a NEW validity period 10 days
+    on (valid = txn = o_orderdate + 10 days). Querying V=1996-07-01,
+    T=1996-07-15 exercises all three regimes: keys whose correction
+    is not yet known at T, keys whose later period governs, and keys
+    absent entirely (ordered after V)."""
+    from puregraphdb_spark.sources.registry import final_sort, load_table
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    ).select(F.col("o_orderkey").alias("k"),
+             F.col("o_orderdate").alias("d"),
+             F.col("o_totalprice").alias("p"))
+    day = lambda n: F.expr(f"interval {n} days")  # noqa: E731
+    v1 = o.select("k", F.col("d").alias("valid_from"),
+                  F.col("d").alias("txn_ts"), F.col("p").alias("price"))
+    v2 = o.filter(F.col("k") % 30 == 0).select(
+        "k", F.col("d").alias("valid_from"),
+        (F.col("d") + day(20)).alias("txn_ts"),
+        (F.col("p") + F.lit(50.0)).alias("price"))
+    v3 = o.filter(F.col("k") % 20 == 0).select(
+        "k", (F.col("d") + day(10)).alias("valid_from"),
+        (F.col("d") + day(10)).alias("txn_ts"),
+        (F.col("p") + F.lit(100.0)).alias("price"))
+    versions = v1.unionByName(v2).unionByName(v3)
+    res = bitemporal_asof(
+        versions, "k", "valid_from", "txn_ts",
+        "1996-07-01 00:00:00", "1996-07-15 00:00:00")
+    return final_sort(res, spark, sf_dir, "orders", "k")
+
+
 def q167_scd1_upsert(spark, sf_dir: str) -> DataFrame:
     """ORACLED upsert identity: the maintained dimension (anti-join +
     batch-latest union — the plan that never windows the dimension)

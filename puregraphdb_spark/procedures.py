@@ -1128,6 +1128,16 @@ def _k_anonymity(spark, table: str, quasi_cols: str,
                               report_col=report_col or None)
 
 
+def _bitemporal_asof(spark, versions: str, key_col: str,
+                     valid_col: str, txn_col: str,
+                     valid_as_of: str, txn_as_of: str) -> DataFrame:
+    from puregraphdb_spark.operators.incremental import bitemporal_asof
+
+    return bitemporal_asof(_view(spark, versions), key_col,
+                           valid_col, txn_col, valid_as_of,
+                           txn_as_of)
+
+
 def _l_diversity(spark, table: str, quasi_cols: str,
                  sensitive_col: str, l: int = 2,
                  report_col: str = "") -> DataFrame:
@@ -1307,6 +1317,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "lm_transition_score": _lm_transition_score,
     "k_anonymity": _k_anonymity,
     "l_diversity": _l_diversity,
+    "bitemporal_asof": _bitemporal_asof,
     "m4_downsample": _m4_downsample,
     "embedding_dim_profile": _embedding_dim_profile,
     "gopher_rules": _gopher_rules,

@@ -288,3 +288,55 @@ def test_negative_sampling_determinism_and_flags(spark):
              .select("o_custkey", "l_suppkey").distinct().collect()}
     for r in a:
         assert r["is_true_edge"] == int((r["c"], r["s_neg"]) in edges)
+
+
+def test_bitemporal_asof_hand_case(spark):
+    """Three-regime hand case: correction visible only after its txn
+    time; later validity period governs once V passes it."""
+    from puregraphdb_spark.operators.incremental import bitemporal_asof
+
+    rows = [
+        # key 1: original + retroactive correction recorded later
+        (1, "2024-01-01", "2024-01-01", 100.0),
+        (1, "2024-01-01", "2024-02-01", 150.0),   # correction
+        # key 2: two validity periods
+        (2, "2024-01-01", "2024-01-01", 10.0),
+        (2, "2024-03-01", "2024-03-01", 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, valid_from string, txn_ts string, price double"
+    ).selectExpr("k", "cast(valid_from as timestamp) valid_from",
+                 "cast(txn_ts as timestamp) txn_ts", "price")
+
+    def q(v, t):
+        return {r["k"]: r["price"] for r in bitemporal_asof(
+            df, "k", "valid_from", "txn_ts", v, t).collect()}
+
+    # before the correction is KNOWN: old belief
+    assert q("2024-01-15", "2024-01-15") == {1: 100.0, 2: 10.0}
+    # after the correction lands: same valid time, new belief
+    assert q("2024-01-15", "2024-02-15") == {1: 150.0, 2: 10.0}
+    # V past key 2's second period: it governs
+    assert q("2024-03-15", "2024-03-15") == {1: 150.0, 2: 20.0}
+    # V before everything: empty state
+    assert q("2023-12-01", "2024-12-01") == {}
+
+
+def test_bitemporal_call_door(spark):
+    from puregraphdb_spark.engine import Engine
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark, SF_DIR)
+    spark.createDataFrame(
+        [(1, "2024-01-01", "2024-01-01", 1.0),
+         (1, "2024-01-01", "2024-02-01", 2.0)],
+        "k long, valid_from string, txn_ts string, price double"
+    ).selectExpr("k", "cast(valid_from as timestamp) valid_from",
+                 "cast(txn_ts as timestamp) txn_ts", "price")\
+        .createOrReplaceTempView("bt_versions")
+    out = eng.sql(
+        "CALL bitemporal_asof(versions => 'bt_versions',"
+        " key_col => 'k', valid_col => 'valid_from',"
+        " txn_col => 'txn_ts', valid_as_of => '2024-01-15',"
+        " txn_as_of => '2024-03-01')").collect()
+    assert len(out) == 1 and out[0]["price"] == 2.0
