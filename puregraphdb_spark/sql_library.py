@@ -1984,6 +1984,131 @@ SPARK_SQL: dict[str, str] = {
                  as n_distinct_fp
         from prof group by source order by source
     """,
+    # RA link prediction (q171): Spark `div` spelling of the exact
+    # integer weight; identical bigint-sum ordering.
+    "q171_resource_allocation": """
+        with pairs as (
+            select distinct o.o_custkey as c, l.l_suppkey as s
+            from orders o join lineitem l
+              on l.l_orderkey = o.o_orderkey),
+        cdeg as (select c, count(*) as dz from pairs group by c),
+        wp as (
+            select p.c, p.s,
+                   cast(1000000000000L div dz as bigint) as w
+            from pairs p join cdeg on cdeg.c = p.c),
+        scored as (
+            select a.s as s1, b.s as s2,
+                   cast(count(*) as bigint) as cn,
+                   cast(sum(a.w) as bigint) as ra_w
+            from wp a join wp b on a.c = b.c and a.s < b.s
+            group by 1, 2)
+        select s1, s2, cn,
+               cast(round(cast(cast(ra_w as double)
+                    / cast(1e12 as double)
+                    as decimal(28,10)), 6) as double) as ra_score
+        from scored
+        order by ra_w desc, s1, s2
+        limit 50
+    """,
+    # Dedup threshold curve (q172): Spark HOF shingles (with the
+    # sequence(1,0)-descending guard) + explode()d grid.
+    "q172_dedup_threshold_curve": """
+        with sh as (
+          select doc_id,
+                 case when length(lower(text)) >= 3 then
+                   array_distinct(transform(
+                     sequence(1, length(lower(text)) - 2),
+                     i -> substring(lower(text), i, 3)))
+                 else cast(array() as array<string>) end as sh
+          from documents),
+        sz as (select doc_id, size(sh) as n from sh),
+        ex as (select doc_id, explode(sh) as g from sh),
+        exa as (select doc_id as src, g from ex
+                where doc_id % 100 = 0),
+        exb as (select doc_id as dst, g from ex
+                where doc_id % 100 != 0),
+        inter as (select a.src, b.dst, count(*) as i
+                  from exa a join exb b on b.g = a.g
+                  group by 1, 2),
+        j as (select i.src, i.dst,
+                     cast(i.i as double)
+                     / cast(sa.n + sb.n - i.i as double) as jac
+              from inter i
+              join sz sa on sa.doc_id = i.src
+              join sz sb on sb.doc_id = i.dst
+              where least(sa.n, sb.n) * 2 >= greatest(sa.n, sb.n)),
+        p as (select src, dst, jac from j where jac >= 0.5),
+        g as (select explode(array(cast(0.5 as double),
+                                   cast(0.6 as double),
+                                   cast(0.7 as double),
+                                   cast(0.8 as double),
+                                   cast(0.9 as double)))
+                       as threshold),
+        nn as (select cast(count(*) as bigint) as n_new
+               from documents where doc_id % 100 != 0)
+        select threshold,
+               cast(count(*) as bigint) as n_pairs,
+               cast(count(distinct dst) as bigint) as n_docs_removed,
+               cast(round(cast(
+                    cast(count(distinct dst) as double)
+                    / cast(max(n_new) as double)
+                    as decimal(28,10)), 6) as double) as removal_ratio
+        from p cross join g cross join nn
+        where jac >= threshold
+        group by threshold order by threshold
+    """,
+    # All-pairs Jaccard (q176): the same NAIVE inverted-index shape
+    # as the DuckDB oracle, in Spark spellings — still independent of
+    # the DataFrame door's prefix filter.
+    "q176_allpairs_jaccard": """
+        with sh as (
+          select doc_id,
+                 case when length(lower(text)) >= 3 then
+                   array_distinct(transform(
+                     sequence(1, length(lower(text)) - 2),
+                     i -> substring(lower(text), i, 3)))
+                 else cast(array() as array<string>) end as sh
+          from documents where doc_id % 20 = 0),
+        sz as (select doc_id, size(sh) as n from sh
+               where size(sh) > 0),
+        ex as (select doc_id, explode(sh) as g from sh),
+        inter as (select x.doc_id as a, y.doc_id as b,
+                         count(*) as i
+                  from ex x join ex y
+                    on y.g = x.g and x.doc_id < y.doc_id
+                  group by 1, 2),
+        j as (select t.a, t.b, t.i, sa.n + sb.n - t.i as u
+              from inter t
+              join sz sa on sa.doc_id = t.a
+              join sz sb on sb.doc_id = t.b)
+        select a, b,
+               cast(round(cast(cast(i as double) / cast(u as double)
+                    as decimal(28,10)), 6) as double) as jac
+        from j where i * 5 >= u * 3
+        order by a, b
+    """,
+    # Negative sampling (q177): explode()d rank grid; same bigint
+    # hash arithmetic.
+    "q177_negative_sampling": """
+        with edges as (
+            select distinct o.o_custkey as c, l.l_suppkey as s
+            from orders o join lineitem l
+              on l.l_orderkey = o.o_orderkey),
+        ns as (select count(*) as n_supp from supplier),
+        cand as (
+            select c, s as s_pos, r.rank,
+                   cast(1 + (s - 1 + r.rank * 2654435761)
+                        % n_supp as bigint) as s_neg
+            from edges cross join ns
+            cross join (select explode(array(1, 2, 3)) as rank) r
+            where c % 50 = 0)
+        select cand.c, cand.s_pos, cand.rank, cand.s_neg,
+               cast(case when e2.s is null then 0 else 1 end
+                 as bigint) as is_true_edge
+        from cand left join edges e2
+          on e2.c = cand.c and e2.s = cand.s_neg
+        order by cand.c, cand.s_pos, cand.rank
+    """,
     # Per-dim embedding profile (q173): posexplode ordinality in the
     # Spark dialect; same decimal sums and IEEE operand order.
     "q173_embedding_dim_profile": """

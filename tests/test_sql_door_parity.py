@@ -97,7 +97,11 @@ DUCKDB_ONLY = {
     "text_profile",  # list_filter/regexp_split_to_array/list_min
     "text_quality_report",  # same shared profile CTE chain
     "q170_payload_dedup",  # ['a','b'][i] list indexing (q168 family)
+    "q171_resource_allocation",  # // integer division
+    "q172_dedup_threshold_curve",  # list_*/generate_series/unnest grid
     "q173_embedding_dim_profile",  # range(64) + 1-based list indexing
+    "q176_allpairs_jaccard",  # list_*/generate_series shingles
+    "q177_negative_sampling",  # unnest([..]) rank grid
 }
 
 ORACLES = entrymod.oracle_sql()
