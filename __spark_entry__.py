@@ -736,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q176_allpairs_jaccard": similarity.q176_allpairs_jaccard,
         "q177_negative_sampling": graph.q177_negative_sampling,
         "q178_bitemporal_asof": incremental.q178_bitemporal_asof,
+        "q179_source_overlap": pipeline.q179_source_overlap,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -927,7 +928,7 @@ _FRONT_WINDOW = [
     "q172_dedup_threshold_curve", "q173_embedding_dim_profile",
     "q174_m4_downsample", "q175_l_diversity",
     "q176_allpairs_jaccard", "q177_negative_sampling",
-    "q178_bitemporal_asof",
+    "q178_bitemporal_asof", "q179_source_overlap",
     # oldest-r9 fill: VERDICT-named singles first, then the r8/r9
     # pipeline cohort, then q01-q24 (tail = displacement zone; the
     # four r9 entries that do not fit this window — q21-q24 — roll
@@ -946,7 +947,7 @@ _FRONT_WINDOW = [
     "q01_filter_project", "q02_agg_pricing_summary",
     "q03_distinct_count", "q04_rollup", "q05_join_topk_revenue",
     "q06_join_5way", "q07_anti_join", "q08_semi_join",
-    "q09_left_outer", "q10_range_join",
+    "q09_left_outer",
 ]
 
 
@@ -4566,6 +4567,42 @@ def oracle_sql() -> dict[str, str]:
             where jac >= threshold
             group by threshold
             order by threshold
+        """,
+        # Source overlap (q179): the NAIVE (source, hash) self-join
+        # shape — independent of the Spark door's set-fold expansion.
+        "q179_source_overlap": """
+            with planted as (
+                select source,
+                       case when doc_id % 7 = 0
+                            then concat('shared boilerplate ',
+                                        cast(doc_id % 5 as string))
+                            else text end as text
+                from documents),
+            sh as (
+                select distinct source as src,
+                       md5(trim(regexp_replace(regexp_replace(
+                           lower(text), '[^a-z0-9 ]', '', 'g'),
+                           ' +', ' ', 'g'))) as h
+                from planted),
+            per_src as (select src, count(*) as n_hashes
+                        from sh group by src),
+            pairs as (
+                select x.src as a, y.src as b, count(*) as n_shared
+                from sh x join sh y
+                  on y.h = x.h and x.src < y.src
+                group by 1, 2)
+            select a, b, cast(n_shared as bigint) as n_shared,
+                   cast(na.n_hashes as bigint) as n_a,
+                   cast(nb.n_hashes as bigint) as n_b,
+                   cast(round(cast(
+                        cast(n_shared as double)
+                        / cast(least(na.n_hashes, nb.n_hashes)
+                               as double)
+                        as decimal(28,10)), 6) as double) as overlap
+            from pairs
+            join per_src na on na.src = pairs.a
+            join per_src nb on nb.src = pairs.b
+            order by a, b
         """,
         # Bitemporal as-of (q178): row_number over (valid, txn)
         # total order after the two time-axis filters.

@@ -588,6 +588,94 @@ def q75_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_overlap_matrix(docs: DataFrame, source_col: str = "source",
+                          text_col: str = "text") -> DataFrame:
+    """Pairwise source-overlap matrix: for every source pair (a < b)
+    the number of distinct normalized-content hashes present in BOTH
+    — the dedup-PLANNING table answering "which feeds re-crawl each
+    other" before any pair-level dedup runs (a pair with high overlap
+    ratio gets provenance dedup first; q153 then decides keepers).
+    Normalization + md5 = the q77 content grain, so the matrix counts
+    exactly the clusters q77 would merge.
+
+    Emits (a, b, n_shared, n_a, n_b, overlap) with overlap =
+    n_shared / min(n_a, n_b) — the containment coefficient, which
+    unlike Jaccard is 1.0 when one feed is a subset of the other
+    (the actual re-crawl signature).
+
+    Scale: ONE shuffle folds the (hash → distinct source set)
+    relation; per-hash source sets are bounded by |sources| (a
+    constant), so the pair expansion is map-side and skew-free by
+    construction; the pair rollup is |sources|²-bounded. The naive
+    alternative — self-joining the (source, hash) relation on hash —
+    shuffles the hash grain TWICE and its per-hash pair fan-out is
+    the same bound anyway; the DuckDB oracle deliberately computes
+    THAT independent shape, so the hash-match cross-checks both.
+    """
+    from puregraphdb_spark.functions.numeric import decimal_round
+
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text_col), "[^a-z0-9 ]", ""),
+            " +", " ",
+        )
+    )
+    sh = (
+        docs.select(F.col(source_col).alias("src"),
+                    F.md5(norm).alias("h"))
+        .distinct()
+    )
+    per_src = sh.groupBy("src").agg(F.count("*").alias("n_hashes"))
+    byh = sh.groupBy("h").agg(
+        F.array_sort(F.collect_set("src")).alias("ss"))
+    pair_arr = F.flatten(F.transform(
+        "ss",
+        lambda x: F.transform(
+            F.filter("ss", lambda y: y > x),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    ))
+    pairs = (
+        byh.select(F.explode(pair_arr).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b").agg(F.count("*").cast("long")
+                               .alias("n_shared"))
+    )
+    na = per_src.select(F.col("src").alias("a"),
+                        F.col("n_hashes").alias("n_a"))
+    nb = per_src.select(F.col("src").alias("b"),
+                        F.col("n_hashes").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "a").join(F.broadcast(nb), "b")
+        .select(
+            "a", "b", "n_shared",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            decimal_round(
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b").cast("double"), 6, grid=10,
+            ).alias("overlap"),
+        )
+    )
+
+
+def q179_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED source-overlap matrix (see ``source_overlap_matrix``)
+    with a deterministic cross-feed plant: the fixture's sources
+    carry mostly distinct texts, so %7 docs take a shared boilerplate
+    text keyed off doc_id arithmetic — real multi-source hash
+    clusters that light up the matrix in both engines."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit("shared boilerplate "),
+                        (F.col("doc_id") % 5).cast("string")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return final_sort(source_overlap_matrix(d), spark, sf_dir,
+                      "documents", "a", "b")
+
+
 def embedding_dim_profile(emb: DataFrame, dim: int = 64,
                           emb_col: str = "embedding") -> DataFrame:
     """Per-DIMENSION profile of an embedding column: n / mean / var /

@@ -1138,6 +1138,17 @@ def _bitemporal_asof(spark, versions: str, key_col: str,
                            txn_as_of)
 
 
+def _source_overlap(spark, docs: str = "documents",
+                    source_col: str = "source",
+                    text_col: str = "text") -> DataFrame:
+    from puregraphdb_spark.operators.pipeline import (
+        source_overlap_matrix)
+
+    return source_overlap_matrix(_view(spark, docs),
+                                 source_col=source_col,
+                                 text_col=text_col)
+
+
 def _l_diversity(spark, table: str, quasi_cols: str,
                  sensitive_col: str, l: int = 2,
                  report_col: str = "") -> DataFrame:
@@ -1318,6 +1329,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "k_anonymity": _k_anonymity,
     "l_diversity": _l_diversity,
     "bitemporal_asof": _bitemporal_asof,
+    "source_overlap": _source_overlap,
     "m4_downsample": _m4_downsample,
     "embedding_dim_profile": _embedding_dim_profile,
     "gopher_rules": _gopher_rules,

@@ -2109,6 +2109,41 @@ SPARK_SQL: dict[str, str] = {
           on e2.c = cand.c and e2.s = cand.s_neg
         order by cand.c, cand.s_pos, cand.rank
     """,
+    # Source overlap (q179): Spark regexp_replace is global by
+    # default; same naive self-join shape as the DuckDB oracle.
+    "q179_source_overlap": """
+        with planted as (
+            select source,
+                   case when doc_id % 7 = 0
+                        then concat('shared boilerplate ',
+                                    cast(doc_id % 5 as string))
+                        else text end as text
+            from documents),
+        sh as (
+            select distinct source as src,
+                   md5(trim(regexp_replace(regexp_replace(
+                       lower(text), '[^a-z0-9 ]', ''),
+                       ' +', ' '))) as h
+            from planted),
+        per_src as (select src, count(*) as n_hashes
+                    from sh group by src),
+        pairs as (
+            select x.src as a, y.src as b, count(*) as n_shared
+            from sh x join sh y
+              on y.h = x.h and x.src < y.src
+            group by 1, 2)
+        select a, b, cast(n_shared as bigint) as n_shared,
+               cast(na.n_hashes as bigint) as n_a,
+               cast(nb.n_hashes as bigint) as n_b,
+               cast(round(cast(
+                    cast(n_shared as double)
+                    / cast(least(na.n_hashes, nb.n_hashes) as double)
+                    as decimal(28,10)), 6) as double) as overlap
+        from pairs
+        join per_src na on na.src = pairs.a
+        join per_src nb on nb.src = pairs.b
+        order by a, b
+    """,
     # Per-dim embedding profile (q173): posexplode ordinality in the
     # Spark dialect; same decimal sums and IEEE operand order.
     "q173_embedding_dim_profile": """

@@ -340,3 +340,25 @@ def test_bitemporal_call_door(spark):
         " txn_col => 'txn_ts', valid_as_of => '2024-01-15',"
         " txn_as_of => '2024-03-01')").collect()
     assert len(out) == 1 and out[0]["price"] == 2.0
+
+
+def test_source_overlap_containment_semantics(spark):
+    from puregraphdb_spark.operators.pipeline import (
+        source_overlap_matrix)
+
+    rows = [
+        # feed B is a strict subset re-crawl of feed A
+        ("A", "x one"), ("A", "x two"), ("A", "x three"),
+        ("B", "x one"), ("B", "x two"),
+        # feed C disjoint
+        ("C", "y other"),
+        # exact dup INSIDE a feed counts once (distinct hash grain)
+        ("A", "x one"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r["a"], r["b"]): r for r in
+           source_overlap_matrix(df).collect()}
+    ab = out[("A", "B")]
+    assert ab["n_shared"] == 2 and ab["n_a"] == 3 and ab["n_b"] == 2
+    assert ab["overlap"] == 1.0   # containment: B fully inside A
+    assert ("A", "C") not in out and ("B", "C") not in out

@@ -102,6 +102,7 @@ DUCKDB_ONLY = {
     "q173_embedding_dim_profile",  # range(64) + 1-based list indexing
     "q176_allpairs_jaccard",  # list_*/generate_series shingles
     "q177_negative_sampling",  # unnest([..]) rank grid
+    "q179_source_overlap",  # regexp_replace 'g' flag argument
 }
 
 ORACLES = entrymod.oracle_sql()
