@@ -127,7 +127,8 @@ def allpairs_jaccard_join(shingled: DataFrame,
                           threshold_num: int = 3,
                           threshold_den: int = 5,
                           id_col: str = "doc_id",
-                          set_col: str = "sh") -> DataFrame:
+                          set_col: str = "sh",
+                          share_prefix: bool = True) -> DataFrame:
     """EXACT all-pairs set-similarity join via prefix filtering — the
     Bayardo et al. (WWW'07) / PPJoin family, Spark-first: every pair
     with Jaccard ≥ num/den, WITHOUT the O(n²) pair enumeration and
@@ -170,11 +171,29 @@ def allpairs_jaccard_join(shingled: DataFrame,
     L = (F.col("n")
          - F.expr(f"(n * {t_num} + {t_den} - 1) div {t_den}")
          + F.lit(1))
+    # The candidate self-join plans one INSTANCE of the prefix
+    # relation per side, and each instance replays the derivation
+    # (scan → explode → df join → rank window) — the Graph.find
+    # share_edges situation. Materializing once (localCheckpoint,
+    # lazy) feeds both sides from the ~(1−t)-sized materialization.
+    # MEASURED at sf0.1 (r13, interleaved best-of-4): shared
+    # 3.87–4.74 s vs unshared 3.88–4.26 s — a wash, because at this
+    # scale every join broadcasts and the replay is cheap. The
+    # sharing is kept as the DEFAULT for the scale regime it exists
+    # for: when the rank window is a wide shuffle over the full
+    # token stream, replaying it doubles the heaviest stage, while
+    # the materialization costs one write of the small prefix
+    # relation. The SET relation `sh` is deliberately NOT shared:
+    # its replay is a pure map over the scan (pushdown intact, the
+    # find raw-scan rule) while materializing it would spill the
+    # full shingle corpus.
     prefix = (
         ranked.withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= L)
         .select("id", "g")
     )
+    if share_prefix:
+        prefix = prefix.localCheckpoint(eager=False)
     cand = (
         prefix.select(F.col("id").alias("a"), "g")
         .join(prefix.select(F.col("id").alias("b"), "g"), "g")
