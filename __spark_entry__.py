@@ -737,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_negative_sampling": graph.q177_negative_sampling,
         "q178_bitemporal_asof": incremental.q178_bitemporal_asof,
         "q179_source_overlap": pipeline.q179_source_overlap,
+        "q180_clamped_balance": events.q180_clamped_balance,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -929,6 +930,7 @@ _FRONT_WINDOW = [
     "q174_m4_downsample", "q175_l_diversity",
     "q176_allpairs_jaccard", "q177_negative_sampling",
     "q178_bitemporal_asof", "q179_source_overlap",
+    "q180_clamped_balance",
     # oldest-r9 fill: VERDICT-named singles first, then the r8/r9
     # pipeline cohort, then q01-q24 (tail = displacement zone; the
     # four r9 entries that do not fit this window — q21-q24 — roll
@@ -947,7 +949,6 @@ _FRONT_WINDOW = [
     "q01_filter_project", "q02_agg_pricing_summary",
     "q03_distinct_count", "q04_rollup", "q05_join_topk_revenue",
     "q06_join_5way", "q07_anti_join", "q08_semi_join",
-    "q09_left_outer",
 ]
 
 
@@ -4567,6 +4568,40 @@ def oracle_sql() -> dict[str, str]:
             where jac >= threshold
             group by threshold
             order by threshold
+        """,
+        # Clamped balance (q180): RECURSIVE CTE fold — integer-only
+        # recurrence, so the Arrow-loop door matches bit-exact.
+        "q180_clamped_balance": """
+            with base as (
+              select user_id,
+                     cast(round(value * 1000000) as bigint)
+                       * (case when event_type = 'purchase'
+                          then 1 else -1 end) as delta,
+                     row_number() over (partition by user_id
+                         order by ts, event_id) as k
+              from events where user_id % 20 = 0),
+            rec as (
+              with recursive r(user_id, k, bal, resets, maxbal) as (
+                select user_id, 0, cast(0 as bigint),
+                       cast(0 as bigint), cast(0 as bigint)
+                from (select distinct user_id from base)
+                union all
+                select b.user_id, b.k,
+                       greatest(cast(0 as bigint), r.bal + b.delta),
+                       r.resets + (case when r.bal + b.delta < 0
+                                   then 1 else 0 end),
+                       greatest(r.maxbal,
+                                greatest(cast(0 as bigint),
+                                         r.bal + b.delta))
+                from r join base b
+                  on b.user_id = r.user_id and b.k = r.k + 1)
+              select * from r)
+            select user_id,
+                   cast(max(k) as bigint) as n_events,
+                   cast(max_by(bal, k) as bigint) as final_bal,
+                   cast(max_by(resets, k) as bigint) as n_resets,
+                   cast(max(maxbal) as bigint) as max_bal
+            from rec group by user_id order by user_id
         """,
         # Source overlap (q179): the NAIVE (source, hash) self-join
         # shape — independent of the Spark door's set-fold expansion.

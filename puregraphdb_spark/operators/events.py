@@ -1205,6 +1205,82 @@ def q159_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "event_type")
 
 
+def clamped_balance(events: DataFrame, id_col: str = "user_id",
+                    ts_col: str = "ts", val_col: str = "value",
+                    type_col: str = "event_type",
+                    credit_type: str = "purchase",
+                    tiebreak: str = "event_id") -> DataFrame:
+    """Per-key clamped running balance — the canonical computation
+    SQL windows CANNOT express: bₖ = max(0, bₖ₋₁ + Δₖ) is a
+    non-linear recurrence (the clamp makes each step depend on the
+    full realized history, not a prefix sum), the shape of credit
+    ledgers, retry budgets, token-bucket rate limiters and inventory
+    with floor-at-zero. Emits per key: event count, final balance,
+    reset count (clamps hit), max balance.
+
+    Execution: the sanctioned Arrow seam — ``applyInPandas`` per key
+    with a plain integer loop (deltas are EXACT micros longs computed
+    JVM-side, so the Python loop does integer adds only: no FP drift,
+    cross-engine bit-exact by construction). Per-group memory is one
+    key's events (the natural activity grain); zero shuffles beyond
+    the one groupBy exchange.
+
+    q180 oracles this against a DuckDB RECURSIVE CTE and mirrors it
+    through Spark 4's own recursive-CTE door (sql_library twin) —
+    three independent execution strategies (Arrow loop, DuckDB
+    recursion, Catalyst recursion) agreeing on a stateful fold.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType, StructField, StructType,
+    )
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("final_bal", LongType()),
+        StructField("n_resets", LongType()),
+        StructField("max_bal", LongType()),
+    ])
+    pre = events.select(
+        F.col(id_col).alias("user_id"),
+        F.col(ts_col).alias("__ts"),
+        F.col(tiebreak).alias("__tb"),
+        (F.round(F.col(val_col) * F.lit(1000000.0)).cast("long")
+         * F.when(F.col(type_col) == credit_type, F.lit(1))
+         .otherwise(F.lit(-1))).alias("__delta"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__ts", "__tb"])
+        bal = resets = mx = 0
+        for d in pdf["__delta"]:
+            nb = bal + int(d)
+            if nb < 0:
+                resets += 1
+                nb = 0
+            bal = nb
+            if bal > mx:
+                mx = bal
+        return pd.DataFrame(
+            [[int(pdf["user_id"].iloc[0]), len(pdf), bal, resets, mx]],
+            columns=["user_id", "n_events", "final_bal", "n_resets",
+                     "max_bal"])
+
+    return pre.groupBy("user_id").applyInPandas(fold, out_schema)
+
+
+def q180_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED clamped running balance (see ``clamped_balance``) for
+    the user_id % 20 sample: purchases credit value·10⁶ micros,
+    every other event debits it; balance floors at zero."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 20 == 0)
+    return final_sort(clamped_balance(ev), spark, sf_dir, "events",
+                      "user_id")
+
+
 def m4_downsample(events: DataFrame, series_col: str = "event_type",
                   ts_col: str = "ts", val_col: str = "value",
                   bucket: str = "day") -> DataFrame:

@@ -362,3 +362,32 @@ def test_source_overlap_containment_semantics(spark):
     assert ab["n_shared"] == 2 and ab["n_a"] == 3 and ab["n_b"] == 2
     assert ab["overlap"] == 1.0   # containment: B fully inside A
     assert ("A", "C") not in out and ("B", "C") not in out
+
+
+def test_clamped_balance_hand_case(spark):
+    """The clamp is non-linear: a prefix-sum window CANNOT produce
+    these numbers (final would be -2 without the floor)."""
+    from puregraphdb_spark.operators.events import clamped_balance
+
+    rows = [
+        # user 1: +5, -3, -4 (clamp), +2  → bal 2, resets 1, max 5
+        (1, 1, "2024-01-01 00:00:00", "purchase", 5e-6),
+        (2, 1, "2024-01-01 01:00:00", "view", 3e-6),
+        (3, 1, "2024-01-01 02:00:00", "view", 4e-6),
+        (4, 1, "2024-01-01 03:00:00", "purchase", 2e-6),
+        # user 2: -1 first (clamp at step 1) → bal 0, resets 1
+        (5, 2, "2024-01-01 00:00:00", "view", 1e-6),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts string, event_type string,"
+        " value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["user_id"]: r for r in clamped_balance(df).collect()}
+    u1 = out[1]
+    assert (u1["n_events"], u1["final_bal"], u1["n_resets"],
+            u1["max_bal"]) == (4, 2, 1, 5)
+    u2 = out[2]
+    assert (u2["final_bal"], u2["n_resets"], u2["max_bal"]) == (0, 1, 0)
