@@ -1138,6 +1138,19 @@ def _bitemporal_asof(spark, versions: str, key_col: str,
                            txn_as_of)
 
 
+def _clamped_balance(spark, events: str = "events",
+                     id_col: str = "user_id", ts_col: str = "ts",
+                     val_col: str = "value",
+                     type_col: str = "event_type",
+                     credit_type: str = "purchase") -> DataFrame:
+    from puregraphdb_spark.operators.events import clamped_balance
+
+    return clamped_balance(_view(spark, events), id_col=id_col,
+                           ts_col=ts_col, val_col=val_col,
+                           type_col=type_col,
+                           credit_type=credit_type)
+
+
 def _source_overlap(spark, docs: str = "documents",
                     source_col: str = "source",
                     text_col: str = "text") -> DataFrame:
@@ -1330,6 +1343,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "l_diversity": _l_diversity,
     "bitemporal_asof": _bitemporal_asof,
     "source_overlap": _source_overlap,
+    "clamped_balance": _clamped_balance,
     "m4_downsample": _m4_downsample,
     "embedding_dim_profile": _embedding_dim_profile,
     "gopher_rules": _gopher_rules,

@@ -391,3 +391,12 @@ def test_clamped_balance_hand_case(spark):
             u1["max_bal"]) == (4, 2, 1, 5)
     u2 = out[2]
     assert (u2["final_bal"], u2["n_resets"], u2["max_bal"]) == (0, 1, 0)
+
+
+def test_clamped_balance_call_door(spark):
+    from puregraphdb_spark.engine import Engine
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark, SF_DIR)
+    out = eng.sql("CALL clamped_balance(events => 'events')")
+    assert out.count() > 0 and "n_resets" in out.columns
