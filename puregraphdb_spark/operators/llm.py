@@ -251,6 +251,15 @@ def q63_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pairs); smaller than 2× because the join/shuffle and the
         # Arrow fetch share the bill with the intersect.
         .select("src", "dst", "na", "nb", inter.alias("__i"))
+        # Positivity guard (ADVICE r13): two sub-3-char docs have
+        # empty shingle sets, so na=nb=__i=0 and the division is 0/0
+        # — DIVIDE_BY_ZERO under ANSI mode, NaN otherwise (and NaN
+        # compares GREATER than any double in Spark, silently passing
+        # the threshold). A pair with zero intersection can never
+        # reach the 0.6 floor, so the guard is also what makes this
+        # pair relation semantically identical to the inverted-index
+        # oracle, which only ever forms pairs sharing a token.
+        .filter(F.col("__i") > 0)
         .select(
             "src", "dst",
             (F.col("__i").cast("double")
@@ -322,6 +331,10 @@ def q172_dedup_threshold_curve(spark: SparkSession,
                F.col("dst") != F.col("src"))
         .filter(prefilter)
         .select("src", "dst", "na", "nb", inter.alias("__i"))
+        # Positivity guard (ADVICE r13, same shape as q63): empty
+        # shingle sets give 0/0 — ANSI crash or NaN-passes-threshold.
+        # Zero-intersection pairs can never reach the 0.5 floor.
+        .filter(F.col("__i") > 0)
         .select(
             "src", "dst",
             (F.col("__i").cast("double")

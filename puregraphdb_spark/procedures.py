@@ -1151,6 +1151,20 @@ def _clamped_balance(spark, events: str = "events",
                            credit_type=credit_type)
 
 
+def _capped_balance(spark, cap_micros: int, events: str = "events",
+                    id_col: str = "user_id", ts_col: str = "ts",
+                    val_col: str = "value",
+                    type_col: str = "event_type",
+                    credit_type: str = "purchase") -> DataFrame:
+    from puregraphdb_spark.operators.events import capped_balance
+
+    return capped_balance(_view(spark, events),
+                          cap_micros=int(cap_micros), id_col=id_col,
+                          ts_col=ts_col, val_col=val_col,
+                          type_col=type_col,
+                          credit_type=credit_type)
+
+
 def _source_overlap(spark, docs: str = "documents",
                     source_col: str = "source",
                     text_col: str = "text") -> DataFrame:
@@ -1344,6 +1358,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "bitemporal_asof": _bitemporal_asof,
     "source_overlap": _source_overlap,
     "clamped_balance": _clamped_balance,
+    "capped_balance": _capped_balance,
     "m4_downsample": _m4_downsample,
     "embedding_dim_profile": _embedding_dim_profile,
     "gopher_rules": _gopher_rules,
