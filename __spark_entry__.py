@@ -654,15 +654,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``_FRONT_WINDOW`` list below IS the rotation — the literal dict
     keeps a stable canonical order and the return reorders it.
 
-    Round-13 window (per VERDICT r12 item 1): the five entries that
-    landed after the r12 driver pass (q165-q169, never recorded by
-    construction) lead, then the last two r7-stale records
-    (text_profile / text_quality_report), then the oldest-r9 cohort
-    topped to exactly 50. New round-13 entries slot in after the
-    seven leaders, displacing tail r9 fill (which keeps r9-green
-    records). Everything after slot 50 retains a driver-green row
-    from r9-r12. Round-14 rotation: the r9 remainder (q21-q24 + any
-    displaced this round), then the r10 cohort.
+    Round-14 window (per VERDICT r13 item 1): new round-14 entries
+    lead, then the 16 r9-stale records (q09-q24 — every entry whose
+    newest driver record is r9), then the oldest-r10 cohort topped
+    to exactly 50. Everything after slot 50 retains a driver-green
+    row from r10-r13. Round-15 rotation: the r10 remainder
+    (q54-q98 + hypertable_rollup + sliding_window_counts + any
+    displaced this round).
     """
     table = {
         # -- 14 entries needing a (re-)record: the r7 err fix first --
@@ -738,6 +736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q178_bitemporal_asof": incremental.q178_bitemporal_asof,
         "q179_source_overlap": pipeline.q179_source_overlap,
         "q180_clamped_balance": events.q180_clamped_balance,
+        # -- round-14 entries --
+        "q181_capped_balance": events.q181_capped_balance,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -919,36 +919,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: a re-record on evidence value. After this round no entry's newest
 #: driver record predates r9.
 _FRONT_WINDOW = [
-    # never recorded (landed after the r12 driver pass)
-    "q165_join_cardinality", "q166_arrival_regularity",
-    "q167_scd1_upsert", "q168_asset_profile", "q169_vector_hygiene",
-    # the last two r7 records on the board
-    "text_profile", "text_quality_report",
-    # NEW round-13 entries (never recorded, by construction)
-    "q170_payload_dedup", "image_near_dup", "q171_resource_allocation",
-    "q172_dedup_threshold_curve", "q173_embedding_dim_profile",
-    "q174_m4_downsample", "q175_l_diversity",
-    "q176_allpairs_jaccard", "q177_negative_sampling",
-    "q178_bitemporal_asof", "q179_source_overlap",
-    "q180_clamped_balance",
-    # oldest-r9 fill: VERDICT-named singles first, then the r8/r9
-    # pipeline cohort, then q01-q24 (tail = displacement zone; the
-    # four r9 entries that do not fit this window — q21-q24 — roll
-    # to round 14 with their r9-green records intact).
-    "heavy_hitter_tokens", "graph_coreness",
-    "approx_quantiles_prices", "node2vec_walks",
-    "q125_sorted_neighborhood", "q126_token_diversity",
-    "q127_asof_forward", "q128_gini_concentration",
-    "q129_hhi_segments", "q130_bounce_rate",
-    "q131_dup_cluster_histogram", "q132_funnel_latency",
-    "q133_chi_square", "q134_cross_source_shingles",
-    "q135_anomaly_mad_ts", "q136_winsorized_stats",
-    "q138_seasonal_dow", "q139_class_balance_plan",
-    "q140_burst_detection", "q141_split_contamination",
-    "q142_vocab_growth", "q143_seasonal_burst", "q144_dedup_impact",
-    "q01_filter_project", "q02_agg_pricing_summary",
-    "q03_distinct_count", "q04_rollup", "q05_join_topk_revenue",
-    "q06_join_5way", "q07_anti_join", "q08_semi_join",
+    # NEW round-14 entries (never recorded, by construction) lead;
+    # each new entry landing this round displaces one tail-fill slot
+    # (which keeps its r10-green record).
+    "q181_capped_balance",
+    # r9-stale cohort (VERDICT r13 item 1): the 16 entries whose
+    # newest driver record is r9
+    "q09_left_outer", "q10_range_join", "q11_window_rank",
+    "q12_window_running", "q13_window_lag_delta", "q14_setops",
+    "q15_union_except", "q16_topk_parts", "q17_percentile",
+    "q18_string_date_funcs", "q19_case_math", "q20_tumbling_window",
+    "q21_session_window", "q22_json_extract", "q23_graph_degree",
+    "q24_graph_triangles",
+    # oldest-r10 fill, topped to exactly 50 (tail = displacement
+    # zone; r10 entries that do not fit roll to round 15 with their
+    # r10-green records intact)
+    "graph_random_walks", "q124_time_to_convert",
+    "q137_source_mix_budget", "q145_substring_dedup",
+    "q25_graph_2hop", "q26_dedup_keys", "q27_text_tokens",
+    "q28_text_stats", "q29_knn_cosine", "q30_knn_label",
+    "q31_asof_join", "q32_full_outer", "q33_cube",
+    "q34_window_analytics", "q35_string_date", "q36_pivot",
+    "q37_regex", "q38_levenshtein", "q39_array_agg",
+    "q40_grouping_sets", "q41_correlated_avg", "q42_not_exists",
+    "q43_scalar_subquery", "q44_interval_join",
+    "q45_conditional_distinct", "q46_range_frame", "q47_unpivot",
+    "q48_trailing_feature", "q49_array_ops", "q50_gap_fill",
+    "q51_stat_agg", "q52_histogram", "q53_array_hof",
 ]
 
 
@@ -4604,6 +4601,52 @@ def oracle_sql() -> dict[str, str]:
                    cast(max(k) as bigint) as n_events,
                    cast(max_by(bal, k) as bigint) as final_bal,
                    cast(max_by(resets, k) as bigint) as n_resets,
+                   cast(max(maxbal) as bigint) as max_bal
+            from rec group by user_id order by user_id
+        """,
+        # Capped balance (q181): the q180 recursive fold with the
+        # two-sided clamp least(cap, greatest(0, bal+delta)) and a
+        # ceiling-hit counter. cap = 50,000,000 micros (the Spark
+        # door's literal).
+        "q181_capped_balance": """
+            with base as (
+              select user_id,
+                     cast(cast(value as decimal(28,6)) * 1000000
+                          as bigint)
+                       * (case when event_type = 'purchase'
+                          then 1 else -1 end) as delta,
+                     row_number() over (partition by user_id
+                         order by ts, event_id) as k
+              from events where user_id % 20 = 0),
+            rec as (
+              with recursive r(user_id, k, bal, resets, caps,
+                               maxbal) as (
+                select user_id, 0, cast(0 as bigint),
+                       cast(0 as bigint), cast(0 as bigint),
+                       cast(0 as bigint)
+                from (select distinct user_id from base)
+                union all
+                select b.user_id, b.k,
+                       least(cast(50000000 as bigint),
+                             greatest(cast(0 as bigint),
+                                      r.bal + b.delta)),
+                       r.resets + (case when r.bal + b.delta < 0
+                                   then 1 else 0 end),
+                       r.caps + (case when r.bal + b.delta
+                                      > 50000000
+                                 then 1 else 0 end),
+                       greatest(r.maxbal,
+                                least(cast(50000000 as bigint),
+                                      greatest(cast(0 as bigint),
+                                               r.bal + b.delta)))
+                from r join base b
+                  on b.user_id = r.user_id and b.k = r.k + 1)
+              select * from r)
+            select user_id,
+                   cast(max(k) as bigint) as n_events,
+                   cast(max_by(bal, k) as bigint) as final_bal,
+                   cast(max_by(resets, k) as bigint) as n_resets,
+                   cast(max_by(caps, k) as bigint) as n_caps,
                    cast(max(maxbal) as bigint) as max_bal
             from rec group by user_id order by user_id
         """,

@@ -1371,6 +1371,21 @@ def q180_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "user_id")
 
 
+def q181_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED two-sided capped balance (see ``capped_balance``) for
+    the q180 grain with a 50,000,000-micros ceiling — chosen BELOW
+    every fixture user's uncapped max (94M–230M at sf0.01) so the
+    ceiling binds for all of them while debits still drive floor
+    resets; oracled by the same DuckDB recursive-CTE fold extended
+    with the least(cap, ·) step. The Arrow integer loop vs the
+    recursive CTE are fully independent strategies, so the hash match
+    carries the same force as q180's did in r13."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 20 == 0)
+    return final_sort(capped_balance(ev, cap_micros=50_000_000),
+                      spark, sf_dir, "events", "user_id")
+
+
 def m4_downsample(events: DataFrame, series_col: str = "event_type",
                   ts_col: str = "ts", val_col: str = "value",
                   bucket: str = "day") -> DataFrame:
