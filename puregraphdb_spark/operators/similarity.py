@@ -816,6 +816,192 @@ def refresh_ivf_index(spark, path: str, drift_threshold: float = 0.02,
 
 
 # ---------------------------------------------------------------------------
+# int8 scalar-quantized IVF (VERDICT r13 item 4: the memory story)
+# ---------------------------------------------------------------------------
+#
+# q76/q173 produce the calibration tables; this family CONSUMES them:
+# an IVF index whose stored vectors are per-dimension affine int8
+# codes (1 byte/dim instead of 8 — the 100-TB memory story), searched
+# by dequantizing inside the probed clusters only. Recall vs the
+# float index at equal nprobe is graded by ann_recall_report
+# (the ann_recall_eval entry carries the ivf_sq8 row).
+
+
+def sq8_calibrate(corpus: DataFrame, dim: int = 64,
+                  emb_col: str = "embedding") -> list[tuple[float, float]]:
+    """Per-dimension (vmin, scale) for affine int8 quantization —
+    q173's calibration recomputed RAW (no decimal snap: these numbers
+    parameterize arithmetic, not an oracle row). One posexplode agg
+    with map-side combine → ``dim`` rows of model state collected
+    driver-side (k×dim parameter traffic, the kmeans contract).
+
+    scale = (vmax − vmin) / 255, floored at 1e-30 so a constant
+    dimension quantizes to code 0 everywhere instead of 0/0."""
+    rows = (
+        corpus.select(F.posexplode(F.col(emb_col).cast("array<double>"))
+                      .alias("d", "x"))
+        .filter(F.col("d") < dim)
+        .groupBy("d")
+        .agg(F.min("x").alias("vmin"), F.max("x").alias("vmax"))
+        .orderBy("d")
+        .collect()
+    )
+    if len(rows) != dim:
+        raise ValueError(
+            f"calibration found {len(rows)} dims, expected {dim}")
+    return [(r["vmin"], max((r["vmax"] - r["vmin"]) / 255.0, 1e-30))
+            for r in rows]
+
+
+def _calib_arrays(calib: list[tuple[float, float]]):
+    vmin = F.array(*[F.lit(float(v)) for v, _ in calib])
+    scale = F.array(*[F.lit(float(s)) for _, s in calib])
+    return vmin, scale
+
+
+def sq8_quantize(corpus: DataFrame, calib: list[tuple[float, float]],
+                 emb_col: str = "embedding",
+                 code_col: str = "code") -> DataFrame:
+    """Quantize ``emb_col`` to per-dim affine int8 codes in
+    [-128, 127]: code_i = round((x_i − vmin_i)/scale_i) − 128,
+    clamped. Pure JVM ``transform`` with the calibration folded in as
+    literal arrays — a map-only pass, no shuffle; the embedding
+    column is REPLACED by the 1-byte-per-dim code column (array of
+    tinyint: the parquet/in-memory footprint the calibration was
+    for)."""
+    vmin, scale = _calib_arrays(calib)
+    code = F.transform(
+        F.col(emb_col).cast("array<double>"),
+        lambda x, i: F.greatest(
+            F.lit(-128),
+            F.least(
+                F.lit(127),
+                F.round((x - F.element_at(vmin, i + 1))
+                        / F.element_at(scale, i + 1)).cast("int")
+                - F.lit(128),
+            ),
+        ).cast("tinyint"),
+    )
+    return corpus.withColumn(code_col, code).drop(emb_col)
+
+
+def sq8_dequantize(code_col, calib: list[tuple[float, float]]) -> F.Column:
+    """x̂_i = vmin_i + (code_i + 128)·scale_i — the reconstruction the
+    probe scores against (error ≤ scale/2 per dim by construction)."""
+    vmin, scale = _calib_arrays(calib)
+    c = F.col(code_col) if isinstance(code_col, str) else code_col
+    return F.transform(
+        c,
+        lambda q, i: F.element_at(vmin, i + 1)
+        + (q.cast("double") + F.lit(128.0))
+        * F.element_at(scale, i + 1),
+    )
+
+
+def ivf_sq8_topk(queries: DataFrame, corpus_codes: DataFrame,
+                 centroids: list[list[float]],
+                 calib: list[tuple[float, float]], k: int = 10,
+                 nprobe: int = 2, id_col: str = "vec_id",
+                 code_col: str = "code",
+                 emb_col: str = "embedding") -> DataFrame:
+    """IVF search over the int8-quantized corpus: probe each query's
+    ``nprobe`` nearest clusters (float centroids — k×dim of model
+    state stays unquantized), dequantize ONLY the vectors inside the
+    probed clusters, exact-cosine re-rank on the reconstructions.
+    Same plan shape as ``ivf_cosine_topk`` — one broadcast probe join
+    keyed on cluster — so at scale the cluster-partitioned layout
+    prunes identically; the stored bytes are 8× smaller.
+
+    ``corpus_codes`` must carry (id, code[, cluster]); without a
+    cluster column the codes are assigned by dequantized-vector
+    nearest centroid (write-time does this once).
+    """
+    spark = queries.sparkSession
+    q = (
+        queries.crossJoin(
+            F.broadcast(_centroid_relation(spark, centroids)))
+        .select(
+            F.col(id_col).alias("src"),
+            F.col(emb_col).alias("q_emb"),
+            F.explode(
+                F.slice(
+                    F.sort_array(
+                        _centroid_scores(emb_col, F.col("cents")),
+                        asc=False),
+                    1, nprobe)
+            ).alias("probe"),
+        )
+        .select("src", "q_emb", F.col("probe.idx").alias("cluster"))
+    )
+    if "cluster" in corpus_codes.columns:
+        c = corpus_codes.select(
+            F.col(id_col), F.col(code_col),
+            F.col("cluster").cast("int").alias("cluster"))
+    else:
+        deq = corpus_codes.withColumn(
+            "__x", sq8_dequantize(code_col, calib))
+        c = _with_nearest_centroid(deq, centroids, "__x").select(
+            F.col(id_col), F.col(code_col), "cluster")
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), id_col)
+    return (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col(id_col) != F.col("src"))
+        .select(
+            "src", id_col,
+            cosine_similarity(
+                "q_emb", sq8_dequantize(code_col, calib))
+            .alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def write_sq8_ivf_index(corpus: DataFrame,
+                        centroids: list[list[float]],
+                        calib: list[tuple[float, float]], path: str,
+                        id_col: str = "vec_id",
+                        emb_col: str = "embedding") -> None:
+    """Persist the quantized inverted file: cluster-partitioned int8
+    codes (``{path}/vectors/cluster=N/``) + float centroids + the
+    calibration table. Assignment happens on the FLOAT vectors before
+    quantization (assign-then-quantize: the stored code's cluster is
+    exact, only the re-rank pays quantization error)."""
+    import os
+
+    assigned = ivf_assign(corpus, centroids, emb_col)
+    codes = sq8_quantize(assigned, calib, emb_col=emb_col)
+    from puregraphdb_spark.sources.registry import write_partitioned
+
+    write_partitioned(codes, os.path.join(path, "vectors"),
+                      partition_by=["cluster"])
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cluster int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids"))
+    spark.createDataFrame(
+        [(i, v, s) for i, (v, s) in enumerate(calib)],
+        "dim int, vmin double, scale double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "calib"))
+
+
+def read_sq8_ivf_index(spark, path: str):
+    """→ (cluster-carrying code DataFrame, centroids, calib)."""
+    import os
+
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    cents = spark.read.parquet(
+        os.path.join(path, "centroids")).orderBy("cluster").collect()
+    cal = spark.read.parquet(
+        os.path.join(path, "calib")).orderBy("dim").collect()
+    return (vectors, [list(r["cvec"]) for r in cents],
+            [(r["vmin"], r["scale"]) for r in cal])
+
+
+# ---------------------------------------------------------------------------
 # random-hyperplane LSH for embeddings (cosine ANN)
 # ---------------------------------------------------------------------------
 

@@ -254,6 +254,28 @@ def _ann_topk(spark, queries: str, corpus: str = "embeddings",
     )
 
 
+def _knn_ivf_sq8(spark, queries: str, corpus: str = "embeddings",
+                 k: int = 10, dim: int = 64, n_clusters: int = 8,
+                 nprobe: int = 2, id_col: str = "vec_id",
+                 emb_col: str = "embedding") -> DataFrame:
+    """CALL knn_ivf_sq8(queries => 'q') — IVF top-k over the int8
+    scalar-quantized corpus (calibrate + quantize + probe in one
+    call; persisted-index flows use write_sq8_ivf_index)."""
+    from puregraphdb_spark.operators import similarity
+
+    q = _view(spark, queries)
+    c = _view(spark, corpus)
+    cents = similarity.kmeans_centroids(
+        c, k=int(n_clusters), iters=2, dim=int(dim), emb_col=emb_col)
+    calib = similarity.sq8_calibrate(c, dim=int(dim), emb_col=emb_col)
+    codes = similarity.sq8_quantize(
+        c.select(F.col(id_col), F.col(emb_col)), calib,
+        emb_col=emb_col)
+    return similarity.ivf_sq8_topk(
+        q, codes, cents, calib, k=int(k), nprobe=int(nprobe),
+        id_col=id_col, emb_col=emb_col)
+
+
 def _ivf_drift(spark, path: str, emb_col: str = "embedding") -> DataFrame:
     """CALL ivf_drift(path => '/idx') — per-cluster centroid drift of a
     persisted IVF index -> (cluster, n_vecs, drift)."""
@@ -1246,6 +1268,19 @@ def _ann_recall(spark, queries: str, corpus: str = "embeddings",
             q, c, cents, k=int(k), nprobe=int(nprobe), id_col=id_col,
             emb_col=emb_col)
         label = f"ivf_nprobe{int(nprobe)}"
+    elif method == "sq8":
+        cents = similarity.kmeans_centroids(
+            c, k=int(n_clusters), iters=2, dim=int(dim),
+            emb_col=emb_col)
+        calib = similarity.sq8_calibrate(c, dim=int(dim),
+                                         emb_col=emb_col)
+        codes = similarity.sq8_quantize(
+            c.select(F.col(id_col), F.col(emb_col)), calib,
+            emb_col=emb_col)
+        ann = similarity.ivf_sq8_topk(
+            q, codes, cents, calib, k=int(k), nprobe=int(nprobe),
+            id_col=id_col, emb_col=emb_col)
+        label = f"ivf_sq8_nprobe{int(nprobe)}"
     else:
         ann = similarity.ann_cosine_topk(
             q, c, k=int(k), dim=int(dim), num_planes=int(num_planes),
@@ -1275,6 +1310,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "audio_features": _audio_features,
     "embedding_near_dup": _embedding_near_dup,
     "ann_topk": _ann_topk,
+    "knn_ivf_sq8": _knn_ivf_sq8,
     "ivf_drift": _ivf_drift,
     "ivf_refresh": _ivf_refresh,
     "text_profile": _text_profile,
