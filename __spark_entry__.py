@@ -521,6 +521,20 @@ def knn_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, codes, cents, calib, k=10, nprobe=2).orderBy("src", "rn")
 
 
+def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained BPE merge table over documents (rows-only; round 14 —
+    VERDICT r13 item 8 chose train/apply over a decline: the merge
+    loop is real Sennrich-style BPE on the distributed word-count
+    dictionary, deterministic by exact-bigint counts with
+    lexicographic tie-break, but iterative model fitting with no SQL
+    oracle by design; property tests pin closed-form corpora, the
+    apply round-trip, and partitioning-invariance)."""
+    from puregraphdb_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.bpe_train(docs, num_merges=30).orderBy("rank")
+
+
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of BOTH bucketed ANN paths (hyperplane LSH and IVF)
     against the exact brute-force top-10 on the vec_id < 20 query
@@ -894,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ann_lsh": knn_ann_lsh,
         "knn_ann_ivf": knn_ann_ivf,
         "knn_ann_ivf_sq8": knn_ann_ivf_sq8,
+        "bpe_merge_rules": bpe_merge_rules,
         "approx_distinct_parts": extras.approx_distinct_parts,
         "q99_modularity": community.q99_modularity,
         "q100_link_prediction": graph.q100_link_prediction,
@@ -949,7 +964,7 @@ _FRONT_WINDOW = [
     # NEW round-14 entries (never recorded, by construction) lead;
     # each new entry landing this round displaces one tail-fill slot
     # (which keeps its r10-green record).
-    "q181_capped_balance", "knn_ann_ivf_sq8",
+    "q181_capped_balance", "knn_ann_ivf_sq8", "bpe_merge_rules",
     # r9-stale cohort (VERDICT r13 item 1): the 16 entries whose
     # newest driver record is r9
     "q09_left_outer", "q10_range_join", "q11_window_rank",
@@ -972,7 +987,7 @@ _FRONT_WINDOW = [
     "q43_scalar_subquery", "q44_interval_join",
     "q45_conditional_distinct", "q46_range_frame", "q47_unpivot",
     "q48_trailing_feature", "q49_array_ops", "q50_gap_fill",
-    "q51_stat_agg", "q52_histogram",
+    "q51_stat_agg",
 ]
 
 

@@ -254,6 +254,43 @@ def _ann_topk(spark, queries: str, corpus: str = "embeddings",
     )
 
 
+def _bpe_train(spark, docs: str = "documents", num_merges: int = 50,
+               text_col: str = "text",
+               max_vocab: int = 200_000) -> DataFrame:
+    """CALL bpe_train(docs => 'documents') — ranked BPE merge rules."""
+    from puregraphdb_spark.operators.bpe import bpe_train
+
+    return bpe_train(_view(spark, docs), num_merges=int(num_merges),
+                     text_col=text_col, max_vocab=int(max_vocab))
+
+
+def _bpe_tokenize(spark, docs: str = "documents",
+                  num_merges: int = 50, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """CALL bpe_tokenize(docs => 'documents') — train on the corpus
+    then tokenize it (one-call convenience; persisted-model flows
+    call bpe_train once and apply many times)."""
+    from puregraphdb_spark.operators.bpe import bpe_apply, bpe_train
+
+    d = _view(spark, docs)
+    merges = bpe_train(d, num_merges=int(num_merges),
+                       text_col=text_col)
+    return bpe_apply(d, merges, text_col=text_col, id_col=id_col)
+
+
+def _bpe_fertility(spark, docs: str = "documents",
+                   num_merges: int = 50, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    from puregraphdb_spark.operators.bpe import (
+        bpe_fertility_report, bpe_train)
+
+    d = _view(spark, docs)
+    merges = bpe_train(d, num_merges=int(num_merges),
+                       text_col=text_col)
+    return bpe_fertility_report(d, merges, text_col=text_col,
+                                id_col=id_col)
+
+
 def _knn_ivf_sq8(spark, queries: str, corpus: str = "embeddings",
                  k: int = 10, dim: int = 64, n_clusters: int = 8,
                  nprobe: int = 2, id_col: str = "vec_id",
@@ -1311,6 +1348,9 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "embedding_near_dup": _embedding_near_dup,
     "ann_topk": _ann_topk,
     "knn_ivf_sq8": _knn_ivf_sq8,
+    "bpe_train": _bpe_train,
+    "bpe_tokenize": _bpe_tokenize,
+    "bpe_fertility": _bpe_fertility,
     "ivf_drift": _ivf_drift,
     "ivf_refresh": _ivf_refresh,
     "text_profile": _text_profile,
