@@ -69,7 +69,40 @@ def main() -> None:
     dfs = {name: fn(spark, SF_DIR) for name, fn in qs.items()}
     for df in dfs.values():
         df.toPandas()  # warmup sweep (untimed)
+
+    # Load-invariant calibration (VERDICT r13 item 5): the same
+    # core-30 oracle SQL runs through DuckDB INTERLEAVED with the
+    # Spark sweeps — both engines feel the same co-tenant minute, so
+    # the spark/duckdb ratio in the record is comparable across
+    # rounds even when absolute wall-clock drifts 30% with host load
+    # (the r13 "regression" that burned a SCALECHECK A/B to disprove).
+    # NOTE the metric's meaning: calib_ratio is SYMMETRIC best-of-RUNS
+    # warm vs best-of-RUNS warm — a STRICTER denominator than
+    # BASELINE.md's single-run DuckDB numbers (measured: best-of-5
+    # warm DuckDB core-30 ≈ 2.5 s vs the 3.81 s frozen single-run).
+    # The 2× BENCH bar is defined against BASELINE.md and stays
+    # judged on `value`; calib_ratio exists for ROUND-OVER-ROUND
+    # comparison at equal host load, not for the bar.
+    import re as _re
+
+    import duckdb as _duck
+
+    core_names = [k for k in qs
+                  if _re.match(r"^q(0[1-9]|[12][0-9]|30)_", k)]
+    calib_sql = {k: v for k, v in entrymod.oracle_sql().items()
+                 if k in core_names}
+    con = _duck.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents",
+              "embeddings"):
+        con.execute(
+            f"create view {t} as select * from "
+            f"read_parquet('{SF_DIR}/{t}.parquet')")
+    for sql in calib_sql.values():
+        con.execute(sql).df()  # warmup (page cache + duckdb state)
+
     timings: dict[str, float] = {}
+    calib: dict[str, float] = {}
     for _ in range(RUNS):
         for name, df in dfs.items():
             t0 = time.perf_counter()
@@ -77,6 +110,13 @@ def main() -> None:
             dt = time.perf_counter() - t0
             if dt < timings.get(name, float("inf")):
                 timings[name] = round(dt, 4)
+        for name, sql in calib_sql.items():
+            t0 = time.perf_counter()
+            con.execute(sql).df()
+            dt = time.perf_counter() - t0
+            if dt < calib.get(name, float("inf")):
+                calib[name] = round(dt, 4)
+    con.close()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -89,18 +129,22 @@ def main() -> None:
     # is True, so the old prefix test silently pulled the 3-digit
     # round-7 queries into the core total (measured: +2.0 s of
     # phantom "regression" the per-query diff couldn't see).
-    import re as _re
-
     core = {
         k: v for k, v in timings.items()
         if _re.match(r"^q(0[1-9]|[12][0-9]|30)_", k)
     }
+    duck_total = round(sum(calib.values()), 4)
     record = {
         "metric": "survey30_total",
         "value": round(sum(core.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "duckdb_calib_sec": duck_total,
+        "calib_ratio": (
+            round(sum(core.values()) / duck_total, 4)
+            if duck_total > 0 else None),
+        "calib_queries": calib,
     }
     try:
         _track_history(record)
@@ -121,6 +165,9 @@ def main() -> None:
                     for k, v in sorted(core.items())},
         "sf": sf_val,
         "n_queries_timed": len(timings),
+        # same-minute DuckDB core-30 + the load-invariant ratio
+        "duckdb_calib_sec": duck_total,
+        "calib_ratio": record["calib_ratio"],
         "full_map": "bench_full.json",
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
