@@ -25,7 +25,9 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from puregraphdb_spark.functions.vector import cosine_similarity, dot
+from puregraphdb_spark.functions.vector import (
+    cosine_similarity, dot, l2_norm,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -999,6 +1001,231 @@ def read_sq8_ivf_index(spark, path: str):
         os.path.join(path, "calib")).orderBy("dim").collect()
     return (vectors, [list(r["cvec"]) for r in cents],
             [(r["vmin"], r["scale"]) for r in cal])
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product quantization (the SQ8 family's high-compression
+# sibling — Jégou, Douze & Schmid, TPAMI 2011)
+# ---------------------------------------------------------------------------
+#
+# PQ splits each vector into M contiguous subspaces and stores ONE
+# byte per subspace (the id of the nearest per-subspace codebook
+# entry): dim=64 → 8 bytes/vector vs SQ8's 64 and float64's 512.
+# Search uses asymmetric distance computation (ADC): the query stays
+# float; per query a lookup table of subspace dot products against
+# every codebook entry is built ONCE (M×k dots), and each candidate's
+# score is M table lookups — no per-candidate vector arithmetic.
+
+
+def _subspace_bounds(dim: int, m: int) -> list[tuple[int, int]]:
+    """[(lo, width)] per subspace; dim must divide evenly (the
+    codebook shapes would silently ragged otherwise)."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    w = dim // m
+    return [(j * w, w) for j in range(m)]
+
+
+def pq_train(corpus: DataFrame, dim: int = 64, m: int = 8,
+             k_codes: int = 16, iters: int = 2,
+             emb_col: str = "embedding", id_col: str = "vec_id",
+             train_sample: int = 65536) -> list[list[list[float]]]:
+    """Train M per-subspace codebooks (each k_codes × dim/M floats) —
+    model state, returned driver-side like kmeans_centroids.
+
+    Training runs on a DETERMINISTIC hash-ordered sample of
+    ``train_sample`` vectors (the standard PQ protocol — codebooks
+    need a representative sample, not the corpus; at 100 TB the
+    sample bound is what keeps fitting O(1) in corpus size), then
+    reuses the house k-means per subspace slice."""
+    sample = (
+        corpus.select(F.col(id_col),
+                      F.col(emb_col).cast("array<double>")
+                      .alias(emb_col))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(train_sample)
+        .persist()
+    )
+    try:
+        books = []
+        for lo, w in _subspace_bounds(dim, m):
+            sub = sample.select(
+                F.col(id_col),
+                F.slice(F.col(emb_col), lo + 1, w).alias(emb_col))
+            books.append(
+                kmeans_centroids(sub, k=k_codes, iters=iters, dim=w,
+                                 emb_col=emb_col, id_col=id_col))
+    finally:
+        sample.unpersist()
+    return books
+
+
+def _books_relation(spark, books: list[list[list[float]]]) -> DataFrame:
+    """All M codebooks as a 1-row broadcastable relation (the
+    _centroid_relation k-scaling discipline: codebooks are DATA, not
+    plan literals): ``books: array<struct<sub:int,
+    codes:array<struct<idx:int, vec:array<double>, nsq:double>>>>``
+    with each entry's squared norm precomputed for reconstruction-
+    norm lookups."""
+    rows = [[
+        (j, [(i, c, sum(x * x for x in c))
+             for i, c in enumerate(book)])
+        for j, book in enumerate(books)
+    ]]
+    return spark.createDataFrame(
+        [(rows[0],)],
+        "books array<struct<sub:int,codes:array<struct<"
+        "idx:int,vec:array<double>,nsq:double>>>>",
+    )
+
+
+def pq_quantize(corpus: DataFrame, books: list[list[list[float]]],
+                dim: int | None = None, emb_col: str = "embedding",
+                code_col: str = "pq_code") -> DataFrame:
+    """Encode each vector as M bytes: per subspace the L2-nearest
+    codebook id (argmin ‖x_j − c‖² = argmax (x_j·c − ‖c‖²/2), one
+    JVM transform per row with the codebooks broadcast as data). The
+    reconstruction norm ‖x̂‖ = sqrt(Σ_j nsq[code_j]) is stored
+    alongside (one double) so ADC cosine needs no corpus-side vector
+    at query time. The embedding column is replaced."""
+    m = len(books)
+    w = len(books[0][0])
+    dim = dim if dim is not None else m * w
+    bounds = _subspace_bounds(dim, m)
+    spark = corpus.sparkSession
+    joined = corpus.crossJoin(
+        F.broadcast(_books_relation(spark, books)))
+    emb_d = F.col(emb_col).cast("array<double>")
+
+    def best_code(book):
+        lo = (book["sub"] * F.lit(w)) + 1
+        sub = F.slice(emb_d, lo, w)
+        scored = F.transform(
+            book["codes"],
+            lambda ct: F.struct(
+                (F.aggregate(F.zip_with(sub, ct["vec"],
+                                        lambda x, y: x * y),
+                             F.lit(0.0), lambda a, x: a + x)
+                 - ct["nsq"] / F.lit(2.0)).alias("s"),
+                (-ct["idx"]).alias("nidx"),
+                ct["nsq"].alias("nsq"),
+            ),
+        )
+        return F.array_max(scored)
+
+    picked = F.transform(F.col("books"), best_code)
+    out = (
+        joined
+        .withColumn("__pick", picked)
+        .withColumn(
+            code_col,
+            F.transform(F.col("__pick"),
+                        lambda p: (-p["nidx"]).cast("tinyint")))
+        .withColumn(
+            "pq_nrm",
+            F.sqrt(F.aggregate(
+                F.transform(F.col("__pick"), lambda p: p["nsq"]),
+                F.lit(0.0), lambda a, x: a + x)))
+        .drop("books", "__pick", emb_col)
+    )
+    _ = bounds  # bounds validated m·w == dim above
+    return out
+
+
+def pq_reconstruct(code_col, books: list[list[list[float]]]) -> F.Column:
+    """x̂ = concat of each subspace's codebook entry (tests + the
+    assign path when codes lack a cluster column)."""
+    c = F.col(code_col) if isinstance(code_col, str) else code_col
+    spark_books = [
+        F.array(*[
+            F.array(*[F.lit(float(x)) for x in entry])
+            for entry in book])
+        for book in books
+    ]
+    parts = [
+        F.element_at(spark_books[j],
+                     F.element_at(c, j + 1).cast("int") + 1)
+        for j in range(len(books))
+    ]
+    return F.concat(*parts)
+
+
+def ivf_pq_topk(queries: DataFrame, corpus_codes: DataFrame,
+                centroids: list[list[float]],
+                books: list[list[list[float]]], k: int = 10,
+                nprobe: int = 2, id_col: str = "vec_id",
+                code_col: str = "pq_code",
+                emb_col: str = "embedding") -> DataFrame:
+    """IVF-PQ search: probe nprobe coarse clusters, score candidates
+    by ADC cosine — cos(q, x̂) = (Σ_j LUT_j[code_j]) / (|q|·‖x̂‖),
+    where LUT_j[c] = q_j·c_{j,c} is built per query as one JVM
+    transform over the broadcast codebooks (M×k dots per QUERY, zero
+    per-candidate vector math: each candidate costs M array lookups
+    + one division). Same one-broadcast-probe-join plan shape as the
+    float and SQ8 indexes; stored bytes are dim/M smaller than SQ8.
+    """
+    spark = queries.sparkSession
+    m = len(books)
+    w = len(books[0][0])
+    q_emb = F.col(emb_col).cast("array<double>")
+
+    def lut(book):
+        lo = (book["sub"] * F.lit(w)) + 1
+        sub = F.slice(q_emb, lo, w)
+        return F.transform(
+            book["codes"],
+            lambda ct: F.aggregate(
+                F.zip_with(sub, ct["vec"], lambda x, y: x * y),
+                F.lit(0.0), lambda a, x: a + x),
+        )
+
+    q = (
+        queries.crossJoin(
+            F.broadcast(_centroid_relation(spark, centroids)))
+        .crossJoin(F.broadcast(_books_relation(spark, books)))
+        .select(
+            F.col(id_col).alias("src"),
+            F.transform(F.col("books"), lut).alias("__lut"),
+            l2_norm(q_emb).alias("__qn"),
+            F.explode(
+                F.slice(
+                    F.sort_array(
+                        _centroid_scores(emb_col, F.col("cents")),
+                        asc=False),
+                    1, nprobe)
+            ).alias("probe"),
+        )
+        .select("src", "__lut", "__qn",
+                F.col("probe.idx").alias("cluster"))
+    )
+    if "cluster" not in corpus_codes.columns:
+        recon = corpus_codes.withColumn(
+            "__x", pq_reconstruct(code_col, books))
+        corpus_codes = _with_nearest_centroid(
+            recon, centroids, "__x").drop("__x")
+    c = corpus_codes.select(
+        F.col(id_col), F.col(code_col), F.col("pq_nrm"),
+        F.col("cluster").cast("int").alias("cluster"))
+    adc_dot = F.aggregate(
+        F.zip_with(
+            F.col(code_col), F.col("__lut"),
+            lambda cj, lutj: F.element_at(lutj, cj.cast("int") + 1)),
+        F.lit(0.0), lambda a, x: a + x)
+    w_rank = Window.partitionBy("src").orderBy(F.desc("cos_sim"),
+                                               id_col)
+    return (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col(id_col) != F.col("src"))
+        .select(
+            "src", id_col,
+            (adc_dot
+             / (F.col("__qn")
+                * F.greatest(F.col("pq_nrm"), F.lit(1e-30))))
+            .alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= k)
+    )
 
 
 # ---------------------------------------------------------------------------

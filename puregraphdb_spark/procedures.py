@@ -254,6 +254,31 @@ def _ann_topk(spark, queries: str, corpus: str = "embeddings",
     )
 
 
+def _knn_ivf_pq(spark, queries: str, corpus: str = "embeddings",
+                k: int = 10, dim: int = 64, n_clusters: int = 8,
+                m_subspaces: int = 8, k_codes: int = 16,
+                nprobe: int = 2, id_col: str = "vec_id",
+                emb_col: str = "embedding") -> DataFrame:
+    """CALL knn_ivf_pq(queries => 'q') — IVF top-k over the
+    product-quantized corpus (train + encode + ADC probe in one
+    call)."""
+    from puregraphdb_spark.operators import similarity
+
+    q = _view(spark, queries)
+    c = _view(spark, corpus)
+    cents = similarity.kmeans_centroids(
+        c, k=int(n_clusters), iters=2, dim=int(dim), emb_col=emb_col)
+    books = similarity.pq_train(
+        c, dim=int(dim), m=int(m_subspaces), k_codes=int(k_codes),
+        iters=2, emb_col=emb_col, id_col=id_col)
+    codes = similarity.pq_quantize(
+        c.select(F.col(id_col), F.col(emb_col)), books,
+        emb_col=emb_col)
+    return similarity.ivf_pq_topk(
+        q, codes, cents, books, k=int(k), nprobe=int(nprobe),
+        id_col=id_col, emb_col=emb_col)
+
+
 def _bpe_train(spark, docs: str = "documents", num_merges: int = 50,
                text_col: str = "text",
                max_vocab: int = 200_000) -> DataFrame:
@@ -1348,6 +1373,7 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "embedding_near_dup": _embedding_near_dup,
     "ann_topk": _ann_topk,
     "knn_ivf_sq8": _knn_ivf_sq8,
+    "knn_ivf_pq": _knn_ivf_pq,
     "bpe_train": _bpe_train,
     "bpe_tokenize": _bpe_tokenize,
     "bpe_fertility": _bpe_fertility,
