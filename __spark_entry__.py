@@ -194,7 +194,21 @@ def graph_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the smallest t with frac_of_final >= 0.9. Rows-only: HLL
     sketches are engine-specific by design (same allowance as
     approx_distinct_parts); property-tested against exact BFS closures
-    on path/star/clique-chain graphs (tests/test_graph_extended.py)."""
+    on path/star/clique-chain graphs (tests/test_graph_extended.py).
+
+    edge_batch gating (round 14 — the betweenness source_batch
+    precedent): the per-superstep message volume is O(|E|·m); at
+    sf10 the unbatched plan exhausted a single node's disk twice
+    (measured: 53+ GB of live shuffle at superstep ~4 of a 60M-edge
+    graph, m=64). Past the measured 512 MiB lineitem line the entry
+    runs edge_batch=8 — the register state is batched ≡ unbatched
+    bit-identical (monotone max merge, start-of-superstep reads;
+    the N(t) readout may differ in the last float bits of an
+    unordered sum — pinned to 1e-12 relative in
+    tests/test_round14_operators.py) — and a cluster deployment
+    leaves the knob off."""
+    from puregraphdb_spark.sources.registry import table_bytes
+
     g = _order_graph(spark, sf_dir)
     sym = graph.Graph(
         g.vertices,
@@ -203,7 +217,9 @@ def graph_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("src").alias("dst"))
         ).distinct(),
     )
-    nf = sym.anf(m=64, max_iter=16)
+    batch = (8 if table_bytes(spark, sf_dir, "lineitem") > (512 << 20)
+             else None)
+    nf = sym.anf(m=64, max_iter=16, edge_batch=batch)
     final = nf[-1][1]
     return spark.createDataFrame(
         [(t, n, round(n / final, 6)) for t, n in nf],

@@ -1301,7 +1301,8 @@ class Graph:
         return state
 
     def anf(self, m: int = 64, max_iter: int = 16,
-            rel_tol: float = 0.01) -> list[tuple[int, float]]:
+            rel_tol: float = 0.01,
+            edge_batch: int | None = None) -> list[tuple[int, float]]:
         """HyperANF (Boldi, Rosa & Vigna, WWW'11 [PUBLIC]): approximate
         neighborhood function N(t) = estimated number of (u, v) pairs
         with dist(u, v) <= t, one HyperLogLog counter per vertex.
@@ -1326,6 +1327,24 @@ class Graph:
         Returns the driver-side [(t, N(t))] list — iteration-summary
         model state, k scalars, not a data collect. ``graph_anf`` and
         ``CALL anf`` wrap it as a DataFrame.
+
+        ``edge_batch`` (round 14 — the betweenness ``source_batch``
+        precedent): the per-superstep message relation is O(|E|·m)
+        bytes; at sf10 (60M edges, m=64) one superstep's live shuffle
+        is ~50+ GB, which EXHAUSTED a single node's disk twice in the
+        r14 spot-runs even though the plan is right for a cluster.
+        With ``edge_batch=B`` the edges split into B deterministic
+        hash batches processed SEQUENTIALLY within each superstep,
+        each batch max-merged into the accumulating state and
+        checkpoint-truncated before the next — peak live bytes drop
+        ~B× for a linear wall-clock trade. Messages always read the
+        START-of-superstep registers, and register merge is an
+        idempotent monotone max, so the REGISTER state is batched ≡
+        unbatched bit-identical; the N(t) readout is an unordered
+        per-vertex double sum, so the two plans can differ in the
+        last float bits only (pinned to 1e-12 relative in
+        tests/test_round14_operators.py). Leave ``None`` on a real
+        cluster.
 
         Estimator: standard HLL bias-corrected harmonic mean with the
         linear-counting small-range correction (the estimate of a
@@ -1378,22 +1397,54 @@ class Graph:
         state = init.persist()
         nf = [(0, float(state.agg(F.sum(est)).collect()[0][0]))]
         pending: list[DataFrame] = []
+        jvm_gc = self.vertices.sparkSession.sparkContext._jvm.System.gc
         try:
             for t in range(1, max_iter + 1):
-                msgs = (
-                    edges.join(state, edges.src == state.id)
-                    .select(F.col("dst").alias("id"), *regs)
-                )
-                new_state = (
-                    state.unionByName(msgs)
-                    .groupBy("id")
-                    .agg(*[F.max(r).alias(r) for r in regs])
-                )
+                if edge_batch and edge_batch > 1:
+                    # sequential hash batches: each merges into the
+                    # accumulating registers and truncates before the
+                    # next, capping live shuffle at ~|E|/B messages.
+                    # All batches read START-of-superstep `state`, so
+                    # information still travels exactly one hop.
+                    cur = state
+                    bsel = F.pmod(
+                        F.xxhash64(F.col("src"), F.col("dst")),
+                        F.lit(edge_batch))
+                    for b in range(edge_batch):
+                        msgs_b = (
+                            edges.filter(bsel == b)
+                            .join(state, F.col("src") == state.id)
+                            .select(F.col("dst").alias("id"), *regs)
+                        )
+                        cur = (
+                            cur.unionByName(msgs_b)
+                            .groupBy("id")
+                            .agg(*[F.max(r).alias(r) for r in regs])
+                            .localCheckpoint(eager=True)
+                        )
+                        jvm_gc()
+                    new_state = cur
+                else:
+                    msgs = (
+                        edges.join(state, edges.src == state.id)
+                        .select(F.col("dst").alias("id"), *regs)
+                    )
+                    new_state = (
+                        state.unionByName(msgs)
+                        .groupBy("id")
+                        .agg(*[F.max(r).alias(r) for r in regs])
+                    )
                 if t % 4 == 0 or _plan_chars(new_state) > 150_000:
                     new_state = new_state.localCheckpoint(eager=True)
                     for s in pending:
                         s.unpersist()
                     pending.clear()
+                    # Disk hygiene (r14 sf10 lesson): the superstep's
+                    # O(|E|·m) shuffle files free only after the
+                    # truncated-lineage RDDs are GC'd — nudge the JVM
+                    # so the ContextCleaner drops dead stages' files
+                    # before the next superstep piles on top.
+                    jvm_gc()
                 else:
                     new_state = new_state.persist()
                 n_t = float(new_state.agg(F.sum(est)).collect()[0][0])

@@ -567,13 +567,16 @@ def _louvain(spark, edges: str, weight_col: str | None = None,
 
 
 def _anf(spark, edges: str, m: int = 64, max_iter: int = 16,
-         rel_tol: float = 0.01, vertices: str | None = None) -> DataFrame:
+         rel_tol: float = 0.01, vertices: str | None = None,
+         edge_batch: int | None = None) -> DataFrame:
     """CALL anf(edges => 'e') — HyperANF approximate neighborhood
     function -> one row per hop t: (t, est_pairs, frac_of_final).
     The q-effective diameter is the smallest t with
-    frac_of_final >= q."""
+    frac_of_final >= q. edge_batch caps per-superstep live shuffle
+    on thin-disk single nodes (batched == unbatched exactly)."""
     nf = _graph(spark, edges, vertices).anf(
-        m=m, max_iter=max_iter, rel_tol=rel_tol)
+        m=m, max_iter=max_iter, rel_tol=rel_tol,
+        edge_batch=None if edge_batch is None else int(edge_batch))
     final = nf[-1][1]
     return spark.createDataFrame(
         [(t, n, round(n / final, 6)) for t, n in nf],

@@ -180,6 +180,31 @@ def test_capped_balance_call_door(spark):
     assert all(r["max_bal"] <= 1000000 for r in rows)
 
 
+def test_anf_edge_batched_equals_unbatched(spark):
+    """edge_batch splits the per-superstep message relation into
+    sequential hash batches; because every batch reads the
+    START-of-superstep registers and the merge is a monotone max,
+    the batched neighborhood function must equal the unbatched one
+    EXACTLY at every hop (the betweenness source_batch discipline)."""
+    from puregraphdb_spark.operators.graph import Graph
+
+    edges = [(i, i + 1) for i in range(12)] + [(0, 6), (3, 9), (11, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in range(13)], "id long")
+    g = Graph(v, e.unionByName(
+        e.selectExpr("dst as src", "src as dst")).distinct())
+    plain = g.anf(m=16, max_iter=6)
+    batched = g.anf(m=16, max_iter=6, edge_batch=3)
+    assert len(plain) == len(batched) >= 3
+    # the REGISTERS are bit-identical (monotone max merge); the N(t)
+    # readout sums per-vertex doubles in partition order, so the two
+    # plans may differ in the last float bits — compare to 1e-12
+    # relative, far below any estimate semantics.
+    for (t1, n1), (t2, n2) in zip(plain, batched):
+        assert t1 == t2
+        assert abs(n1 - n2) <= 1e-12 * max(abs(n1), 1.0), (t1, n1, n2)
+
+
 def test_ngram_jaccard_empty_shingles_no_ansi_crash(spark):
     """ADVICE r13: sub-3-char docs have empty shingle sets; the pair
     relation must filter zero-intersection pairs BEFORE the division
