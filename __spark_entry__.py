@@ -27,6 +27,7 @@ from puregraphdb_spark.operators import (
 from puregraphdb_spark.sources.registry import load_table
 from puregraphdb_spark.sql_fragments import (
     ASSET_MANIFEST_CTE_DUCKDB,
+    LANGID_PRED_CTE_DUCKDB,
     LM_SCORED_CTES_DUCKDB,
     TEXT_PROFILE_CTES_DUCKDB,
 )
@@ -820,6 +821,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_clamped_balance": events.q180_clamped_balance,
         # -- round-14 entries --
         "q181_capped_balance": events.q181_capped_balance,
+        "q182_langid_kappa": pipeline.q182_langid_kappa,
+        "q183_mann_whitney": extras.q183_mann_whitney,
+        "q184_benford": profile.q184_benford,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -1007,8 +1011,9 @@ _FRONT_WINDOW = [
     # NEW round-14 entries (never recorded, by construction) lead;
     # each new entry landing this round displaces one tail-fill slot
     # (which keeps its r10-green record).
-    "q181_capped_balance", "knn_ann_ivf_sq8", "bpe_merge_rules",
-    "knn_ann_ivf_pq", "ann_recall_report",
+    "q181_capped_balance", "q182_langid_kappa", "q183_mann_whitney",
+    "q184_benford", "knn_ann_ivf_sq8",
+    "bpe_merge_rules", "knn_ann_ivf_pq", "ann_recall_report",
     # r9-stale cohort (VERDICT r13 item 1): the 16 entries whose
     # newest driver record is r9
     "q09_left_outer", "q10_range_join", "q11_window_rank",
@@ -1029,8 +1034,7 @@ _FRONT_WINDOW = [
     "q37_regex", "q38_levenshtein", "q39_array_agg",
     "q40_grouping_sets", "q41_correlated_avg", "q42_not_exists",
     "q43_scalar_subquery", "q44_interval_join",
-    "q45_conditional_distinct", "q46_range_frame", "q47_unpivot",
-    "q48_trailing_feature", "q49_array_ops",
+    "q45_conditional_distinct", "q46_range_frame",
 ]
 
 
@@ -4688,6 +4692,111 @@ def oracle_sql() -> dict[str, str]:
                    cast(max_by(resets, k) as bigint) as n_resets,
                    cast(max(maxbal) as bigint) as max_bal
             from rec group by user_id order by user_id
+        """,
+        # Langid kappa (q182): chance-corrected label agreement per
+        # source; the exact bigint ratio (n·agree − S)/(n² − S).
+        "q182_langid_kappa": LANGID_PRED_CTE_DUCKDB + """,
+            agg as (
+              select source,
+                 cast(count(*) as bigint) as n_docs,
+                 cast(sum(case when lang = pred_lang then 1 else 0
+                          end) as bigint) as n_agree,
+                 """ + ",\n                 ".join(
+            f"cast(sum(case when lang = '{l}' then 1 else 0 end)"
+            f" as bigint) as r_{l},"
+            f" cast(sum(case when pred_lang = '{l}' then 1 else 0"
+            f" end) as bigint) as c_{l}"
+            for l in ("en", "de", "es", "fr", "zh", "und")) + """
+              from pred group by source)
+            select source, n_docs, n_agree,
+                   cast(r_en*c_en + r_de*c_de + r_es*c_es + r_fr*c_fr
+                        + r_zh*c_zh + r_und*c_und as bigint) as s_exp,
+                   case when n_docs*n_docs =
+                             (r_en*c_en + r_de*c_de + r_es*c_es
+                              + r_fr*c_fr + r_zh*c_zh + r_und*c_und)
+                        then 0.0
+                        else cast(round(cast(
+                          cast(n_docs*n_agree
+                               - (r_en*c_en + r_de*c_de + r_es*c_es
+                                  + r_fr*c_fr + r_zh*c_zh
+                                  + r_und*c_und) as double)
+                          / cast(n_docs*n_docs
+                               - (r_en*c_en + r_de*c_de + r_es*c_es
+                                  + r_fr*c_fr + r_zh*c_zh
+                                  + r_und*c_und) as double)
+                          as decimal(28,10)), 6) as double) end
+                     as kappa
+            from agg order by source
+        """,
+        # Benford audit (q184): first [1-9] of the decimal-grid
+        # string; reference shares are shared literals (no libm).
+        "q184_benford": """
+            with counted as (
+              select regexp_extract(
+                       cast(cast(l_extendedprice as decimal(18,2))
+                            as string), '[1-9]') as digit,
+                     cast(count(*) as bigint) as n
+              from lineitem
+              group by 1),
+            nz as (select * from counted where digit <> ''),
+            tot as (select cast(sum(n) as bigint) as total from nz),
+            ref as (
+              select * from (values
+                (1, 0.301029995663981), (2, 0.176091259055681),
+                (3, 0.124938736608300), (4, 0.096910013008056),
+                (5, 0.079181246047625), (6, 0.066946789630613),
+                (7, 0.057991946977687), (8, 0.051152522447381),
+                (9, 0.045757490560675)) as t(digit, b))
+            select cast(nz.digit as int) as digit, nz.n,
+                   cast(round(cast(cast(nz.n as double)
+                        / cast(tot.total as double)
+                        as decimal(28,10)), 6) as double) as share,
+                   round(ref.b, 6) as benford,
+                   cast(round(cast(cast(nz.n as double)
+                        / cast(tot.total as double) - ref.b
+                        as decimal(28,10)), 6) as double) as delta
+            from nz cross join tot
+            join ref on ref.digit = cast(nz.digit as int)
+            order by digit
+        """,
+        # Mann-Whitney U (q183): doubled average ranks keep the 0.5
+        # tie grid in exact bigints; u2 = 2U_A.
+        "q183_mann_whitney": """
+            with a as (
+              select p.pair, 1 as is_a, value as v
+              from events
+              cross join (select unnest(['click','error','signup',
+                                         'view']) as pair) p
+              where event_type = 'purchase'),
+            b as (
+              select event_type as pair, 0 as is_a, value as v
+              from events where event_type <> 'purchase'),
+            u as (select * from a union all select * from b),
+            ranked as (
+              select pair, is_a,
+                 cast(rank() over (partition by pair order by v) * 2
+                      + count(*) over (partition by pair, v) - 1
+                   as bigint) as avg2,
+                 cast(count(*) over (partition by pair, v)
+                   as bigint) as t
+              from u),
+            agg as (
+              select pair,
+                 cast(sum(is_a) as bigint) as n_a,
+                 cast(sum(1 - is_a) as bigint) as n_b,
+                 cast(sum(case when is_a = 1 then avg2 else 0 end)
+                   as bigint) as ranksum2_a,
+                 cast(sum(t * t - 1) as bigint) as tie_sum
+              from ranked group by pair)
+            select pair, n_a, n_b,
+                   cast(ranksum2_a - n_a * (n_a + 1) as bigint) as u2,
+                   tie_sum,
+                   cast(round(cast(
+                     cast(ranksum2_a - n_a * (n_a + 1) as double)
+                     / cast(n_a * n_b as double) - 1.0
+                     as decimal(28,10)), 6) as double)
+                     as rank_biserial
+            from agg order by pair
         """,
         # Capped balance (q181): the q180 recursive fold with the
         # two-sided clamp least(cap, greatest(0, bal+delta)) and a

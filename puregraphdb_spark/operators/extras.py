@@ -1847,6 +1847,85 @@ def chi_square_contingency(df: DataFrame, row_col: str,
     )
 
 
+def mann_whitney_u(events: DataFrame, ref_type: str = "purchase",
+                   type_col: str = "event_type",
+                   val_col: str = "value") -> DataFrame:
+    """Mann-Whitney U rank-sum comparison of ``val_col`` between the
+    reference event type and EVERY other type — the nonparametric
+    drift test next to q133's chi-square (categorical) and q135's MAD
+    (pointwise): "did the value DISTRIBUTION shift?" without assuming
+    normality. One row per pair:
+
+    (pair, n_a, n_b, u2, tie_sum, rank_biserial)
+
+    Exactness: average ranks over ties live on the 0.5 grid, so
+    everything is carried DOUBLED in bigints — avg2 = 2·min_rank +
+    (t−1), u2 = 2·U_A = Σ_A avg2 − n_a(n_a+1); tie_sum = Σ(t³−t) is
+    the exact tie-correction numerator (the variance term
+    n_a·n_b·((n+1)n(n−1) − tie_sum)/(12n(n−1)) overflows bigint at
+    scale, so the PIECES are emitted exact and the composition is the
+    consumer's one float expression). rank_biserial = u2/(n_a·n_b)−1
+    is the standard effect size: one IEEE division, snapped.
+
+    Scale: the reference group replicates once per comparison type
+    (map-side explode, |types|-bounded); ONE shuffle partitions by
+    pair for the rank windows; the aggregate is per-pair scalars.
+    """
+    from puregraphdb_spark.functions.numeric import decimal_round
+
+    types = [
+        r[0] for r in events.select(type_col).distinct().collect()
+        if r[0] != ref_type
+    ]
+    types.sort()
+    a = (
+        events.filter(F.col(type_col) == ref_type)
+        .select(F.explode(F.array(*[F.lit(t) for t in types]))
+                .alias("pair"),
+                F.lit(1).alias("is_a"), F.col(val_col).alias("v"))
+    )
+    b = (
+        events.filter(F.col(type_col) != ref_type)
+        .select(F.col(type_col).alias("pair"),
+                F.lit(0).alias("is_a"), F.col(val_col).alias("v"))
+    )
+    w_rank = Window.partitionBy("pair").orderBy("v")
+    w_tie = Window.partitionBy("pair", "v")
+    ranked = a.unionByName(b).select(
+        "pair", "is_a",
+        (F.rank().over(w_rank) * 2
+         + F.count("*").over(w_tie) - 1).cast("long").alias("avg2"),
+        F.count("*").over(w_tie).cast("long").alias("t"),
+    )
+    agg = ranked.groupBy("pair").agg(
+        F.sum("is_a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("is_a") == 1, F.col("avg2"))
+              .otherwise(0)).cast("long").alias("ranksum2_a"),
+        # each tie group of size t contributes t rows of (t³−t)/t =
+        # t²−1, so summing (t²−1) per ROW equals Σ_groups (t³−t)
+        F.sum(F.col("t") * F.col("t") - 1).cast("long")
+        .alias("tie_sum"),
+    )
+    u2 = (F.col("ranksum2_a")
+          - F.col("n_a") * (F.col("n_a") + 1)).cast("long")
+    return agg.select(
+        "pair", "n_a", "n_b", u2.alias("u2"), "tie_sum",
+        decimal_round(
+            u2.cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+            - F.lit(1.0), 6, grid=10).alias("rank_biserial"),
+    )
+
+
+def q183_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED Mann-Whitney U of event values, purchase vs every
+    other type (see ``mann_whitney_u``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return final_sort(mann_whitney_u(ev), spark, sf_dir, "events",
+                      "pair")
+
+
 def q133_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Independence of market segment × order priority (see
     ``chi_square_contingency``)."""

@@ -403,6 +403,68 @@ def q72_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def langid_kappa(docs: DataFrame, source_col: str = "source",
+                 lang_col: str = "lang",
+                 text_col: str = "text") -> DataFrame:
+    """Cohen's kappa per source between the DECLARED language label
+    and the engine's langid prediction — the label-quality number a
+    curation pipeline watches per feed: raw agreement (q72's diagonal)
+    over-credits a feed whose docs are 90% one language; kappa
+    discounts exactly that chance agreement.
+
+    Exactness (the q100 integer-ratio discipline): with n docs,
+    ``agree`` diagonal hits and S = Σ_label row_l·col_l, kappa =
+    (p_o − p_e)/(1 − p_e) reduces to the EXACT bigint ratio
+    (n·agree − S)/(n² − S) — one IEEE division, snapped. The
+    degenerate n² = S case (both sides constant) is pinned to 0.0 by
+    the same CASE in both engines.
+
+    Scale: per-doc scoring is a map over bounded constant arrays;
+    ONE shuffle to |sources| groups with 14 conditional bigint sums.
+    """
+    from puregraphdb_spark.functions.numeric import decimal_round
+    from puregraphdb_spark.operators.text import detect_language
+
+    labels = ["en", "de", "es", "fr", "zh", "und"]
+    d = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        detect_language(text_col).alias("pred"),
+    )
+    hit = lambda c, l: F.sum(  # noqa: E731
+        F.when(F.col(c) == l, 1).otherwise(0)).cast("long")
+    agg = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("lang") == F.col("pred"), 1)
+              .otherwise(0)).cast("long").alias("n_agree"),
+        *[hit("lang", l).alias(f"__r_{l}") for l in labels],
+        *[hit("pred", l).alias(f"__c_{l}") for l in labels],
+    )
+    s_exp = None
+    for l in labels:
+        term = F.col(f"__r_{l}") * F.col(f"__c_{l}")
+        s_exp = term if s_exp is None else s_exp + term
+    n2 = F.col("n_docs") * F.col("n_docs")
+    return agg.select(
+        "source", "n_docs", "n_agree",
+        s_exp.cast("long").alias("s_exp"),
+        F.when(n2 == s_exp, F.lit(0.0)).otherwise(
+            decimal_round(
+                (F.col("n_docs") * F.col("n_agree") - s_exp)
+                .cast("double")
+                / (n2 - s_exp).cast("double"), 6, grid=10)
+        ).alias("kappa"),
+    )
+
+
+def q182_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED per-source Cohen's kappa of declared-vs-predicted
+    language (see ``langid_kappa``)."""
+    d = load_table(spark, sf_dir, "documents")
+    return final_sort(langid_kappa(d), spark, sf_dir, "documents",
+                      "source")
+
+
 def q73_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling with per-language target
     rates (en 5%, de 10%, es 20%, fr 50%, other 100%) — the mixture

@@ -389,3 +389,67 @@ def q161_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = k_anonymity_report(d, ["lang", "source", "len_band"], k=5)
     return final_sort(res, spark, sf_dir, "documents", "lang")
+
+
+#: log10(1 + 1/d) for d = 1..9, hardcoded as shared literals so no
+#: libm runs in EITHER engine at query time (the q70 no-libm rule) —
+#: the Benford reference distribution (Newcomb 1881 / Benford 1938).
+_BENFORD = [0.301029995663981, 0.176091259055681, 0.124938736608300,
+            0.096910013008056, 0.079181246047625, 0.066946789630613,
+            0.057991946977687, 0.051152522447381, 0.045757490560675]
+
+
+def benford_profile(df: DataFrame, val_col: str,
+                    scale: int = 2) -> DataFrame:
+    """First-significant-digit profile of a positive numeric column
+    against Benford's law — the data-quality screen auditors run on
+    monetary columns (fabricated or gridded data bends the curve).
+    One row per digit 1-9: (digit, n, share, benford, delta).
+
+    Cross-engine exactness: the digit comes from the DECIMAL STRING
+    of the value (cast to decimal(18,scale) first — both engines
+    print the same grid value identically; extracting the first
+    [1-9] avoids the log10/floor libm path entirely, and handles
+    values < 1 by skipping leading zeros). Counts are bigints; share
+    is one division snapped; benford is a shared literal; delta is
+    IEEE subtraction of identical doubles, snapped.
+
+    Scale: one map (cast + regexp) + ONE shuffle to ≤ 9 groups with
+    map-side partial aggregation.
+    """
+    digit = F.regexp_extract(
+        F.col(val_col).cast(f"decimal(18,{scale})").cast("string"),
+        "[1-9]", 0)
+    counted = (
+        df.select(digit.alias("digit"))
+        .filter(F.col("digit") != "")
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    total = counted.agg(F.sum("n").cast("long").alias("total"))
+    bref = F.element_at(
+        F.array(*[F.lit(b) for b in _BENFORD]),
+        F.col("digit").cast("int"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .select(
+            F.col("digit").cast("int").alias("digit"), "n",
+            decimal_round(
+                F.col("n").cast("double")
+                / F.col("total").cast("double"), 6, grid=10,
+            ).alias("share"),
+            F.round(bref, 6).alias("benford"),
+            decimal_round(
+                F.col("n").cast("double")
+                / F.col("total").cast("double") - bref, 6, grid=10,
+            ).alias("delta"),
+        )
+    )
+
+
+def q184_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED Benford first-digit audit of lineitem extended prices
+    (see ``benford_profile``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return final_sort(benford_profile(li, "l_extendedprice"),
+                      spark, sf_dir, "lineitem", "digit")

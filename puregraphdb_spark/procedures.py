@@ -279,6 +279,33 @@ def _knn_ivf_pq(spark, queries: str, corpus: str = "embeddings",
         id_col=id_col, emb_col=emb_col)
 
 
+def _langid_kappa(spark, docs: str = "documents",
+                  source_col: str = "source", lang_col: str = "lang",
+                  text_col: str = "text") -> DataFrame:
+    from puregraphdb_spark.operators.pipeline import langid_kappa
+
+    return langid_kappa(_view(spark, docs), source_col=source_col,
+                        lang_col=lang_col, text_col=text_col)
+
+
+def _mann_whitney(spark, events: str = "events",
+                  ref_type: str = "purchase",
+                  type_col: str = "event_type",
+                  val_col: str = "value") -> DataFrame:
+    from puregraphdb_spark.operators.extras import mann_whitney_u
+
+    return mann_whitney_u(_view(spark, events), ref_type=ref_type,
+                          type_col=type_col, val_col=val_col)
+
+
+def _benford(spark, table: str, val_col: str,
+             scale: int = 2) -> DataFrame:
+    from puregraphdb_spark.operators.profile import benford_profile
+
+    return benford_profile(_view(spark, table), val_col,
+                           scale=int(scale))
+
+
 def _bpe_train(spark, docs: str = "documents", num_merges: int = 50,
                text_col: str = "text",
                max_vocab: int = 200_000) -> DataFrame:
@@ -1377,6 +1404,9 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "ann_topk": _ann_topk,
     "knn_ivf_sq8": _knn_ivf_sq8,
     "knn_ivf_pq": _knn_ivf_pq,
+    "langid_kappa": _langid_kappa,
+    "mann_whitney": _mann_whitney,
+    "benford": _benford,
     "bpe_train": _bpe_train,
     "bpe_tokenize": _bpe_tokenize,
     "bpe_fertility": _bpe_fertility,

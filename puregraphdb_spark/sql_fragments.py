@@ -356,3 +356,35 @@ with planted as (
                      / cast(sum(m * cu) as double) as score
             from per_doc_bg join model using (w1, w2)
             group by 1, 2)"""
+
+
+# Per-doc langid prediction (round 14, shared by q182's oracle; the
+# same stopword profiles + earliest-argmax tie rule as
+# text.detect_language and q72's inline oracle).
+LANGID_PRED_CTE_DUCKDB = """\
+with sc as (
+  select source, lang,
+     len(list_intersect(ts,
+       ['the','and','of','to','is','in','that','with'])) as s_en,
+     len(list_intersect(ts,
+       ['der','die','das','und','ist','nicht','mit','ein'])) as s_de,
+     len(list_intersect(ts,
+       ['el','la','de','que','y','los','es','una'])) as s_es,
+     len(list_intersect(ts,
+       ['le','la','et','les','des','est','une','dans'])) as s_fr,
+     len(list_intersect(ts,
+       ['的','是','了','在','和','有','我','不'])) as s_zh
+  from (select source, lang,
+           list_distinct(list_filter(
+             string_split_regex(lower(text), '\\s+'),
+             t -> t <> '')) as ts
+        from documents)),
+pred as (
+  select source, lang,
+     case when greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 then 'und'
+          when s_en = greatest(s_en,s_de,s_es,s_fr,s_zh) then 'en'
+          when s_de = greatest(s_de,s_es,s_fr,s_zh) then 'de'
+          when s_es = greatest(s_es,s_fr,s_zh) then 'es'
+          when s_fr = greatest(s_fr,s_zh) then 'fr'
+          else 'zh' end as pred_lang
+  from sc)"""

@@ -180,6 +180,89 @@ def test_capped_balance_call_door(spark):
     assert all(r["max_bal"] <= 1000000 for r in rows)
 
 
+def test_langid_kappa_hand_case(spark):
+    """2×2 hand case: source X has 3 en docs predicted en + 1 de doc
+    predicted en → n=4, agree=3, rows (en:3, de:1), cols (en:4) →
+    S = 3·4 + 1·0 = 12, kappa = (4·3 − 12)/(16 − 12) = 0."""
+    from puregraphdb_spark.operators.pipeline import langid_kappa
+
+    rows = [
+        ("X", "en", "the and of to is"),
+        ("X", "en", "the and that with"),
+        ("X", "en", "of to is in"),
+        ("X", "de", "the and of"),           # declared de, reads en
+        # source Y: perfect 2-label agreement → kappa 1.0
+        ("Y", "en", "the and of to"),
+        ("Y", "de", "der die das und"),
+    ]
+    df = spark.createDataFrame(rows, "source string, lang string,"
+                                     " text string")
+    got = {r["source"]: r for r in langid_kappa(df).collect()}
+    x = got["X"]
+    assert (x["n_docs"], x["n_agree"], x["s_exp"]) == (4, 3, 12)
+    assert x["kappa"] == 0.0
+    y = got["Y"]
+    assert y["kappa"] == 1.0
+
+
+def test_langid_kappa_degenerate_constant_labels(spark):
+    """All docs one lang AND one prediction: pe = 1 → pinned 0.0
+    (not a NaN/crash)."""
+    from puregraphdb_spark.operators.pipeline import langid_kappa
+
+    df = spark.createDataFrame(
+        [("Z", "en", "the and of")] * 3,
+        "source string, lang string, text string")
+    r = langid_kappa(df).collect()[0]
+    assert r["kappa"] == 0.0 and r["n_agree"] == 3
+
+
+def test_mann_whitney_hand_case(spark):
+    """A = {1, 3}, B = {2, 2}: sorted 1,2,2,3 — avg ranks 1, 2.5,
+    2.5, 4 → R_A = 5, U_A = 5 − 3 = 2, u2 = 4; tie_sum = 2³−2 = 6;
+    rank_biserial = 4/4 − 1 = 0."""
+    from puregraphdb_spark.operators.extras import mann_whitney_u
+
+    rows = [(1, "purchase", 1.0), (2, "purchase", 3.0),
+            (3, "view", 2.0), (4, "view", 2.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double")
+    r = mann_whitney_u(df).collect()[0]
+    assert (r["pair"], r["n_a"], r["n_b"], r["u2"], r["tie_sum"],
+            r["rank_biserial"]) == ("view", 2, 2, 4, 6, 0.0)
+
+
+def test_mann_whitney_stochastic_dominance(spark):
+    """A strictly above B: U_A = n_a·n_b (max), rank_biserial = +1;
+    reversed gives −1."""
+    from puregraphdb_spark.operators.extras import mann_whitney_u
+
+    rows = ([(i, "purchase", 100.0 + i) for i in range(5)]
+            + [(10 + i, "view", float(i)) for i in range(4)])
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double")
+    r = mann_whitney_u(df).collect()[0]
+    assert r["u2"] == 2 * r["n_a"] * r["n_b"]
+    assert r["rank_biserial"] == 1.0
+
+
+def test_benford_hand_case(spark):
+    """Digits extracted from the decimal-grid string, zeros skipped
+    (0.05 → 5), shares sum to 1."""
+    from puregraphdb_spark.operators.profile import benford_profile
+
+    df = spark.createDataFrame(
+        [(123.45,), (19.99,), (0.05,), (911.0,), (1.23,)],
+        "v double")
+    rows = {r["digit"]: r for r in
+            benford_profile(df, "v").collect()}
+    assert rows[1]["n"] == 3   # 123.45, 19.99, 1.23
+    assert rows[5]["n"] == 1   # 0.05
+    assert rows[9]["n"] == 1   # 911.0
+    assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-9
+    assert abs(rows[1]["benford"] - 0.30103) < 1e-9
+
+
 def test_anf_edge_batched_equals_unbatched(spark):
     """edge_batch splits the per-superstep message relation into
     sequential hash batches; because every batch reads the
