@@ -824,6 +824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_langid_kappa": pipeline.q182_langid_kappa,
         "q183_mann_whitney": extras.q183_mann_whitney,
         "q184_benford": profile.q184_benford,
+        "q185_spearman": extras.q185_spearman,
+        "q186_ks_statistic": extras.q186_ks_statistic,
         # -- oldest re-records (q01+ last driver-recorded r05) fill
         #    the remainder of the 50-window --
         "q01_filter_project": relational.q01_filter_project,
@@ -1012,7 +1014,8 @@ _FRONT_WINDOW = [
     # each new entry landing this round displaces one tail-fill slot
     # (which keeps its r10-green record).
     "q181_capped_balance", "q182_langid_kappa", "q183_mann_whitney",
-    "q184_benford", "knn_ann_ivf_sq8",
+    "q184_benford", "q185_spearman", "q186_ks_statistic",
+    "knn_ann_ivf_sq8",
     "bpe_merge_rules", "knn_ann_ivf_pq", "ann_recall_report",
     # r9-stale cohort (VERDICT r13 item 1): the 16 entries whose
     # newest driver record is r9
@@ -1034,7 +1037,6 @@ _FRONT_WINDOW = [
     "q37_regex", "q38_levenshtein", "q39_array_agg",
     "q40_grouping_sets", "q41_correlated_avg", "q42_not_exists",
     "q43_scalar_subquery", "q44_interval_join",
-    "q45_conditional_distinct", "q46_range_frame",
 ]
 
 
@@ -4727,6 +4729,88 @@ def oracle_sql() -> dict[str, str]:
                           as decimal(28,10)), 6) as double) end
                      as kappa
             from agg order by source
+        """,
+        # Spearman (q185): Pearson on doubled average ranks; exact
+        # decimal(38,0) moment sums, q121's sqrt composition.
+        "q185_spearman": """
+            with ranked as (
+              select l_returnflag as grp,
+                 cast(rank() over (partition by l_returnflag
+                        order by l_quantity) * 2
+                      + count(*) over (partition by l_returnflag,
+                                       l_quantity) - 1
+                   as bigint) as x,
+                 cast(rank() over (partition by l_returnflag
+                        order by l_extendedprice) * 2
+                      + count(*) over (partition by l_returnflag,
+                                       l_extendedprice) - 1
+                   as bigint) as y
+              from lineitem),
+            mom as (
+              select grp, cast(count(*) as bigint) as n,
+                 cast(sum(cast(x as decimal(38,0))) as double) as sx,
+                 cast(sum(cast(y as decimal(38,0))) as double) as sy,
+                 cast(sum(cast(x*y as decimal(38,0))) as double)
+                   as sxy,
+                 cast(sum(cast(x*x as decimal(38,0))) as double)
+                   as sxx,
+                 cast(sum(cast(y*y as decimal(38,0))) as double)
+                   as syy
+              from ranked group by grp)
+            select grp as l_returnflag, n,
+                   case when cast(n as double)*sxx - sx*sx = 0
+                          or cast(n as double)*syy - sy*sy = 0
+                        then 0.0
+                        else cast(round(cast(
+                          (cast(n as double)*sxy - sx*sy)
+                          / (sqrt(cast(n as double)*sxx - sx*sx)
+                             * sqrt(cast(n as double)*syy - sy*sy))
+                          as decimal(28,10)), 6) as double) end
+                     as rho
+            from mom order by l_returnflag
+        """,
+        # KS statistic (q186): D carried exact as
+        # max|cumA·nB − cumB·nA| over the merged sample.
+        "q186_ks_statistic": """
+            with a as (
+              select p.pair, 1 as is_a, value as v
+              from events
+              cross join (select unnest(['click','error','signup',
+                                         'view']) as pair) p
+              where event_type = 'purchase'),
+            b as (
+              select event_type as pair, 0 as is_a, value as v
+              from events where event_type <> 'purchase'),
+            per_v as (
+              select pair, v,
+                 cast(sum(is_a) as bigint) as ca,
+                 cast(sum(1 - is_a) as bigint) as cb
+              from (select * from a union all select * from b)
+              group by pair, v),
+            cum as (
+              select pair,
+                 cast(sum(ca) over (partition by pair order by v
+                      rows between unbounded preceding and current
+                      row) as bigint) as cum_a,
+                 cast(sum(cb) over (partition by pair order by v
+                      rows between unbounded preceding and current
+                      row) as bigint) as cum_b
+              from per_v),
+            tot as (
+              select pair, cum_a, cum_b,
+                 max(cum_a) over (partition by pair) as n_a,
+                 max(cum_b) over (partition by pair) as n_b
+              from cum)
+            select pair,
+                   cast(max(n_a) as bigint) as n_a,
+                   cast(max(n_b) as bigint) as n_b,
+                   cast(max(abs(cum_a*n_b - cum_b*n_a)) as bigint)
+                     as d_num,
+                   cast(round(cast(
+                     cast(max(abs(cum_a*n_b - cum_b*n_a)) as double)
+                     / cast(max(n_a)*max(n_b) as double)
+                     as decimal(28,10)), 6) as double) as d
+            from tot group by pair order by pair
         """,
         # Benford audit (q184): first [1-9] of the decimal-grid
         # string; reference shares are shared literals (no libm).

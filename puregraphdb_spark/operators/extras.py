@@ -1918,6 +1918,152 @@ def mann_whitney_u(events: DataFrame, ref_type: str = "purchase",
     )
 
 
+def spearman_corr(df: DataFrame, group_col: str, x_col: str,
+                  y_col: str) -> DataFrame:
+    """Spearman rank correlation per group — monotone-association
+    screening that Pearson (q90/q121) misses on nonlinear-but-
+    monotone relations, and the feature-vs-label triage a pipeline
+    runs before committing a transform. One row per group:
+    (group, n, rho).
+
+    Exactness: Spearman-with-ties IS Pearson on average ranks;
+    average ranks live on the 0.5 grid so they are carried DOUBLED
+    as bigints (the q183 discipline), per-row products stay bigint
+    (x ≤ 2n → x² ≤ 4n², safe past sf100), and the five moment sums
+    ride EXACT decimal(38,0) (order-immune; a bigint sum overflows
+    at sf1 row counts). The final formula is the q121 sqrt-Pearson
+    composition on identical doubles, snapped.
+
+    Scale: ONE shuffle on group for the two rank windows; the moment
+    aggregate is map-side partial to |groups| rows.
+    """
+    from puregraphdb_spark.functions.numeric import decimal_round
+
+    wx = Window.partitionBy(group_col).orderBy(x_col)
+    wxt = Window.partitionBy(group_col, x_col)
+    wy = Window.partitionBy(group_col).orderBy(y_col)
+    wyt = Window.partitionBy(group_col, y_col)
+    ranked = df.select(
+        F.col(group_col).alias("grp"),
+        (F.rank().over(wx) * 2 + F.count("*").over(wxt) - 1)
+        .cast("long").alias("x"),
+        (F.rank().over(wy) * 2 + F.count("*").over(wyt) - 1)
+        .cast("long").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    mom = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double")
+        .alias("syy"),
+    )
+    nn = F.col("n").cast("double")
+    denom_x = nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    denom_y = nn * F.col("syy") - F.col("sy") * F.col("sy")
+    rho = (
+        (nn * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.sqrt(denom_x) * F.sqrt(denom_y))
+    )
+    return mom.select(
+        F.col("grp").alias(group_col), "n",
+        # a constant column has zero rank variance: rho undefined →
+        # pinned 0.0 by the same CASE both engines
+        F.when((denom_x == 0) | (denom_y == 0), F.lit(0.0))
+        .otherwise(decimal_round(rho, 6, grid=10)).alias("rho"),
+    )
+
+
+def q185_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED per-returnflag Spearman correlation of lineitem
+    quantity vs extended price (see ``spearman_corr``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return final_sort(
+        spearman_corr(li, "l_returnflag", "l_quantity",
+                      "l_extendedprice"),
+        spark, sf_dir, "lineitem", "l_returnflag")
+
+
+def ks_statistic(events: DataFrame, ref_type: str = "purchase",
+                 type_col: str = "event_type",
+                 val_col: str = "value") -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the reference
+    event type and every other type — q183's rank-sum sibling that
+    catches SHAPE changes a location test misses (variance shifts,
+    bimodality). One row per pair: (pair, n_a, n_b, d_num, d) with
+    D = sup|F_A − F_B| carried EXACT as d_num = max|cumA·n_b −
+    cumB·n_a| over the merged sample (bigints throughout; D itself
+    is the one snapped division).
+
+    Scale: the q183 replicate-reference shape — map-side explode of
+    the reference group per comparison type, ONE shuffle for the
+    per-pair value windows, per-pair scalar aggregate.
+    """
+    from puregraphdb_spark.functions.numeric import decimal_round
+
+    types = [
+        r[0] for r in events.select(type_col).distinct().collect()
+        if r[0] != ref_type
+    ]
+    types.sort()
+    a = (
+        events.filter(F.col(type_col) == ref_type)
+        .select(F.explode(F.array(*[F.lit(t) for t in types]))
+                .alias("pair"),
+                F.lit(1).alias("is_a"), F.col(val_col).alias("v"))
+    )
+    b = (
+        events.filter(F.col(type_col) != ref_type)
+        .select(F.col(type_col).alias("pair"),
+                F.lit(0).alias("is_a"), F.col(val_col).alias("v"))
+    )
+    per_v = (
+        a.unionByName(b)
+        .groupBy("pair", "v")
+        .agg(F.sum("is_a").cast("long").alias("ca"),
+             F.sum(1 - F.col("is_a")).cast("long").alias("cb"))
+    )
+    w = (Window.partitionBy("pair").orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = per_v.select(
+        "pair",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    w_all = Window.partitionBy("pair")
+    tot = cum.select(
+        "pair", "cum_a", "cum_b",
+        F.max("cum_a").over(w_all).alias("n_a"),
+        F.max("cum_b").over(w_all).alias("n_b"),
+    )
+    agg = tot.groupBy("pair").agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.max(F.abs(F.col("cum_a") * F.col("n_b")
+                    - F.col("cum_b") * F.col("n_a")))
+        .cast("long").alias("d_num"),
+    )
+    return agg.select(
+        "pair", "n_a", "n_b", "d_num",
+        decimal_round(
+            F.col("d_num").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
+            6, grid=10).alias("d"),
+    )
+
+
+def q186_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED two-sample KS statistic of event values, purchase vs
+    every other type (see ``ks_statistic``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return final_sort(ks_statistic(ev), spark, sf_dir, "events",
+                      "pair")
+
+
 def q183_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLED Mann-Whitney U of event values, purchase vs every
     other type (see ``mann_whitney_u``)."""

@@ -298,6 +298,23 @@ def _mann_whitney(spark, events: str = "events",
                           type_col=type_col, val_col=val_col)
 
 
+def _spearman(spark, table: str, group_col: str, x_col: str,
+              y_col: str) -> DataFrame:
+    from puregraphdb_spark.operators.extras import spearman_corr
+
+    return spearman_corr(_view(spark, table), group_col, x_col, y_col)
+
+
+def _ks_statistic(spark, events: str = "events",
+                  ref_type: str = "purchase",
+                  type_col: str = "event_type",
+                  val_col: str = "value") -> DataFrame:
+    from puregraphdb_spark.operators.extras import ks_statistic
+
+    return ks_statistic(_view(spark, events), ref_type=ref_type,
+                        type_col=type_col, val_col=val_col)
+
+
 def _benford(spark, table: str, val_col: str,
              scale: int = 2) -> DataFrame:
     from puregraphdb_spark.operators.profile import benford_profile
@@ -1406,6 +1423,8 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "knn_ivf_pq": _knn_ivf_pq,
     "langid_kappa": _langid_kappa,
     "mann_whitney": _mann_whitney,
+    "spearman": _spearman,
+    "ks_statistic": _ks_statistic,
     "benford": _benford,
     "bpe_train": _bpe_train,
     "bpe_tokenize": _bpe_tokenize,

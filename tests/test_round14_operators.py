@@ -263,6 +263,55 @@ def test_benford_hand_case(spark):
     assert abs(rows[1]["benford"] - 0.30103) < 1e-9
 
 
+def test_spearman_hand_cases(spark):
+    """Perfect monotone (nonlinear) → +1; perfect inverse → −1;
+    constant column → pinned 0.0."""
+    from puregraphdb_spark.operators.extras import spearman_corr
+
+    rows = (
+        [("up", float(i), float(i ** 3)) for i in range(1, 6)]
+        + [("down", float(i), -float(i ** 3)) for i in range(1, 6)]
+        + [("flat", float(i), 7.0) for i in range(1, 6)]
+    )
+    df = spark.createDataFrame(rows, "grp string, a double, b double")
+    got = {r["grp"]: r["rho"] for r in
+           spearman_corr(df, "grp", "a", "b").collect()}
+    assert got["up"] == 1.0
+    assert got["down"] == -1.0
+    assert got["flat"] == 0.0
+
+
+def test_spearman_ties_average_ranks(spark):
+    """x = [1,2,2,3], y = [1,3,3,4]: tied pairs get identical average
+    ranks in both columns → rho = 1 exactly."""
+    from puregraphdb_spark.operators.extras import spearman_corr
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 2.0, 3.0), ("g", 2.0, 3.0),
+         ("g", 3.0, 4.0)],
+        "grp string, a double, b double")
+    assert spearman_corr(df, "grp", "a", "b").collect()[0]["rho"] == 1.0
+
+
+def test_ks_hand_case(spark):
+    """A = {1, 2}, B = {3, 4}: disjoint supports → D = 1 (d_num =
+    nA·nB = 4). A == B → D = 0."""
+    from puregraphdb_spark.operators.extras import ks_statistic
+
+    df1 = spark.createDataFrame(
+        [(1, "purchase", 1.0), (2, "purchase", 2.0),
+         (3, "view", 3.0), (4, "view", 4.0)],
+        "event_id long, event_type string, value double")
+    r = ks_statistic(df1).collect()[0]
+    assert (r["pair"], r["d_num"], r["d"]) == ("view", 4, 1.0)
+    df2 = spark.createDataFrame(
+        [(1, "purchase", 1.0), (2, "purchase", 2.0),
+         (3, "view", 1.0), (4, "view", 2.0)],
+        "event_id long, event_type string, value double")
+    r2 = ks_statistic(df2).collect()[0]
+    assert (r2["d_num"], r2["d"]) == (0, 0.0)
+
+
 def test_anf_edge_batched_equals_unbatched(spark):
     """edge_batch splits the per-superstep message relation into
     sequential hash batches; because every batch reads the
