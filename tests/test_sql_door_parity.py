@@ -103,6 +103,10 @@ DUCKDB_ONLY = {
     "q176_allpairs_jaccard",  # list_*/generate_series shingles
     "q177_negative_sampling",  # unnest([..]) rank grid
     "q179_source_overlap",  # regexp_replace 'g' flag argument
+    "q182_langid_kappa",   # list_intersect/string_split_regex CTE
+    "q183_mann_whitney",   # unnest([..]) comparison-type grid
+    "q184_benford",        # 2-arg regexp_extract default-group
+    "q186_ks_statistic",   # unnest([..]) comparison-type grid
 }
 
 ORACLES = entrymod.oracle_sql()
