@@ -388,3 +388,31 @@ pred as (
           when s_fr = greatest(s_fr,s_zh) then 'fr'
           else 'zh' end as pred_lang
   from sc)"""
+
+
+LANGID_PRED_CTE_SPARKSQL = """\
+with sc as (
+  select source, lang,
+     size(array_intersect(ts, array('the','and','of','to','is',
+       'in','that','with'))) as s_en,
+     size(array_intersect(ts, array('der','die','das','und','ist',
+       'nicht','mit','ein'))) as s_de,
+     size(array_intersect(ts, array('el','la','de','que','y',
+       'los','es','una'))) as s_es,
+     size(array_intersect(ts, array('le','la','et','les','des',
+       'est','une','dans'))) as s_fr,
+     size(array_intersect(ts, array('的','是','了','在','和',
+       '有','我','不'))) as s_zh
+  from (select source, lang,
+           array_distinct(filter(split(lower(text), '\\\\s+'),
+                                 t -> t != '')) as ts
+        from documents)),
+pred as (
+  select source, lang,
+     case when greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 then 'und'
+          when s_en = greatest(s_en,s_de,s_es,s_fr,s_zh) then 'en'
+          when s_de = greatest(s_de,s_es,s_fr,s_zh) then 'de'
+          when s_es = greatest(s_es,s_fr,s_zh) then 'es'
+          when s_fr = greatest(s_fr,s_zh) then 'fr'
+          else 'zh' end as pred_lang
+  from sc)"""

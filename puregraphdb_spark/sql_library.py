@@ -17,12 +17,161 @@ from __future__ import annotations
 
 from puregraphdb_spark.sql_fragments import (
     ASSET_MANIFEST_CTE_SPARKSQL,
+    LANGID_PRED_CTE_SPARKSQL,
     LM_SCORED_CTES_SPARKSQL,
     TEXT_PROFILE_CTES_SPARKSQL,
 )
 
 #: name -> Spark SQL (run over the Engine's registered temp views)
 SPARK_SQL: dict[str, str] = {
+    # Langid kappa (q182): the shared prediction CTE in Spark
+    # dialect, then the exact bigint kappa ratio.
+    "q182_langid_kappa": LANGID_PRED_CTE_SPARKSQL + """,
+        agg as (
+          select source,
+             cast(count(*) as bigint) as n_docs,
+             cast(sum(case when lang = pred_lang then 1 else 0
+                      end) as bigint) as n_agree,
+             """ + ",\n             ".join(
+        f"cast(sum(case when lang = '{l}' then 1 else 0 end)"
+        f" as bigint) as r_{l},"
+        f" cast(sum(case when pred_lang = '{l}' then 1 else 0"
+        f" end) as bigint) as c_{l}"
+        for l in ("en", "de", "es", "fr", "zh", "und")) + """
+          from pred group by source)
+        select source, n_docs, n_agree,
+               cast(r_en*c_en + r_de*c_de + r_es*c_es + r_fr*c_fr
+                    + r_zh*c_zh + r_und*c_und as bigint) as s_exp,
+               case when n_docs*n_docs =
+                         (r_en*c_en + r_de*c_de + r_es*c_es
+                          + r_fr*c_fr + r_zh*c_zh + r_und*c_und)
+                    then 0.0
+                    else cast(round(cast(
+                      cast(n_docs*n_agree
+                           - (r_en*c_en + r_de*c_de + r_es*c_es
+                              + r_fr*c_fr + r_zh*c_zh
+                              + r_und*c_und) as double)
+                      / cast(n_docs*n_docs
+                           - (r_en*c_en + r_de*c_de + r_es*c_es
+                              + r_fr*c_fr + r_zh*c_zh
+                              + r_und*c_und) as double)
+                      as decimal(28,10)), 6) as double) end
+                 as kappa
+        from agg order by source
+    """,
+    # Mann-Whitney U (q183): explode() replaces unnest([..]).
+    "q183_mann_whitney": """
+        with a as (
+          select p.pair, 1 as is_a, value as v
+          from events
+          cross join (select explode(array('click','error','signup',
+                                           'view')) as pair) p
+          where event_type = 'purchase'),
+        b as (
+          select event_type as pair, 0 as is_a, value as v
+          from events where event_type <> 'purchase'),
+        u as (select * from a union all select * from b),
+        ranked as (
+          select pair, is_a,
+             cast(rank() over (partition by pair order by v) * 2
+                  + count(*) over (partition by pair, v) - 1
+               as bigint) as avg2,
+             cast(count(*) over (partition by pair, v)
+               as bigint) as t
+          from u),
+        agg as (
+          select pair,
+             cast(sum(is_a) as bigint) as n_a,
+             cast(sum(1 - is_a) as bigint) as n_b,
+             cast(sum(case when is_a = 1 then avg2 else 0 end)
+               as bigint) as ranksum2_a,
+             cast(sum(t * t - 1) as bigint) as tie_sum
+          from ranked group by pair)
+        select pair, n_a, n_b,
+               cast(ranksum2_a - n_a * (n_a + 1) as bigint) as u2,
+               tie_sum,
+               cast(round(cast(
+                 cast(ranksum2_a - n_a * (n_a + 1) as double)
+                 / cast(n_a * n_b as double) - 1.0
+                 as decimal(28,10)), 6) as double)
+                 as rank_biserial
+        from agg order by pair
+    """,
+    # Benford (q184): 3-arg regexp_extract (Spark requires the
+    # group index).
+    "q184_benford": """
+        with counted as (
+          select regexp_extract(
+                   cast(cast(l_extendedprice as decimal(18,2))
+                        as string), '[1-9]', 0) as digit,
+                 cast(count(*) as bigint) as n
+          from lineitem
+          group by 1),
+        nz as (select * from counted where digit <> ''),
+        tot as (select cast(sum(n) as bigint) as total from nz),
+        ref as (
+          select * from (values
+            (1, 0.301029995663981), (2, 0.176091259055681),
+            (3, 0.124938736608300), (4, 0.096910013008056),
+            (5, 0.079181246047625), (6, 0.066946789630613),
+            (7, 0.057991946977687), (8, 0.051152522447381),
+            (9, 0.045757490560675)) as t(digit, b))
+        select cast(nz.digit as int) as digit, nz.n,
+               cast(round(cast(cast(nz.n as double)
+                    / cast(tot.total as double)
+                    as decimal(28,10)), 6) as double) as share,
+               cast(round(cast(ref.b as double), 6) as double)
+                 as benford,
+               cast(round(cast(cast(nz.n as double)
+                    / cast(tot.total as double)
+                    - cast(ref.b as double)
+                    as decimal(28,10)), 6) as double) as delta
+        from nz cross join tot
+        join ref on ref.digit = cast(nz.digit as int)
+        order by digit
+    """,
+    # KS statistic (q186): explode() replaces unnest([..]).
+    "q186_ks_statistic": """
+        with a as (
+          select p.pair, 1 as is_a, value as v
+          from events
+          cross join (select explode(array('click','error','signup',
+                                           'view')) as pair) p
+          where event_type = 'purchase'),
+        b as (
+          select event_type as pair, 0 as is_a, value as v
+          from events where event_type <> 'purchase'),
+        per_v as (
+          select pair, v,
+             cast(sum(is_a) as bigint) as ca,
+             cast(sum(1 - is_a) as bigint) as cb
+          from (select * from a union all select * from b)
+          group by pair, v),
+        cum as (
+          select pair,
+             cast(sum(ca) over (partition by pair order by v
+                  rows between unbounded preceding and current
+                  row) as bigint) as cum_a,
+             cast(sum(cb) over (partition by pair order by v
+                  rows between unbounded preceding and current
+                  row) as bigint) as cum_b
+          from per_v),
+        tot as (
+          select pair, cum_a, cum_b,
+             max(cum_a) over (partition by pair) as n_a,
+             max(cum_b) over (partition by pair) as n_b
+          from cum)
+        select pair,
+               cast(max(n_a) as bigint) as n_a,
+               cast(max(n_b) as bigint) as n_b,
+               cast(max(abs(cum_a*n_b - cum_b*n_a)) as bigint)
+                 as d_num,
+               cast(round(cast(
+                 cast(max(abs(cum_a*n_b - cum_b*n_a)) as double)
+                 / cast(max(n_a)*max(n_b) as double)
+                 as decimal(28,10)), 6) as double) as d
+        from tot group by pair order by pair
+    """,
     "q20_tumbling_window": """
         select w.start as win, event_type, count(*) as n,
                cast(round(sum(cast(value as decimal(28,3))), 2) as double)
