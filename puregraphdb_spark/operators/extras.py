@@ -1919,7 +1919,7 @@ def mann_whitney_u(events: DataFrame, ref_type: str = "purchase",
 
 
 def spearman_corr(df: DataFrame, group_col: str, x_col: str,
-                  y_col: str) -> DataFrame:
+                  y_col: str, hint=None) -> DataFrame:
     """Spearman rank correlation per group — monotone-association
     screening that Pearson (q90/q121) misses on nonlinear-but-
     monotone relations, and the feature-vs-label triage a pipeline
@@ -1934,21 +1934,53 @@ def spearman_corr(df: DataFrame, group_col: str, x_col: str,
     at sf1 row counts). The final formula is the q121 sqrt-Pearson
     composition on identical doubles, snapped.
 
-    Scale: ONE shuffle on group for the two rank windows; the moment
-    aggregate is map-side partial to |groups| rows.
+    Scale (r14 rank-map rewrite): the fact stream is never sorted —
+    two aggregates to the (group, value) grain, a cumulative window
+    over the DISTINCT-VALUE relations only, and two joins attaching
+    the rank maps back; the moment aggregate is map-side partial to
+    |groups| rows. The old per-row rank windows partitioned by the
+    group column funneled every row through |groups| sort tasks (3
+    return flags = a 3-task full sort, twice). ``hint`` optionally
+    wraps the rank maps (callers with a measured source size pass
+    ``broadcast_if_small``; default unhinted keeps the shuffle join
+    the planner picks at any scale).
     """
     from puregraphdb_spark.functions.numeric import decimal_round
 
-    wx = Window.partitionBy(group_col).orderBy(x_col)
-    wxt = Window.partitionBy(group_col, x_col)
-    wy = Window.partitionBy(group_col).orderBy(y_col)
-    wyt = Window.partitionBy(group_col, y_col)
-    ranked = df.select(
-        F.col(group_col).alias("grp"),
-        (F.rank().over(wx) * 2 + F.count("*").over(wxt) - 1)
-        .cast("long").alias("x"),
-        (F.rank().over(wy) * 2 + F.count("*").over(wyt) - 1)
-        .cast("long").alias("y"),
+    # Doubled average ranks via per-VALUE rank maps (r14), not per-ROW
+    # windows. rank() over partitionBy(group) funnels the whole
+    # relation through |groups| sort tasks — with 3 return flags that
+    # is a 3-task sort of every row, twice (once per axis), the guide's
+    # canonical few-distinct-keys window skew. The doubled rank of a
+    # value depends only on (group, value) marginal counts:
+    #   rank()·2 + count(grp,v) − 1  =  2·cnt_lt + cnt_eq + 1
+    #                              =  2·cumsum(cnt) − cnt + 1,
+    # so ONE aggregate to the (group, value) grain, a window over the
+    # distinct-value relation only, and a broadcastable join back give
+    # bit-identical ranks while the fact stream never sorts and the
+    # moment aggregate stays map-side partial.
+    def rank_map(col):
+        cnt = (df.groupBy(F.col(group_col).alias("grp"),
+                          F.col(col).alias("v"))
+               .agg(F.count(F.lit(1)).alias("c")))
+        wv = (Window.partitionBy("grp").orderBy("v")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return cnt.select(
+            "grp", "v",
+            (F.sum("c").over(wv) * 2 - F.col("c") + 1)
+            .cast("long").alias("r"))
+
+    hint = hint or (lambda d: d)
+    rx = (rank_map(x_col).withColumnRenamed("v", "__xv")
+          .withColumnRenamed("r", "x"))
+    ry = (rank_map(y_col).withColumnRenamed("v", "__yv")
+          .withColumnRenamed("r", "y"))
+    ranked = (
+        df.select(F.col(group_col).alias("grp"),
+                  F.col(x_col).alias("__xv"), F.col(y_col).alias("__yv"))
+        .join(hint(rx), ["grp", "__xv"])
+        .join(hint(ry), ["grp", "__yv"])
+        .select("grp", "x", "y")
     )
     dec = "decimal(38,0)"
     mom = ranked.groupBy("grp").agg(
@@ -1981,10 +2013,17 @@ def spearman_corr(df: DataFrame, group_col: str, x_col: str,
 def q185_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLED per-returnflag Spearman correlation of lineitem
     quantity vs extended price (see ``spearman_corr``)."""
+    from puregraphdb_spark.sources.registry import broadcast_if_small
+
     li = load_table(spark, sf_dir, "lineitem")
+    # rank maps are one row per distinct (flag, value) — bounded by
+    # the measured lineitem size, so the gate applies (they broadcast
+    # at fixture scale, shuffle-join past 64 MB)
     return final_sort(
         spearman_corr(li, "l_returnflag", "l_quantity",
-                      "l_extendedprice"),
+                      "l_extendedprice",
+                      hint=lambda d: broadcast_if_small(
+                          d, spark, sf_dir, "lineitem")),
         spark, sf_dir, "lineitem", "l_returnflag")
 
 

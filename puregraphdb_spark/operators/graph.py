@@ -2753,6 +2753,48 @@ def _co_supply_pairs(spark: SparkSession, sf_dir: str,
     return pairs
 
 
+def _co_supply_adjacency(spark: SparkSession, sf_dir: str,
+                         skew_cap_bytes: int) -> DataFrame | None:
+    """Under-the-gate fast path for the link-prediction family (r14):
+    the per-customer supplier neighborhood as ONE sorted array —
+    ``(c, ss sorted array<bigint>)`` — built by a single
+    dedup-and-group shuffle (collect_set dedups, the count_triangles
+    trick), instead of the pair relation's distinct + self-join. The
+    consumer expands s1<s2 pairs with two nested map-side explodes, so
+    the whole quadratic stage runs inside one codegen span with no
+    join machinery and one fewer exchange (measured sf0.1 interleaved
+    best-of-5 noop: q100 3.92 → 3.18 s, q171 2.80 → 2.35 s on a
+    loaded host; plan diff: 3 Exchange → 2, BroadcastHashJoin probe
+    removed).
+
+    Returns ``None`` past ``skew_cap_bytes``: at that scale a hub
+    customer's collect_set is exactly the unbounded per-key
+    aggregation buffer the q25 docstring forbids — the window-capped
+    pair relation (``_co_supply_pairs``) stays the 100-TB path.
+    Equality of the two shapes is pinned by
+    tests/test_graph_queries.py.
+    """
+    from puregraphdb_spark.sources.registry import (
+        broadcast_if_small, table_bytes,
+    )
+
+    if table_bytes(spark, sf_dir, "lineitem") > skew_cap_bytes:
+        return None
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey")
+    raw = (
+        l.join(broadcast_if_small(o, spark, sf_dir, "orders"),
+               o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("c"),
+                F.col("l_suppkey").alias("s"))
+    )
+    adj = raw.groupBy("c").agg(F.sort_array(F.collect_set("s")).alias("ss"))
+    # compute-bound expansion: widen past the narrow agg output (the
+    # count_triangles round-robin rationale)
+    return adj.repartition(spark.sparkContext.defaultParallelism)
+
+
 def q100_link_prediction(spark: SparkSession, sf_dir: str,
                          max_neighborhood: int = 512,
                          skew_cap_bytes: int = 2 << 30) -> DataFrame:
@@ -2789,17 +2831,32 @@ def q100_link_prediction(spark: SparkSession, sf_dir: str,
     """
     from puregraphdb_spark.functions.numeric import decimal_round
 
-    pairs = _co_supply_pairs(spark, sf_dir, max_neighborhood,
-                             skew_cap_bytes)
-    a = pairs.select("c", F.col("s").alias("s1"))
-    b = pairs.select("c", F.col("s").alias("s2"))
-    cn = (
-        a.join(b, "c")
-        .filter(F.col("s1") < F.col("s2"))
-        .groupBy("s1", "s2")
-        .agg(F.count("*").alias("cn"))
-    )
-    deg = pairs.groupBy("s").agg(F.count("*").alias("d"))
+    adj = _co_supply_adjacency(spark, sf_dir, skew_cap_bytes)
+    if adj is not None:
+        # under-gate fast path: map-side pair expansion off the
+        # adjacency array (see _co_supply_adjacency); deg re-explodes
+        # the same aggregate, so its exchange is reused.
+        cn = (
+            adj.select(F.explode("ss").alias("s1"), "ss")
+            .select("s1", F.explode("ss").alias("s2"))
+            .filter(F.col("s1") < F.col("s2"))
+            .groupBy("s1", "s2")
+            .agg(F.count("*").alias("cn"))
+        )
+        deg = (adj.select(F.explode("ss").alias("s"))
+               .groupBy("s").agg(F.count("*").alias("d")))
+    else:
+        pairs = _co_supply_pairs(spark, sf_dir, max_neighborhood,
+                                 skew_cap_bytes)
+        a = pairs.select("c", F.col("s").alias("s1"))
+        b = pairs.select("c", F.col("s").alias("s2"))
+        cn = (
+            a.join(b, "c")
+            .filter(F.col("s1") < F.col("s2"))
+            .groupBy("s1", "s2")
+            .agg(F.count("*").alias("cn"))
+        )
+        deg = pairs.groupBy("s").agg(F.count("*").alias("d"))
     scored = (
         cn.join(deg.select(F.col("s").alias("s1"), F.col("d").alias("d1")),
                 "s1")
@@ -2844,25 +2901,41 @@ def q171_resource_allocation(spark: SparkSession, sf_dir: str,
     """
     from puregraphdb_spark.functions.numeric import decimal_round
 
-    pairs = _co_supply_pairs(spark, sf_dir, max_neighborhood,
-                             skew_cap_bytes)
-    cdeg = pairs.groupBy("c").agg(F.count("*").alias("dz"))
-    # true integer division (SQL `div`): a double 1e12/dz cast long
-    # truncates differently than floor once dz > ~4k (ulp(1e12) =
-    # 2.4e-4 > 1/dz) — the no-FP rule applied to the weight itself
-    wp = pairs.join(cdeg, "c").select(
-        "c", "s",
-        F.expr("1000000000000L div dz").cast("long").alias("w"),
-    )
-    a = wp.select("c", F.col("s").alias("s1"), "w")
-    b = wp.select("c", F.col("s").alias("s2"))
-    scored = (
-        a.join(b, "c")
-        .filter(F.col("s1") < F.col("s2"))
-        .groupBy("s1", "s2")
-        .agg(F.count("*").cast("long").alias("cn"),
-             F.sum("w").cast("long").alias("ra_w"))
-    )
+    adj = _co_supply_adjacency(spark, sf_dir, skew_cap_bytes)
+    if adj is not None:
+        # under-gate fast path: deg(z) = size(ss) read straight off
+        # the adjacency array — the weight join disappears entirely
+        # (true integer division, same no-FP rationale as below).
+        scored = (
+            adj.select(F.explode("ss").alias("s1"), "ss",
+                       F.expr("1000000000000L div size(ss)")
+                       .cast("long").alias("w"))
+            .select("s1", F.explode("ss").alias("s2"), "w")
+            .filter(F.col("s1") < F.col("s2"))
+            .groupBy("s1", "s2")
+            .agg(F.count("*").cast("long").alias("cn"),
+                 F.sum("w").cast("long").alias("ra_w"))
+        )
+    else:
+        pairs = _co_supply_pairs(spark, sf_dir, max_neighborhood,
+                                 skew_cap_bytes)
+        cdeg = pairs.groupBy("c").agg(F.count("*").alias("dz"))
+        # true integer division (SQL `div`): a double 1e12/dz cast long
+        # truncates differently than floor once dz > ~4k (ulp(1e12) =
+        # 2.4e-4 > 1/dz) — the no-FP rule applied to the weight itself
+        wp = pairs.join(cdeg, "c").select(
+            "c", "s",
+            F.expr("1000000000000L div dz").cast("long").alias("w"),
+        )
+        a = wp.select("c", F.col("s").alias("s1"), "w")
+        b = wp.select("c", F.col("s").alias("s2"))
+        scored = (
+            a.join(b, "c")
+            .filter(F.col("s1") < F.col("s2"))
+            .groupBy("s1", "s2")
+            .agg(F.count("*").cast("long").alias("cn"),
+                 F.sum("w").cast("long").alias("ra_w"))
+        )
     return (
         scored.orderBy(F.desc("ra_w"), "s1", "s2").limit(50)
         .select(

@@ -242,15 +242,24 @@ def q63_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.join(broadcast_if_small(a, spark, sf_dir, "documents"),
                F.col("dst") != F.col("src"))
         .filter(prefilter)
-        # STAGE the intersect as its own column (node2vec round-9
-        # lesson): inlined, `inter` appears in both the numerator and
-        # the |A|+|B|−|A∩B| union term, so Catalyst evaluated the
-        # array_intersect TWICE per candidate pair. A non-cheap alias
-        # referenced twice survives CollapseProject, pinning single
-        # evaluation — measured sf1 213.2 → 182.3 s (toPandas, 1.43M
-        # pairs); smaller than 2× because the join/shuffle and the
-        # Arrow fetch share the bill with the intersect.
-        .select("src", "dst", "na", "nb", inter.alias("__i"))
+        # STAGE the intersect behind a Generate BARRIER (r14). A plain
+        # `inter.alias("__i")` project is NOT enough: predicate
+        # pushdown substitutes the alias back into the `__i > 0` and
+        # `jac >= 0.6` filters and then folds BOTH into the
+        # BroadcastNestedLoopJoin CONDITION — the r13 plan evaluated
+        # array_intersect THREE times per candidate pair, and ahead of
+        # the cheap length prefilter in the conjunction (every one of
+        # the |A|×|B| pairs paid the intersect, not just prefilter
+        # survivors). explode(array(i)) is semantically the identity,
+        # but the downstream filters reference the GENERATED column,
+        # which cannot be pushed through a Generate — so the join
+        # condition keeps only (dst != src AND prefilter) and the
+        # intersect runs ONCE per surviving pair, in the codegen'd
+        # Generate stage. Measured sf0.1 (interleaved best-of-5, noop
+        # sink, loaded host): 10.56 → 6.37 s — plan diff: join
+        # condition 3×array_intersect → none.
+        .select("src", "dst", "na", "nb",
+                F.explode(F.array(inter)).alias("__i"))
         # Positivity guard (ADVICE r13): two sub-3-char docs have
         # empty shingle sets, so na=nb=__i=0 and the division is 0/0
         # — DIVIDE_BY_ZERO under ANSI mode, NaN otherwise (and NaN
@@ -330,7 +339,12 @@ def q172_dedup_threshold_curve(spark: SparkSession,
         b.join(broadcast_if_small(a, spark, sf_dir, "documents"),
                F.col("dst") != F.col("src"))
         .filter(prefilter)
-        .select("src", "dst", "na", "nb", inter.alias("__i"))
+        # Generate barrier, same rationale as q63 (r14): without it
+        # predicate pushdown folds the `__i > 0` and `jac >= 0.5`
+        # filters into the nested-loop join condition and the
+        # intersect runs three times per candidate pair.
+        .select("src", "dst", "na", "nb",
+                F.explode(F.array(inter)).alias("__i"))
         # Positivity guard (ADVICE r13, same shape as q63): empty
         # shingle sets give 0/0 — ANSI crash or NaN-passes-threshold.
         # Zero-intersection pairs can never reach the 0.5 floor.

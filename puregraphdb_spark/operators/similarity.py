@@ -210,7 +210,15 @@ def allpairs_jaccard_join(shingled: DataFrame,
     i = F.size(F.array_intersect("sh_a", "sh_b"))
     verified = (
         cand.join(sa, "a").join(sb, "b")
-        .select("a", "b", "na", "nb", i.alias("i"))
+        # Generate barrier (r14, same as q63): a plain alias lets
+        # predicate pushdown substitute the intersect into the
+        # threshold filter and fold it into the join condition —
+        # evaluated once there and twice more in the i/u output
+        # projections. explode(array(i)) pins ONE evaluation per
+        # candidate; the filter stays above the Generate because it
+        # references the generated column.
+        .select("a", "b", "na", "nb",
+                F.explode(F.array(i)).alias("i"))
         .select("a", "b", "i",
                 (F.col("na") + F.col("nb") - F.col("i")).alias("u"))
         .filter(F.col("i") * t_den >= F.col("u") * t_num)
