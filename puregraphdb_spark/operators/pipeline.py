@@ -981,6 +981,14 @@ def q82_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final_sort(
         b.join(broadcast_if_small(a, spark, sf_dir, "embeddings"),
                F.col("a") < F.col("b"))
+        # NO Generate barrier here, deliberately (r14): the ≥0.3 cut is
+        # highly selective (576 of ~160k candidates at sf0.1) and there
+        # is no cheaper prefilter to order behind, so the condition-
+        # folded plan evaluates the dot product once per pair and
+        # discards inline; only survivors pay the second evaluation.
+        # The barrier variant was MEASURED SLOWER (0.34 → 0.54 s,
+        # best-of-5 noop): it trades the 576 re-evaluations for
+        # materializing all ~160k candidate rows through a Generate.
         .select("a", "b", cs.alias("cs"))
         .filter(F.col("cs") >= 0.3)
         .select("a", "b", F.round("cs", 4).alias("cos_sim")),
@@ -1741,9 +1749,13 @@ def sorted_neighborhood_pairs(df: DataFrame, key_col: str,
                    F.explode(F.filter(
                        neigh, lambda x: x["id2"].isNotNull()
                    )).alias("__p"))
-        .withColumn(
-            "dist",
-            F.levenshtein("__key", F.col("__p.key2")).cast("long"))
+        # Generate barrier (r14, the q63 lesson): a plain column lets
+        # the ≤ filter push below the projection and re-evaluate the
+        # levenshtein DP per surviving candidate.
+        .select("__id", "__key", "__p",
+                F.explode(F.array(
+                    F.levenshtein("__key", F.col("__p.key2"))
+                    .cast("long"))).alias("dist"))
         .filter(F.col("dist") <= max_dist)
         .select(
             F.col("__id").alias("id1"), F.col("__p.id2").alias("id2"),

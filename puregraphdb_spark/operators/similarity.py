@@ -294,7 +294,12 @@ def near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
     ) / F.lit(num_hashes)
     return (
         pairs.join(sa, "a").join(sb, "b")
-        .select("a", "b", est.alias("est_jaccard"))
+        # Generate barrier (r14, the q63 lesson): as a plain alias the
+        # threshold filter folds into the signature join condition and
+        # the 64-element agreement fold (an interpreted HOF) runs
+        # twice per candidate pair.
+        .select("a", "b",
+                F.explode(F.array(est)).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= jaccard_threshold)
     )
 
@@ -1294,9 +1299,14 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
     return (
         left.join(right, "bucket")
         .filter(F.col("a") < F.col("b"))
+        # Generate barrier (r14, the q63 lesson): as a plain alias the
+        # ≥ threshold filter folds into the bucket join condition and
+        # the 64-dim HOF dot product runs twice per candidate pair.
         .select(
             "a", "b",
-            F.round(cosine_similarity("emb_a", "emb_b"), 4).alias("cos_sim"),
+            F.explode(F.array(
+                F.round(cosine_similarity("emb_a", "emb_b"), 4)
+            )).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
@@ -1389,10 +1399,15 @@ def blocked_fuzzy_pairs(df: DataFrame, id_col: str, text_col: str,
     ))
     return (
         grouped.select(*block_cols, F.explode(pair_arr).alias("__p"))
-        .withColumn(
-            "distance",
-            F.levenshtein(F.col("__p.a_txt"), F.col("__p.b_txt"),
-                          max_distance).cast("long"),
+        # Generate barrier (r14, the q63 lesson): as a plain column the
+        # ≥0 filter pushes below the projection re-evaluating the DP
+        # per candidate — 2 levenshtein runs per surviving pair.
+        .select(
+            *block_cols, "__p",
+            F.explode(F.array(
+                F.levenshtein(F.col("__p.a_txt"), F.col("__p.b_txt"),
+                              max_distance).cast("long")
+            )).alias("distance"),
         )
         .filter(F.col("distance") >= 0)
         .select(F.col("__p.a_id").alias("a_id"),
