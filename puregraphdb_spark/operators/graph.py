@@ -2755,24 +2755,26 @@ def _co_supply_pairs(spark: SparkSession, sf_dir: str,
 
 def _co_supply_adjacency(spark: SparkSession, sf_dir: str,
                          skew_cap_bytes: int) -> DataFrame | None:
-    """Under-the-gate fast path for the link-prediction family (r14):
-    the per-customer supplier neighborhood as ONE sorted array —
+    """Under-the-gate fast path for q171 (r14): the per-customer
+    supplier neighborhood as ONE sorted array —
     ``(c, ss sorted array<bigint>)`` — built by a single
     dedup-and-group shuffle (collect_set dedups, the count_triangles
     trick), instead of the pair relation's distinct + self-join. The
     consumer expands s1<s2 pairs with two nested map-side explodes, so
     the whole quadratic stage runs inside one codegen span with no
-    join machinery and one fewer exchange (measured sf0.1 interleaved
-    best-of-5 noop: q100 3.92 → 3.18 s, q171 2.80 → 2.35 s on a
-    loaded host; plan diff: 3 Exchange → 2, BroadcastHashJoin probe
-    removed).
+    join machinery and one fewer exchange. Bench-measured sf0.1
+    (interleaved best-of-5, like-for-like host): q171 1.52 → 1.25 s —
+    its 1/deg(z) weight reads size(ss) off the array for free. q100
+    was MEASURED SLOWER on this path (1.35 → 1.52 s): its deg(s)
+    attachment has to re-explode every neighborhood a second time, so
+    it stays on the pair relation.
 
     Returns ``None`` past ``skew_cap_bytes``: at that scale a hub
     customer's collect_set is exactly the unbounded per-key
     aggregation buffer the q25 docstring forbids — the window-capped
     pair relation (``_co_supply_pairs``) stays the 100-TB path.
     Equality of the two shapes is pinned by
-    tests/test_graph_queries.py.
+    tests/test_r14_optimizations.py.
     """
     from puregraphdb_spark.sources.registry import (
         broadcast_if_small, table_bytes,
@@ -2831,32 +2833,23 @@ def q100_link_prediction(spark: SparkSession, sf_dir: str,
     """
     from puregraphdb_spark.functions.numeric import decimal_round
 
-    adj = _co_supply_adjacency(spark, sf_dir, skew_cap_bytes)
-    if adj is not None:
-        # under-gate fast path: map-side pair expansion off the
-        # adjacency array (see _co_supply_adjacency); deg re-explodes
-        # the same aggregate, so its exchange is reused.
-        cn = (
-            adj.select(F.explode("ss").alias("s1"), "ss")
-            .select("s1", F.explode("ss").alias("s2"))
-            .filter(F.col("s1") < F.col("s2"))
-            .groupBy("s1", "s2")
-            .agg(F.count("*").alias("cn"))
-        )
-        deg = (adj.select(F.explode("ss").alias("s"))
-               .groupBy("s").agg(F.count("*").alias("d")))
-    else:
-        pairs = _co_supply_pairs(spark, sf_dir, max_neighborhood,
-                                 skew_cap_bytes)
-        a = pairs.select("c", F.col("s").alias("s1"))
-        b = pairs.select("c", F.col("s").alias("s2"))
-        cn = (
-            a.join(b, "c")
-            .filter(F.col("s1") < F.col("s2"))
-            .groupBy("s1", "s2")
-            .agg(F.count("*").alias("cn"))
-        )
-        deg = pairs.groupBy("s").agg(F.count("*").alias("d"))
+    # NOT the adjacency-array fast path, deliberately (r14): q100
+    # needs deg(s) as well as the pair counts, and deriving it from
+    # the adjacency re-explodes every neighborhood a second time —
+    # MEASURED SLOWER than this shape (bench sf0.1: 1.35 → 1.52 s on
+    # a like-for-like host), while q171 (whose weight reads size(ss)
+    # off the array for free) keeps the fast path with a measured win.
+    pairs = _co_supply_pairs(spark, sf_dir, max_neighborhood,
+                             skew_cap_bytes)
+    a = pairs.select("c", F.col("s").alias("s1"))
+    b = pairs.select("c", F.col("s").alias("s2"))
+    cn = (
+        a.join(b, "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("cn"))
+    )
+    deg = pairs.groupBy("s").agg(F.count("*").alias("d"))
     scored = (
         cn.join(deg.select(F.col("s").alias("s1"), F.col("d").alias("d1")),
                 "s1")

@@ -1399,15 +1399,19 @@ def blocked_fuzzy_pairs(df: DataFrame, id_col: str, text_col: str,
     ))
     return (
         grouped.select(*block_cols, F.explode(pair_arr).alias("__p"))
-        # Generate barrier (r14, the q63 lesson): as a plain column the
-        # ≥0 filter pushes below the projection re-evaluating the DP
-        # per candidate — 2 levenshtein runs per surviving pair.
-        .select(
-            *block_cols, "__p",
-            F.explode(F.array(
-                F.levenshtein(F.col("__p.a_txt"), F.col("__p.b_txt"),
-                              max_distance).cast("long")
-            )).alias("distance"),
+        # NO Generate barrier here, deliberately (r14): the ≥0 cut is
+        # highly selective (thresholded levenshtein returns −1 for
+        # most candidates), so the pushed-down filter evaluates the
+        # early-exit DP once per candidate and discards inline; only
+        # the few survivors pay the second evaluation in the output
+        # projection. The barrier variant was MEASURED SLOWER in the
+        # interleaved bench (q114 0.163 → 0.219 s): it traded the few
+        # survivor re-evaluations for materializing every candidate
+        # row through a second Generate (the q82 lesson).
+        .withColumn(
+            "distance",
+            F.levenshtein(F.col("__p.a_txt"), F.col("__p.b_txt"),
+                          max_distance).cast("long"),
         )
         .filter(F.col("distance") >= 0)
         .select(F.col("__p.a_id").alias("a_id"),

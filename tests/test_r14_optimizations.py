@@ -56,23 +56,25 @@ def test_q176_single_intersect_evaluation(spark):
     assert plan.count("array_intersect") == 1
 
 
-def test_link_prediction_adjacency_path_equals_window_path(spark):
-    from puregraphdb_spark.operators.graph import (
-        q100_link_prediction, q171_resource_allocation)
+def test_q171_adjacency_path_equals_window_path(spark):
+    # q171 keeps the adjacency-array fast path (its 1/deg weight reads
+    # size(ss) off the array for free); q100 measured slower on it and
+    # stays on the pair relation — only q171's two shapes need pinning.
+    from puregraphdb_spark.operators.graph import q171_resource_allocation
 
-    for fn in (q100_link_prediction, q171_resource_allocation):
-        fast = fn(spark, SF_DIR).toPandas()
-        # skew_cap_bytes=0 defeats the gate: window-capped pair
-        # relation with a cap far above every fixture degree ≡ exact
-        slow = fn(spark, SF_DIR, max_neighborhood=1 << 30,
-                  skew_cap_bytes=0).toPandas()
-        assert fast.equals(slow), fn.__name__
+    fast = q171_resource_allocation(spark, SF_DIR).toPandas()
+    # skew_cap_bytes=0 defeats the gate: window-capped pair relation
+    # with a cap far above every fixture degree ≡ exact
+    slow = q171_resource_allocation(
+        spark, SF_DIR, max_neighborhood=1 << 30,
+        skew_cap_bytes=0).toPandas()
+    assert fast.equals(slow)
 
 
-def test_q100_fast_path_has_no_pair_self_join(spark):
-    from puregraphdb_spark.operators.graph import q100_link_prediction
+def test_q171_fast_path_has_no_pair_self_join(spark):
+    from puregraphdb_spark.operators.graph import q171_resource_allocation
 
-    plan = _physical(q100_link_prediction(spark, SF_DIR))
+    plan = _physical(q171_resource_allocation(spark, SF_DIR))
     # the expansion is two nested generators off the adjacency array,
     # not a c-keyed self-join
     assert plan.count("Generate explode") >= 2
