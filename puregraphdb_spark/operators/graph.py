@@ -256,6 +256,23 @@ class Graph:
                 .select("src", "dst")
                 .distinct()
             )
+            if min_hops == 1 and h == max_hops:
+                # Last hop of a min_hops=1 band (r14): nothing joins
+                # off this frontier, and the band is a union of every
+                # hop anyway — so the dist-exactness anti-join here is
+                # pure dedup, and ONE union-distinct over the raw step
+                # replaces it (same pair set; MEASURED at sf0.1, q86:
+                # 0.89 → 0.66 s best-of-5 noop interleaved; plan diff:
+                # SortMergeJoin LeftAnti → one HashAggregate). The
+                # anti-join stays load-bearing everywhere else: for
+                # min_hops > 1 it IS the shortest-path semantics, and
+                # on intermediate hops it keeps the next join's input
+                # minimal.
+                parts.append(step)
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p)
+                return out.distinct()
             frontier = step.join(reached, ["src", "dst"], "left_anti")
             reached = reached.unionByName(frontier)
             if h >= min_hops:
