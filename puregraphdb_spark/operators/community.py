@@ -453,13 +453,23 @@ def q99_modularity(spark, sf_dir: str) -> DataFrame:
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    assignment = (
+    # The broadcast the docstring promises needs an explicit measured
+    # gate (r14): the assignment is join-derived, so Catalyst has no
+    # usable size estimate and planned BOTH modularity attach joins as
+    # SortMergeJoin. One row per vertex key ≤ |customer|+|supplier|
+    # keys, so the customer-table gate bounds it; under the gate the
+    # edge relation is never re-shuffled for the attach (2 SMJ → BHJ,
+    # 0.777 → 0.656 s best-of-5 noop at sf0.1, rows identical).
+    from puregraphdb_spark.sources.registry import broadcast_if_small
+
+    assignment = broadcast_if_small(
         ids.join(supp, "id", "left")
         .join(cust, "id", "left")
         .select(
             "id",
             F.coalesce("s_nationkey", "c_nationkey").alias("community"),
-        )
+        ),
+        spark, sf_dir, "customer",
     )
     return modularity(edges, assignment)
 

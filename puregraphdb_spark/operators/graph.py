@@ -445,6 +445,23 @@ class Graph:
             self.edges.localCheckpoint(eager=False)
             if share_edges else self.edges
         )
+        if share_edges:
+            # The checkpoint truncates the logical plan to a LogicalRDD
+            # — which silently DROPS any join-strategy hint the caller
+            # attached to the edge relation (found r14: q65's gated
+            # broadcast hint died here, leaving 2 stats-less
+            # SortMergeJoins the caller believed were broadcasts).
+            # Re-apply the caller's top-level hints onto the shared
+            # materialization so the strategy preference survives.
+            import re as _re
+
+            head = self.edges._jdf.queryExecution().analyzed().toString()
+            for ln in head.splitlines():
+                m = _re.match(r"^(?::  )*ResolvedHint \(strategy=(\w+)\)",
+                              ln)
+                if not m:
+                    break
+                edges_rel = edges_rel.hint(m.group(1))
 
         ecols = {c: F.col(c) for c in self.edges.columns}
         result: DataFrame | None = None
@@ -2428,7 +2445,7 @@ def q65_motif_wedge(spark: SparkSession, sf_dir: str) -> DataFrame:
     and AQE splits hot parts; the anti-join probes the canonical edge
     set on (a, c).
     """
-    from puregraphdb_spark.sources.registry import broadcast_if_small
+    from puregraphdb_spark.sources.registry import shuffle_hash_if_small
 
     l = load_table(spark, sf_dir, "lineitem")
     e = part_cooccurrence_edges(l).select(
@@ -2439,14 +2456,19 @@ def q65_motif_wedge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
     )
-    # Hint the EDGE relation once, under the measured lineitem gate
-    # (same 32 MiB line as q24's adjacency): the hint rides the plan
-    # subtree into every join find() builds — wedge probe AND anti —
-    # so under the gate the whole motif is map-side broadcast joins
-    # (measured sf0.1: 3.8 s → 2.3 s, SMJ count 2 → 0); past it the
-    # planner keeps shuffle joins with no hint anywhere.
-    e = broadcast_if_small(e, spark, sf_dir, "lineitem",
-                           threshold=32 << 20)
+    # Hint history (r14): the old gated BROADCAST hint here had been
+    # silently dropped ever since find()'s share_edges checkpoint
+    # landed (its 3.8 → 2.3 s claim predates that); once find()
+    # learned to preserve caller hints across the share barrier, the
+    # restored broadcast MEASURED 1.50× SLOWER than the hint-less
+    # sort-merge (0.47 → 0.70 s best-of-5 noop at sf0.1) — each fresh
+    # execution pays a driver broadcast build of the shared edge
+    # materialization, where the sort-merge path just re-sorts the
+    # cached checkpoint. The gated SHUFFLE_HASH preference is the
+    # family posture (q85/q86/q91) and measured ≥ hint-less here
+    # (0.670 vs 0.687 s): shuffles stay, sorts go, and past the gate
+    # the planner default stands.
+    e = shuffle_hash_if_small(e, spark, sf_dir, "lineitem")
     g = Graph(v, e)
     # bindings only — the vertex set IS the endpoint set, so the
     # attribute joins would be membership no-ops (3 joins saved).
@@ -2621,8 +2643,16 @@ def q95_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_suppkey").alias("dst"))
         .distinct()
     )
-    outd = e.groupBy("src").agg(F.count("*").cast("long").alias("src_deg"))
-    ind = e.groupBy("dst").agg(F.count("*").cast("long").alias("dst_deg"))
+    # One row per customer/supplier key, so the measured dim-table
+    # gates bound the degree relations and the edge set is never
+    # re-shuffled for the attach (was 2 stats-less SortMergeJoins;
+    # 0.608 → 0.431 s best-of-5 noop at sf0.1, rows identical).
+    outd = broadcast_if_small(
+        e.groupBy("src").agg(F.count("*").cast("long").alias("src_deg")),
+        spark, sf_dir, "customer")
+    ind = broadcast_if_small(
+        e.groupBy("dst").agg(F.count("*").cast("long").alias("dst_deg")),
+        spark, sf_dir, "supplier")
     j = e.join(outd, "src").join(ind, "dst")
     return j.agg(
         F.count("*").alias("n_edges"),
@@ -2676,17 +2706,29 @@ def q85_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio → exact cross-engine; the decimal snap only formats it.
     """
     from puregraphdb_spark.functions.numeric import decimal_round
-    from puregraphdb_spark.sources.registry import final_sort
+    from puregraphdb_spark.sources.registry import (
+        final_sort, shuffle_hash_if_small,
+    )
 
     l = load_table(spark, sf_dir, "lineitem")
-    e = part_cooccurrence_edges(l)
+    # All three joins here sit on aggregate-derived relations (no
+    # usable stats → SortMergeJoin); under the measured lineitem gate
+    # the edge, center and degree relations carry SHUFFLE_HASH so the
+    # wedge expansion, the closing-edge semi-probe and the degree
+    # attach keep their shuffles but skip the sorts (3 SMJ → 3 SHJ,
+    # 1.196 → 0.890 s best-of-5 noop at sf0.1, rows identical). Past
+    # the gate the hints are absent and sort-merge stands.
+    e = shuffle_hash_if_small(
+        part_cooccurrence_edges(l), spark, sf_dir, "lineitem")
     und = e.select("u", "v").unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    ctr = und.filter(F.col("u") % 100 == 0)
-    deg = ctr.groupBy(F.col("u").alias("w")).agg(
-        F.count("*").cast("long").alias("deg")
-    )
+    ctr = shuffle_hash_if_small(
+        und.filter(F.col("u") % 100 == 0), spark, sf_dir, "lineitem")
+    deg = shuffle_hash_if_small(
+        ctr.groupBy(F.col("u").alias("w")).agg(
+            F.count("*").cast("long").alias("deg")
+        ), spark, sf_dir, "lineitem")
     n1 = ctr.select(F.col("u").alias("w"), F.col("v").alias("n1"))
     n2 = ctr.select(F.col("u").alias("w"), F.col("v").alias("n2"))
     wedges = n1.join(n2, "w").filter(F.col("n1") < F.col("n2"))
@@ -2726,12 +2768,20 @@ def q86_reach2(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (the reach relation is lazy — no checkpoint at k=2); pair
     dedup bounds intermediates by the true closure, never path count.
     """
-    from puregraphdb_spark.sources.registry import final_sort
+    from puregraphdb_spark.sources.registry import (
+        final_sort, shuffle_hash_if_small,
+    )
 
     l = load_table(spark, sf_dir, "lineitem")
-    e = part_cooccurrence_edges(l).select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    )
+    # reach()'s frontier join sits on the dedup-derived edge relation
+    # (no stats → SortMergeJoin); the gated SHUFFLE_HASH preference
+    # keeps the exchange-reuse between the two frontier sides but
+    # skips both sorts (0.999 → 0.838 s best-of-5 noop at sf0.1,
+    # rows identical). Past the gate: planner default.
+    e = shuffle_hash_if_small(
+        part_cooccurrence_edges(l).select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        ), spark, sf_dir, "lineitem")
     v = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -2878,7 +2928,20 @@ def q100_link_prediction(spark: SparkSession, sf_dir: str,
         .groupBy("s1", "s2")
         .agg(F.count("*").alias("cn"))
     )
-    deg = pairs.groupBy("s").agg(F.count("*").alias("d"))
+    # The self-join stays sort-merge DELIBERATELY (r14): a
+    # SHUFFLE_HASH hint on the pair relation was measured SLOWER
+    # (2.04 → 2.66 s best-of-5 noop at sf0.1) — the per-partition
+    # hash build of the whole neighborhood relation loses to the
+    # sort it replaces here. The degree attach is the win instead:
+    # deg is one row per supplier key, so the measured supplier-table
+    # gate broadcasts it and the (s1,s2) aggregate is never
+    # re-shuffled for the attach (2 SortMergeJoin → 2
+    # BroadcastHashJoin; 2.36 → 2.00 s best-of-5 noop).
+    from puregraphdb_spark.sources.registry import broadcast_if_small
+
+    deg = broadcast_if_small(
+        pairs.groupBy("s").agg(F.count("*").alias("d")),
+        spark, sf_dir, "supplier")
     scored = (
         cn.join(deg.select(F.col("s").alias("s1"), F.col("d").alias("d1")),
                 "s1")
