@@ -168,3 +168,37 @@ def test_semantic_prune_single_arrow_seam_and_projection(spark):
             if "FlatMapGroupsInPandas" in ln]
     assert seam and all(
         c in seam[0] for c in ("cluster", "__vid", "csim", "emb", "nrm"))
+
+
+def test_gated_join_strategies_across_graph_surface(spark):
+    # r14 (guide §3.1): the per-query measured join-strategy gates.
+    # Each assertion pins the A/B'd winner at fixture scale (rows are
+    # oracle-pinned separately); a regression here means a future edit
+    # silently reverted a measured plan decision.
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    def plan(name):
+        return _physical(qs[name](spark, SF_DIR))
+
+    # q85/q86/q65: gated SHUFFLE_HASH on the co-occurrence relations —
+    # sorts gone, shuffles kept, nothing force-broadcast.
+    for name, shj in (("q85_clustering_coeff", 3),
+                      ("q86_reach2", 1),
+                      ("q65_motif_wedge", 2)):
+        p = plan(name)
+        assert "SortMergeJoin" not in p, name
+        assert p.count("ShuffledHashJoin") == shj, name
+
+    # q100: degree attach broadcasts under the supplier gate; the
+    # neighborhood self-join DELIBERATELY stays sort-merge (the
+    # SHUFFLE_HASH variant measured 1.30x slower — recorded in the
+    # builder).
+    p = plan("q100_link_prediction")
+    assert p.count("SortMergeJoin") == 1
+    assert p.count("BroadcastHashJoin") >= 3
+
+    # q99/q95: one-row-per-key relations broadcast under dim gates.
+    for name in ("q99_modularity", "q95_degree_assortativity"):
+        assert "SortMergeJoin" not in plan(name), name
