@@ -1867,9 +1867,13 @@ def mann_whitney_u(events: DataFrame, ref_type: str = "purchase",
     consumer's one float expression). rank_biserial = u2/(n_a·n_b)−1
     is the standard effect size: one IEEE division, snapped.
 
-    Scale: the reference group replicates once per comparison type
-    (map-side explode, |types|-bounded); ONE shuffle partitions by
-    pair for the rank windows; the aggregate is per-pair scalars.
+    Scale (r15 rank-map rewrite, the q185 discipline): the fact
+    stream is never sorted — ONE map-side-partial aggregate to the
+    (pair, value) grain, a cumulative window over the DISTINCT-VALUE
+    relation only, and the per-pair moments read off the value grain.
+    The old per-row rank/count windows partitioned by ``pair``
+    funneled every row through |types| sort tasks (the guide's
+    canonical few-distinct-keys window skew), twice.
     """
     from puregraphdb_spark.functions.numeric import decimal_round
 
@@ -1889,23 +1893,34 @@ def mann_whitney_u(events: DataFrame, ref_type: str = "purchase",
         .select(F.col(type_col).alias("pair"),
                 F.lit(0).alias("is_a"), F.col(val_col).alias("v"))
     )
-    w_rank = Window.partitionBy("pair").orderBy("v")
-    w_tie = Window.partitionBy("pair", "v")
-    ranked = a.unionByName(b).select(
-        "pair", "is_a",
-        (F.rank().over(w_rank) * 2
-         + F.count("*").over(w_tie) - 1).cast("long").alias("avg2"),
-        F.count("*").over(w_tie).cast("long").alias("t"),
+    # The doubled average rank of a value depends only on the
+    # (pair, value) marginal counts:
+    #   avg2 = rank()·2 + t − 1 = 2·cnt_lt + t + 1 = 2·cumsum(t) − t + 1,
+    # and every per-pair moment is distributive over the value groups:
+    #   Σ_A avg2 = Σ_v ca·avg2,  Σ_rows (t²−1) = Σ_v (t³−t),
+    #   n_a = Σ_v ca,  n_b = Σ_v (t − ca)
+    # — all exact bigint arithmetic, so the results are bit-identical
+    # to the per-row window form (pinned in test_r15_optimizations).
+    per_v = (
+        a.unionByName(b)
+        .groupBy("pair", "v")
+        .agg(F.sum("is_a").cast("long").alias("ca"),
+             F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    wv = (Window.partitionBy("pair").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = per_v.select(
+        "pair", "ca", "t",
+        (F.sum("t").over(wv) * 2 - F.col("t") + 1)
+        .cast("long").alias("avg2"),
     )
     agg = ranked.groupBy("pair").agg(
-        F.sum("is_a").cast("long").alias("n_a"),
-        F.sum(1 - F.col("is_a")).cast("long").alias("n_b"),
-        F.sum(F.when(F.col("is_a") == 1, F.col("avg2"))
-              .otherwise(0)).cast("long").alias("ranksum2_a"),
-        # each tie group of size t contributes t rows of (t³−t)/t =
-        # t²−1, so summing (t²−1) per ROW equals Σ_groups (t³−t)
-        F.sum(F.col("t") * F.col("t") - 1).cast("long")
-        .alias("tie_sum"),
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum(F.col("t") - F.col("ca")).cast("long").alias("n_b"),
+        F.sum(F.col("ca") * F.col("avg2")).cast("long")
+        .alias("ranksum2_a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long").alias("tie_sum"),
     )
     u2 = (F.col("ranksum2_a")
           - F.col("n_a") * (F.col("n_a") + 1)).cast("long")

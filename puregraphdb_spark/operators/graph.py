@@ -451,17 +451,22 @@ class Graph:
             # attached to the edge relation (found r14: q65's gated
             # broadcast hint died here, leaving 2 stats-less
             # SortMergeJoins the caller believed were broadcasts).
-            # Re-apply the caller's top-level hints onto the shared
+            # Re-apply the caller's hints onto the shared
             # materialization so the strategy preference survives.
-            import re as _re
-
-            head = self.edges._jdf.queryExecution().analyzed().toString()
-            for ln in head.splitlines():
-                m = _re.match(r"^(?::  )*ResolvedHint \(strategy=(\w+)\)",
-                              ln)
-                if not m:
-                    break
-                edges_rel = edges_rel.hint(m.group(1))
+            # Walks the JVM analyzed-plan NODES (ADVICE r14: the old
+            # treeString regex only ever matched the root line, so
+            # stacked hints were silently dropped, and the string
+            # format is Spark-version-fragile); applied in reverse so
+            # the original outermost hint stays outermost.
+            node = self.edges._jdf.queryExecution().analyzed()
+            strategies = []
+            while node.getClass().getSimpleName() == "ResolvedHint":
+                strat = node.hints().strategy()
+                if strat.isDefined():
+                    strategies.append(strat.get().toString())
+                node = node.child()
+            for s in reversed(strategies):
+                edges_rel = edges_rel.hint(s)
 
         ecols = {c: F.col(c) for c in self.edges.columns}
         result: DataFrame | None = None
@@ -2316,7 +2321,10 @@ def q23_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("outd").alias("out_degree"),
             F.sum("ind").alias("in_degree"),
         ),
-        spark, sf_dir, "lineitem", "v",
+        # fold=True (r15): sort key = grouping key and the final merge
+        # is ~15k degree rows — the one-partition sort folds into the
+        # degree aggregate's own shuffle stage (guide §2.4).
+        spark, sf_dir, "lineitem", "v", fold=True,
     )
 
 
@@ -2468,7 +2476,8 @@ def q65_motif_wedge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # family posture (q85/q86/q91) and measured ≥ hint-less here
     # (0.670 vs 0.687 s): shuffles stay, sorts go, and past the gate
     # the planner default stands.
-    e = shuffle_hash_if_small(e, spark, sf_dir, "lineitem")
+    e = shuffle_hash_if_small(e, spark, sf_dir, "lineitem",
+                              expanded=True)
     g = Graph(v, e)
     # bindings only — the vertex set IS the endpoint set, so the
     # attribute joins would be membership no-ops (3 joins saved).
@@ -2593,7 +2602,7 @@ def q91_motif_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.count("*").alias("w"))
         .select(F.col("u").alias("src"), F.col("v").alias("dst"), "w"),
-        spark, sf_dir, "lineitem",
+        spark, sf_dir, "lineitem", expanded=True,
     )
     v = (
         ew.select(F.col("src").alias("id"))
@@ -2719,12 +2728,14 @@ def q85_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1.196 → 0.890 s best-of-5 noop at sf0.1, rows identical). Past
     # the gate the hints are absent and sort-merge stands.
     e = shuffle_hash_if_small(
-        part_cooccurrence_edges(l), spark, sf_dir, "lineitem")
+        part_cooccurrence_edges(l), spark, sf_dir, "lineitem",
+        expanded=True)
     und = e.select("u", "v").unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     ctr = shuffle_hash_if_small(
-        und.filter(F.col("u") % 100 == 0), spark, sf_dir, "lineitem")
+        und.filter(F.col("u") % 100 == 0), spark, sf_dir, "lineitem",
+        expanded=True)
     deg = shuffle_hash_if_small(
         ctr.groupBy(F.col("u").alias("w")).agg(
             F.count("*").cast("long").alias("deg")
@@ -2781,7 +2792,7 @@ def q86_reach2(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = shuffle_hash_if_small(
         part_cooccurrence_edges(l).select(
             F.col("u").alias("src"), F.col("v").alias("dst")
-        ), spark, sf_dir, "lineitem")
+        ), spark, sf_dir, "lineitem", expanded=True)
     v = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -2911,36 +2922,56 @@ def q100_link_prediction(spark: SparkSession, sf_dir: str,
     the top-k is TakeOrderedAndProject — no full sort.
     """
     from puregraphdb_spark.functions.numeric import decimal_round
-
-    # NOT the adjacency-array fast path, deliberately (r14): q100
-    # needs deg(s) as well as the pair counts, and deriving it from
-    # the adjacency re-explodes every neighborhood a second time —
-    # MEASURED SLOWER than this shape (bench sf0.1: 1.35 → 1.52 s on
-    # a like-for-like host), while q171 (whose weight reads size(ss)
-    # off the array for free) keeps the fast path with a measured win.
-    pairs = _co_supply_pairs(spark, sf_dir, max_neighborhood,
-                             skew_cap_bytes)
-    a = pairs.select("c", F.col("s").alias("s1"))
-    b = pairs.select("c", F.col("s").alias("s2"))
-    cn = (
-        a.join(b, "c")
-        .filter(F.col("s1") < F.col("s2"))
-        .groupBy("s1", "s2")
-        .agg(F.count("*").alias("cn"))
-    )
-    # The self-join stays sort-merge DELIBERATELY (r14): a
-    # SHUFFLE_HASH hint on the pair relation was measured SLOWER
-    # (2.04 → 2.66 s best-of-5 noop at sf0.1) — the per-partition
-    # hash build of the whole neighborhood relation loses to the
-    # sort it replaces here. The degree attach is the win instead:
-    # deg is one row per supplier key, so the measured supplier-table
-    # gate broadcasts it and the (s1,s2) aggregate is never
-    # re-shuffled for the attach (2 SortMergeJoin → 2
-    # BroadcastHashJoin; 2.36 → 2.00 s best-of-5 noop).
     from puregraphdb_spark.sources.registry import broadcast_if_small
 
+    # r15: under the gate the expansion runs off the q171 adjacency
+    # arrays (two nested map-side explodes in one codegen span — no
+    # pair self-join, no SMJ sorts, one fewer exchange), and deg(s)
+    # is ONE cheap re-explode of the same (exchange-reused) adjacency.
+    # The r14 attempts that lost are different combinations: deriving
+    # deg from the adjacency while the ATTACH was still a shuffle join
+    # (1.35 → 1.52 s), and the marker-row single-aggregate shape
+    # (wash). With the r14 broadcast attach the explode-deg adjacency
+    # path wins: isolated interleaved best-of-5 noop 1.300 → 1.151 s
+    # (0.89×), faster on 4/5 runs; oracle hash re-verified at sf0.1 +
+    # sf0.01. Past the gate the window-capped pair relation stays the
+    # 100-TB path unchanged (a hub's collect_set is the unbounded
+    # per-key buffer the house rules forbid); fast-path ≡ window-path
+    # equality pinned in tests/test_r15_optimizations.py.
+    adj = _co_supply_adjacency(spark, sf_dir, skew_cap_bytes)
+    if adj is not None:
+        cn = (
+            adj.select(F.explode("ss").alias("s1"), "ss")
+            .select("s1", F.explode("ss").alias("s2"))
+            .filter(F.col("s1") < F.col("s2"))
+            .groupBy("s1", "s2")
+            .agg(F.count("*").alias("cn"))
+        )
+        deg_src = adj.select(F.explode("ss").alias("s"))
+    else:
+        pairs = _co_supply_pairs(spark, sf_dir, max_neighborhood,
+                                 skew_cap_bytes)
+        a = pairs.select("c", F.col("s").alias("s1"))
+        b = pairs.select("c", F.col("s").alias("s2"))
+        cn = (
+            a.join(b, "c")
+            .filter(F.col("s1") < F.col("s2"))
+            .groupBy("s1", "s2")
+            .agg(F.count("*").alias("cn"))
+        )
+        # The self-join stays sort-merge DELIBERATELY (r14): a
+        # SHUFFLE_HASH hint on the pair relation was measured SLOWER
+        # (2.04 → 2.66 s best-of-5 noop at sf0.1) — the per-partition
+        # hash build of the whole neighborhood relation loses to the
+        # sort it replaces here. The degree attach is the win instead:
+        # deg is one row per supplier key, so the measured
+        # supplier-table gate broadcasts it and the (s1,s2) aggregate
+        # is never re-shuffled for the attach (2 SortMergeJoin → 2
+        # BroadcastHashJoin; 2.36 → 2.00 s best-of-5 noop).
+        deg_src = pairs
+
     deg = broadcast_if_small(
-        pairs.groupBy("s").agg(F.count("*").alias("d")),
+        deg_src.groupBy("s").agg(F.count("*").alias("d")),
         spark, sf_dir, "supplier")
     scored = (
         cn.join(deg.select(F.col("s").alias("s1"), F.col("d").alias("d1")),

@@ -110,13 +110,17 @@ def q03_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     not oracled (SURVEY §2.2).
     """
     l = _t(spark, sf_dir, "lineitem")
+    # fold=True (r15): the sort key IS the grouping key and the final
+    # count-merge above the last exchange is ~3 rows, so the
+    # one-partition sort folds into the aggregate's own shuffle stage
+    # (one fewer Exchange + one fewer scheduling round — guide §2.4).
     return final_sort(
         l.groupBy("l_returnflag")
         .agg(
             F.countDistinct("l_partkey").alias("n_parts"),
             F.countDistinct("l_suppkey").alias("n_supp"),
         ),
-        spark, sf_dir, "lineitem", "l_returnflag",
+        spark, sf_dir, "lineitem", "l_returnflag", fold=True,
     )
 
 

@@ -1467,8 +1467,24 @@ def semantic_prune(scored: DataFrame, id_col: str = "vec_id",
     than silently skipped the way the old null-propagating lambda did;
     no fixture and no declared caller produces them (q173 profiles
     them upstream).
+
+    Id/cluster contract (ADVICE r14): the Arrow seam emits ``vid`` and
+    ``cluster`` as int64, so both inputs MUST be integral (and
+    non-NULL) — a string or decimal id that the old all-JVM expression
+    tolerated must be mapped/cast upstream. Validated up front with a
+    clear error instead of the opaque executor-side ValueError the
+    numpy coercion would raise.
     """
     import pandas as pd
+
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    dtypes = dict(scored.dtypes)
+    for c in ("__vid", "cluster"):
+        if dtypes.get(c) not in integral:
+            raise TypeError(
+                f"semantic_prune needs integral id/cluster columns; "
+                f"got {c}: {dtypes.get(c)} — cast or re-key the id "
+                f"upstream (the prune's Arrow seam emits int64)")
 
     th = float(threshold)
 

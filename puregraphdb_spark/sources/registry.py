@@ -183,7 +183,8 @@ def broadcast_if_small(df: DataFrame, spark: SparkSession, data_dir: str,
 
 def shuffle_hash_if_small(df: DataFrame, spark: SparkSession,
                           data_dir: str, source_table: str,
-                          threshold: int = 2 << 30) -> DataFrame:
+                          threshold: int = 2 << 30,
+                          expanded: bool = False) -> DataFrame:
     """Size-aware SHUFFLE_HASH hint (guide §3.1): prefer a shuffled
     hash join (skip both sort passes) only while the MEASURED on-disk
     size of the table the input derives from is under ``threshold``.
@@ -200,7 +201,23 @@ def shuffle_hash_if_small(df: DataFrame, spark: SparkSession,
     2 GiB source the derived relation's per-partition build is at most
     a few hundred MB across even a narrow 8-partition latency-mode
     fan-out, comfortably inside execution memory.
+
+    Pair-expansion caveat (ADVICE r14): that sizing argument assumes
+    the hinted relation derives near-LINEARLY from the source (joins,
+    filters, one-row-per-key aggregates). Self-join/co-occurrence
+    expansions grow SUPERLINEARLY with per-group cardinality, and a
+    ShuffledHashJoin build side cannot spill — a skewed or
+    denser-than-TPC-H dataset still under the source gate could build
+    a partition the sort-merge default would simply have spilled.
+    Call sites hinting a pair-expanded relation (q65/q85/q86's
+    co-occurrence edges) therefore use ``expanded=True``, which drops
+    the gate to ``threshold/8`` (256 MiB of source for a quadratic
+    derivation): the hinted fast path keeps its measured fixture-scale
+    win and hands over to sort-merge well before build-side residency
+    is in question.
     """
+    if expanded:
+        threshold //= 8
     if table_bytes(spark, data_dir, source_table) < threshold:
         return df.hint("shuffle_hash")
     return df
@@ -209,7 +226,8 @@ def shuffle_hash_if_small(df: DataFrame, spark: SparkSession,
 def final_sort(df: DataFrame, spark: SparkSession, data_dir: str,
                source_table: str, *sort_cols,
                threshold: int = 2 << 30,
-               row_preserving: bool = False) -> DataFrame:
+               row_preserving: bool = False,
+               fold: bool = False) -> DataFrame:
     """Totally-ordered FINAL result, sized by the measured input.
 
     A plain ``orderBy`` plans a range sort: RangePartitioner first runs
@@ -235,10 +253,24 @@ def final_sort(df: DataFrame, spark: SparkSession, data_dir: str,
     call sites gate at threshold/8 (256 MiB compressed ≈ ~1-2 GiB
     in-memory rows), keeping the distributed range sort for anything
     bigger.
+
+    ``fold=True`` (r15, guide §2.4/§7): under the gate, use
+    ``coalesce(1)`` instead of ``repartition(1)`` — a NARROW dependency
+    that folds the one-partition sort into the stage above ``df``'s own
+    last shuffle (one fewer Exchange and one fewer scheduling round; at
+    the sub-200 ms fixture floor a whole stage is ~60-90 ms). The price
+    is that EVERYTHING between that last shuffle and the sort runs in
+    one task, so it is ONLY for call sites where ``df`` is the direct
+    output of a shuffle-backed aggregate whose final merge is a few
+    (thousand) rows — never above a window or a heavy projection, which
+    ``repartition(1)``'s extra exchange deliberately keeps parallel.
+    Past the gate ``fold`` is ignored (distributed range sort).
     """
     if row_preserving:
         threshold //= 8
     if table_bytes(spark, data_dir, source_table) < threshold:
+        if fold:
+            return df.coalesce(1).sortWithinPartitions(*sort_cols)
         return df.repartition(1).sortWithinPartitions(*sort_cols)
     return df.orderBy(*sort_cols)
 

@@ -191,12 +191,16 @@ def test_gated_join_strategies_across_graph_surface(spark):
         assert "SortMergeJoin" not in p, name
         assert p.count("ShuffledHashJoin") == shj, name
 
-    # q100: degree attach broadcasts under the supplier gate; the
-    # neighborhood self-join DELIBERATELY stays sort-merge (the
-    # SHUFFLE_HASH variant measured 1.30x slower — recorded in the
-    # builder).
+    # q100 (r15): under the gate the expansion rides the adjacency
+    # arrays — no pair self-join at all (the SMJ is gone with its
+    # exchange; 1.300 -> 1.151 s best-of-5 noop) — and deg attaches
+    # by broadcast under the supplier gate. Past the gate the
+    # window-capped pair relation keeps its deliberate sort-merge
+    # (the SHUFFLE_HASH variant measured 1.30x slower, r14).
     p = plan("q100_link_prediction")
-    assert p.count("SortMergeJoin") == 1
+    assert "SortMergeJoin" not in p
+    # 2 nested explodes for the s1<s2 expansion + 1 for the deg grain
+    assert p.count("Generate") >= 3
     assert p.count("BroadcastHashJoin") >= 3
 
     # q99/q95: one-row-per-key relations broadcast under dim gates.
